@@ -1,0 +1,86 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SparkSession factory + base-table catalog for the graft engine.
+  *
+  * The engine is DataFrame/Catalyst-first: every operator is declared
+  * through the public `org.apache.spark.sql` API so predicate pushdown,
+  * column pruning, partition pruning and whole-stage codegen apply
+  * without hand-scheduling. Designed for a multi-executor cluster;
+  * tested on local[N].
+  */
+object Engine {
+
+  /** Build a session with scale-appropriate defaults.
+    *
+    * - shuffle.partitions sized to the machine, not the 200 default;
+    *   on a real cluster AQE coalesces post-shuffle partitions anyway.
+    * - AQE on: runtime re-planning (skew join splitting, dynamic
+    *   coalescing) is the 100TB safety net for skewed keys.
+    */
+  def session(master: String = "local[*]", cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.geo.GeoFunctions.register(spark)
+    spark
+  }
+
+  /** Register graft SQL functions on an externally-created session
+    * (e.g. the driver's Verify/Bench sessions). Idempotent.
+    */
+  def prepare(spark: SparkSession): SparkSession = {
+    graft.geo.GeoFunctions.register(spark)
+    spark
+  }
+}
+
+/** The driver-provided synthetic tables (TESTDATA.md). One parquet file
+  * per table under `<sfDir>/<name>.parquet`.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def df(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(path(dir, name))
+
+  /** Register every base table as a temp view named after the table.
+    * Idempotent; parquet footers only are read at registration time
+    * (scans stay lazy), so this is cheap to call per-query.
+    *
+    * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    * reader rejects; we read it as raw nanos (legacy conf) and expose a
+    * microsecond TIMESTAMP_NTZ — the same truncation DuckDB applies
+    * when it reads TIMESTAMP_NS into its µs TIMESTAMP.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    Engine.prepare(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    all.foreach { n =>
+      if (new java.io.File(path(dir, n)).exists()) {
+        val raw = df(spark, dir, n)
+        val v =
+          if (n == "events")
+            raw.withColumn("ts",
+              org.apache.spark.sql.functions.timestamp_micros(
+                org.apache.spark.sql.functions.expr("ts div 1000"))
+                .cast("timestamp_ntz"))
+          else raw
+        v.createOrReplaceTempView(n)
+      }
+    }
+  }
+}

@@ -1,0 +1,508 @@
+package graft.geo
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Planar geometry algorithms: centroid, area, distance, intersects,
+  * intersection, and (de)serialization to GeoJSON / WKT.
+  *
+  * Semantics mirror what the reference's query surface relies on
+  * (DuckDB spatial, planar): boundary points count as intersecting,
+  * distance is min euclidean distance in coordinate units, centroid is
+  * the true geometric centroid (area-weighted for polygons,
+  * length-weighted for lines).
+  */
+object GeoOps {
+
+  // ───────────────────────── area / centroid ─────────────────────────
+
+  /** Signed shoelace area of a ring (positive = CCW). */
+  def signedRingArea(ring: IndexedSeq[Pt]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = ring.length
+    while (i < n - 1) {
+      s += ring(i).x * ring(i + 1).y - ring(i + 1).x * ring(i).y
+      i += 1
+    }
+    // be tolerant of unclosed rings
+    if (n > 1 && ring(0) != ring(n - 1))
+      s += ring(n - 1).x * ring(0).y - ring(0).x * ring(n - 1).y
+    s / 2.0
+  }
+
+  def area(g: Geometry): Double = g match {
+    case Polygon(rings) if rings.nonEmpty =>
+      math.abs(signedRingArea(rings.head)) - rings.tail.map(r => math.abs(signedRingArea(r))).sum
+    case MultiPolygon(ps)       => ps.map(area).sum
+    case GeometryCollection(gs) => gs.map(area).sum
+    case _                      => 0.0
+  }
+
+  def length(g: Geometry): Double = g match {
+    case LineString(pts) =>
+      var s = 0.0; var i = 0
+      while (i < pts.length - 1) { s += dist(pts(i), pts(i + 1)); i += 1 }
+      s
+    case MultiLineString(ls)    => ls.map(length).sum
+    case GeometryCollection(gs) => gs.map(length).sum
+    case _                      => 0.0
+  }
+
+  /** (cx*w, cy*w, w) of a ring weighted by signed area (shoelace centroid). */
+  private def ringCentroidW(ring: IndexedSeq[Pt]): (Double, Double, Double) = {
+    var cx = 0.0; var cy = 0.0; var a = 0.0
+    val n = ring.length
+    var i = 0
+    def term(p0: Pt, p1: Pt): Unit = {
+      val cross = p0.x * p1.y - p1.x * p0.y
+      a += cross
+      cx += (p0.x + p1.x) * cross
+      cy += (p0.y + p1.y) * cross
+    }
+    while (i < n - 1) { term(ring(i), ring(i + 1)); i += 1 }
+    if (n > 1 && ring(0) != ring(n - 1)) term(ring(n - 1), ring(0))
+    (cx / 6.0, cy / 6.0, a / 2.0)
+  }
+
+  /** True geometric centroid. Dimension hierarchy like PostGIS/DuckDB:
+    * areal geometries use area weighting; if total area is 0 fall back
+    * to length weighting; if that is 0, average the points.
+    */
+  def centroid(g: Geometry): Pt = {
+    var ax = 0.0; var ay = 0.0; var aw = 0.0 // area-weighted
+    var lx = 0.0; var ly = 0.0; var lw = 0.0 // length-weighted
+    var px = 0.0; var py = 0.0; var pn = 0.0 // point average
+
+    def visit(g: Geometry): Unit = g match {
+      case Point(p) => px += p.x; py += p.y; pn += 1
+      case MultiPoint(ps) => ps.foreach(visit)
+      case LineString(pts) =>
+        var i = 0
+        while (i < pts.length - 1) {
+          val d = dist(pts(i), pts(i + 1))
+          lx += (pts(i).x + pts(i + 1).x) / 2.0 * d
+          ly += (pts(i).y + pts(i + 1).y) / 2.0 * d
+          lw += d
+          i += 1
+        }
+        pts.foreach { p => px += p.x; py += p.y; pn += 1 }
+      case MultiLineString(ls) => ls.foreach(visit)
+      case Polygon(rings) =>
+        // shell contributes its signed orientation; holes subtract.
+        rings.zipWithIndex.foreach { case (r, i) =>
+          val (cx, cy, a) = ringCentroidW(r)
+          val sign = if (i == 0) { if (a < 0) -1.0 else 1.0 } else { if (a < 0) 1.0 else -1.0 }
+          ax += cx * sign; ay += cy * sign; aw += a * sign
+        }
+        rings.headOption.foreach(_.foreach { p => px += p.x; py += p.y; pn += 1 })
+      case MultiPolygon(ps)       => ps.foreach(visit)
+      case GeometryCollection(gs) => gs.foreach(visit)
+    }
+    visit(g)
+    if (aw != 0.0) Pt(ax / aw, ay / aw)
+    else if (lw != 0.0) Pt(lx / lw, ly / lw)
+    else if (pn != 0.0) Pt(px / pn, py / pn)
+    else Pt(Double.NaN, Double.NaN)
+  }
+
+  // ───────────────────────── primitives ─────────────────────────
+
+  def dist(a: Pt, b: Pt): Double = {
+    val dx = a.x - b.x; val dy = a.y - b.y
+    math.sqrt(dx * dx + dy * dy)
+  }
+
+  /** Min distance from point p to segment [a,b]. */
+  def pointSegDist(p: Pt, a: Pt, b: Pt): Double = {
+    val dx = b.x - a.x; val dy = b.y - a.y
+    val l2 = dx * dx + dy * dy
+    if (l2 == 0.0) return dist(p, a)
+    var t = ((p.x - a.x) * dx + (p.y - a.y) * dy) / l2
+    if (t < 0) t = 0 else if (t > 1) t = 1
+    dist(p, Pt(a.x + t * dx, a.y + t * dy))
+  }
+
+  private def orient(a: Pt, b: Pt, c: Pt): Double =
+    (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x)
+
+  private def onSegment(a: Pt, b: Pt, p: Pt): Boolean =
+    orient(a, b, p) == 0.0 &&
+      p.x >= math.min(a.x, b.x) && p.x <= math.max(a.x, b.x) &&
+      p.y >= math.min(a.y, b.y) && p.y <= math.max(a.y, b.y)
+
+  /** Segment-segment intersection test (touching counts). */
+  def segIntersects(p1: Pt, p2: Pt, q1: Pt, q2: Pt): Boolean = {
+    val d1 = orient(q1, q2, p1); val d2 = orient(q1, q2, p2)
+    val d3 = orient(p1, p2, q1); val d4 = orient(p1, p2, q2)
+    if (((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+        ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))) return true
+    if (d1 == 0 && onSegment(q1, q2, p1)) return true
+    if (d2 == 0 && onSegment(q1, q2, p2)) return true
+    if (d3 == 0 && onSegment(p1, p2, q1)) return true
+    if (d4 == 0 && onSegment(p1, p2, q2)) return true
+    false
+  }
+
+  def segSegDist(p1: Pt, p2: Pt, q1: Pt, q2: Pt): Double = {
+    if (segIntersects(p1, p2, q1, q2)) 0.0
+    else math.min(
+      math.min(pointSegDist(p1, q1, q2), pointSegDist(p2, q1, q2)),
+      math.min(pointSegDist(q1, p1, p2), pointSegDist(q2, p1, p2)))
+  }
+
+  /** Ray-cast point-in-ring; boundary counts as inside. */
+  def pointInRing(p: Pt, ring: IndexedSeq[Pt]): Boolean = {
+    val n = ring.length
+    if (n < 3) return false
+    var inside = false
+    var i = 0
+    var j = if (ring(0) == ring(n - 1)) n - 2 else n - 1
+    val m = if (ring(0) == ring(n - 1)) n - 1 else n
+    while (i < m) {
+      val a = ring(i); val b = ring(j)
+      if (onSegment(a, b, p)) return true
+      if ((a.y > p.y) != (b.y > p.y)) {
+        val xCross = a.x + (p.y - a.y) / (b.y - a.y) * (b.x - a.x)
+        if (p.x < xCross) inside = !inside
+      }
+      j = i; i += 1
+    }
+    inside
+  }
+
+  /** Point in polygon with holes; boundary (incl. hole boundary) counts. */
+  def pointInPolygon(p: Pt, poly: Polygon): Boolean = {
+    if (poly.isEmpty || !pointInRing(p, poly.shell)) return false
+    // inside a hole (but not on its boundary) → outside
+    poly.holes.forall { h =>
+      !pointInRing(p, h) || h.sliding(2).exists(s => s.length == 2 && onSegment(s(0), s(1), p))
+    }
+  }
+
+  // ───────────────── decomposition helpers ─────────────────
+
+  private def segmentsOf(g: Geometry, out: ArrayBuffer[(Pt, Pt)]): Unit = g match {
+    case LineString(pts) =>
+      var i = 0
+      while (i < pts.length - 1) { out += ((pts(i), pts(i + 1))); i += 1 }
+    case Polygon(rings) =>
+      rings.foreach { r =>
+        var i = 0
+        while (i < r.length - 1) { out += ((r(i), r(i + 1))); i += 1 }
+        if (r.length > 1 && r(0) != r(r.length - 1)) out += ((r(r.length - 1), r(0)))
+      }
+    case MultiLineString(ls)    => ls.foreach(segmentsOf(_, out))
+    case MultiPolygon(ps)       => ps.foreach(segmentsOf(_, out))
+    case GeometryCollection(gs) => gs.foreach(segmentsOf(_, out))
+    case _                      => ()
+  }
+
+  private def pointsOf(g: Geometry, out: ArrayBuffer[Pt]): Unit = g match {
+    case Point(p)               => out += p
+    case MultiPoint(ps)         => ps.foreach(pointsOf(_, out))
+    case LineString(pts)        => out ++= pts
+    case Polygon(rings)         => rings.foreach(out ++= _)
+    case MultiLineString(ls)    => ls.foreach(pointsOf(_, out))
+    case MultiPolygon(ps)       => ps.foreach(pointsOf(_, out))
+    case GeometryCollection(gs) => gs.foreach(pointsOf(_, out))
+  }
+
+  private def polygonsOf(g: Geometry): Seq[Polygon] = g match {
+    case p: Polygon             => Seq(p)
+    case MultiPolygon(ps)       => ps
+    case GeometryCollection(gs) => gs.flatMap(polygonsOf)
+    case _                      => Nil
+  }
+
+  // ───────────────────────── intersects ─────────────────────────
+
+  def intersects(a: Geometry, b: Geometry): Boolean = {
+    if (a.isEmpty || b.isEmpty) return false
+    if (!a.envelope.intersects(b.envelope)) return false
+
+    val segsA = new ArrayBuffer[(Pt, Pt)]; segmentsOf(a, segsA)
+    val segsB = new ArrayBuffer[(Pt, Pt)]; segmentsOf(b, segsB)
+
+    // 1. any edge pair crossing/touching
+    var i = 0
+    while (i < segsA.length) {
+      var j = 0
+      while (j < segsB.length) {
+        if (segIntersects(segsA(i)._1, segsA(i)._2, segsB(j)._1, segsB(j)._2)) return true
+        j += 1
+      }
+      i += 1
+    }
+
+    // 2. containment: any point of A strictly within a polygon of B (or v.v.)
+    val polysA = polygonsOf(a); val polysB = polygonsOf(b)
+    if (polysB.nonEmpty) {
+      val ptsA = new ArrayBuffer[Pt]; pointsOf(a, ptsA)
+      if (ptsA.exists(p => polysB.exists(pb => pointInPolygon(p, pb)))) return true
+    }
+    if (polysA.nonEmpty) {
+      val ptsB = new ArrayBuffer[Pt]; pointsOf(b, ptsB)
+      if (ptsB.exists(p => polysA.exists(pa => pointInPolygon(p, pa)))) return true
+    }
+
+    // 3. pure point cases (no segments): point-point equality
+    if (segsA.isEmpty && segsB.isEmpty && polysA.isEmpty && polysB.isEmpty) {
+      val ptsA = new ArrayBuffer[Pt]; pointsOf(a, ptsA)
+      val ptsB = new ArrayBuffer[Pt]; pointsOf(b, ptsB)
+      return ptsA.exists(pa => ptsB.contains(pa))
+    }
+    false
+  }
+
+  // ───────────────────────── distance ─────────────────────────
+
+  /** Min planar distance; 0 when geometries intersect (incl. one
+    * containing the other).
+    */
+  def distance(a: Geometry, b: Geometry): Double = {
+    if (a.isEmpty || b.isEmpty) return Double.NaN
+    if (intersects(a, b)) return 0.0
+
+    val segsA = new ArrayBuffer[(Pt, Pt)]; segmentsOf(a, segsA)
+    val segsB = new ArrayBuffer[(Pt, Pt)]; segmentsOf(b, segsB)
+    val ptsA = new ArrayBuffer[Pt]; pointsOf(a, ptsA)
+    val ptsB = new ArrayBuffer[Pt]; pointsOf(b, ptsB)
+
+    var best = Double.PositiveInfinity
+    if (segsA.nonEmpty && segsB.nonEmpty) {
+      segsA.foreach { sa => segsB.foreach { sb =>
+        val d = segSegDist(sa._1, sa._2, sb._1, sb._2); if (d < best) best = d
+      } }
+    } else if (segsA.nonEmpty) {
+      ptsB.foreach { p => segsA.foreach { s =>
+        val d = pointSegDist(p, s._1, s._2); if (d < best) best = d
+      } }
+    } else if (segsB.nonEmpty) {
+      ptsA.foreach { p => segsB.foreach { s =>
+        val d = pointSegDist(p, s._1, s._2); if (d < best) best = d
+      } }
+    } else {
+      ptsA.foreach { pa => ptsB.foreach { pb =>
+        val d = dist(pa, pb); if (d < best) best = d
+      } }
+    }
+    best
+  }
+
+  // ───────────────────────── intersection ─────────────────────────
+
+  /** Geometry intersection. Full support for the shapes the reference
+    * exercises (AnalysisPanel.jsx:40-60 — polygon overlap rendering,
+    * try/catch-wrapped and skippable): polygon ∩ polygon via
+    * Sutherland–Hodgman against each *convex* clip polygon (falls back
+    * to the convex hull of the clip shell otherwise), point ∩ any,
+    * line ∩ polygon clipping. Returns an empty GeometryCollection when
+    * there is no intersection or the pair is unsupported.
+    */
+  def intersection(a: Geometry, b: Geometry): Geometry = {
+    val empty = GeometryCollection(IndexedSeq.empty)
+    if (a.isEmpty || b.isEmpty || !a.envelope.intersects(b.envelope)) return empty
+    (a, b) match {
+      case (p: Point, g) => if (intersects(p, g)) p else empty
+      case (g, p: Point) => if (intersects(p, g)) p else empty
+      case (l: LineString, g) if polygonsOf(g).nonEmpty => clipLine(l, polygonsOf(g))
+      case (g, l: LineString) if polygonsOf(g).nonEmpty => clipLine(l, polygonsOf(g))
+      case (pa, pb) =>
+        val polysA = polygonsOf(pa); val polysB = polygonsOf(pb)
+        if (polysA.isEmpty || polysB.isEmpty) return empty
+        val out = for {
+          x <- polysA; y <- polysB
+          clipped = sutherlandHodgman(x.shell, convexShell(y))
+          if clipped.length >= 3
+        } yield Polygon(IndexedSeq(close(clipped)))
+        out match {
+          case Seq()  => empty
+          case Seq(p) => p
+          case ps     => MultiPolygon(ps.toIndexedSeq)
+        }
+    }
+  }
+
+  private def close(ring: IndexedSeq[Pt]): IndexedSeq[Pt] =
+    if (ring.nonEmpty && ring.head != ring.last) ring :+ ring.head else ring
+
+  /** Convex hull of a ring (Andrew monotone chain) — used to get a
+    * convex clip region for Sutherland–Hodgman.
+    */
+  private def convexShell(p: Polygon): IndexedSeq[Pt] = {
+    val pts = p.shell.distinct.sortBy(q => (q.x, q.y))
+    if (pts.length <= 3) return close(pts)
+    val lower = ArrayBuffer[Pt]()
+    pts.foreach { q =>
+      while (lower.length >= 2 && orient(lower(lower.length - 2), lower.last, q) <= 0) lower.remove(lower.length - 1)
+      lower += q
+    }
+    val upper = ArrayBuffer[Pt]()
+    pts.reverse.foreach { q =>
+      while (upper.length >= 2 && orient(upper(upper.length - 2), upper.last, q) <= 0) upper.remove(upper.length - 1)
+      upper += q
+    }
+    close((lower.dropRight(1) ++ upper.dropRight(1)).toIndexedSeq)
+  }
+
+  /** Sutherland–Hodgman: clip `subject` ring by convex ring `clip`
+    * (CCW). Returns open ring.
+    */
+  private def sutherlandHodgman(subjectIn: IndexedSeq[Pt], clipRing: IndexedSeq[Pt]): IndexedSeq[Pt] = {
+    var subject: IndexedSeq[Pt] =
+      if (subjectIn.nonEmpty && subjectIn.head == subjectIn.last) subjectIn.dropRight(1) else subjectIn
+    val clip = if (clipRing.nonEmpty && clipRing.head == clipRing.last) clipRing.dropRight(1) else clipRing
+    if (clip.length < 3) return IndexedSeq.empty
+    // ensure CCW clip
+    val cl = if (signedRingArea(close(clip)) < 0) clip.reverse else clip
+    var i = 0
+    while (i < cl.length && subject.nonEmpty) {
+      val a = cl(i); val b = cl((i + 1) % cl.length)
+      val out = ArrayBuffer[Pt]()
+      var j = 0
+      while (j < subject.length) {
+        val cur = subject(j)
+        val prev = subject((j + subject.length - 1) % subject.length)
+        val curIn = orient(a, b, cur) >= 0
+        val prevIn = orient(a, b, prev) >= 0
+        if (curIn) {
+          if (!prevIn) out += lineIntersect(prev, cur, a, b)
+          out += cur
+        } else if (prevIn) {
+          out += lineIntersect(prev, cur, a, b)
+        }
+        j += 1
+      }
+      subject = out.toIndexedSeq
+      i += 1
+    }
+    subject
+  }
+
+  private def lineIntersect(p1: Pt, p2: Pt, a: Pt, b: Pt): Pt = {
+    val a1 = p2.y - p1.y; val b1 = p1.x - p2.x
+    val c1 = a1 * p1.x + b1 * p1.y
+    val a2 = b.y - a.y; val b2 = a.x - b.x
+    val c2 = a2 * a.x + b2 * a.y
+    val det = a1 * b2 - a2 * b1
+    if (det == 0) p1 else Pt((b2 * c1 - b1 * c2) / det, (a1 * c2 - a2 * c1) / det)
+  }
+
+  /** Clip a linestring to a set of polygons (keeps pieces inside any). */
+  private def clipLine(l: LineString, polys: Seq[Polygon]): Geometry = {
+    // sample-based: keep segments whose midpoint+endpoints are inside.
+    val pieces = ArrayBuffer[IndexedSeq[Pt]]()
+    val cur = ArrayBuffer[Pt]()
+    def flush(): Unit = { if (cur.length >= 2) pieces += cur.toIndexedSeq; cur.clear() }
+    var i = 0
+    while (i < l.pts.length - 1) {
+      val a = l.pts(i); val b = l.pts(i + 1)
+      val mid = Pt((a.x + b.x) / 2, (a.y + b.y) / 2)
+      val in = polys.exists(p => pointInPolygon(a, p)) &&
+        polys.exists(p => pointInPolygon(b, p)) &&
+        polys.exists(p => pointInPolygon(mid, p))
+      if (in) { if (cur.isEmpty) cur += a; cur += b } else flush()
+      i += 1
+    }
+    flush()
+    pieces.toIndexedSeq match {
+      case IndexedSeq()  => GeometryCollection(IndexedSeq.empty)
+      case IndexedSeq(p) => LineString(p)
+      case ps            => MultiLineString(ps.map(LineString(_)))
+    }
+  }
+
+  // ───────────────────────── serialization ─────────────────────────
+
+  /** JSON-number formatting: integral doubles print without the
+    * trailing ".0" (GeoJSON-conventional), everything else uses the
+    * shortest round-trip representation.
+    */
+  def fmt(d: Double): String =
+    if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
+
+  private def coords(p: Pt): String = s"[${fmt(p.x)},${fmt(p.y)}]"
+  private def coordsList(pts: Iterable[Pt]): String = pts.map(coords).mkString("[", ",", "]")
+
+  def toGeoJson(g: Geometry): String = g match {
+    case Point(p)        => s"""{"type":"Point","coordinates":${coords(p)}}"""
+    case LineString(pts) => s"""{"type":"LineString","coordinates":${coordsList(pts)}}"""
+    case Polygon(rings) =>
+      s"""{"type":"Polygon","coordinates":${rings.map(r => coordsList(close(r))).mkString("[", ",", "]")}}"""
+    case MultiPoint(ps) =>
+      s"""{"type":"MultiPoint","coordinates":${ps.map(p => coords(p.p)).mkString("[", ",", "]")}}"""
+    case MultiLineString(ls) =>
+      s"""{"type":"MultiLineString","coordinates":${ls.map(l => coordsList(l.pts)).mkString("[", ",", "]")}}"""
+    case MultiPolygon(ps) =>
+      s"""{"type":"MultiPolygon","coordinates":${ps
+          .map(p => p.rings.map(r => coordsList(close(r))).mkString("[", ",", "]"))
+          .mkString("[", ",", "]")}}"""
+    case GeometryCollection(gs) =>
+      s"""{"type":"GeometryCollection","geometries":${gs.map(toGeoJson).mkString("[", ",", "]")}}"""
+  }
+
+  def toWkt(g: Geometry): String = {
+    def ring(pts: Iterable[Pt]): String = pts.map(p => s"${fmt(p.x)} ${fmt(p.y)}").mkString("(", ", ", ")")
+    g match {
+      case Point(p)        => s"POINT (${fmt(p.x)} ${fmt(p.y)})"
+      case LineString(pts) => if (pts.isEmpty) "LINESTRING EMPTY" else s"LINESTRING ${ring(pts)}"
+      case Polygon(rings)  =>
+        if (rings.isEmpty) "POLYGON EMPTY"
+        else s"POLYGON ${rings.map(r => ring(close(r))).mkString("(", ", ", ")")}"
+      case MultiPoint(ps) =>
+        if (ps.isEmpty) "MULTIPOINT EMPTY"
+        else s"MULTIPOINT ${ps.map(p => s"(${fmt(p.p.x)} ${fmt(p.p.y)})").mkString("(", ", ", ")")}"
+      case MultiLineString(ls) =>
+        if (ls.isEmpty) "MULTILINESTRING EMPTY"
+        else s"MULTILINESTRING ${ls.map(l => ring(l.pts)).mkString("(", ", ", ")")}"
+      case MultiPolygon(ps) =>
+        if (ps.isEmpty) "MULTIPOLYGON EMPTY"
+        else s"MULTIPOLYGON ${ps.map(p => p.rings.map(r => ring(close(r))).mkString("(", ", ", ")")).mkString("(", ", ", ")")}"
+      case GeometryCollection(gs) =>
+        if (gs.isEmpty) "GEOMETRYCOLLECTION EMPTY"
+        else s"GEOMETRYCOLLECTION (${gs.map(toWkt).mkString(", ")})"
+    }
+  }
+
+  /** Minimal WKT parser (the subset our fixtures and tests use). */
+  def fromWkt(wkt: String): Geometry = {
+    val s = wkt.trim
+    val upper = s.toUpperCase
+    def body(prefix: String): String = s.substring(prefix.length).trim
+    def parsePts(t: String): IndexedSeq[Pt] =
+      t.stripPrefix("(").stripSuffix(")").split(",").toIndexedSeq.map { pair =>
+        val xs = pair.trim.split("\\s+")
+        Pt(xs(0).toDouble, xs(1).toDouble)
+      }
+    def splitTop(t: String): Seq[String] = {
+      // split top-level comma-separated parenthesized groups
+      val inner = t.trim.stripPrefix("(").stripSuffix(")")
+      val parts = ArrayBuffer[String]()
+      var depth = 0; val cur = new StringBuilder
+      inner.foreach {
+        case '(' => depth += 1; cur += '('
+        case ')' => depth -= 1; cur += ')'
+        case ',' if depth == 0 => parts += cur.toString; cur.clear()
+        case c => cur += c
+      }
+      if (cur.nonEmpty) parts += cur.toString
+      parts.toSeq.map(_.trim)
+    }
+    if (upper.startsWith("POINT")) {
+      val pts = parsePts(body("POINT")); Point(pts.head)
+    } else if (upper.startsWith("LINESTRING")) {
+      LineString(parsePts(body("LINESTRING")))
+    } else if (upper.startsWith("POLYGON")) {
+      Polygon(splitTop(body("POLYGON")).toIndexedSeq.map(parsePts))
+    } else if (upper.startsWith("MULTIPOINT")) {
+      MultiPoint(splitTop(body("MULTIPOINT")).toIndexedSeq.map(g => Point(parsePts(g).head)))
+    } else if (upper.startsWith("MULTILINESTRING")) {
+      MultiLineString(splitTop(body("MULTILINESTRING")).toIndexedSeq.map(g => LineString(parsePts(g))))
+    } else if (upper.startsWith("MULTIPOLYGON")) {
+      MultiPolygon(splitTop(body("MULTIPOLYGON")).toIndexedSeq.map(g => Polygon(splitTop(g).toIndexedSeq.map(parsePts))))
+    } else {
+      throw new IllegalArgumentException(s"unsupported WKT: ${s.take(40)}")
+    }
+  }
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the `private[sql]` Column ↔ Expression converters.
+  * Spark 4 routes Column through ColumnNode (Connect compatibility);
+  * `classic.ExpressionUtils` is the sanctioned classic-mode accessor
+  * but is package-private, hence this one-file shim in the spark
+  * namespace — the standard pattern for Spark extension libraries.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,61 @@
+package graft.geo
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GeoFunctionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("ST_ functions work through SQL") {
+    GeoFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  st_geometrytype(st_point(1.5d, 2.5d)) AS t,
+        |  st_x(st_point(1.5d, 2.5d)) AS x,
+        |  st_y(st_point(1.5d, 2.5d)) AS y,
+        |  st_asgeojson(st_point(1.5d, 2.5d)) AS gj,
+        |  st_distance(st_point(0d, 0d), st_point(3d, 4d)) AS d,
+        |  st_intersects(
+        |    st_geomfromtext('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'),
+        |    st_point(5d, 5d)) AS inter,
+        |  st_area(st_geomfromtext('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))')) AS a,
+        |  st_astext(st_centroid(st_geomfromtext('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'))) AS c,
+        |  st_xmin(st_geomfromtext('LINESTRING (3 4, 7 9)')) AS xmin,
+        |  st_ymax(st_geomfromtext('LINESTRING (3 4, 7 9)')) AS ymax
+        |""".stripMargin).head()
+    assert(row.getAs[String]("t") == "POINT")
+    assert(row.getAs[Double]("x") == 1.5)
+    assert(row.getAs[Double]("y") == 2.5)
+    assert(row.getAs[String]("gj") == """{"type":"Point","coordinates":[1.5,2.5]}""")
+    assert(row.getAs[Double]("d") == 5.0)
+    assert(row.getAs[Boolean]("inter"))
+    assert(row.getAs[Double]("a") == 16.0)
+    assert(row.getAs[String]("c") == "POINT (2 2)")
+    assert(row.getAs[Double]("xmin") == 3.0)
+    assert(row.getAs[Double]("ymax") == 9.0)
+  }
+
+  test("ST_ functions null-propagate") {
+    GeoFunctions.register(spark)
+    val row = spark.sql(
+      "SELECT st_x(CAST(NULL AS BINARY)) AS x, st_intersects(CAST(NULL AS BINARY), st_point(1d,1d)) AS i").head()
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+
+  test("st_intersection via Column API") {
+    import GeoFunctions._
+    import spark.implicits._
+    val df = Seq(
+      ("a", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+    ).toDF("id", "wa", "wb")
+    val r = df.select(
+      st_area(st_intersection(st_geomfromtext($"wa"), st_geomfromtext($"wb"))).as("a")).head()
+    assert(r.getAs[Double]("a") == 4.0)
+  }
+}
