@@ -138,6 +138,34 @@ object GeoExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /** ST_MakeEnvelope(xmin, ymin, xmax, ymax) → WKB rectangle polygon
+    * (PostGIS-style constructor; used for bbox→geometry promotion).
+    */
+  case class StMakeEnvelope(children: Seq[Expression]) extends Expression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = children.exists(_.nullable)
+    override def prettyName: String = "st_makeenvelope"
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.contains(null)) return null
+      val Seq(x0, y0, x1, y1) = vs.map(_.asInstanceOf[Double])
+      Wkb.write(Polygon(IndexedSeq(IndexedSeq(
+        Pt(x0, y0), Pt(x1, y0), Pt(x1, y1), Pt(x0, y1), Pt(x0, y0)))))
+    }
+    override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) = copy(cs)
+  }
+
+  /** ST_MakeLine(a, b) → WKB 2-point LineString from two WKB points. */
+  case class StMakeLine(left: Expression, right: Expression) extends GeoBinary {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_makeline"
+    override protected def nullSafeEval(a: Any, b: Any): Any = (geom(a), geom(b)) match {
+      case (Point(p1), Point(p2)) => Wkb.write(LineString(IndexedSeq(p1, p2)))
+      case _ => null
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+  }
+
   abstract class EnvSide extends GeoUnary {
     override def dataType: DataType = DoubleType
     protected def pick(e: Envelope): Double
@@ -184,6 +212,9 @@ object GeoFunctions {
   def st_distance(a: Column, b: Column): Column = col(StDistance(ex(a), ex(b)))
   def st_intersection(a: Column, b: Column): Column = col(StIntersection(ex(a), ex(b)))
   def st_area(g: Column): Column = col(StArea(ex(g)))
+  def st_makeenvelope(x0: Column, y0: Column, x1: Column, y1: Column): Column =
+    col(StMakeEnvelope(Seq(ex(x0), ex(y0), ex(x1), ex(y1))))
+  def st_makeline(a: Column, b: Column): Column = col(StMakeLine(ex(a), ex(b)))
   def st_xmin(g: Column): Column = col(StXMin(ex(g)))
   def st_xmax(g: Column): Column = col(StXMax(ex(g)))
   def st_ymin(g: Column): Column = col(StYMin(ex(g)))
@@ -202,6 +233,8 @@ object GeoFunctions {
     "st_distance" -> { es => StDistance(es(0), es(1)) },
     "st_intersection" -> { es => StIntersection(es(0), es(1)) },
     "st_area" -> { es => StArea(es.head) },
+    "st_makeenvelope" -> { es => StMakeEnvelope(es) },
+    "st_makeline" -> { es => StMakeLine(es(0), es(1)) },
     "st_xmin" -> { es => StXMin(es.head) },
     "st_xmax" -> { es => StXMax(es.head) },
     "st_ymin" -> { es => StYMin(es.head) },

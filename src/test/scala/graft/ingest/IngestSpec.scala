@@ -1,0 +1,85 @@
+package graft.ingest
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class IngestSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private lazy val fixtureDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_overture").toString
+    OvertureFixtures.write(spark, dir, n = 200, files = 4)
+    dir
+  }
+
+  test("loadTheme materializes the canonical schema with nested access") {
+    val res = Ingest.loadTheme(spark, fixtureDir, "places/place")
+    assert(res.rowCount == 200)
+    val df = spark.table("places_place")
+    assert(graft.model.CanonicalSchema.conforms(df.schema))
+    val r = df.where("id = 'pl00005'").head()
+    assert(r.getAs[String]("display_name") == "Place 5")
+    assert(r.getAs[String]("geom_type") == "POINT")
+    // _f0=categories.primary, _f2=websites[1], _f4=brand.names.primary,
+    // _f5=addresses[1].freeform
+    assert(r.getAs[String]("_f0") == "shop")
+    assert(r.getAs[String]("_f2") == "https://example.com/5")
+    assert(r.getAs[String]("_f4") == "BrandX")
+    assert(r.getAs[String]("_f5") == "5 Main St")
+    // search_name includes name + category + brand, not website/phone
+    val sn = r.getAs[String]("search_name")
+    assert(sn.contains("Place 5") && sn.contains("shop") && sn.contains("BrandX"))
+    assert(!sn.contains("example.com"))
+    Ingest.dropTheme(spark, "places/place")
+  }
+
+  test("bbox load prunes files and rows") {
+    val full = FileIndex.listParquet(s"$fixtureDir/places_place")
+    assert(full.size == 4)
+    // fixture lons span [-2, 1.9375]; this window hits only the lowest band
+    val res = Ingest.loadTheme(spark, fixtureDir, "places/place",
+      bbox = Some(Ingest.BBox(-2.0, -1.0, -1.5, 1.0)))
+    assert(res.prunedFileCount < res.fileCount, s"expected pruning, got ${res.prunedFileCount}/${res.fileCount}")
+    assert(res.rowCount > 0 && res.rowCount < 200)
+    val lons = spark.table("places_place").select("centroid_lon")
+      .collect().map(_.getDouble(0))
+    assert(lons.forall(l => l >= -2.0 && l <= -1.5))
+    Ingest.dropTheme(spark, "places/place")
+  }
+
+  test("limit bounds materialization") {
+    val res = Ingest.loadTheme(spark, fixtureDir, "buildings/building", limit = Some(50))
+    assert(res.rowCount == 50)
+    Ingest.dropTheme(spark, "buildings/building")
+  }
+
+  test("footer bbox manifest matches data") {
+    val paths = FileIndex.listParquet(s"$fixtureDir/places_place")
+    val manifest = FileIndex.build(spark, paths)
+    assert(manifest.size == 4)
+    manifest.values.foreach { b =>
+      assert(b.xmin >= -2.0 && b.xmax <= 2.0 && b.ymin >= -1.0 && b.ymax <= 1.0)
+    }
+    // pruning with a window outside all data removes every file
+    assert(FileIndex.prune(manifest, paths, 100, 100, 101, 101).isEmpty)
+    // full-extent window keeps all
+    assert(FileIndex.prune(manifest, paths, -10, -10, 10, 10).size == 4)
+  }
+
+  test("listUserTables hides system and fts helper tables") {
+    Ingest.loadTheme(spark, fixtureDir, "places/place")
+    spark.range(1).createOrReplaceTempView("_session")
+    spark.range(1).createOrReplaceTempView("fts_main_places_place")
+    val tables = Ingest.listUserTables(spark)
+    assert(tables.contains("places_place"))
+    assert(!tables.exists(_.startsWith("_")))
+    assert(!tables.exists(_.startsWith("fts_")))
+    Ingest.dropTheme(spark, "places/place")
+  }
+}
