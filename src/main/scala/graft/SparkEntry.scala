@@ -13,7 +13,7 @@ import graft.queries._
 object SparkEntry {
 
   /** All registered query groups. */
-  def allQs: Seq[Q] = Relational.queries ++ GeoQueries.queries
+  def allQs: Seq[Q] = Relational.queries ++ GeoQueries.queries ++ PipelineQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -40,13 +40,13 @@ object GeoQueries {
     // Overture tables; here over the bbox struct column).
     Q("p1_bbox_filter",
       g("""SELECT id, centroid_lon, centroid_lat FROM geo_buildings
-          |WHERE bbox.xmax >= CAST(-1.0 AS DOUBLE) AND bbox.xmin <= CAST(1.0 AS DOUBLE)
-          |  AND bbox.ymax >= CAST(-1.0 AS DOUBLE) AND bbox.ymin <= CAST(1.0 AS DOUBLE)
+          |WHERE bbox.xmax >= CAST(-4.0 AS DOUBLE) AND bbox.xmin <= CAST(-3.0 AS DOUBLE)
+          |  AND bbox.ymax >= CAST(-2.0 AS DOUBLE) AND bbox.ymin <= CAST(-1.5 AS DOUBLE)
           |ORDER BY id""".stripMargin),
       Some(withOracle(oracleBuildings) +
         """SELECT id, centroid_lon, centroid_lat FROM geo_buildings
-          |WHERE xmax >= CAST(-1.0 AS DOUBLE) AND xmin <= CAST(1.0 AS DOUBLE)
-          |  AND ymax >= CAST(-1.0 AS DOUBLE) AND ymin <= CAST(1.0 AS DOUBLE)
+          |WHERE xmax >= CAST(-4.0 AS DOUBLE) AND xmin <= CAST(-3.0 AS DOUBLE)
+          |  AND ymax >= CAST(-2.0 AS DOUBLE) AND ymin <= CAST(-1.5 AS DOUBLE)
           |ORDER BY id""".stripMargin)),
 
     // P2: centroid BETWEEN bbox filter (cached-table variant).
