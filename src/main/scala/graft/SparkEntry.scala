@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   /** All registered query groups. */
-  def allQs: Seq[Q] = Relational.queries ++ GeoQueries.queries ++ PipelineQueries.queries
+  def allQs: Seq[Q] =
+    Relational.queries ++ GeoQueries.queries ++ PipelineQueries.queries ++ OpsQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

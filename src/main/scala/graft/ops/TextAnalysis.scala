@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale training-data pipelines: token
+  * counting, quality scoring, n-gram language ID and document
+  * fingerprinting.
+  *
+  * All operators are pure `functions._` column expressions — fully
+  * codegen'd, no UDFs — so they stream through whole-stage codegen on
+  * a 100 TB corpus with zero driver involvement.
+  */
+object TextAnalysis {
+
+  /** Whitespace/punctuation tokenization, lowercase. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: words + extra units for long
+    * words (a word of length L costs ceil(L/4) units — the common
+    * ~4-chars-per-token heuristic).
+    */
+  def subwordCountEstimate(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + ceil(length(t).cast("double") / lit(4.0)).cast("long"))
+
+  /** Small built-in stopword lexicons for the language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "dans", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "de", "en"))
+
+  def stopwordHits(text: Column, lang: String): Column = {
+    val set = stopwords(lang)
+    size(filter(tokens(text), t => t.isInCollection(set)))
+  }
+
+  /** Language-ID heuristic: argmax of stopword hit counts, ties broken
+    * lexicographically, "und" (undetermined) when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val scored = stopwords.keys.toSeq.sorted.map { l =>
+      struct(stopwordHits(text, l).as("hits"), lit(l).as("lang"))
+    }
+    val best = greatest(scored: _*) // struct compare: hits first, then lang
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality metrics bundle (length / punctuation / stopword /
+    * repetition ratios — the standard pre-training filters).
+    */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    Seq(
+      "q_chars" -> length(text).cast("long"),
+      "q_tokens" -> size(toks).cast("long"),
+      "q_avg_token_len" -> (length(text).cast("double") / greatest(n, lit(1.0))),
+      "q_stopword_ratio" -> (size(filter(toks, t => t.isInCollection(stopwords("en")))).cast("double")
+        / greatest(n, lit(1.0))),
+      "q_distinct_ratio" -> (size(array_distinct(toks)).cast("double") / greatest(n, lit(1.0))),
+      "q_punct_ratio" -> (length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double")
+        / greatest(length(text).cast("double"), lit(1.0))))
+  }
+
+  /** Canonical-form fingerprint: md5 over lowercased text with
+    * non-alphanumerics collapsed to single spaces — catches
+    * whitespace/punctuation-variant duplicates.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
+
+  /** Convenience: annotate a corpus with the full analysis bundle. */
+  def annotate(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumns(Map(
+      "n_tokens" -> tokenCount(t),
+      "n_subwords_est" -> subwordCountEstimate(t),
+      "lang_pred" -> langId(t),
+      "fingerprint" -> fingerprint(t))
+    ).withColumns(qualityColumns(t).toMap)
+  }
+}

@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver-verifiable entries for the LLM-data-pipeline operators
+  * (dedup, text analysis, similarity search, multimodal plumbing)
+  * over the `documents` and `embeddings` tables.
+  *
+  * Oracle parity strategy: everything integer-derived (token counts,
+  * Jaccard from set sizes, minhash via md5-string minima, simhash
+  * votes) is bit-exact; cosine values round to 6 dp (sum-order ulp
+  * tolerance) while pair SETS and ranks come from well-separated
+  * values.
+  */
+object OpsQueries {
+
+  // shared oracle fragments -------------------------------------------
+
+  /** DuckDB tokenization matching TextAnalysis.tokens. */
+  private val oracleToks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** DuckDB 3-shingle list matching Dedup.shingles(n=3). */
+  private val oracleShingles =
+    s"""CASE WHEN len(toks) >= 3
+       |  THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
+       |  ELSE [array_to_string(toks, ' ')] END""".stripMargin
+
+  /** DuckDB cosine matching Similarity.cosine's double math. */
+  private def oracleCosine(a: String, b: String): String =
+    s"""((SELECT SUM(CAST(ea AS DOUBLE)*CAST(eb AS DOUBLE)) FROM (SELECT unnest($a) ea, unnest($b) eb))
+       | / (sqrt((SELECT SUM(CAST(e AS DOUBLE)*CAST(e AS DOUBLE)) FROM (SELECT unnest($a) e)))
+       |   * sqrt((SELECT SUM(CAST(e AS DOUBLE)*CAST(e AS DOUBLE)) FROM (SELECT unnest($b) e)))))""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+
+    // ── text analysis ──────────────────────────────────────────────
+
+    Q("text_token_stats",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val t = col("text")
+        s.table("documents").select(
+            Seq(col("doc_id"), TextAnalysis.tokenCount(t).as("n_tokens"),
+              TextAnalysis.subwordCountEstimate(t).as("n_subwords_est")) ++
+              TextAnalysis.qualityColumns(t).map { case (n, c) => c.as(n) }: _*)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text, $oracleToks AS toks FROM documents)
+              |SELECT doc_id,
+              |  len(toks) AS n_tokens,
+              |  list_sum(list_transform(toks, t -> CAST(ceil(CAST(len(t) AS DOUBLE) / 4.0) AS BIGINT))) AS n_subwords_est,
+              |  CAST(len(text) AS BIGINT) AS q_chars,
+              |  CAST(len(toks) AS BIGINT) AS q_tokens,
+              |  CAST(len(text) AS DOUBLE) / GREATEST(CAST(len(toks) AS DOUBLE), 1.0) AS q_avg_token_len,
+              |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+              |    / GREATEST(CAST(len(toks) AS DOUBLE), 1.0) AS q_stopword_ratio,
+              |  CAST(len(list_distinct(toks)) AS DOUBLE) / GREATEST(CAST(len(toks) AS DOUBLE), 1.0) AS q_distinct_ratio,
+              |  CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+              |    / GREATEST(CAST(len(text) AS DOUBLE), 1.0) AS q_punct_ratio
+              |FROM d ORDER BY doc_id""".stripMargin)),
+
+    Q("text_lang_id",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.table("documents")
+          .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+          .orderBy(col("doc_id"))
+      },
+      // argmax with ties → lexicographically-last language (struct
+      // greatest semantics); langs sorted: de, en, es, fr
+      Some(s"""WITH d AS (SELECT doc_id, $oracleToks AS toks FROM documents),
+              |scored AS (SELECT doc_id,
+              |  len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein','eine','zu','mit','von'))) AS s_de,
+              |  len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS s_en,
+              |  len(list_filter(toks, t -> t IN ('el','la','los','las','y','es','un','una','de','en'))) AS s_es,
+              |  len(list_filter(toks, t -> t IN ('le','la','les','et','est','un','une','de','dans','pour'))) AS s_fr
+              |  FROM d)
+              |SELECT doc_id, CASE
+              |  WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+              |  WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+              |  WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+              |  WHEN s_en >= s_de THEN 'en'
+              |  ELSE 'de' END AS lang_pred
+              |FROM scored ORDER BY doc_id""".stripMargin)),
+
+    // ── dedup ──────────────────────────────────────────────────────
+
+    Q("dedup_exact_stats",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val docs = s.table("documents")
+        val groups = Dedup.exactGroups(docs, "doc_id", "text")
+        val fps = Dedup.fingerprintGroups(docs, "doc_id", "text")
+        docs.agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(md5(col("text"))).as("n_distinct"))
+          .crossJoin(groups.agg(count(lit(1)).as("n_dup_groups"),
+            coalesce(sum(col("dup_count")), lit(0)).as("n_dup_docs")))
+          .crossJoin(fps.agg(count(lit(1)).as("n_fp_groups")))
+      },
+      Some("""SELECT
+             |  (SELECT COUNT(*) FROM documents) AS n_docs,
+             |  (SELECT COUNT(DISTINCT md5(text)) FROM documents) AS n_distinct,
+             |  (SELECT COUNT(*) FROM (SELECT md5(text) h FROM documents GROUP BY text HAVING COUNT(*) > 1)) AS n_dup_groups,
+             |  (SELECT COALESCE(SUM(c), 0) FROM (SELECT COUNT(*) c FROM documents GROUP BY text HAVING COUNT(*) > 1)) AS n_dup_docs,
+             |  (SELECT COUNT(*) FROM (
+             |     SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) h, COUNT(*) c
+             |     FROM documents GROUP BY 1 HAVING COUNT(*) > 1)) AS n_fp_groups""".stripMargin)),
+
+    Q("dedup_ngram_jaccard_topk",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        Dedup.ngramJaccardPairs(s.table("documents"), "doc_id", "text",
+            blockCols = Seq("lang", "source"), n = 3, threshold = 0.0)
+          .where(col("jaccard") > 0)
+          .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
+          .limit(50)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang, source, $oracleToks AS toks FROM documents),
+              |sh AS (SELECT doc_id, lang, source, $oracleShingles AS sh FROM d)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              |  CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+              |FROM sh a JOIN sh b
+              |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+              |WHERE len(list_intersect(a.sh, b.sh)) > 0
+              |ORDER BY jaccard DESC, id_a, id_b LIMIT 50""".stripMargin)),
+
+    Q("dedup_minhash_lsh",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        Dedup.minhashLshPairs(s.table("documents"), "doc_id", "text",
+            k = 16, bands = 4, n = 3, threshold = 0.25)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $oracleToks AS toks FROM documents),
+              |sh AS (SELECT doc_id, unnest($oracleShingles) AS s FROM d),
+              |sig AS (
+              |  SELECT doc_id, seed, MIN(md5(seed || '|' || s)) AS sig
+              |  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed)
+              |  GROUP BY doc_id, seed),
+              |bandh AS (
+              |  SELECT doc_id, seed // 4 AS band,
+              |         md5(string_agg(sig, '' ORDER BY seed)) AS band_hash
+              |  FROM sig GROUP BY doc_id, seed // 4),
+              |cand AS (
+              |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              |  FROM bandh x JOIN bandh y
+              |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+              |est AS (
+              |  SELECT c.id_a, c.id_b,
+              |         CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_jaccard
+              |  FROM cand c
+              |  JOIN sig sa ON sa.doc_id = c.id_a
+              |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+              |  GROUP BY c.id_a, c.id_b)
+              |SELECT id_a, id_b, est_jaccard FROM est
+              |WHERE est_jaccard >= 0.25 ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("dedup_simhash",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        Dedup.simhash(s.table("documents"), "doc_id", "text", bits = 64)
+          .orderBy(col("id"))
+      },
+      Some("""WITH d AS (SELECT doc_id AS id,
+             |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks FROM documents),
+             |tf AS (SELECT id, tok, COUNT(*) AS tf
+             |  FROM (SELECT id, unnest(toks) AS tok FROM d) GROUP BY id, tok),
+             |nibs AS (
+             |  SELECT id, tf, p.pos,
+             |         strpos('0123456789abcdef', substr(md5(tok), p.pos, 1)) - 1 AS nib
+             |  FROM tf, (SELECT unnest(generate_series(1, 16)) AS pos) p),
+             |bits AS (
+             |  SELECT id, (pos - 1) * 4 + w.b AS bitpos,
+             |         SUM(CASE WHEN (nib // w.d) % 2 = 1 THEN tf ELSE -tf END) AS v
+             |  FROM nibs, (VALUES (0, 8), (1, 4), (2, 2), (3, 1)) AS w(b, d)
+             |  GROUP BY id, (pos - 1) * 4 + w.b)
+             |SELECT id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY bitpos) AS simhash
+             |FROM bits GROUP BY id ORDER BY id""".stripMargin)),
+
+    Q("dedup_embedding_pairs",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        Dedup.embeddingNearDupPairs(s.table("embeddings"), "vec_id", "embedding",
+            threshold = 0.3, blockCol = Some("label"))
+          .selectExpr("id_a", "id_b", "ROUND(cosine, 6) AS cosine")
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id, label, embedding FROM embeddings)
+              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |  ROUND(${oracleCosine("a.embedding", "b.embedding")}, 6) AS cosine
+              |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+              |WHERE ${oracleCosine("a.embedding", "b.embedding")} >= 0.3
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ── similarity search ──────────────────────────────────────────
+
+    Q("ann_bruteforce_topk",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val emb = s.table("embeddings")
+        Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+          .selectExpr("query_id", "rank", "nn_id", "ROUND(cosine, 6) AS cosine")
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+              |c AS (SELECT vec_id AS nn_id, embedding AS cv FROM embeddings),
+              |scored AS (
+              |  SELECT query_id, nn_id, ${oracleCosine("qv", "cv")} AS cos
+              |  FROM q CROSS JOIN c WHERE nn_id != query_id),
+              |ranked AS (
+              |  SELECT query_id, nn_id, cos,
+              |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS rank
+              |  FROM scored)
+              |SELECT query_id, rank, nn_id, ROUND(cos, 6) AS cosine
+              |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    Q("ann_lsh_buckets",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val emb = s.table("embeddings")
+        emb.select(col("vec_id"), Similarity.lshBucket(col("embedding"), planes = 8).as("bucket"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH planes AS (SELECT unnest(generate_series(0, 7)) AS p),
+             |dims AS (SELECT unnest(generate_series(0, 63)) AS i),
+             |w AS (SELECT p, i,
+             |  CASE WHEN (strpos('0123456789abcdef', substr(md5(p || '|' || i), 1, 1)) - 1) % 2 = 0
+             |       THEN 1.0 ELSE -1.0 END AS wt
+             |  FROM planes CROSS JOIN dims),
+             |sums AS (
+             |  SELECT e.vec_id, w.p,
+             |         SUM(CAST(e.embedding[w.i + 1] AS DOUBLE) * w.wt) AS s
+             |  FROM embeddings e CROSS JOIN w
+             |  GROUP BY e.vec_id, w.p)
+             |SELECT vec_id, string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+             |FROM sums GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    // ── multimodal plumbing ────────────────────────────────────────
+
+    Q("multimodal_features",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val media = Multimodal.syntheticMedia(s.table("documents"))
+        Multimodal.extractFeatures(Multimodal.resizeMeta(media, 256))
+          .selectExpr("media_id", "meta.format AS format", "meta.width AS width",
+            "meta.height AS height", "f_mean_byte", "f_n_bytes")
+          .orderBy(col("media_id"))
+      },
+      // content = UTF-8 bytes of md5 hex → mean byte = mean ASCII code
+      Some("""WITH m AS (
+             |  SELECT doc_id AS media_id, md5(text) AS h,
+             |    CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
+             |    CAST(doc_id % 640 + 32 AS INT) AS w0,
+             |    CAST(doc_id % 480 + 32 AS INT) AS h0
+             |  FROM documents),
+             |resized AS (
+             |  SELECT media_id, h, format,
+             |    CAST(floor(w0 * LEAST(256.0 / w0, 256.0 / h0, 1.0)) AS INT) AS width,
+             |    CAST(floor(h0 * LEAST(256.0 / w0, 256.0 / h0, 1.0)) AS INT) AS height
+             |  FROM m)
+             |SELECT media_id, format, width, height,
+             |  CAST(list_sum(list_transform([substr(h, i, 1) for i in generate_series(1, 32)], c -> ascii(c))) AS DOUBLE) / 32 AS f_mean_byte,
+             |  CAST(32 AS DOUBLE) AS f_n_bytes
+             |FROM resized ORDER BY media_id""".stripMargin)),
+
+    Q("multimodal_frames",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val media = Multimodal.syntheticMedia(s.table("documents"))
+        Multimodal.sampleFrames(media, everyN = 10)
+          .groupBy(col("media_id")).agg(count(lit(1)).as("n_sampled"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  GREATEST((CAST(doc_id % 30 + 1 AS INT) - 1) // 10, 0) + 1 AS n_sampled
+             |FROM documents ORDER BY media_id""".stripMargin)),
+  )
+}

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "s1"),
+    (2L, "the quick brown fox jumps over the lazy dog", "en", "s1"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat", "en", "s1"), // near dup of 1
+    (4L, "The  quick,, brown fox jumps over the lazy dog!!", "en", "s1"), // fingerprint dup of 1
+    (5L, "completely different text about spark engines and data", "en", "s1"),
+    (6L, "der hund ist ein guter hund und die katze", "de", "s1"),
+    (7L, "le chat est dans la maison et le chien", "fr", "s1")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("exact and fingerprint dedup find planted duplicates") {
+    val exact = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(exact.length == 1 && exact.head.getAs[Long]("dup_count") == 2)
+    assert(exact.head.getAs[Long]("canonical_id") == 1L)
+    val fp = Dedup.fingerprintGroups(docs, "doc_id", "text").collect()
+    // normalization folds doc 4 into the 1/2 group
+    assert(fp.length == 1 && fp.head.getAs[Long]("dup_count") == 3)
+  }
+
+  test("ngram jaccard ranks near-dup above unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      blockCols = Seq("lang"), threshold = 0.0)
+      .where($"jaccard" > 0).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard"))).toMap
+    assert(pairs((1L, 2L)) == 1.0) // identical
+    assert(pairs((1L, 3L)) > 0.5 && pairs((1L, 3L)) < 1.0) // near dup
+    assert(!pairs.contains((1L, 5L)) || pairs((1L, 5L)) < 0.1)
+  }
+
+  test("minhash LSH surfaces exact + near duplicates, skips unrelated") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 16, bands = 4, threshold = 0.25).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("est_jaccard"))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) >= 0.25)
+    assert(!pairs.contains((1L, 5L)))
+  }
+
+  test("simhash: identical texts agree, near-dups are close in hamming") {
+    val sh = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("simhash")).toMap
+    assert(sh.values.forall(_.length == 64))
+    assert(sh(1L) == sh(2L))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(5L)))
+    assert(ham(sh(1L), sh(3L)) <= 16)
+  }
+
+  test("language-ID picks the stopword-matching language") {
+    val langs = docs.select($"doc_id", TextAnalysis.langId($"text").as("l")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(1L) == "en")
+    assert(langs(6L) == "de")
+    assert(langs(7L) == "fr")
+  }
+
+  test("cosine and brute-force top-k are exact") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(1.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val c = vecs.where($"vec_id" === 1).crossJoin(
+        vecs.where($"vec_id" === 3).select($"embedding".as("e2")))
+      .select(Similarity.cosine($"embedding", $"e2").as("c")).head().getDouble(0)
+    assert(math.abs(c - math.sqrt(2) / 2) < 1e-15)
+
+    val topk = Similarity.bruteForceTopK(vecs, vecs.where($"vec_id" === 1), "vec_id", "embedding", k = 3)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(topk.map(_.getAs[Long]("nn_id")).toSeq == Seq(3L, 2L, 4L)) // cos: .707, 0, -1
+  }
+
+  test("LSH bucket: identical vectors share bucket; ANN finds in-bucket hits") {
+    val vecs = Seq(
+      (1L, Array.tabulate(16)(i => math.sin(i + 1).toFloat)),
+      (2L, Array.tabulate(16)(i => math.sin(i + 1).toFloat)), // identical to 1
+      (3L, Array.tabulate(16)(i => math.cos(i * 3 + 2).toFloat))
+    ).toDF("vec_id", "embedding")
+    val buckets = vecs.select($"vec_id", Similarity.lshBucket($"embedding", 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(buckets(1L) == buckets(2L))
+    val ann = Similarity.lshTopK(vecs, vecs.where($"vec_id" === 1), "vec_id", "embedding", k = 5)
+      .collect()
+    assert(ann.exists(r => r.getAs[Long]("nn_id") == 2L &&
+      math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-12))
+  }
+
+  test("multimodal plumbing: features + resize + frames") {
+    val media = Multimodal.syntheticMedia(docs)
+    assert(media.schema("content").dataType == org.apache.spark.sql.types.BinaryType)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 7)
+    assert(feats.forall(_.getAs[Double]("f_n_bytes") == 32.0)) // md5 hex bytes
+    val resized = Multimodal.resizeMeta(media, 64)
+    val dims = resized.select($"meta.width", $"meta.height").collect()
+    assert(dims.forall(r => r.getInt(0) <= 64 && r.getInt(1) <= 64))
+    val frames = Multimodal.sampleFrames(media, everyN = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getAs[Array[Byte]]("frame_bytes").length <= 4))
+  }
+}
