@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.streaming.EventStreams
+
+/** Stream-shaped operator coverage over `events` — the batch-mode
+  * equivalents of the Structured Streaming pipelines (identical
+  * DataFrame code runs in both modes; the streaming path itself is
+  * exercised in EventStreamsSpec with a memory sink).
+  */
+object EventQueries {
+
+  val queries: Seq[Q] = Seq(
+
+    // Tumbling 1-hour windows per event type.
+    Q("events_tumbling_window",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        EventStreams.tumblingAgg(s.table("events"))
+          .orderBy(col("window_start"), col("event_type"))
+      },
+      Some("""SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+             |  event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events
+             |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
+    // Sliding 1-hour windows every 30 minutes.
+    Q("events_sliding_window",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        EventStreams.slidingAgg(s.table("events"))
+          .orderBy(col("window_start"))
+      },
+      // every event belongs to exactly two 30-min-aligned 1-h windows
+      Some("""WITH w AS (
+             |  SELECT unnest([
+             |    make_timestamp((epoch_us(ts) // 1800000000) * 1800000000),
+             |    make_timestamp(((epoch_us(ts) // 1800000000) - 1) * 1800000000)
+             |  ]) AS window_start
+             |  FROM events)
+             |SELECT window_start, COUNT(*) AS n_events
+             |FROM w GROUP BY 1 ORDER BY window_start""".stripMargin)),
+
+    // Gap-based sessionization (30-min inactivity closes a session).
+    Q("events_sessionization",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        import s.implicits._
+        val ev = s.table("events")
+          .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+          .as[EventStreams.Event]
+        EventStreams.sessionizeBatchComplete(ev)
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH ordered AS (
+             |  SELECT user_id, event_id, ts,
+             |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |  FROM events),
+             |flagged AS (
+             |  SELECT user_id, event_id, ts,
+             |         CASE WHEN prev_ts IS NULL OR (epoch_us(ts) - epoch_us(prev_ts)) > 1800000000
+             |              THEN 1 ELSE 0 END AS new_session
+             |  FROM ordered),
+             |numbered AS (
+             |  SELECT user_id, event_id, ts,
+             |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+             |  FROM flagged)
+             |SELECT user_id, session_id, COUNT(*) AS n_events,
+             |       MIN(ts) AS start_ts, MAX(ts) AS end_ts
+             |FROM numbered GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    // Per-user event-type transition counts (stream-shaped feature).
+    Q("events_transitions",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        s.table("events")
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .where(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("prev_type"), col("event_type"))
+      },
+      Some("""WITH t AS (
+             |  SELECT event_type,
+             |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             |  FROM events)
+             |SELECT prev_type, event_type, COUNT(*) AS n
+             |FROM t WHERE prev_type IS NOT NULL
+             |GROUP BY prev_type, event_type ORDER BY prev_type, event_type""".stripMargin)),
+  )
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exercises the real Structured Streaming path (readStream → window
+  * agg → memory sink) and the stateful sessionizer, checking both
+  * against their batch equivalents on the same data.
+  */
+class EventStreamsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s
+  }
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def eventsBatch = {
+    graft.core.Tables.registerAll(spark, dir)
+    spark.table("events")
+  }
+
+  test("streaming tumbling agg equals batch tumbling agg") {
+    // stream source needs plain parquet with the normalized schema —
+    // write the batch view out once
+    val src = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    eventsBatch.write.mode("overwrite").parquet(src)
+
+    val q = EventStreams.startTumblingStream(spark, src, "stream_tumbling")
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_tumbling")
+      .orderBy("window_start", "event_type").collect()
+    // stream path casts ts to TIMESTAMP (watermark requirement) —
+    // compare against batch on the same type
+    val batch = EventStreams.tumblingAgg(
+        eventsBatch.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp")))
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (s1, b1) => assert(s1 == b1) }
+  }
+
+  test("stateful sessionizer agrees with batch SQL sessionization") {
+    import spark.implicits._
+    val ev = eventsBatch
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event]
+
+    // batch flatMapGroupsWithState emits closed sessions; the SQL
+    // version emits all. Compare on the closed prefix per user.
+    val stateful = EventStreams.sessionize(ev).collect()
+      .map(s => (s.user_id, s.session_id) -> ((s.n_events, s.start_ts, s.end_ts))).toMap
+    val sql = EventStreams.sessionizeBatchComplete(ev).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[java.time.LocalDateTime]("start_ts"),
+          r.getAs[java.time.LocalDateTime]("end_ts")))).toMap
+
+    assert(stateful.nonEmpty)
+    // every closed session from the stateful path matches SQL exactly
+    stateful.foreach { case (k, v) =>
+      assert(sql.contains(k), s"session $k missing from SQL result")
+      assert(sql(k) == v, s"session $k: stateful $v vs sql ${sql(k)}")
+    }
+    // SQL has exactly one extra (open) session per user seen
+    val users = sql.keys.map(_._1).toSet
+    assert(sql.size == stateful.size + users.size)
+  }
+
+  test("sliding windows double-count each event") {
+    val n = eventsBatch.count()
+    val winTotal = EventStreams.slidingAgg(eventsBatch)
+      .agg(org.apache.spark.sql.functions.sum("n_events")).head().getLong(0)
+    assert(winTotal == 2 * n)
+  }
+}
