@@ -41,29 +41,39 @@ object AnalysisQueries {
     val preFlt =
       s"""ABS(a.centroid_lon - b.centroid_lon) < 0.2
          |  AND ABS(a.centroid_lat - b.centroid_lat) < 0.2""".stripMargin
+    // grid-cell equi keys (R8) so the join/EXISTS hash-joins on
+    // (_gx, _gy) instead of nested-looping; exact predicate unchanged
+    val grid = s"WITH ${GridJoin.gridCte("gb", s"`$tableB`")}"
+    val keys = GridJoin.probeKeys("b", "a.centroid_lon", "a.centroid_lat")
     mode match {
       case "intersect" =>
-        s"""SELECT $cols
+        s"""$grid
+           |SELECT $cols
            |FROM `$tableA` a
-           |JOIN `$tableB` b
-           |  ON $preFlt
+           |JOIN gb b
+           |  ON $keys
+           |  AND $preFlt
            |  AND st_intersects(a.geometry, b.geometry)
            |LIMIT $limit""".stripMargin
       case "within" =>
-        s"""SELECT $cols
+        s"""$grid
+           |SELECT $cols
            |FROM `$tableA` a
            |WHERE EXISTS (
-           |  SELECT 1 FROM `$tableB` b
-           |  WHERE $preFlt
+           |  SELECT 1 FROM gb b
+           |  WHERE $keys
+           |    AND $preFlt
            |    AND st_distance(a.geometry, b.geometry) < $distDeg
            |)
            |LIMIT $limit""".stripMargin
       case "exclude" =>
-        s"""SELECT $cols
+        s"""$grid
+           |SELECT $cols
            |FROM `$tableA` a
            |WHERE NOT EXISTS (
-           |  SELECT 1 FROM `$tableB` b
-           |  WHERE $preFlt
+           |  SELECT 1 FROM gb b
+           |  WHERE $keys
+           |    AND $preFlt
            |    AND st_distance(a.geometry, b.geometry) < $distDeg
            |)
            |LIMIT $limit""".stripMargin
@@ -81,19 +91,27 @@ object AnalysisQueries {
     val preFlt =
       s"""ABS(a.centroid_lon - b.centroid_lon) < 0.2
          |  AND ABS(a.centroid_lat - b.centroid_lat) < 0.2""".stripMargin
+    // grid-expand the A side (R8) so DISTINCT b.* is untouched by the
+    // 9-cell duplication (exactly one grid copy matches per pair)
+    val grid = s"WITH ${GridJoin.gridCte("ga", s"`$tableA`")}"
+    val keys = GridJoin.probeKeys("a", "b.centroid_lon", "b.centroid_lat")
     mode match {
       case "intersect" => Some(
-        s"""SELECT DISTINCT $bCols
-           |FROM `$tableA` a
+        s"""$grid
+           |SELECT DISTINCT $bCols
+           |FROM ga a
            |JOIN `$tableB` b
-           |  ON $preFlt
+           |  ON $keys
+           |  AND $preFlt
            |  AND st_intersects(a.geometry, b.geometry)
            |LIMIT $limit""".stripMargin)
       case "within" => Some(
-        s"""SELECT DISTINCT $bCols
-           |FROM `$tableA` a
+        s"""$grid
+           |SELECT DISTINCT $bCols
+           |FROM ga a
            |JOIN `$tableB` b
-           |  ON $preFlt
+           |  ON $keys
+           |  AND $preFlt
            |  AND st_distance(a.geometry, b.geometry) < $distDeg
            |LIMIT $limit""".stripMargin)
       case _ => None
@@ -104,10 +122,12 @@ object AnalysisQueries {
     * capped, try/catch-skippable in the reference).
     */
   def buildIntersectionGeomQuery(tableA: String, tableB: String, limit: Int = 500): String =
-    s"""SELECT st_asgeojson(st_intersection(a.geometry, b.geometry)) AS geojson
+    s"""WITH ${GridJoin.gridCte("gb", s"`$tableB`")}
+       |SELECT st_asgeojson(st_intersection(a.geometry, b.geometry)) AS geojson
        |FROM `$tableA` a
-       |JOIN `$tableB` b
-       |  ON ABS(a.centroid_lon - b.centroid_lon) < 0.2
+       |JOIN gb b
+       |  ON ${GridJoin.probeKeys("b", "a.centroid_lon", "a.centroid_lat")}
+       |  AND ABS(a.centroid_lon - b.centroid_lon) < 0.2
        |  AND ABS(a.centroid_lat - b.centroid_lat) < 0.2
        |  AND st_intersects(a.geometry, b.geometry)
        |LIMIT $limit""".stripMargin

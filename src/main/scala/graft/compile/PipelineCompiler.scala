@@ -132,12 +132,21 @@ object PipelineCompiler {
         s"\n    AND centroid_lat >= $ymin AND centroid_lat <= $ymax")
     }
 
+    // spatial filters compile to grid-cell equi-joins (R8): the filter
+    // table (resp. base, for the reverse direction) is expanded to its
+    // 3×3 cell neighborhood and the correlated EXISTS carries (gx, gy)
+    // equalities, so Catalyst plans a hash semi/anti join instead of a
+    // nested loop; the exact pre-filter + ST_ predicate is unchanged.
+    if (spatialFilters.exists(_.op != "exclude")) {
+      ctes += GridJoin.gridCte("grid_base", "base")
+    }
     spatialFilters.zipWithIndex.foreach { case (sf, i) =>
       val distDeg = f"${sf.distance.getOrElse(250.0) / 111320.0}%.6f"
       val pre =
         s"""base.id != b.id
            |      AND ABS(base.centroid_lon - b.centroid_lon) < 0.2
            |      AND ABS(base.centroid_lat - b.centroid_lat) < 0.2""".stripMargin
+      ctes += GridJoin.gridCte(s"grid_$i", s"`${sf.table}`")
 
       if (sf.op == "intersect" || sf.op == "within") {
         val spatialCond =
@@ -147,15 +156,17 @@ object PipelineCompiler {
           s"""matched_$i AS (
              |  SELECT base.id FROM base
              |  WHERE EXISTS (
-             |    SELECT 1 FROM `${sf.table}` b
-             |    WHERE $pre
+             |    SELECT 1 FROM grid_$i b
+             |    WHERE ${GridJoin.probeKeys("b", "base.centroid_lon", "base.centroid_lat")}
+             |      AND $pre
              |      AND $spatialCond
              |  )
              |  UNION
              |  SELECT b.id FROM `${sf.table}` b
              |  WHERE EXISTS (
-             |    SELECT 1 FROM base
-             |    WHERE $pre
+             |    SELECT 1 FROM grid_base base
+             |    WHERE ${GridJoin.probeKeys("base", "b.centroid_lon", "b.centroid_lat")}
+             |      AND $pre
              |      AND $spatialCond
              |  )
              |)""".stripMargin
@@ -163,8 +174,9 @@ object PipelineCompiler {
       } else if (sf.op == "exclude") {
         wheres +=
           s"""NOT EXISTS (
-             |    SELECT 1 FROM `${sf.table}` b
-             |    WHERE $pre
+             |    SELECT 1 FROM grid_$i b
+             |    WHERE ${GridJoin.probeKeys("b", "base.centroid_lon", "base.centroid_lat")}
+             |      AND $pre
              |      AND st_distance(base.geometry, b.geometry) < $distDeg
              |  )""".stripMargin
       }

@@ -66,9 +66,19 @@ object Tables {
     * microsecond TIMESTAMP_NTZ — the same truncation DuckDB applies
     * when it reads TIMESTAMP_NS into its µs TIMESTAMP.
     */
+  private val registeredDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def registerAll(spark: SparkSession, dir: String): Unit = {
+    // memoized per (session, dir): repeated registration costs footer
+    // reads + plan invalidation on every query — measurable at the
+    // 60-query bench scale
+    val key = System.identityHashCode(spark) + "|" + dir
+    if (registeredDirs.contains(key)) return
     Engine.prepare(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     all.foreach { n =>
       if (new java.io.File(path(dir, n)).exists()) {
         val raw = df(spark, dir, n)
@@ -82,5 +92,6 @@ object Tables {
         v.createOrReplaceTempView(n)
       }
     }
+    registeredDirs.add(key)
   }
 }

@@ -67,6 +67,13 @@ object FtsIndex {
     index
   }
 
+  /** Build only when absent (memoized path for repeated queries over
+    * an unchanged table — rebuild explicitly via `build` when the
+    * table contents changed).
+    */
+  def ensure(spark: SparkSession, table: String): Unit =
+    if (!hasIndex(spark, table)) { build(spark, table); () }
+
   def drop(spark: SparkSession, table: String): Unit =
     if (hasIndex(spark, table)) {
       try spark.table(indexName(table)).unpersist() catch { case _: Exception => () }

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native vector kernels for embedding columns.
+  *
+  * The higher-order-function formulation (`aggregate(zip_with(...))`)
+  * evaluates an interpreted lambda per element — fine for one row,
+  * pathological for a 10⁸-pair similarity join. These expressions run
+  * one tight JVM loop per call with no per-element closure dispatch.
+  *
+  * Summation is strictly left-to-right in double precision — the same
+  * order as the HOF fold and the DuckDB oracle's sequential SUM, so
+  * results are bit-identical across all three formulations.
+  */
+object VectorExpressions {
+
+  private def toDouble(a: ArrayData, et: DataType, i: Int): Double = et match {
+    case FloatType  => a.getFloat(i).toDouble
+    case DoubleType => a.getDouble(i)
+    case t          => throw new IllegalArgumentException(s"unsupported vector element type $t")
+  }
+
+  private def elemType(dt: DataType): DataType = dt match {
+    case ArrayType(et, _) => et
+    case t                => throw new IllegalArgumentException(s"expected array, got $t")
+  }
+
+  /** Σ aᵢ·bᵢ over the common prefix length. */
+  case class VecDot(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vec_dot"
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val ea = elemType(left.dataType); val eb = elemType(right.dataType)
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0; var i = 0
+      while (i < n) { s += toDouble(a, ea, i) * toDouble(b, eb, i); i += 1 }
+      s
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+  }
+
+  /** √(Σ aᵢ²). */
+  case class VecNorm(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vec_norm"
+    override protected def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val ea = elemType(child.dataType)
+      var s = 0.0; var i = 0
+      val n = a.numElements()
+      while (i < n) { val x = toDouble(a, ea, i); s += x * x; i += 1 }
+      math.sqrt(s)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  def vec_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def vec_norm(a: Column): Column =
+    ColumnBridge.column(VecNorm(ColumnBridge.expression(a)))
+}

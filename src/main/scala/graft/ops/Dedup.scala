@@ -24,12 +24,35 @@ object Dedup {
   /** Word n-gram shingles (default 3) as an array column. */
   def shingles(text: org.apache.spark.sql.Column, n: Int = 3): org.apache.spark.sql.Column = {
     val toks = TextAnalysis.tokens(text)
-    // sliding window via transform over indices
-    val idx = sequence(lit(0), greatest(size(toks) - lit(n), lit(0)) - lit(0))
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(0), size(toks) - lit(n)),
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
       .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Distinct (id, extras..., shingle) rows — the exploded form the
+    * similarity joins consume. Built with posexplode + window `lead`
+    * (whole-stage-codegen'd) instead of per-row array lambdas; a doc
+    * shorter than `n` tokens contributes its whole text as the single
+    * shingle, matching `shingles`.
+    */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String,
+                  extraCols: Seq[String], n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(
+      (col(idCol).as("_id") +: extraCols.map(col)) :+ TextAnalysis.tokens(col(textCol)).as("_toks"): _*)
+    val tok = base.where(size(col("_toks")) >= n)
+      .select((Seq(col("_id")) ++ extraCols.map(col)) :+ posexplode(col("_toks")): _*)
+    val w = Window.partitionBy(col("_id")).orderBy(col("pos"))
+    val leads = (1 until n).map(j => lead(col("col"), j).over(w))
+    val full = tok
+      .withColumn("_s", concat_ws(" ", col("col") +: leads: _*))
+      .withColumn("_last", leads.last)
+      .where(col("_last").isNotNull)
+      .select((Seq(col("_id")) ++ extraCols.map(col)) :+ col("_s"): _*)
+    val small = base.where(size(col("_toks")) < n)
+      .select((Seq(col("_id")) ++ extraCols.map(col)) :+ concat_ws(" ", col("_toks")).as("_s"): _*)
+    full.union(small).distinct()
   }
 
   /** Exact duplicate groups by content digest: (digest, dup_count,
@@ -46,64 +69,101 @@ object Dedup {
       .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("canonical_id"))
       .where(col("dup_count") > 1)
 
-  /** Pairwise n-gram Jaccard within blocks: candidates share
-    * `blockCols`; emits (id_a, id_b, jaccard) for jaccard ≥ threshold.
+  /** Pairwise n-gram Jaccard within blocks, via shared-shingle
+    * counting: explode shingles once, equi-join on (block, shingle),
+    * count shared shingles per pair, then |A∪B| = |A| + |B| − |A∩B|.
+    * Only pairs sharing ≥1 shingle are emitted (a zero-overlap pair
+    * has jaccard 0 and never clears a positive threshold).
+    *
+    * Scale: this replaces a per-pair O(|A|·|B|) array intersection
+    * with one shuffle keyed on (block, shingle) — the standard
+    * inverted-index similarity join; skew on common shingles is
+    * bounded by the block size.
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val withSh = df.select(
-      (col(idCol).as("_id") +: blockCols.map(col)) :+ shingles(col(textCol), n).as("_sh"): _*)
-    val a = withSh.select((Seq(col("_id").as("id_a"), col("_sh").as("sh_a")) ++ blockCols.map(c => col(c))): _*)
-    val b = withSh.select((Seq(col("_id").as("id_b"), col("_sh").as("sh_b")) ++ blockCols.map(c => col(c).as(s"${c}_b"))): _*)
-    val joinCond = blockCols.map(c => col(c) === col(s"${c}_b")).reduce(_ && _) && col("id_a") < col("id_b")
+    import org.apache.spark.sql.expressions.Window
+    // cached: both join sides read this subtree — without the cache
+    // the shingle pipeline runs twice
+    val ex = shingleRows(df, idCol, textCol, blockCols, n)
+      .withColumn("_nsh", count(lit(1)).over(Window.partitionBy(col("_id"))))
+      .cache()
+    val a = ex.select((Seq(col("_id").as("id_a"), col("_nsh").as("na"), col("_s")) ++
+      blockCols.map(col)): _*)
+    val b = ex.select((Seq(col("_id").as("id_b"), col("_nsh").as("nb"), col("_s").as("_sb")) ++
+      blockCols.map(c => col(c).as(s"${c}_b"))): _*)
+    val joinCond = (blockCols.map(c => col(c) === col(s"${c}_b")) :+
+      (col("_s") === col("_sb")) :+ (col("id_a") < col("id_b"))).reduce(_ && _)
     a.join(b, joinCond)
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("c"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signatures: k md5-permutation minima per doc.
-    * Returns (id, seed, sig) — one row per signature slot.
+  /** MinHash signatures in wide form: one row per doc, k `sig<i>`
+    * columns — a single shuffle (groupBy id) with k min-aggregates,
+    * instead of exploding every shingle k times.
     */
+  /** Modulus for the permutation family (2³¹−1, prime). */
+  final val MinhashP = 2147483647L
+
+  def minhashSignaturesWide(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 16, n: Int = 3): DataFrame = {
+    // ONE md5 per shingle; the k permutations are affine maps of the
+    // 60-bit hex prefix mod 2³¹−1. (k md5s per shingle would bottleneck
+    // on the synchronized MessageDigest provider lookup under high
+    // thread counts.) Integer arithmetic keeps DuckDB-oracle parity.
+    val sh = shingleRows(df, idCol, textCol, Seq.empty, n)
+      .select(col("_id").as("id"),
+        (conv(substring(md5(col("_s")), 1, 15), 16, 10).cast("long") % MinhashP).as("h"))
+    val aggs = (0 until k).map(i =>
+      min((lit(2L * i + 1) * col("h") + lit(1000003L * i + 12345L)) % MinhashP).as(s"sig$i"))
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Row-form signatures (id, seed, sig) — unpivot of the wide form. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 16, n: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
-    val seeds = (0 until k)
-    sh.select(col("id"),
-        explode(array(seeds.map(s =>
-          struct(lit(s).as("seed"), md5(concat(lit(s.toString), lit("|"), col("sh"))).as("h"))): _*)).as("sa"))
-      .select(col("id"), col("sa.seed").as("seed"), col("sa.h").as("h"))
-      .groupBy("id", "seed").agg(min(col("h")).as("sig"))
+    val wide = minhashSignaturesWide(df, idCol, textCol, k, n)
+    wide.select(col("id"),
+        explode(array((0 until k).map(s =>
+          struct(lit(s).as("seed"), col(s"sig$s").as("sig"))): _*)).as("x"))
+      .select(col("id"), col("x.seed").as("seed"), col("x.sig").as("sig"))
   }
 
   /** LSH candidate pairs: signatures split into `bands`, docs sharing
     * any (band, band_hash) bucket become candidates; estimated
-    * similarity = matching signature slots / k.
+    * similarity = matching signature slots / k. All signature
+    * comparison happens on the wide rows — two hash joins on doc id,
+    * no per-seed shuffle.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 16, bands: Int = 4, n: Int = 3,
                       threshold: Double = 0.5): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, k, n).cache()
+    require(k % bands == 0, "k must divide into bands")
     val rowsPerBand = k / bands
-    val bandHashes = sigs
-      .withColumn("band", col("seed") / lit(rowsPerBand) cast "int")
-      .groupBy("id", "band")
-      .agg(md5(concat_ws("", sort_array(collect_list(struct(col("seed"), col("sig"))))
-        .getField("sig"))).as("band_hash"))
-    val cand = bandHashes.as("x").join(bandHashes.as("y"),
+    val wide = minhashSignaturesWide(df, idCol, textCol, k, n).cache()
+    val bandRows = wide.select(col("id"),
+        explode(array((0 until bands).map { b =>
+          val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(s => col(s"sig$s"))
+          struct(lit(b).as("band"), md5(concat_ws("|", slice: _*)).as("band_hash"))
+        }: _*)).as("x"))
+      .select(col("id"), col("x.band").as("band"), col("x.band_hash").as("band_hash"))
+    val cand = bandRows.as("x").join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    // verify candidates by full signature agreement ratio
-    val sa = sigs.select(col("id").as("id_a"), col("seed"), col("sig").as("sig_a"))
-    val sb = sigs.select(col("id").as("id_b"), col("seed"), col("sig").as("sig_b"))
-    cand.join(sa, "id_a").join(sb, Seq("id_b", "seed"))
-      .groupBy("id_a", "id_b")
-      .agg((sum(when(col("sig_a") === col("sig_b"), 1).otherwise(0)).cast("double") / lit(k))
-        .as("est_jaccard"))
+    val matches = (0 until k).map(s =>
+      when(col(s"a.sig$s") === col(s"b.sig$s"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(wide.as("a"), col("id_a") === col("a.id"))
+      .join(wide.as("b"), col("id_b") === col("b.id"))
+      .select(col("id_a"), col("id_b"), (matches.cast("double") / lit(k)).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
   }
 
@@ -112,26 +172,23 @@ object Dedup {
     * per-token md5 bits vote ±tf, sign gives the fingerprint bit.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 64): DataFrame = {
-    require(bits % 4 == 0 && bits <= 128, "bits must be multiple of 4, ≤ 128")
+    require(bits % 4 == 0 && bits <= 128, "bits must be multiple of 4, \u2264 128")
     val toks = df.select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
     val tf = toks.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
-    val hexChars = bits / 4
-    val withHash = tf.withColumn("h", substring(md5(col("tok")), 1, hexChars))
-    // per-bit vote: explode bit positions, weight by tf
-    val bitsDf = withHash.select(col("id"), col("tf"),
-        posexplode(split(col("h"), "(?!^)"))) // pos, col = hex char
-      .where(length(col("col")) > 0) // split keeps a trailing empty element
-      .withColumn("nib", conv(col("col"), 16, 10).cast("int"))
-      .select(col("id"), col("tf"), col("pos"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("b"), (col("nib").divide(lit(1 << (3 - b))).cast("int") % 2).as("bit"))): _*)).as("bb"))
-      .select(col("id"), col("tf"),
-        (col("pos") * 4 + col("bb.b")).as("bitpos"),
-        when(col("bb.bit") === 1, col("tf")).otherwise(-col("tf")).as("vote"))
-    bitsDf.groupBy("id", "bitpos").agg(sum(col("vote")).as("v"))
-      .groupBy("id")
-      .agg(concat_ws("", sort_array(collect_list(struct(col("bitpos"),
-        when(col("v") > 0, lit("1")).otherwise(lit("0")).as("bit")))).getField("bit")).as("simhash"))
+    // nibbles decoded once per hex char (not once per bit): 16 conv
+    // columns feed 64 vote-sum aggregates; md5 evaluated once per row
+    val withHash = tf.withColumn("h", md5(col("tok")))
+    val nibCols = (0 until bits / 4).map(j =>
+      conv(substring(col("h"), j + 1, 1), 16, 10).cast("int").as(s"nib$j"))
+    val withNibs = withHash.select(Seq(col("id"), col("tf")) ++ nibCols: _*)
+    val voteAggs = (0 until bits).map { bit =>
+      val isSet = (col(s"nib${bit / 4}").divide(lit(1 << (3 - bit % 4))).cast("int") % 2) === 1
+      sum(when(isSet, col("tf")).otherwise(-col("tf"))).as(s"v$bit")
+    }
+    val votes = withNibs.groupBy("id").agg(voteAggs.head, voteAggs.tail: _*)
+    val bitChars = (0 until bits).map(b =>
+      when(col(s"v$b") > 0, lit("1")).otherwise(lit("0")))
+    votes.select(col("id"), concat(bitChars: _*).as("simhash"))
   }
 
   /** Hamming distance between two equal-length bit strings. */
@@ -143,13 +200,16 @@ object Dedup {
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, blockCol: Option[String] = None): DataFrame = {
-    val base = df.select((Seq(col(idCol).as("_id"), col(vecCol).as("_v")) ++ blockCol.map(col)): _*)
-    val a = base.select((Seq(col("_id").as("id_a"), col("_v").as("va")) ++ blockCol.map(c => col(c))): _*)
-    val b = base.select((Seq(col("_id").as("id_b"), col("_v").as("vb")) ++ blockCol.map(c => col(c).as(s"${c}_b"))): _*)
+    val base = df.select((Seq(col(idCol).as("_id"), col(vecCol).as("_v"),
+      Similarity.norm(col(vecCol)).as("_n")) ++ blockCol.map(col)): _*)
+    val a = base.select((Seq(col("_id").as("id_a"), col("_v").as("va"), col("_n").as("na")) ++
+      blockCol.map(c => col(c))): _*)
+    val b = base.select((Seq(col("_id").as("id_b"), col("_v").as("vb"), col("_n").as("nb")) ++
+      blockCol.map(c => col(c).as(s"${c}_b"))): _*)
     val cond = blockCol.map(c => col(c) === col(s"${c}_b")).getOrElse(lit(true)) &&
       col("id_a") < col("id_b")
     a.join(b, cond)
-      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("cosine", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -39,9 +39,15 @@ object GeoViews {
   val segDx = "CAST(0.1875 AS DOUBLE)" // 3 * 2^-4
   val segDy = "CAST(0.25 AS DOUBLE)"   // 4 * 2^-4  → length exactly 0.3125
 
-  /** Register geo views on the session (idempotent). */
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Register geo views on the session (idempotent, memoized). */
   def register(spark: SparkSession, dir: String): Unit = {
     Tables.registerAll(spark, dir)
+    val key = System.identityHashCode(spark) + "|" + dir
+    if (registered.contains(key)) return
+    registered.add(key)
 
     spark.sql(
       s"""CREATE OR REPLACE TEMPORARY VIEW geo_places AS

@@ -138,13 +138,15 @@ object OpsQueries {
       },
       Some(s"""WITH d AS (SELECT doc_id, $oracleToks AS toks FROM documents),
               |sh AS (SELECT doc_id, unnest($oracleShingles) AS s FROM d),
+              |hashes AS (
+              |  SELECT doc_id, (('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS h FROM sh),
               |sig AS (
-              |  SELECT doc_id, seed, MIN(md5(seed || '|' || s)) AS sig
-              |  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed)
+              |  SELECT doc_id, seed, MIN(((2*seed + 1) * h + 1000003*seed + 12345) % 2147483647) AS sig
+              |  FROM hashes, (SELECT unnest(generate_series(0, 15)) AS seed)
               |  GROUP BY doc_id, seed),
               |bandh AS (
               |  SELECT doc_id, seed // 4 AS band,
-              |         md5(string_agg(sig, '' ORDER BY seed)) AS band_hash
+              |         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS band_hash
               |  FROM sig GROUP BY doc_id, seed // 4),
               |cand AS (
               |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b

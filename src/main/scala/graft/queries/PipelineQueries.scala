@@ -160,7 +160,7 @@ object PipelineQueries {
     Q("pipeline_search_fts",
       (s, dir) => {
         GeoViews.register(s, dir)
-        FtsIndex.build(s, "geo_places")
+        FtsIndex.ensure(s, "geo_places")
         val df = PipelineCompiler.run(s, Seq(placesNode),
           Options(search = "building", limit = 50000, ftsTables = Set("geo_places")))
         df.selectExpr(outCols :+ "ROUND(CAST(_score AS DOUBLE), 6) AS _score": _*)
@@ -178,7 +178,7 @@ object PipelineQueries {
     Q("fts_search_ranked",
       (s, dir) => {
         GeoViews.register(s, dir)
-        FtsIndex.build(s, "geo_places")
+        FtsIndex.ensure(s, "geo_places")
         graft.fts.Bm25.ftsSearch(s, "geo_places", "building customer", limit = 100000)
           .selectExpr("id", "display_name", "centroid_lon", "centroid_lat",
             "ROUND(_score, 6) AS _score", "source_table")

@@ -28,9 +28,12 @@ class AnalysisQueriesSpec extends AnyFunSuite {
     assert(buildShowQuery(Seq.empty, 100) == "")
   }
 
-  test("intersect analysis query shape") {
+  test("intersect analysis query shape (grid-join form)") {
     val sql = buildQuery("intersect", "places_place", "buildings_building", 100)
-    assert(sql.contains("JOIN `buildings_building` b"))
+    // the B side joins through its grid-cell expansion (R8)
+    assert(sql.contains("FROM `buildings_building` b"))
+    assert(sql.contains("JOIN gb b"))
+    assert(sql.contains("_gx ="))
     assert(sql.contains("st_intersects(a.geometry, b.geometry)"))
     assert(sql.contains("ABS(a.centroid_lon - b.centroid_lon) < 0.2"))
     assert(sql.endsWith("LIMIT 2000"))
