@@ -15,7 +15,7 @@ object SparkEntry {
   /** All registered query groups. */
   def allQs: Seq[Q] =
     Relational.queries ++ GeoQueries.queries ++ PipelineQueries.queries ++
-      OpsQueries.queries ++ EventQueries.queries
+      OpsQueries.queries ++ EventQueries.queries ++ CoverageQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Closes the remaining SURVEY §2 inventory lines not already covered
+  * by a dedicated query: S2 schema peek, S5 incremental append, S8
+  * catalog ops, A4 group-by-source, O4 shortest-name ranking, O8
+  * area-ordered rendering sort.
+  */
+object CoverageQueries {
+
+  val queries: Seq[Q] = Seq(
+
+    // S2: schema peek — footer-only read drives the adaptive
+    // projection; emitted as (column_name) rows.
+    Q("s2_schema_peek",
+      (s, dir) => {
+        import s.implicits._
+        val cols = s.read.parquet(Tables.path(dir, "lineitem")).schema.fieldNames.toSeq.sorted
+        cols.toDF("column_name")
+      },
+      Some("""SELECT column_name FROM (
+             |  SELECT UNNEST(['l_orderkey','l_partkey','l_suppkey','l_linenumber','l_quantity',
+             |    'l_extendedprice','l_discount','l_tax','l_returnflag','l_linestatus','l_shipdate']) AS column_name)
+             |ORDER BY column_name""".stripMargin)),
+
+    // S5: incremental append with stop-at-limit semantics — two
+    // ordered batches unioned, the second truncated to the remaining
+    // budget (themes.js:300-347's INSERT ... LIMIT remaining).
+    Q("s5_incremental_append",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val limit = 150
+        val batch1 = s.table("customer").select(col("c_custkey"), col("c_name"))
+          .where(col("c_custkey") <= 100).orderBy(col("c_custkey"))
+        val loaded = batch1.count()
+        val remaining = (limit - loaded).toInt
+        val batch2 = s.table("customer").select(col("c_custkey"), col("c_name"))
+          .where(col("c_custkey") > 100).orderBy(col("c_custkey")).limit(remaining)
+        batch1.unionByName(batch2).orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM (
+             |  SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 100
+             |  UNION ALL
+             |  (SELECT c_custkey, c_name FROM customer WHERE c_custkey > 100
+             |   ORDER BY c_custkey
+             |   LIMIT 150 - (SELECT COUNT(*) FROM customer WHERE c_custkey <= 100)))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // S8: catalog listing with system/helper-table filtering.
+    Q("s8_catalog_ops",
+      (s, dir) => {
+        import s.implicits._
+        GeoViews.register(s, dir)
+        s.range(1).createOrReplaceTempView("_session_probe")
+        s.range(1).createOrReplaceTempView("fts_main_probe")
+        val user = graft.ingest.Ingest.listUserTables(s)
+        s.catalog.dropTempView("_session_probe")
+        s.catalog.dropTempView("fts_main_probe")
+        user.filter(Set("geo_places", "geo_buildings", "geo_segments")).toDF("table_name")
+          .orderBy("table_name")
+      },
+      Some("""SELECT table_name FROM (
+             |  SELECT UNNEST(['geo_buildings','geo_places','geo_segments']) AS table_name)
+             |ORDER BY table_name""".stripMargin)),
+
+    // A4: per-source bucketing of a pipeline result.
+    Q("a4_group_by_source",
+      (s, dir) => {
+        GeoViews.register(s, dir)
+        val df = graft.compile.PipelineCompiler.run(s,
+          Seq(graft.compile.PipelineCompiler.PipelineNode("p1", "source", "", "geo_places", "places/place"),
+            graft.compile.PipelineCompiler.PipelineNode("p2", "combine", "union", "geo_buildings", "buildings/building")),
+          graft.compile.PipelineCompiler.Options(limit = 50000))
+        df.groupBy(col("_source")).agg(count(lit(1)).as("n")).orderBy(col("_source"))
+      },
+      Some(s"WITH ${GeoViews.oraclePlaces},\n${GeoViews.oracleBuildings}\n" +
+        """SELECT _source, COUNT(*) AS n FROM (
+          |  SELECT 'places/place' AS _source FROM geo_places
+          |  UNION ALL SELECT 'buildings/building' FROM geo_buildings)
+          |GROUP BY _source ORDER BY _source""".stripMargin)),
+
+    // O4: ILIKE fallback ranking — shortest search_name first.
+    Q("o4_shortest_name_rank",
+      (s, dir) => {
+        GeoViews.register(s, dir)
+        graft.fts.Bm25.ilikeSearch(s, "geo_places", "building", limit = 100)
+          .selectExpr("id", "display_name", "CAST(_score AS DOUBLE) AS _score")
+      },
+      Some(s"WITH ${GeoViews.oraclePlaces}\n" +
+        """SELECT id, display_name, CAST(NULL AS DOUBLE) AS _score FROM geo_places
+          |WHERE lower(search_name) LIKE '%building%'
+          |ORDER BY length(search_name), id LIMIT 100""".stripMargin)),
+
+    // O8: largest-area-first render ordering (z-order painting).
+    Q("o8_area_sort",
+      (s, dir) => {
+        GeoViews.register(s, dir)
+        s.sql("""SELECT id, st_area(geometry) AS area FROM geo_buildings
+                |ORDER BY area DESC, id LIMIT 100""".stripMargin)
+      },
+      Some(s"WITH ${GeoViews.oracleBuildings}\n" +
+        """SELECT id, (xmax - xmin) * (ymax - ymin) AS area FROM geo_buildings
+          |ORDER BY area DESC, id LIMIT 100""".stripMargin)),
+  )
+}
