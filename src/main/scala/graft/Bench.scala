@@ -25,7 +25,10 @@ object Bench {
       // periodic GC nudge lets ContextCleaner release dead broadcast
       // blocks so no later query pays a full GC for earlier garbage.
       spark.catalog.clearCache()
-      System.gc()
+      // only heavy queries produce enough garbage (broadcasts, cached
+      // signatures) to warrant a collection; a GC after every trivial
+      // query just adds floor latency
+      if (dt > 1.0) System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -37,7 +37,14 @@ object Dedup {
     * shingle, matching `shingles`.
     */
   def shingleRows(df: DataFrame, idCol: String, textCol: String,
-                  extraCols: Seq[String], n: Int = 3): DataFrame = {
+                  extraCols: Seq[String], n: Int = 3): DataFrame =
+    shingleRows(df, idCol, textCol, extraCols, n, distinct = true)
+
+  /** As above; `distinct = false` skips the dedup shuffle for
+    * consumers insensitive to duplicate shingles (MinHash minima).
+    */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String,
+                  extraCols: Seq[String], n: Int, distinct: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = df.select(
       (col(idCol).as("_id") +: extraCols.map(col)) :+ TextAnalysis.tokens(col(textCol)).as("_toks"): _*)
@@ -52,7 +59,8 @@ object Dedup {
       .select((Seq(col("_id")) ++ extraCols.map(col)) :+ col("_s"): _*)
     val small = base.where(size(col("_toks")) < n)
       .select((Seq(col("_id")) ++ extraCols.map(col)) :+ concat_ws(" ", col("_toks")).as("_s"): _*)
-    full.union(small).distinct()
+    val rows = full.union(small)
+    if (distinct) rows.distinct() else rows
   }
 
   /** Exact duplicate groups by content digest: (digest, dup_count,
@@ -117,7 +125,9 @@ object Dedup {
     // 60-bit hex prefix mod 2³¹−1. (k md5s per shingle would bottleneck
     // on the synchronized MessageDigest provider lookup under high
     // thread counts.) Integer arithmetic keeps DuckDB-oracle parity.
-    val sh = shingleRows(df, idCol, textCol, Seq.empty, n)
+    // distinct=false: MIN is insensitive to duplicate shingles, so the
+    // dedup shuffle would be pure overhead
+    val sh = shingleRows(df, idCol, textCol, Seq.empty, n, distinct = false)
       .select(col("_id").as("id"),
         (conv(substring(md5(col("_s")), 1, 15), 16, 10).cast("long") % MinhashP).as("h"))
     val aggs = (0 until k).map(i =>

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates: the properties that keep the engine
+  * viable at 100 TB are asserted on the actual planned queries, not
+  * assumed — filter pushdown reaches the parquet scan, spatial joins
+  * hash-join on grid cells (never nested-loop over data), dimension
+  * joins broadcast.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("scan filter pushes to parquet (PushedFilters non-empty)") {
+    val p = plan("s1_scan_filter_project")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("GreaterThan(l_quantity"), "l_quantity filter should reach the scan")
+  }
+
+  test("projection prunes columns at the scan (ReadSchema is minimal)") {
+    val p = plan("s1_scan_filter_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && !read.contains("l_shipdate"),
+      s"scan should read only projected+filtered columns: $read")
+  }
+
+  test("dimension joins broadcast (no shuffle of nation/region)") {
+    val p = plan("j_broadcast_dims")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("spatial joins are hash joins on grid cells, not nested loops over data") {
+    for (q <- Seq("j1_intersect_join", "j7_self_distance_pairs", "j9_line_point_distance")) {
+      val p = plan(q)
+      // the only nested-loop allowed is the 3-row VALUES cross join
+      // that builds the 3x3 grid expansion
+      val bnlj = p.linesIterator.count(l => l.contains("BroadcastNestedLoopJoin"))
+      val cross = p.linesIterator.count(l => l.contains("CartesianProduct"))
+      assert(cross == 0, s"$q plans a CartesianProduct")
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+        p.contains("ShuffledHashJoin"), s"$q has no hash join")
+      // grid-cell keys present in some join condition
+      assert(p.contains("_gx") && p.contains("_gy"), s"$q lost its grid keys")
+      assert(bnlj <= 2, s"$q has $bnlj nested-loop joins (only the VALUES expansion is expected)")
+    }
+  }
+
+  test("compiled spatial pipeline plans hash semi-joins from the EXISTS") {
+    val p = plan("pipeline_intersect")
+    assert(p.contains("LeftSemi") || p.contains("left_semi") || p.contains("Semi"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("top-k plans TakeOrderedAndProject (no global sort)") {
+    val p = plan("o3_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("whole-stage codegen covers the relational aggregates") {
+    // AQE shows codegen stages only in the finalized plan → run first
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, dir)
+    df.collect() // count() would plan a different query; collect finalizes THIS one
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" is the WholeStageCodegen stage marker in plan strings
+    assert(p.contains("*("), p.take(1200))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("bench queries produce no driver-side collects in their plans") {
+    // every declared query is a DataFrame — materialization strategy
+    // stays with the caller; spot-check that heavy ops build lazily
+    val df = SparkEntry.queries("dedup_minhash_lsh")(spark, dir)
+    assert(df.queryExecution.logical != null) // planning alone must not execute jobs
+  }
+}
