@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import graft.compile.PipelineCompiler.{Options, PipelineNode}
+import graft.fts.{Bm25, FtsIndex}
+import graft.ingest.Ingest
+import graft.model.{CanonicalSchema, CanonicalFeature, ThemeMeta}
+import graft.runtime.PipelineSession
+import graft.session.{LoadHistory, SessionState}
+
+/** The user-facing engine API — everything the reference app exposes,
+  * Spark-shaped (reference entry points: controller.js loadArea,
+  * pipelineRunner reactive loop, fts search fan-out, direct SQL
+  * panels).
+  *
+  * Typical session:
+  * {{{
+  * val spark = graft.core.Engine.session()
+  * val g = new Graft(spark, stateDir = "/tmp/graft-state")
+  * g.loadArea("/data/overture", Seq("places/place", "buildings/building"),
+  *   bbox = Some(Ingest.BBox(-118.3, 34.0, -118.2, 34.1)))
+  * val sess = g.pipeline()
+  * sess.update(nodes = Seq(PipelineNode("p1", "source", "", "places_place", "places/place")))
+  * val rows = sess.executeNow().get.collect()
+  * g.search("cafe")                       // ranked multi-table FTS
+  * g.sql("SELECT count(*) FROM places_place") // raw SQL over the views
+  * }}}
+  */
+final class Graft(val spark: SparkSession, stateDir: String) {
+
+  graft.core.Engine.prepare(spark)
+
+  val sessionState = new SessionState(spark, stateDir)
+
+  /** Load themes for an area: spatial file pruning → bbox-pushdown
+    * scan → canonical materialization → view + FTS registration +
+    * load-history row (reference loadArea, controller.js:119-146;
+    * themes are loaded concurrently there — Spark schedules the jobs,
+    * so sequential submission keeps the same wall-clock behavior with
+    * deterministic error attribution).
+    */
+  def loadArea(
+      baseDir: String,
+      keys: Seq[String],
+      bbox: Option[Ingest.BBox] = None,
+      limit: Option[Int] = Some(33000)): Map[String, Ingest.LoadResult] =
+    keys.map { key =>
+      val res = Ingest.loadTheme(spark, baseDir, key, bbox, limit)
+      if (ThemeMeta.themeMeta.get(key).exists(_.searchable))
+        try FtsIndex.build(spark, res.table)
+        catch { case _: Exception => () } // FTS is best-effort (fts.js:63-67)
+      LoadHistory.append(spark, stateDir, LoadHistory.Entry(
+        key, baseDir, bbox.map(b => s"[${b.xmin},${b.ymin},${b.xmax},${b.ymax}]").getOrElse(""),
+        limit.map(_.toLong).getOrElse(-1L), cached = false,
+        res.rowCount, res.fileCount, res.loadTimeMs))
+      key -> res
+    }.toMap
+
+  def dropArea(keys: Seq[String]): Unit = keys.foreach { key =>
+    FtsIndex.drop(spark, ThemeMeta.tableName(key))
+    Ingest.dropTheme(spark, key)
+  }
+
+  /** A reactive pipeline session (debounce, memoization, FTS
+    * fallback).
+    */
+  def pipeline(debounceMs: Long = 300): PipelineSession =
+    new PipelineSession(spark, debounceMs)
+
+  /** One-shot pipeline execution. */
+  def runPipeline(nodes: Seq[PipelineNode], opts: Options = Options()): DataFrame =
+    graft.compile.PipelineCompiler.run(spark, nodes, opts)
+
+  /** Ranked multi-table search with per-table isolation (fts.js
+    * fan-out): FTS-indexed tables score with BM25, the rest fall back
+    * to ILIKE.
+    */
+  def search(query: String, tables: Seq[String] = Nil, limit: Int = 10): Seq[Row] = {
+    val ts = if (tables.nonEmpty) tables else Ingest.listUserTables(spark)
+    Bm25.searchAll(spark, ts, query, limit)
+  }
+
+  /** Direct SQL over the registered views (§3.3 — the sqlOverride /
+    * SQL-panel surface).
+    */
+  def sql(text: String): DataFrame = spark.sql(text)
+
+  /** Typed boundary: a loaded theme as Dataset[CanonicalFeature]. */
+  def features(key: String): Dataset[CanonicalFeature] = {
+    import spark.implicits._
+    spark.table(ThemeMeta.tableName(key))
+      .selectExpr(CanonicalSchema.baseColumnNames: _*)
+      .as[CanonicalFeature]
+  }
+
+  def loadHistory: DataFrame = LoadHistory.read(spark, stateDir)
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.compile.PipelineCompiler.PipelineNode
+import graft.ingest.{Ingest, OvertureFixtures}
+
+/** End-to-end facade exercise: the reference user's whole workflow —
+  * load an area, run pipelines, search, drop — through the public API.
+  */
+class GraftSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private lazy val (dataDir, g) = {
+    val dd = java.nio.file.Files.createTempDirectory("graft_area").toString
+    OvertureFixtures.write(spark, dd, n = 150, files = 3)
+    val sd = java.nio.file.Files.createTempDirectory("graft_state").toString
+    (dd, new Graft(spark, sd))
+  }
+
+  test("loadArea materializes themes, builds FTS, logs history") {
+    val res = g.loadArea(dataDir, Seq("places/place", "buildings/building"),
+      bbox = Some(Ingest.BBox(-2.0, -1.0, 2.0, 1.0)))
+    assert(res("places/place").rowCount > 0)
+    assert(res("buildings/building").rowCount > 0)
+    assert(spark.catalog.tableExists("places_place"))
+    assert(spark.catalog.tableExists("fts_main_places_place")) // searchable theme
+    assert(g.loadHistory.count() == 2)
+  }
+
+  test("pipeline + search + sql + typed features over the loaded area") {
+    g.loadArea(dataDir, Seq("places/place", "buildings/building"))
+
+    // compiled pipeline
+    val df = g.runPipeline(Seq(
+      PipelineNode("p1", "source", "", "places_place", "places/place"),
+      PipelineNode("p2", "combine", "union", "buildings_building", "buildings/building")))
+    assert(df.count() > 0 && df.columns.contains("geojson"))
+
+    // ranked search fans out over user tables with isolation
+    val hits = g.search("cafe")
+    assert(hits.nonEmpty)
+    assert(hits.forall(_.getAs[String]("source_table") == "places_place"))
+
+    // raw SQL surface
+    assert(g.sql("SELECT COUNT(*) AS n FROM places_place").head().getLong(0) > 0)
+
+    // typed boundary
+    val feats = g.features("places/place").collect()
+    assert(feats.forall(f => f.geom_type == "POINT" && f.id.nonEmpty))
+
+    // session KV
+    g.sessionState.set("pipelineSearch", "cafe")
+    assert(g.sessionState.get("pipelineSearch").contains("cafe"))
+  }
+
+  test("dropArea removes views and indexes") {
+    g.loadArea(dataDir, Seq("places/place"))
+    g.dropArea(Seq("places/place"))
+    assert(!spark.catalog.tableExists("places_place"))
+    assert(!spark.catalog.tableExists("fts_main_places_place"))
+  }
+}
