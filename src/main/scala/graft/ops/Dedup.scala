@@ -201,6 +201,29 @@ object Dedup {
     votes.select(col("id"), concat(bitChars: _*).as("simhash"))
   }
 
+  /** Drop exact/fingerprint duplicates, keeping the canonical (min-id)
+    * row of each group — the "apply" half of dedup: one digest
+    * shuffle, bodies never move.
+    */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String,
+                          normalized: Boolean = false): DataFrame = {
+    val digest =
+      if (normalized) TextAnalysis.fingerprint(col(textCol)) else md5(col(textCol))
+    val keep = df.select(col(idCol).as("_kid"), digest.as("_digest"))
+      .groupBy("_digest").agg(min(col("_kid")).as("_kid"))
+      .select("_kid")
+    df.join(keep, col(idCol) === col("_kid"), "left_semi")
+  }
+
+  /** Remove the non-canonical side of near-duplicate pairs: given
+    * (id_a, id_b) pairs with id_a < id_b, drops every id_b (transitive
+    * chains collapse to their smallest id as long as the pair set is
+    * closed under the blocking scheme).
+    */
+  def dropPairedDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("id_b").as("_drop")).distinct(),
+      col(idCol) === col("_drop"), "left_anti")
+
   /** Hamming distance between two equal-length bit strings. */
   def hammingDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     size(filter(zip_with(split(a, "(?!^)"), split(b, "(?!^)"), (x, y) => x =!= y), d => d))

@@ -110,6 +110,18 @@ object OpsQueries {
              |     SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) h, COUNT(*) c
              |     FROM documents GROUP BY 1 HAVING COUNT(*) > 1)) AS n_fp_groups""".stripMargin)),
 
+    // the "apply" half: drop non-canonical exact duplicates.
+    Q("dedup_drop_exact",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        Dedup.dropExactDuplicates(s.table("documents"), "doc_id", "text")
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id FROM documents
+             |JOIN (SELECT md5(text) AS h, MIN(doc_id) AS m FROM documents GROUP BY 1) k
+             |  ON md5(text) = k.h AND doc_id = k.m
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("dedup_ngram_jaccard_topk",
       (s, dir) => {
         Tables.registerAll(s, dir)

@@ -63,6 +63,20 @@ class OpsSpec extends AnyFunSuite {
     assert(ham(sh(1L), sh(3L)) <= 16)
   }
 
+  test("dedup removal: exact keeps canonical, paired drops id_b side") {
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L, 6L, 7L)) // doc 2 (dup of 1) dropped
+    val keptNorm = Dedup.dropExactDuplicates(docs, "doc_id", "text", normalized = true)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(keptNorm == Set(1L, 3L, 5L, 6L, 7L)) // 2 and 4 fold into 1
+
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.25)
+    val deduped = Dedup.dropPairedDuplicates(docs, "doc_id", pairs).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(deduped.contains(1L) && !deduped.contains(2L) && !deduped.contains(3L))
+  }
+
   test("language-ID picks the stopword-matching language") {
     val langs = docs.select($"doc_id", TextAnalysis.langId($"text").as("l")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
