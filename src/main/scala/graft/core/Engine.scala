@@ -77,8 +77,9 @@ object Tables {
     if (registeredDirs.contains(key)) return
     Engine.prepare(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", aqe)
     all.foreach { n =>
       if (new java.io.File(path(dir, n)).exists()) {
         val raw = df(spark, dir, n)
