@@ -34,17 +34,29 @@ object FtsIndex {
   def hasIndex(spark: SparkSession, table: String): Boolean =
     spark.catalog.tableExists(indexName(table))
 
-  /** Build (or rebuild) the FTS index view for `table`, which must
-    * expose (id, search_name).
+  /** Tables indexed with Porter stemming (query terms must be stemmed
+    * the same way at search time).
     */
-  def build(spark: SparkSession, table: String): DataFrame = {
+  private val stemmed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def isStemmed(table: String): Boolean = stemmed.contains(table)
+
+  /** Build (or rebuild) the FTS index view for `table`, which must
+    * expose (id, search_name). `stem = true` applies the Porter
+    * stemmer per token — DuckDB FTS's default behavior
+    * (PRAGMA create_fts_index stemmer='porter').
+    */
+  def build(spark: SparkSession, table: String, stem: Boolean = false): DataFrame = {
     val docs = spark.table(table)
       .select(col("id").cast("string").as("id"),
         lower(coalesce(col("search_name"), lit(""))).as("txt"))
 
-    val terms = docs
+    val stemUdf = udf((t: String) => Porter.stem(t))
+    val rawTerms = docs
       .select(col("id"), explode(split(col("txt"), "[^a-z0-9]+")).as("term"))
       .where(length(col("term")) > 0)
+    val terms = if (stem) rawTerms.withColumn("term", stemUdf(col("term"))) else rawTerms
+    if (stem) stemmed.add(table) else stemmed.remove(table)
 
     val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val doclen = terms.groupBy("id").agg(count(lit(1)).as("doclen"))
@@ -74,9 +86,11 @@ object FtsIndex {
   def ensure(spark: SparkSession, table: String): Unit =
     if (!hasIndex(spark, table)) { build(spark, table); () }
 
-  def drop(spark: SparkSession, table: String): Unit =
+  def drop(spark: SparkSession, table: String): Unit = {
+    stemmed.remove(table)
     if (hasIndex(spark, table)) {
       try spark.table(indexName(table)).unpersist() catch { case _: Exception => () }
       spark.catalog.dropTempView(indexName(table))
     }
+  }
 }

@@ -81,6 +81,19 @@ class Bm25Spec extends AnyFunSuite {
     assert(res.forall(_.isNullAt(res.head.fieldIndex("_score"))))
   }
 
+  test("stemmed index folds inflections and matches stemmed queries") {
+    FtsIndex.build(spark, "fts_docs", stem = true)
+    assert(FtsIndex.isStemmed("fts_docs"))
+    // "roasters" stems to "roaster"; query "roaster" must hit d2
+    val res = Bm25.searchTable(spark, "fts_docs", "roaster", 10).collect()
+    assert(res.map(_.getAs[String]("id")).toSet == Set("d2"))
+    // rebuild unstemmed restores exact-token behavior
+    FtsIndex.build(spark, "fts_docs")
+    assert(!FtsIndex.isStemmed("fts_docs"))
+    assert(Bm25.searchTable(spark, "fts_docs", "roaster", 10).collect().isEmpty)
+    FtsIndex.drop(spark, "fts_docs")
+  }
+
   test("searchAll isolates broken tables") {
     val rows = Bm25.searchAll(spark, Seq("fts_docs", "no_such_table"), "tea")
     assert(rows.nonEmpty)
