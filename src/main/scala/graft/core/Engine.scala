@@ -35,11 +35,17 @@ object Engine {
     spark
   }
 
-  /** Register graft SQL functions on an externally-created session
-    * (e.g. the driver's Verify/Bench sessions). Idempotent.
+  /** Register graft SQL functions + the grid-join optimizer rule on
+    * an externally-created session (e.g. the driver's Verify/Bench
+    * sessions). Idempotent.
     */
   def prepare(spark: SparkSession): SparkSession = {
     graft.geo.GeoFunctions.register(spark)
+    // protects naive user spatial SQL with the grid rewrite even when
+    // the session wasn't built withExtensions(new GraftExtensions)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.GridJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.GridJoinRule
     spark
   }
 }
