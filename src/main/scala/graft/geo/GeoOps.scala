@@ -294,10 +294,14 @@ object GeoOps {
   /** Geometry intersection. Full support for the shapes the reference
     * exercises (AnalysisPanel.jsx:40-60 — polygon overlap rendering,
     * try/catch-wrapped and skippable): polygon ∩ polygon via
-    * Sutherland–Hodgman against each *convex* clip polygon (falls back
-    * to the convex hull of the clip shell otherwise), point ∩ any,
-    * line ∩ polygon clipping. Returns an empty GeometryCollection when
-    * there is no intersection or the pair is unsupported.
+    * Sutherland–Hodgman against the clip shell when it is convex, and
+    * against its ear-clipping triangulation otherwise (triangles
+    * partition the clip region, so the piecewise clips form a disjoint
+    * cover of the true intersection — exact area, seams along
+    * triangulation edges in the returned MultiPolygon). Holes are not
+    * clipped (the reference's overlap rendering never produces them).
+    * Point ∩ any and line ∩ polygon are exact. Returns an empty
+    * GeometryCollection when there is no intersection.
     */
   def intersection(a: Geometry, b: Geometry): Geometry = {
     val empty = GeometryCollection(IndexedSeq.empty)
@@ -312,8 +316,10 @@ object GeoOps {
         if (polysA.isEmpty || polysB.isEmpty) return empty
         val out = for {
           x <- polysA; y <- polysB
-          clipped = sutherlandHodgman(x.shell, convexShell(y))
-          if clipped.length >= 3
+          clipRegion <- if (isConvexRing(y.shell)) Seq(y.shell)
+                        else triangulate(y.shell).map(t => IndexedSeq(t._1, t._2, t._3, t._1))
+          clipped = sutherlandHodgman(x.shell, clipRegion)
+          if clipped.length >= 3 && math.abs(signedRingArea(close(clipped))) > 0
         } yield Polygon(IndexedSeq(close(clipped)))
         out match {
           case Seq()  => empty
@@ -321,6 +327,73 @@ object GeoOps {
           case ps     => MultiPolygon(ps.toIndexedSeq)
         }
     }
+  }
+
+  /** Is the (closed or open) ring convex? Collinear runs allowed. */
+  private[geo] def isConvexRing(ringIn: IndexedSeq[Pt]): Boolean = {
+    val r = if (ringIn.nonEmpty && ringIn.head == ringIn.last) ringIn.dropRight(1) else ringIn
+    if (r.length < 4) return true // triangles are convex
+    var sign = 0
+    var i = 0
+    while (i < r.length) {
+      val o = orient(r(i), r((i + 1) % r.length), r((i + 2) % r.length))
+      if (o != 0) {
+        val s = if (o > 0) 1 else -1
+        if (sign == 0) sign = s
+        else if (s != sign) return false
+      }
+      i += 1
+    }
+    true
+  }
+
+  /** Ear-clipping triangulation of a simple polygon ring (O(n²));
+    * collinear vertices are dropped first, zero-area ears skipped.
+    */
+  private[geo] def triangulate(ringIn: IndexedSeq[Pt]): Seq[(Pt, Pt, Pt)] = {
+    var r = (if (ringIn.nonEmpty && ringIn.head == ringIn.last) ringIn.dropRight(1) else ringIn).toBuffer
+    // ensure CCW
+    if (signedRingArea(close(r.toIndexedSeq)) < 0) r = r.reverse
+    // drop exactly-collinear vertices (lattice data has many)
+    var changed = true
+    while (changed && r.length > 3) {
+      changed = false
+      var i = 0
+      while (i < r.length && r.length > 3) {
+        val prev = r((i + r.length - 1) % r.length)
+        val next = r((i + 1) % r.length)
+        if (orient(prev, r(i), next) == 0) { r.remove(i); changed = true } else i += 1
+      }
+    }
+    val tris = ArrayBuffer[(Pt, Pt, Pt)]()
+    var guard = r.length * r.length + 10
+    while (r.length > 3 && guard > 0) {
+      guard -= 1
+      var i = 0
+      var clippedOne = false
+      while (i < r.length && !clippedOne) {
+        val prev = r((i + r.length - 1) % r.length)
+        val cur = r(i)
+        val next = r((i + 1) % r.length)
+        val convexCorner = orient(prev, cur, next) > 0
+        if (convexCorner) {
+          val triRing = IndexedSeq(prev, cur, next, prev)
+          val containsOther = r.indices.exists { j =>
+            val q = r(j)
+            q != prev && q != cur && q != next && pointInRing(q, triRing)
+          }
+          if (!containsOther) {
+            tris += ((prev, cur, next))
+            r.remove(i)
+            clippedOne = true
+          }
+        }
+        i += 1
+      }
+      if (!clippedOne) guard = 0 // degenerate input — bail with what we have
+    }
+    if (r.length == 3) tris += ((r(0), r(1), r(2)))
+    tris.toSeq
   }
 
   private def close(ring: IndexedSeq[Pt]): IndexedSeq[Pt] =

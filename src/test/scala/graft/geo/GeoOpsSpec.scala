@@ -93,6 +93,31 @@ class GeoOpsSpec extends AnyFunSuite {
     assert(g.isEmpty)
   }
 
+  test("intersection with a CONCAVE clip polygon is area-exact") {
+    // L-shape: 4x4 square minus its top-right 2x2 quadrant
+    val ell = Polygon(IndexedSeq(IndexedSeq(
+      Pt(0, 0), Pt(4, 0), Pt(4, 2), Pt(2, 2), Pt(2, 4), Pt(0, 4), Pt(0, 0))))
+    assert(!GeoOps.isConvexRing(ell.shell))
+    assert(GeoOps.area(ell) == 12.0)
+    // clip a 4x4 square by the L: intersection is the L itself (area 12)
+    val sq = rect(0, 0, 4, 4)
+    assert(GeoOps.area(GeoOps.intersection(sq, ell)) == 12.0)
+    // clip the top-right quadrant (outside the L except edges): area 0
+    assert(GeoOps.area(GeoOps.intersection(rect(2.5, 2.5, 4, 4), ell)) == 0.0)
+    // a box straddling the notch: only the parts inside the L survive
+    val straddle = rect(1, 1, 3, 3)
+    // inside-L area = 2x2 box minus its top-right 1x1 corner = 3
+    assert(GeoOps.area(GeoOps.intersection(straddle, ell)) == 3.0)
+  }
+
+  test("triangulation partitions concave polygons") {
+    val ell = IndexedSeq(Pt(0, 0), Pt(4, 0), Pt(4, 2), Pt(2, 2), Pt(2, 4), Pt(0, 4), Pt(0, 0))
+    val tris = GeoOps.triangulate(ell)
+    assert(tris.length == 4) // n-2 triangles for n=6 vertices
+    val total = tris.map(t => GeoOps.area(Polygon(IndexedSeq(IndexedSeq(t._1, t._2, t._3, t._1))))).sum
+    assert(total == 12.0)
+  }
+
   test("geojson serialization") {
     assert(GeoOps.toGeoJson(Point(Pt(-118.25, 34.05))) ==
       """{"type":"Point","coordinates":[-118.25,34.05]}""")
