@@ -74,6 +74,49 @@ object Similarity {
     concat(bits: _*)
   }
 
+  /** IVF (inverted-file) ANN: the corpus is partitioned by nearest
+    * centroid; a query probes only its `nprobe` closest lists and
+    * refines with exact cosine inside them.
+    *
+    * Centroids are caller-provided (id, vector) — train them offline
+    * (k-means or a deterministic sample like "every nth vector"); the
+    * assignment itself is deterministic given the centroids, which
+    * keeps results reproducible across runs/engines. The centroid set
+    * is broadcast (it is small by construction); the corpus shuffles
+    * once on its list assignment — at 100 TB that is the bucketed
+    * layout you would persist, not recompute per query.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              idCol: String, vecCol: String, k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val cent = centroids.select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id)).orderBy(desc("cent_cos"), col("cent_id"))
+      df.crossJoin(broadcast(cent))
+        .withColumn("cent_cos", cosine(col(vec), col("cent_vec")))
+        .withColumn("cent_rank", row_number().over(w))
+        .where(col("cent_rank") <= keep)
+        .drop("cent_vec", "cent_cos", "cent_rank")
+    }
+
+    val c = assign(
+      corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
+        norm(col(vecCol)).as("nn_norm")), "nn_id", "nn_vec", keep = 1)
+    val q = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        norm(col(vecCol)).as("q_norm")), "query_id", "q_vec", keep = nprobe)
+
+    // each corpus vector lives in exactly one list (keep = 1), so a
+    // (query, neighbor) pair appears at most once across probed lists
+    val pairs = c.join(broadcast(q), "cent_id")
+      .where(col("nn_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("q_vec"), col("nn_vec")) / (col("q_norm") * col("nn_norm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("nn_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "nn_id", "cosine")
+  }
+
   /** ANN via LSH buckets: exact cosine within the query's bucket.
     * Recall is bucket-limited (the classic LSH trade); bump `planes`
     * down or probe neighbors for higher recall.

@@ -233,6 +233,49 @@ object OpsQueries {
               |SELECT query_id, rank, nn_id, ROUND(cos, 6) AS cosine
               |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    Q("ann_ivf_topk",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val emb = s.table("embeddings")
+        Similarity.ivfTopK(
+            emb,
+            emb.where(col("vec_id") >= 3 && col("vec_id") < 8),
+            emb.where(col("vec_id") < 3),
+            "vec_id", "embedding", k = 10, nprobe = 2)
+          .selectExpr("query_id", "rank", "nn_id", "ROUND(cosine, 6) AS cosine")
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 3),
+              |corpus AS (SELECT vec_id AS nn_id, embedding AS nv FROM embeddings),
+              |cassign AS (
+              |  SELECT nn_id, cent_id FROM (
+              |    SELECT nn_id, cent_id,
+              |           ROW_NUMBER() OVER (PARTITION BY nn_id ORDER BY cc DESC, cent_id) AS rn
+              |    FROM (SELECT nn_id, cent_id, ${oracleCosine("nv", "cv")} AS cc
+              |          FROM corpus CROSS JOIN cent))
+              |  WHERE rn = 1),
+              |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+              |      WHERE vec_id >= 3 AND vec_id < 8),
+              |qassign AS (
+              |  SELECT query_id, cent_id FROM (
+              |    SELECT query_id, cent_id,
+              |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cc DESC, cent_id) AS rn
+              |    FROM (SELECT query_id, cent_id, ${oracleCosine("qv", "cv")} AS cc
+              |          FROM q CROSS JOIN cent))
+              |  WHERE rn <= 2),
+              |pairs AS (
+              |  SELECT q.query_id, c.nn_id, ${oracleCosine("q.qv", "c.nv")} AS cos
+              |  FROM corpus c JOIN cassign ca ON c.nn_id = ca.nn_id
+              |  JOIN qassign qa ON ca.cent_id = qa.cent_id
+              |  JOIN q ON q.query_id = qa.query_id
+              |  WHERE c.nn_id != q.query_id),
+              |ranked AS (
+              |  SELECT query_id, nn_id, cos,
+              |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS rank
+              |  FROM pairs)
+              |SELECT query_id, rank, nn_id, ROUND(cos, 6) AS cosine
+              |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
     Q("ann_lsh_buckets",
       (s, dir) => {
         Tables.registerAll(s, dir)

@@ -117,6 +117,34 @@ class OpsSpec extends AnyFunSuite {
       math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-12))
   }
 
+  test("IVF ANN: probed lists find true neighbors, recall bounded by nprobe") {
+    val vecs = (0L until 60L).map { i =>
+      // three obvious clusters around orthogonal axes + noise
+      val base = (i % 3).toInt
+      val arr = Array.fill(8)(0.01f * ((i * 7 % 13).toInt - 6))
+      arr(base) = 1.0f
+      (i, arr)
+    }.toDF("vec_id", "embedding")
+    // centroids: one representative per cluster
+    val cents = vecs.where($"vec_id" < 3)
+    val queries = vecs.where($"vec_id" >= 3 && $"vec_id" < 6)
+    val res = Similarity.ivfTopK(vecs, queries, cents, "vec_id", "embedding", k = 5, nprobe = 1)
+      .collect()
+    assert(res.nonEmpty)
+    // every returned neighbor shares the query's cluster (axis)
+    res.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val nn = r.getAs[Long]("nn_id")
+      assert(q % 3 == nn % 3, s"query $q got cross-cluster neighbor $nn")
+      assert(r.getAs[Double]("cosine") > 0.5)
+    }
+    // exact brute force within the probed cluster agrees on the top hit
+    val bf = Similarity.bruteForceTopK(vecs.where($"vec_id" % 3 === 0), queries.where($"vec_id" === 3),
+      "vec_id", "embedding", k = 1).head()
+    val ivfTop = res.filter(r => r.getAs[Long]("query_id") == 3L)
+      .minBy(_.getAs[Int]("rank"))
+    assert(bf.getAs[Long]("nn_id") == ivfTop.getAs[Long]("nn_id"))
+  }
+
   test("multimodal plumbing: features + resize + frames") {
     val media = Multimodal.syntheticMedia(docs)
     assert(media.schema("content").dataType == org.apache.spark.sql.types.BinaryType)
