@@ -21,47 +21,42 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles (default 3) as an array column. */
-  def shingles(text: org.apache.spark.sql.Column, n: Int = 3): org.apache.spark.sql.Column = {
+  /** Word n-gram shingle array built per-row with `transform`/`slice`
+    * (whole-stage-codegen'd, no shuffle); `dedup = false` keeps
+    * duplicate shingles for consumers insensitive to them (MinHash
+    * minima). A doc shorter than `n` tokens contributes its whole
+    * text as the single shingle.
+    */
+  private def shingleArray(text: org.apache.spark.sql.Column, n: Int,
+                           dedup: Boolean): org.apache.spark.sql.Column = {
     val toks = TextAnalysis.tokens(text)
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - lit(n)),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+    val arr = transform(sequence(lit(0), size(toks) - lit(n)),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    when(size(toks) >= n, if (dedup) array_distinct(arr) else arr)
       .otherwise(array(concat_ws(" ", toks)))
   }
 
+  /** Word n-gram shingles (default 3) as an array column. */
+  def shingles(text: org.apache.spark.sql.Column, n: Int = 3): org.apache.spark.sql.Column =
+    shingleArray(text, n, dedup = true)
+
   /** Distinct (id, extras..., shingle) rows — the exploded form the
-    * similarity joins consume. Built with posexplode + window `lead`
-    * (whole-stage-codegen'd) instead of per-row array lambdas; a doc
-    * shorter than `n` tokens contributes its whole text as the single
-    * shingle, matching `shingles`.
+    * similarity joins consume. Per-row `array_distinct` + one
+    * `explode`: zero exchanges before the consumer's groupBy (the
+    * per-doc distinct equals a global distinct because the id is in
+    * the key), so the whole token stream never shuffles.
     */
   def shingleRows(df: DataFrame, idCol: String, textCol: String,
                   extraCols: Seq[String], n: Int = 3): DataFrame =
     shingleRows(df, idCol, textCol, extraCols, n, distinct = true)
 
-  /** As above; `distinct = false` skips the dedup shuffle for
+  /** As above; `distinct = false` skips the per-row dedup for
     * consumers insensitive to duplicate shingles (MinHash minima).
     */
   def shingleRows(df: DataFrame, idCol: String, textCol: String,
-                  extraCols: Seq[String], n: Int, distinct: Boolean): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = df.select(
-      (col(idCol).as("_id") +: extraCols.map(col)) :+ TextAnalysis.tokens(col(textCol)).as("_toks"): _*)
-    val tok = base.where(size(col("_toks")) >= n)
-      .select((Seq(col("_id")) ++ extraCols.map(col)) :+ posexplode(col("_toks")): _*)
-    val w = Window.partitionBy(col("_id")).orderBy(col("pos"))
-    val leads = (1 until n).map(j => lead(col("col"), j).over(w))
-    val full = tok
-      .withColumn("_s", concat_ws(" ", col("col") +: leads: _*))
-      .withColumn("_last", leads.last)
-      .where(col("_last").isNotNull)
-      .select((Seq(col("_id")) ++ extraCols.map(col)) :+ col("_s"): _*)
-    val small = base.where(size(col("_toks")) < n)
-      .select((Seq(col("_id")) ++ extraCols.map(col)) :+ concat_ws(" ", col("_toks")).as("_s"): _*)
-    val rows = full.union(small)
-    if (distinct) rows.distinct() else rows
-  }
+                  extraCols: Seq[String], n: Int, distinct: Boolean): DataFrame =
+    df.select((col(idCol).as("_id") +: extraCols.map(col)) :+
+      explode(shingleArray(col(textCol), n, dedup = distinct)).as("_s"): _*)
 
   /** Exact duplicate groups by content digest: (digest, dup_count,
     * canonical_id = min id).
@@ -91,11 +86,13 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // cached: both join sides read this subtree — without the cache
-    // the shingle pipeline runs twice
-    val ex = shingleRows(df, idCol, textCol, blockCols, n)
-      .withColumn("_nsh", count(lit(1)).over(Window.partitionBy(col("_id"))))
+    // per-doc shingle count from the un-exploded array (free — no
+    // window shuffle); cached because both join sides read this subtree
+    val ex = df.select((Seq(col(idCol).as("_id")) ++ blockCols.map(col)) :+
+        shingles(col(textCol), n).as("_sha"): _*)
+      .withColumn("_nsh", size(col("_sha")).cast("long"))
+      .select((Seq(col("_id"), col("_nsh")) ++ blockCols.map(col)) :+
+        explode(col("_sha")).as("_s"): _*)
       .cache()
     val a = ex.select((Seq(col("_id").as("id_a"), col("_nsh").as("na"), col("_s")) ++
       blockCols.map(col)): _*)

@@ -69,7 +69,8 @@ object EventQueries {
              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
              |  FROM flagged)
              |SELECT user_id, session_id, COUNT(*) AS n_events,
-             |       MIN(ts) AS start_ts, MAX(ts) AS end_ts
+             |       make_timestamp(epoch_us(MIN(ts))) AS start_ts,
+             |       make_timestamp(epoch_us(MAX(ts))) AS end_ts
              |FROM numbered GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
 

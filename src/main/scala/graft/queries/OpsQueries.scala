@@ -43,15 +43,15 @@ object OpsQueries {
         Tables.registerAll(s, dir)
         val t = col("text")
         s.table("documents").select(
-            Seq(col("doc_id"), TextAnalysis.tokenCount(t).as("n_tokens"),
+            Seq(col("doc_id"), TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
               TextAnalysis.subwordCountEstimate(t).as("n_subwords_est")) ++
               TextAnalysis.qualityColumns(t).map { case (n, c) => c.as(n) }: _*)
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH d AS (SELECT doc_id, text, $oracleToks AS toks FROM documents)
               |SELECT doc_id,
-              |  len(toks) AS n_tokens,
-              |  list_sum(list_transform(toks, t -> CAST(ceil(CAST(len(t) AS DOUBLE) / 4.0) AS BIGINT))) AS n_subwords_est,
+              |  CAST(len(toks) AS BIGINT) AS n_tokens,
+              |  CAST(list_sum(list_transform(toks, t -> CAST(ceil(CAST(len(t) AS DOUBLE) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords_est,
               |  CAST(len(text) AS BIGINT) AS q_chars,
               |  CAST(len(toks) AS BIGINT) AS q_tokens,
               |  CAST(len(text) AS DOUBLE) / GREATEST(CAST(len(toks) AS DOUBLE), 1.0) AS q_avg_token_len,
@@ -105,7 +105,7 @@ object OpsQueries {
              |  (SELECT COUNT(*) FROM documents) AS n_docs,
              |  (SELECT COUNT(DISTINCT md5(text)) FROM documents) AS n_distinct,
              |  (SELECT COUNT(*) FROM (SELECT md5(text) h FROM documents GROUP BY text HAVING COUNT(*) > 1)) AS n_dup_groups,
-             |  (SELECT COALESCE(SUM(c), 0) FROM (SELECT COUNT(*) c FROM documents GROUP BY text HAVING COUNT(*) > 1)) AS n_dup_docs,
+             |  (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM (SELECT COUNT(*) c FROM documents GROUP BY text HAVING COUNT(*) > 1)) AS n_dup_docs,
              |  (SELECT COUNT(*) FROM (
              |     SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) h, COUNT(*) c
              |     FROM documents GROUP BY 1 HAVING COUNT(*) > 1)) AS n_fp_groups""".stripMargin)),
