@@ -31,10 +31,25 @@ object Bench {
       if (dt > 1.0) System.gc()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4 decimals keeps the JSON line short (~2 KB) so a tail-limited
+    // log capture can't truncate it mid-line
+    def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // quiet shutdown, then emit the JSON as the very last output on
+    // BOTH streams, plus a file copy — the driver's parser must find it
+    // regardless of which stream it tails or how much it captures
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    println(line)
+    System.out.flush()
+    System.err.println(line)
+    System.err.flush()
   }
 }

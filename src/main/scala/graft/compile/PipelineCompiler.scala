@@ -50,6 +50,11 @@ object PipelineCompiler {
       // fields (the reference compiler's assumption).
       tableFields: Map[String, Set[String]] = Map.empty)
 
+  /** Backtick-quoted identifier, embedded backticks doubled — table
+    * names from untrusted node configs cannot break out of the quoting.
+    */
+  private def ident(name: String): String = "`" + name.replace("`", "``") + "`"
+
   def compile(nodes: Seq[PipelineNode], opts: Options = Options()): String = {
     if (nodes.isEmpty) return ""
 
@@ -85,7 +90,7 @@ object PipelineCompiler {
         if (defined) s"_f$i" else s"NULL AS _f$i"
       }
       Seq("id", "display_name", "search_name", "geometry", "geom_type",
-        "centroid_lon", "centroid_lat") ++ fCols :+ s"'${n.key}' AS _source"
+        "centroid_lon", "centroid_lat") ++ fCols :+ s"'${Bm25.escapeSqlString(n.key)}' AS _source"
     }
 
     // per-source branch: FTS tables join the BM25 score subquery
@@ -95,18 +100,18 @@ object PipelineCompiler {
       val cols = sourceCols(n)
       val limitClause = perSourceLimit.map(l => s"\n  LIMIT $l").getOrElse("")
       if (searchQ.nonEmpty && opts.ftsTables.contains(n.table)) {
-        val colList = cols.map(c => if (c == "id") s"`${n.table}`.id" else c).mkString(", ")
+        val colList = cols.map(c => if (c == "id") s"${ident(n.table)}.id" else c).mkString(", ")
         s"""  (SELECT $colList, _fts.`_score` AS _score
-           |  FROM `${n.table}`
+           |  FROM ${ident(n.table)}
            |  JOIN (${Bm25.scoreSql(n.table, opts.search).replace("\n", "\n    ")}) _fts
-           |    ON `${n.table}`.id = _fts.id$limitClause)""".stripMargin
+           |    ON ${ident(n.table)}.id = _fts.id$limitClause)""".stripMargin
       } else if (searchQ.nonEmpty) {
         s"""  (SELECT ${cols.mkString(", ")}, NULL AS _score
-           |  FROM `${n.table}`
+           |  FROM ${ident(n.table)}
            |  WHERE search_name ILIKE '%$searchQ%'$limitClause)""".stripMargin
       } else {
         s"""  (SELECT ${cols.mkString(", ")}
-           |  FROM `${n.table}`$limitClause)""".stripMargin
+           |  FROM ${ident(n.table)}$limitClause)""".stripMargin
       }
     }
 
@@ -146,7 +151,7 @@ object PipelineCompiler {
         s"""base.id != b.id
            |      AND ABS(base.centroid_lon - b.centroid_lon) < 0.2
            |      AND ABS(base.centroid_lat - b.centroid_lat) < 0.2""".stripMargin
-      ctes += GridJoin.gridCte(s"grid_$i", s"`${sf.table}`")
+      ctes += GridJoin.gridCte(s"grid_$i", ident(sf.table))
 
       if (sf.op == "intersect" || sf.op == "within") {
         val spatialCond =
@@ -162,7 +167,7 @@ object PipelineCompiler {
              |      AND $spatialCond
              |  )
              |  UNION
-             |  SELECT b.id FROM `${sf.table}` b
+             |  SELECT b.id FROM ${ident(sf.table)} b
              |  WHERE EXISTS (
              |    SELECT 1 FROM grid_base base
              |    WHERE ${GridJoin.probeKeys("base", "b.centroid_lon", "b.centroid_lat")}

@@ -159,6 +159,9 @@ object GeoExpressions {
   case class StMakeLine(left: Expression, right: Expression) extends GeoBinary {
     override def dataType: DataType = BinaryType
     override def prettyName: String = "st_makeline"
+    // returns null for non-point inputs even when children are
+    // non-nullable — without this the optimizer may fold IsNotNull away
+    override def nullable: Boolean = true
     override protected def nullSafeEval(a: Any, b: Any): Any = (geom(a), geom(b)) match {
       case (Point(p1), Point(p2)) => Wkb.write(LineString(IndexedSeq(p1, p2)))
       case _ => null

@@ -225,20 +225,27 @@ object Dedup {
   def hammingDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     size(filter(zip_with(split(a, "(?!^)"), split(b, "(?!^)"), (x, y) => x =!= y), d => d))
 
-  /** Embedding-cosine near-duplicate pairs above `threshold`,
-    * restricted to a blocking column (e.g. cluster label) when given.
+  /** Embedding-cosine near-duplicate pairs above `threshold`.
+    *
+    * Candidate generation is ALWAYS an equi-join on a blocking key —
+    * there is no all-pairs path. With `blockCol` the key is the given
+    * column (e.g. a cluster label; exact within blocks); without one
+    * the key is a random-hyperplane LSH bucket (`lshPlanes` bits) and
+    * the result is approximate: pairs whose vectors land in different
+    * buckets are missed, the classic LSH recall trade. Lower
+    * `lshPlanes` for higher recall at larger buckets.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double, blockCol: Option[String] = None): DataFrame = {
-    val base = df.select((Seq(col(idCol).as("_id"), col(vecCol).as("_v"),
-      Similarity.norm(col(vecCol)).as("_n")) ++ blockCol.map(col)): _*)
-    val a = base.select((Seq(col("_id").as("id_a"), col("_v").as("va"), col("_n").as("na")) ++
-      blockCol.map(c => col(c))): _*)
-    val b = base.select((Seq(col("_id").as("id_b"), col("_v").as("vb"), col("_n").as("nb")) ++
-      blockCol.map(c => col(c).as(s"${c}_b"))): _*)
-    val cond = blockCol.map(c => col(c) === col(s"${c}_b")).getOrElse(lit(true)) &&
-      col("id_a") < col("id_b")
-    a.join(b, cond)
+                            threshold: Double, blockCol: Option[String] = None,
+                            lshPlanes: Int = 8): DataFrame = {
+    val blk = blockCol.map(col).getOrElse(Similarity.lshBucket(col(vecCol), lshPlanes))
+    val base = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      Similarity.norm(col(vecCol)).as("_n"), blk.as("_blk"))
+    val a = base.select(col("_id").as("id_a"), col("_v").as("va"),
+      col("_n").as("na"), col("_blk"))
+    val b = base.select(col("_id").as("id_b"), col("_v").as("vb"),
+      col("_n").as("nb"), col("_blk").as("_blk_b"))
+    a.join(b, col("_blk") === col("_blk_b") && col("id_a") < col("id_b"))
       .withColumn("cosine", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

@@ -55,11 +55,35 @@ object Multimodal {
     }
   }
 
-  /** Feature extraction over the media table: partition-local batch
-    * transform (mapPartitions — one JVM-side batch per partition, the
-    * Scala analogue of mapInPandas batches).
+  /** Feature extraction over the media table. The stub decode is pure
+    * column expressions (mean byte via a fold over the hex encoding),
+    * so the query stays in DataFrame land — Catalyst-planned, AQE'd,
+    * never dropping to an RDD for what is plain arithmetic. A real
+    * codec goes through `extractFeaturesWithDecoder` below.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
+    val h = lower(hex(col("content")))
+    val n = (length(h) / lit(2)).cast("int")
+    val byteSum = aggregate(
+      when(n > lit(0), sequence(lit(0), n - lit(1))).otherwise(expr("array()")),
+      lit(0L),
+      (acc, i) => acc + conv(h.substr(i * lit(2) + lit(1), lit(2)), 16, 10).cast("long"))
+    media
+      .withColumn("f_mean_byte",
+        when(col("content").isNull || n === lit(0), lit(0.0))
+          .otherwise(byteSum.cast("double") / n.cast("double")))
+      .withColumn("f_n_bytes",
+        when(col("content").isNull, lit(0.0)).otherwise(n.cast("double")))
+      .drop("content")
+  }
+
+  /** The real-codec slot: partition-local batch transform
+    * (mapPartitions — one JVM-side batch per partition, the Scala
+    * analogue of mapInPandas batches). Pass the actual decoder (image/
+    * audio library call) as `decode`; `decodeStub` is the default fake.
+    */
+  def extractFeaturesWithDecoder(media: DataFrame,
+                                 decode: Array[Byte] => Array[Double] = decodeStub): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(media.schema.fields.filter(_.name != "content") ++ Seq(
       StructField("f_mean_byte", DoubleType),
@@ -67,7 +91,7 @@ object Multimodal {
     val rdd = media.rdd.mapPartitions { it =>
       it.map { r =>
         val content = r.getAs[Array[Byte]]("content")
-        val fs = decodeStub(content)
+        val fs = decode(content)
         Row.fromSeq(r.toSeq.patch(r.fieldIndex("content"), Nil, 1) ++ fs.toSeq)
       }
     }

@@ -26,18 +26,28 @@ final class SessionState(spark: SparkSession, dir: String) {
       catch { case _: Exception => Map.empty }
   }
 
+  /** Write-new + swap: the live dir is renamed aside (not deleted)
+    * before the new dir is renamed in, so a crash or failed rename at
+    * any point leaves either the old or the new state intact — never
+    * neither. Rename results are checked and fail loudly.
+    */
   private def checkpoint(): Unit = {
-    val tmp = s"$path.tmp"
-    cache.toSeq.toDF("key", "val").coalesce(1).write.mode("overwrite").parquet(tmp)
-    val target = new java.io.File(path)
-    if (target.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(target)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
     }
-    new java.io.File(tmp).renameTo(target)
+    val tmp = new java.io.File(s"$path.tmp")
+    val old = new java.io.File(s"$path.old")
+    cache.toSeq.toDF("key", "val").coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    if (old.exists()) rm(old)
+    val target = new java.io.File(path)
+    if (target.exists() && !target.renameTo(old))
+      sys.error(s"session checkpoint: could not move $path aside")
+    if (!tmp.renameTo(target)) {
+      if (old.exists()) old.renameTo(target) // restore previous state
+      sys.error(s"session checkpoint: could not publish ${tmp.getPath} to $path")
+    }
+    if (old.exists()) rm(old)
   }
 
   def get(key: String): Option[String] = cache.get(key)

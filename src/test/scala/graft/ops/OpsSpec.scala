@@ -145,12 +145,37 @@ class OpsSpec extends AnyFunSuite {
     assert(bf.getAs[Long]("nn_id") == ivfTop.getAs[Long]("nn_id"))
   }
 
+  test("embedding near-dup: unblocked path goes through LSH candidate generation") {
+    val vecs = Seq(
+      (1L, Array.tabulate(16)(i => math.sin(i + 1).toFloat), "x"),
+      (2L, Array.tabulate(16)(i => math.sin(i + 1).toFloat), "x"), // identical to 1
+      (3L, Array.tabulate(16)(i => math.cos(i * 3 + 2).toFloat), "x")
+    ).toDF("vec_id", "embedding", "label")
+    val unblocked = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", threshold = 0.9)
+    val plan = unblocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"unblocked near-dup must not plan an all-pairs join:\n$plan")
+    assert(unblocked.collect().map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+    val blocked = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.9, Some("label"))
+    val bplan = blocked.queryExecution.executedPlan.toString
+    assert(!bplan.contains("CartesianProduct") && !bplan.contains("BroadcastNestedLoopJoin"))
+    assert(blocked.collect().map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+  }
+
   test("multimodal plumbing: features + resize + frames") {
     val media = Multimodal.syntheticMedia(docs)
     assert(media.schema("content").dataType == org.apache.spark.sql.types.BinaryType)
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length == 7)
     assert(feats.forall(_.getAs[Double]("f_n_bytes") == 32.0)) // md5 hex bytes
+    // the column-expression stub agrees exactly with the
+    // partition-local decoder slot
+    val viaDecoder = Multimodal.extractFeaturesWithDecoder(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> (r.getAs[Double]("f_mean_byte"), r.getAs[Double]("f_n_bytes"))).toMap
+    feats.foreach { r =>
+      assert(viaDecoder(r.getAs[Long]("media_id")) ==
+        ((r.getAs[Double]("f_mean_byte"), r.getAs[Double]("f_n_bytes"))))
+    }
     val resized = Multimodal.resizeMeta(media, 64)
     val dims = resized.select($"meta.width", $"meta.height").collect()
     assert(dims.forall(r => r.getInt(0) <= 64 && r.getInt(1) <= 64))
