@@ -84,13 +84,36 @@ object FileIndex {
       .toMap
   }
 
-  /** List the parquet files of a dataset directory. */
-  def listParquet(dir: String): Seq[String] = {
-    val d = new java.io.File(dir)
-    if (!d.isDirectory) Seq.empty
-    else d.listFiles().toSeq
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.getAbsolutePath).sorted
+  /** List the parquet files of a dataset directory.
+    *
+    * Bare local paths keep returning plain absolute paths (the round-1
+    * contract); any URI with a scheme — `file:`, `hdfs:`, `s3a:`,
+    * `abfs:`, ... — goes through the Hadoop FileSystem for that
+    * scheme, which is the object-store listing boundary a 100 TB
+    * deployment needs (the reference lists S3 and serves ranges over
+    * HTTP in worker/index.js:133-191,245-260; here Hadoop-FS supplies
+    * both listing and range reads).
+    */
+  def listParquet(dir: String): Seq[String] = listParquet(dir, new Configuration())
+
+  def listParquet(dir: String, conf: Configuration): Seq[String] = {
+    val hasScheme = java.net.URI.create(
+      // Path can't parse spaces etc.; only the scheme sniff needs URI form
+      dir.replace(" ", "%20")).getScheme != null
+    if (!hasScheme) {
+      val d = new java.io.File(dir)
+      if (!d.isDirectory) Seq.empty
+      else d.listFiles().toSeq
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).sorted
+    } else {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).sorted
+    }
   }
 
   /** Prune a path list to those possibly intersecting the query bbox.

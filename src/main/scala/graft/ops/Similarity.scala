@@ -91,12 +91,26 @@ object Similarity {
     val cent = centroids.select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
 
     def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(id)).orderBy(desc("cent_cos"), col("cent_id"))
-      df.crossJoin(broadcast(cent))
+      val scored = df.crossJoin(broadcast(cent))
         .withColumn("cent_cos", cosine(col(vec), col("cent_vec")))
-        .withColumn("cent_rank", row_number().over(w))
-        .where(col("cent_rank") <= keep)
-        .drop("cent_vec", "cent_cos", "cent_rank")
+      if (keep == 1) {
+        // argmax as a hash aggregation (map-side partial agg, no sort,
+        // no per-id window exchange — this is the corpus-sized side);
+        // ties break to the LARGEST cent_id, mirrored in the oracle
+        val originals = df.columns.map(col).toSeq
+        scored.groupBy(originals: _*)
+          .agg(max(struct(col("cent_cos"), col("cent_id"))).as("_best"))
+          .withColumn("cent_id", col("_best").getField("cent_id"))
+          .drop("_best")
+      } else {
+        // the multi-probe side is the (small) query set — a window
+        // top-nprobe there is cheap and keeps one code path per rank
+        val w = Window.partitionBy(col(id)).orderBy(desc("cent_cos"), desc("cent_id"))
+        scored
+          .withColumn("cent_rank", row_number().over(w))
+          .where(col("cent_rank") <= keep)
+          .drop("cent_vec", "cent_cos", "cent_rank")
+      }
     }
 
     val c = assign(
@@ -115,6 +129,64 @@ object Similarity {
     pairs.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "rank", "nn_id", "cosine")
+  }
+
+  /** Deterministic spherical k-means trainer producing the IVF
+    * centroid table (cent_id, centroid: array<double>) `ivfTopK`
+    * consumes — completing the IVF story without a caller-provided
+    * centroid set.
+    *
+    * Every step is reproducible across runs AND engines:
+    *  - init: the k vectors with the smallest md5(id-as-string) — a
+    *    deterministic pseudo-random sample, planned as a distributed
+    *    top-k (TakeOrdered), never a full sort;
+    *  - assignment: per-row cosine argmax over k plan-time-literal
+    *    centroids (ties to the larger index) — no join, no shuffle;
+    *  - update: per-dimension means via exact DECIMAL(38,15) sums —
+    *    order-independent, so no float-accumulation drift across
+    *    partitionings — divided in double at the end.
+    *
+    * Per iteration one distributed agg runs; k×dims sum rows reach the
+    * driver, corpus vectors never do. An empty cluster keeps its
+    * previous centroid.
+    */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        k: Int, iters: Int = 2): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = corpus.sparkSession
+    val vecs = corpus.select(col(idCol).as("_vid"),
+      col(vecCol).cast("array<double>").as("_v"))
+    var cents: IndexedSeq[Array[Double]] = vecs
+      .orderBy(md5(col("_vid").cast("string")), col("_vid"))
+      .limit(k)
+      .select(col("_v")).collect()
+      .map(_.getSeq[Double](0).toArray).toIndexedSeq
+
+    for (_ <- 0 until iters) {
+      val scored = cents.zipWithIndex.map { case (cv, ci) =>
+        struct(cosine(col("_v"), array(cv.toSeq.map(lit): _*)).as("c"), lit(ci).as("ci"))
+      }
+      val assigned = vecs.withColumn("_ci", greatest(scored: _*).getField("ci"))
+      val sums = assigned
+        .select(col("_ci"), posexplode(col("_v")).as(Seq("_pos", "_val")))
+        .groupBy(col("_ci"), col("_pos"))
+        .agg(sum(col("_val").cast("decimal(38,15)")).cast("double").as("_s"),
+          count(lit(1)).as("_n"))
+        .collect()
+        .groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (prev, ci) =>
+        sums.get(ci) match {
+          case Some(rows) =>
+            val arr = prev.clone()
+            rows.foreach { r => arr(r.getInt(1)) = r.getDouble(2) / r.getLong(3) }
+            arr
+          case None => prev
+        }
+      }
+    }
+    import spark.implicits._
+    cents.zipWithIndex.map { case (v, ci) => (ci.toLong, v.toSeq) }
+      .toDF("cent_id", "centroid")
   }
 
   /** ANN via LSH buckets: exact cosine within the query's bucket.

@@ -34,6 +34,50 @@ object OpsQueries {
        | / (sqrt((SELECT SUM(CAST(e AS DOUBLE)*CAST(e AS DOUBLE)) FROM (SELECT unnest($a) e)))
        |   * sqrt((SELECT SUM(CAST(e AS DOUBLE)*CAST(e AS DOUBLE)) FROM (SELECT unnest($b) e)))))""".stripMargin
 
+  /** DuckDB replica of Similarity.trainIvfCentroids: unrolled Lloyd
+    * iterations with the same deterministic recipe — md5-ordered init,
+    * sequential-fold cosine argmax (ties to larger index), per-dim
+    * DECIMAL(38,15) sums divided in double, empty clusters keeping
+    * their previous centroid.
+    */
+  private def trainOracleSql(k: Int, iters: Int, dims: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH init AS (
+              |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS ci,
+              |         embedding
+              |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+              |cent0 AS (SELECT ci, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM init),
+              |""".stripMargin
+    for (t <- 1 to iters) {
+      val prev = s"cent${t - 1}"
+      sb ++= s"""assign$t AS (
+                |  SELECT vec_id, embedding, ci FROM (
+                |    SELECT vec_id, embedding, ci,
+                |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, ci DESC) AS rn
+                |    FROM (SELECT e.vec_id, e.embedding, c.ci, ${oracleCosine("e.embedding", "c.cv")} AS cos
+                |          FROM embeddings e CROSS JOIN $prev c))
+                |  WHERE rn = 1),
+                |sums$t AS (
+                |  SELECT ci, d.i AS pos,
+                |         CAST(SUM(CAST(embedding[d.i] AS DECIMAL(38,15))) AS DOUBLE) AS s,
+                |         COUNT(*) AS n
+                |  FROM assign$t, (SELECT unnest(generate_series(1, $dims)) AS i) d
+                |  GROUP BY ci, d.i),
+                |cent$t AS (
+                |  SELECT p.ci, list(COALESCE(s.s / s.n, p.cv[p.pos]) ORDER BY p.pos) AS cv
+                |  FROM (SELECT ci, cv, unnest(generate_series(1, $dims)) AS pos FROM $prev) p
+                |  LEFT JOIN sums$t s ON s.ci = p.ci AND s.pos = p.pos
+                |  GROUP BY p.ci),
+                |""".stripMargin
+    }
+    sb ++= s"""expanded AS (
+              |  SELECT ci, unnest(generate_series(1, $dims)) AS pos, cv FROM cent$iters)
+              |SELECT CAST(ci AS BIGINT) AS cent_id, CAST(pos - 1 AS BIGINT) AS pos,
+              |       ROUND(cv[pos], 6) AS v
+              |FROM expanded ORDER BY cent_id, pos""".stripMargin
+    sb.toString
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ── text analysis ──────────────────────────────────────────────
@@ -245,12 +289,14 @@ object OpsQueries {
           .selectExpr("query_id", "rank", "nn_id", "ROUND(cosine, 6) AS cosine")
           .orderBy(col("query_id"), col("rank"))
       },
+      // assignment ties break to the LARGEST cent_id (the engine's
+      // hash-agg max(struct) / window-desc semantics)
       Some(s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 3),
               |corpus AS (SELECT vec_id AS nn_id, embedding AS nv FROM embeddings),
               |cassign AS (
               |  SELECT nn_id, cent_id FROM (
               |    SELECT nn_id, cent_id,
-              |           ROW_NUMBER() OVER (PARTITION BY nn_id ORDER BY cc DESC, cent_id) AS rn
+              |           ROW_NUMBER() OVER (PARTITION BY nn_id ORDER BY cc DESC, cent_id DESC) AS rn
               |    FROM (SELECT nn_id, cent_id, ${oracleCosine("nv", "cv")} AS cc
               |          FROM corpus CROSS JOIN cent))
               |  WHERE rn = 1),
@@ -259,7 +305,7 @@ object OpsQueries {
               |qassign AS (
               |  SELECT query_id, cent_id FROM (
               |    SELECT query_id, cent_id,
-              |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cc DESC, cent_id) AS rn
+              |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cc DESC, cent_id DESC) AS rn
               |    FROM (SELECT query_id, cent_id, ${oracleCosine("qv", "cv")} AS cc
               |          FROM q CROSS JOIN cent))
               |  WHERE rn <= 2),
@@ -275,6 +321,17 @@ object OpsQueries {
               |  FROM pairs)
               |SELECT query_id, rank, nn_id, ROUND(cos, 6) AS cosine
               |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    Q("ann_ivf_train_centroids",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        Similarity.trainIvfCentroids(s.table("embeddings"), "vec_id", "embedding",
+            k = 4, iters = 2)
+          .select(col("cent_id"), posexplode(col("centroid")).as(Seq("pos", "v")))
+          .selectExpr("cent_id", "CAST(pos AS BIGINT) AS pos", "ROUND(v, 6) AS v")
+          .orderBy(col("cent_id"), col("pos"))
+      },
+      Some(trainOracleSql(k = 4, iters = 2, dims = 64))),
 
     Q("ann_lsh_buckets",
       (s, dir) => {

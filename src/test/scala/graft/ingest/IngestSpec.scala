@@ -72,6 +72,23 @@ class IngestSpec extends AnyFunSuite {
     assert(FileIndex.prune(manifest, paths, -10, -10, 10, 10).size == 4)
   }
 
+  test("listParquet over an fs-scheme URI goes through Hadoop FS (s3a stand-in)") {
+    // a `file:` URI exercises the same Hadoop FileSystem code path an
+    // s3a:// or abfs:// URI takes — only the scheme's FS impl differs
+    val uriDir = s"file:$fixtureDir/places_place"
+    val viaFs = FileIndex.listParquet(uriDir)
+    assert(viaFs.size == 4)
+    assert(viaFs.forall(p => p.startsWith("file:") && p.endsWith(".parquet")))
+    // footer manifest builds from the URIs too (same HadoopInputFile path)
+    val manifest = FileIndex.build(spark, viaFs)
+    assert(manifest.size == 4)
+    // and the local-path contract is unchanged
+    val local = FileIndex.listParquet(s"$fixtureDir/places_place")
+    assert(local.map(p => new java.io.File(p).getName) ==
+      viaFs.map(p => p.substring(p.lastIndexOf('/') + 1)))
+    assert(FileIndex.listParquet("s3a-nonexistent-dir-without-scheme").isEmpty)
+  }
+
   test("listUserTables hides system and fts helper tables") {
     Ingest.loadTheme(spark, fixtureDir, "places/place")
     spark.range(1).createOrReplaceTempView("_session")

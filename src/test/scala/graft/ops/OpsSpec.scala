@@ -145,6 +145,28 @@ class OpsSpec extends AnyFunSuite {
     assert(bf.getAs[Long]("nn_id") == ivfTop.getAs[Long]("nn_id"))
   }
 
+  test("IVF trainer: deterministic output, sane shape, feeds ivfTopK") {
+    val vecs = (0L until 60L).map { i =>
+      val base = (i % 3).toInt
+      val arr = Array.fill(8)(0.01f * ((i * 7 % 13).toInt - 6))
+      arr(base) = 1.0f
+      (i, arr)
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroids(vecs, "vec_id", "embedding", k = 3, iters = 2)
+    val rows = cents.orderBy($"cent_id").collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getSeq[Double](1).length == 8))
+    // re-training is bit-identical (deterministic init + decimal sums)
+    val again = Similarity.trainIvfCentroids(vecs, "vec_id", "embedding", k = 3, iters = 2)
+      .orderBy($"cent_id").collect()
+    assert(rows.map(_.getSeq[Double](1)).toSeq == again.map(_.getSeq[Double](1)).toSeq)
+    // trained centroids drive the IVF search end-to-end
+    val centTable = cents.select($"cent_id".as("vec_id"), $"centroid".as("embedding"))
+    val res = Similarity.ivfTopK(vecs, vecs.where($"vec_id" < 3), centTable,
+      "vec_id", "embedding", k = 3, nprobe = 1)
+    assert(res.count() > 0)
+  }
+
   test("embedding near-dup: unblocked path goes through LSH candidate generation") {
     val vecs = Seq(
       (1L, Array.tabulate(16)(i => math.sin(i + 1).toFloat), "x"),
