@@ -189,4 +189,23 @@ class PipelineCompilerSpec extends AnyFunSuite {
         table = "buildings_building", key = "buildings/building")))
     assert(sql.contains("0.002246"))
   }
+
+  test("sqlOverride dialect doc: compiled text is Spark-dialect only") {
+    // docs/sql-dialect.md documents the DuckDB→Spark deltas for users
+    // editing compiled SQL; the compiler must never emit the DuckDB-only
+    // constructs from that table's left-hand column
+    assert(new java.io.File("docs/sql-dialect.md").isFile,
+      "docs/sql-dialect.md (the sqlOverride dialect guide) must exist")
+    val sql = compile(Seq(node(),
+      node(id = "p2", nodeType = "combine", op = "intersect",
+        table = "buildings_building", key = "buildings/building")),
+      Options(search = "coffee"))
+    Seq("::", "list_transform(", "list_filter(", "string_split_regex(",
+        "generate_series(", "epoch_us(", "QUALIFY", "match_bm25").foreach { kw =>
+      assert(!sql.contains(kw), s"compiled SQL contains DuckDB-only construct $kw")
+    }
+    // and malicious node configs stay inside their quoting
+    val inj = compile(Seq(node(table = "t`x", key = "k'y")))
+    assert(inj.contains("`t``x`") && inj.contains("'k''y' AS _source"))
+  }
 }
