@@ -107,19 +107,34 @@ object GeoExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
-  case class StIntersects(left: Expression, right: Expression) extends GeoBinary {
+  /** The two join-predicate hot spots carry real `doGenCode` (a static
+    * call into GeoKernels) instead of CodegenFallback: the surrounding
+    * filter/join stage stays one whole-stage-codegen span, and repeated
+    * probes hit GeoKernels' per-thread decoded-WKB cache.
+    */
+  case class StIntersects(left: Expression, right: Expression) extends BinaryExpression {
+    override def nullIntolerant: Boolean = true
     override def dataType: DataType = BooleanType
     override def prettyName: String = "st_intersects"
     override protected def nullSafeEval(a: Any, b: Any): Any =
-      GeoOps.intersects(geom(a), geom(b))
+      GeoKernels.intersects(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.geo.GeoKernels.intersects($a, $b)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   }
 
-  case class StDistance(left: Expression, right: Expression) extends GeoBinary {
+  case class StDistance(left: Expression, right: Expression) extends BinaryExpression {
+    override def nullIntolerant: Boolean = true
     override def dataType: DataType = DoubleType
     override def prettyName: String = "st_distance"
     override protected def nullSafeEval(a: Any, b: Any): Any =
-      GeoOps.distance(geom(a), geom(b))
+      GeoKernels.distance(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.geo.GeoKernels.distance($a, $b)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   }
 
@@ -127,7 +142,7 @@ object GeoExpressions {
     override def dataType: DataType = BinaryType
     override def prettyName: String = "st_intersection"
     override protected def nullSafeEval(a: Any, b: Any): Any =
-      Wkb.write(GeoOps.intersection(geom(a), geom(b)))
+      GeoKernels.intersection(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
     override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   }
 

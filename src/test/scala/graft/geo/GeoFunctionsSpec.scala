@@ -41,6 +41,26 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("ymax") == 9.0)
   }
 
+  test("st_intersects/st_distance are codegen'd (not CodegenFallback) and agree with eval") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val p = Literal(Wkb.write(Point(Pt(0, 0))))
+    val q = Literal(Wkb.write(Point(Pt(3, 4))))
+    assert(!GeoExpressions.StIntersects(p, q).isInstanceOf[CodegenFallback])
+    assert(!GeoExpressions.StDistance(p, q).isInstanceOf[CodegenFallback])
+    // a wide filter over the predicates exercises the generated code
+    // path (whole-stage codegen over range → filter); values must match
+    // the interpreted result from the SQL-on-literals test above
+    GeoFunctions.register(spark)
+    val n = spark.sql(
+      """SELECT COUNT(*) AS n FROM (SELECT id FROM range(1000))
+        |WHERE st_distance(st_point(CAST(id AS DOUBLE), 0d), st_point(0d, 0d)) < 10d
+        |  AND st_intersects(
+        |    st_geomfromtext('POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0))'),
+        |    st_point(CAST(id AS DOUBLE), 1d))""".stripMargin).head().getLong(0)
+    assert(n == 10)
+  }
+
   test("ST_ functions null-propagate") {
     GeoFunctions.register(spark)
     val row = spark.sql(
