@@ -21,20 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingle array built per-row with `transform`/`slice`
-    * (whole-stage-codegen'd, no shuffle); `dedup = false` keeps
-    * duplicate shingles for consumers insensitive to them (MinHash
-    * minima). A doc shorter than `n` tokens contributes its whole
-    * text as the single shingle.
+  /** Word n-gram shingle array built per-row by the native
+    * `WordShingles` kernel (one pass, no regex, no per-element lambda
+    * dispatch — see TextExpressions); `dedup = false` keeps duplicate
+    * shingles for consumers insensitive to them (MinHash minima). A
+    * doc shorter than `n` tokens contributes its whole text as the
+    * single shingle.
     */
   private def shingleArray(text: org.apache.spark.sql.Column, n: Int,
-                           dedup: Boolean): org.apache.spark.sql.Column = {
-    val toks = TextAnalysis.tokens(text)
-    val arr = transform(sequence(lit(0), size(toks) - lit(n)),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    when(size(toks) >= n, if (dedup) array_distinct(arr) else arr)
-      .otherwise(array(concat_ws(" ", toks)))
-  }
+                           dedup: Boolean): org.apache.spark.sql.Column =
+    graft.functions.TextExpressions.word_shingles(text, n, dedup)
 
   /** Word n-gram shingles (default 3) as an array column. */
   def shingles(text: org.apache.spark.sql.Column, n: Int = 3): org.apache.spark.sql.Column =

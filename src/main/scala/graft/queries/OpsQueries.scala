@@ -136,13 +136,16 @@ object OpsQueries {
       (s, dir) => {
         Tables.registerAll(s, dir)
         val docs = s.table("documents")
-        val groups = Dedup.exactGroups(docs, "doc_id", "text")
+        // one digest groupBy feeds all four exact-dup stats (instead of
+        // a raw scan + countDistinct + a second exactGroups scan); the
+        // fingerprint stat is the only second pass over the bodies
+        val counts = docs.groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("c"))
         val fps = Dedup.fingerprintGroups(docs, "doc_id", "text")
-        docs.agg(
-            count(lit(1)).as("n_docs"),
-            countDistinct(md5(col("text"))).as("n_distinct"))
-          .crossJoin(groups.agg(count(lit(1)).as("n_dup_groups"),
-            coalesce(sum(col("dup_count")), lit(0)).as("n_dup_docs")))
+        counts.agg(
+            sum(col("c")).as("n_docs"),
+            count(lit(1)).as("n_distinct"),
+            sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+            sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup_docs"))
           .crossJoin(fps.agg(count(lit(1)).as("n_fp_groups")))
       },
       Some("""SELECT

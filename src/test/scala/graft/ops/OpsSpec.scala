@@ -145,6 +145,27 @@ class OpsSpec extends AnyFunSuite {
     assert(bf.getAs[Long]("nn_id") == ivfTop.getAs[Long]("nn_id"))
   }
 
+  test("WordShingles kernel matches the declarative HOF formulation") {
+    val texts = Seq(
+      "", " ", "!!!", "a", "a b", "a b c", "a b c d", "the the the the",
+      "Hello, WORLD!! 123 foo_bar baz", "àccents über naïve café",
+      "ΚΑΛΗ κόσμε mixed ascii words",
+      "tabs\tand\nnewlines  double  spaces", "ThE QuIcK bRoWn FoX 42 7x 0z",
+      "a-b-c-d-e-f repeated a-b-c-d-e-f repeated").toDF("text")
+    for (n <- Seq(1, 2, 3, 5); dedup <- Seq(true, false)) {
+      val toks = TextAnalysis.tokens(col("text"))
+      val arr = transform(sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+      val decl = when(size(toks) >= n, if (dedup) array_distinct(arr) else arr)
+        .otherwise(array(concat_ws(" ", toks)))
+      val kernel = graft.functions.TextExpressions.word_shingles(col("text"), n, dedup)
+      texts.select(kernel.as("k"), decl.as("d")).collect().foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n dedup=$dedup: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+      }
+    }
+  }
+
   test("IVF trainer: deterministic output, sane shape, feeds ivfTopK") {
     val vecs = (0L until 60L).map { i =>
       val base = (i % 3).toInt
