@@ -2,7 +2,6 @@ package graft.fts
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Full-text index: a per-table term-statistics DataFrame registered
   * as `fts_main_<table>`, replacing DuckDB's FTS extension index
@@ -67,13 +66,20 @@ object FtsIndex {
       count(lit(1)).as("ndocs"),
       (sum(col("doclen")).cast("double") / count(lit(1))).as("avgdl"))
 
+    // eagerly materialized via localCheckpoint, not persist(): an FTS
+    // index is a long-lived artifact (DuckDB's PRAGMA create_fts_index
+    // materializes too), and checkpoint blocks live at the RDD level,
+    // so a catalog-cache sweep between queries cannot silently turn
+    // every later search into a full index rebuild. On a multi-
+    // executor cluster, persist the index to storage (parquet) instead
+    // for durability — localCheckpoint trades lineage for speed.
     val index = tf
       .join(doclen, "id")
       .join(dft, "term")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("ndocs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     index.createOrReplaceTempView(indexName(table))
     index
