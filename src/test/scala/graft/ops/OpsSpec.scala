@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -203,6 +203,47 @@ class OpsSpec extends AnyFunSuite {
     val bplan = blocked.queryExecution.executedPlan.toString
     assert(!bplan.contains("CartesianProduct") && !bplan.contains("BroadcastNestedLoopJoin"))
     assert(blocked.collect().map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+  }
+
+  test("real image codec: ImageIO decode, luma features, resize round-trip") {
+    // build genuine PNG bytes in-process: a 40x20 solid color and a
+    // 300x100 gradient
+    def png(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val solid = png(40, 20, (_, _) => 0x808080) // luma exactly 128
+    val grad = png(300, 100, (x, _) => (x * 255 / 299) << 16)
+    val media = Seq(
+      (1L, solid, Row("png", 40, 20, 1)),
+      (2L, grad, Row("png", 300, 100, 1)),
+      (3L, "not an image".getBytes("UTF-8"), Row("txt", 0, 0, 1)))
+      .map { case (id, c, m) => Row(id, c, m) }
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(media: _*)),
+      Multimodal.mediaSchema)
+
+    val feats = Multimodal.extractImageFeatures(df).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(feats(1L).getAs[Int]("img_width") == 40 &&
+      feats(1L).getAs[Int]("img_height") == 20)
+    assert(math.abs(feats(1L).getAs[Double]("img_mean_luma") - 128.0) < 0.6)
+    assert(feats(2L).getAs[Int]("img_width") == 300)
+    assert(feats(3L).isNullAt(feats(3L).fieldIndex("img_width"))) // undecodable → null
+
+    val resized = Multimodal.resizeImages(df, 64).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    // 300x100 fits to 64x21; re-decode the actual emitted bytes
+    val rimg = Multimodal.decodeImage(resized(2L).getAs[Array[Byte]]("content")).get
+    assert(rimg.getWidth == 64 && rimg.getHeight == 21)
+    assert(resized(2L).getStruct(2).getInt(1) == 64 && resized(2L).getStruct(2).getInt(2) == 21)
+    // 40x20 already fits — unchanged dims; non-image passes through
+    val s = Multimodal.decodeImage(resized(1L).getAs[Array[Byte]]("content")).get
+    assert(s.getWidth == 40 && s.getHeight == 20)
+    assert(new String(resized(3L).getAs[Array[Byte]]("content"), "UTF-8") == "not an image")
   }
 
   test("multimodal plumbing: features + resize + frames") {
