@@ -214,6 +214,13 @@ object GeoOps {
     case _                      => Nil
   }
 
+  private def linesOf(g: Geometry): Seq[LineString] = g match {
+    case l: LineString          => Seq(l)
+    case MultiLineString(ls)    => ls
+    case GeometryCollection(gs) => gs.flatMap(linesOf)
+    case _                      => Nil
+  }
+
   // ───────────────────────── intersects ─────────────────────────
 
   def intersects(a: Geometry, b: Geometry): Boolean = {
@@ -245,7 +252,19 @@ object GeoOps {
       if (ptsB.exists(p => polysA.exists(pa => pointInPolygon(p, pa)))) return true
     }
 
-    // 3. pure point cases (no segments): point-point equality
+    // 3. point-vs-segment: a (multi)point side has no edges of its
+    // own, so case 1 never sees it — test its points against the other
+    // side's segments directly
+    if (segsA.isEmpty && polysA.isEmpty && segsB.nonEmpty) {
+      val ptsA = new ArrayBuffer[Pt]; pointsOf(a, ptsA)
+      return ptsA.exists(p => segsB.exists(s => onSegment(s._1, s._2, p)))
+    }
+    if (segsB.isEmpty && polysB.isEmpty && segsA.nonEmpty) {
+      val ptsB = new ArrayBuffer[Pt]; pointsOf(b, ptsB)
+      return ptsB.exists(p => segsA.exists(s => onSegment(s._1, s._2, p)))
+    }
+
+    // 4. pure point cases (no segments): point-point equality
     if (segsA.isEmpty && segsB.isEmpty && polysA.isEmpty && polysB.isEmpty) {
       val ptsA = new ArrayBuffer[Pt]; pointsOf(a, ptsA)
       val ptsB = new ArrayBuffer[Pt]; pointsOf(b, ptsB)
@@ -309,6 +328,12 @@ object GeoOps {
     (a, b) match {
       case (p: Point, g) => if (intersects(p, g)) p else empty
       case (g, p: Point) => if (intersects(p, g)) p else empty
+      case (mp: MultiPoint, g) => multiPointIntersection(mp, g)
+      case (g, mp: MultiPoint) => multiPointIntersection(mp, g)
+      case (ga, gb)
+          if polygonsOf(ga).isEmpty && polygonsOf(gb).isEmpty &&
+            linesOf(ga).nonEmpty && linesOf(gb).nonEmpty =>
+        lineLineIntersection(linesOf(ga), linesOf(gb))
       case (l: LineString, g) if polygonsOf(g).nonEmpty => clipLine(l, polygonsOf(g))
       case (g, l: LineString) if polygonsOf(g).nonEmpty => clipLine(l, polygonsOf(g))
       case (pa, pb) =>
@@ -326,6 +351,88 @@ object GeoOps {
           case Seq(p) => p
           case ps     => MultiPolygon(ps.toIndexedSeq)
         }
+    }
+  }
+
+  /** MultiPoint ∩ anything: the member points lying on/in the other
+    * geometry, deduplicated, in (x, y) order.
+    */
+  private def multiPointIntersection(mp: MultiPoint, g: Geometry): Geometry = {
+    val hits = mp.points.map(_.p).distinct
+      .filter(p => intersects(Point(p), g))
+      .sortBy(p => (p.x, p.y))
+    hits match {
+      case Seq()  => GeometryCollection(IndexedSeq.empty)
+      case Seq(p) => Point(p)
+      case ps     => MultiPoint(ps.map(Point(_)).toIndexedSeq)
+    }
+  }
+
+  /** Geometric intersection of two segments: `Left(pt)` for a proper
+    * crossing or endpoint touch, `Right((a, b))` for a collinear
+    * overlap of positive length, None when disjoint.
+    */
+  private def segSegIntersection(p1: Pt, p2: Pt, q1: Pt, q2: Pt): Option[Either[Pt, (Pt, Pt)]] = {
+    val d1 = orient(q1, q2, p1); val d2 = orient(q1, q2, p2)
+    val d3 = orient(p1, p2, q1); val d4 = orient(p1, p2, q2)
+    if (d1 == 0 && d2 == 0 && d3 == 0 && d4 == 0) {
+      // collinear: order along the dominant axis and take the overlap
+      val useX = math.max(math.abs(p2.x - p1.x), math.abs(q2.x - q1.x)) >=
+        math.max(math.abs(p2.y - p1.y), math.abs(q2.y - q1.y))
+      def key(p: Pt): Double = if (useX) p.x else p.y
+      val (a, b) = if (key(p1) <= key(p2)) (p1, p2) else (p2, p1)
+      val (c, d) = if (key(q1) <= key(q2)) (q1, q2) else (q2, q1)
+      val lo = if (key(a) >= key(c)) a else c
+      val hi = if (key(b) <= key(d)) b else d
+      if (key(lo) > key(hi)) None
+      else if (lo == hi) Some(Left(lo))
+      else Some(Right((lo, hi)))
+    } else if (((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+               ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))) {
+      val denom = (p2.x - p1.x) * (q2.y - q1.y) - (p2.y - p1.y) * (q2.x - q1.x)
+      val t = ((q1.x - p1.x) * (q2.y - q1.y) - (q1.y - p1.y) * (q2.x - q1.x)) / denom
+      Some(Left(Pt(p1.x + t * (p2.x - p1.x), p1.y + t * (p2.y - p1.y))))
+    } else {
+      if (d1 == 0 && onSegment(q1, q2, p1)) Some(Left(p1))
+      else if (d2 == 0 && onSegment(q1, q2, p2)) Some(Left(p2))
+      else if (d3 == 0 && onSegment(p1, p2, q1)) Some(Left(q1))
+      else if (d4 == 0 && onSegment(p1, p2, q2)) Some(Left(q2))
+      else None
+    }
+  }
+
+  /** Line ∩ line: crossing/touch points plus collinear-overlap
+    * segments over all segment pairs; points already covered by an
+    * overlap segment are dropped; deterministic (x, y) ordering.
+    * O(|segs_a|·|segs_b|) per pair — feature-sized lines, and the
+    * engine's join layer caps candidate pairs via the grid pre-filter.
+    */
+  private def lineLineIntersection(la: Seq[LineString], lb: Seq[LineString]): Geometry = {
+    val pts = ArrayBuffer[Pt](); val segs = ArrayBuffer[(Pt, Pt)]()
+    for {
+      l1 <- la; l2 <- lb
+      i <- 0 until l1.pts.length - 1
+      j <- 0 until l2.pts.length - 1
+    } segSegIntersection(l1.pts(i), l1.pts(i + 1), l2.pts(j), l2.pts(j + 1)) match {
+      case Some(Left(p))  => pts += p
+      case Some(Right(s)) => segs += s
+      case None           => ()
+    }
+    val uniqSegs: Seq[(Pt, Pt)] =
+      segs.distinct.sortBy(s => (s._1.x, s._1.y, s._2.x, s._2.y)).toSeq
+    val uniqPts: Seq[Pt] = pts.distinct
+      .filterNot(p => uniqSegs.exists { case (s1, s2) => onSegment(s1, s2, p) })
+      .sortBy(p => (p.x, p.y)).toSeq
+    val lineGeoms: Seq[LineString] =
+      uniqSegs.map { case (s1, s2) => LineString(IndexedSeq(s1, s2)) }
+    (uniqPts, lineGeoms) match {
+      case (Seq(), Seq())  => GeometryCollection(IndexedSeq.empty)
+      case (Seq(p), Seq()) => Point(p)
+      case (ps, Seq())     => MultiPoint(ps.map(Point(_)).toIndexedSeq)
+      case (Seq(), Seq(l)) => l
+      case (Seq(), ls)     => MultiLineString(ls.toIndexedSeq)
+      case (ps, ls) =>
+        GeometryCollection((ls ++ ps.map(Point(_))).toIndexedSeq)
     }
   }
 

@@ -110,6 +110,41 @@ class GeoOpsSpec extends AnyFunSuite {
     assert(GeoOps.area(GeoOps.intersection(straddle, ell)) == 3.0)
   }
 
+  test("intersection: line/line crossings, touches, collinear overlap") {
+    // X crossing at (2, 2)
+    val a = LineString(IndexedSeq(Pt(0, 0), Pt(4, 4)))
+    val b = LineString(IndexedSeq(Pt(0, 4), Pt(4, 0)))
+    assert(GeoOps.intersection(a, b) == Point(Pt(2, 2)))
+    // T-touch at an endpoint
+    val t = LineString(IndexedSeq(Pt(2, 2), Pt(2, 5)))
+    assert(GeoOps.intersection(a, t) == Point(Pt(2, 2)))
+    // collinear overlap → the shared sub-segment
+    val c = LineString(IndexedSeq(Pt(1, 1), Pt(6, 6)))
+    assert(GeoOps.intersection(a, c) == LineString(IndexedSeq(Pt(1, 1), Pt(4, 4))))
+    // disjoint parallels → empty
+    val p = LineString(IndexedSeq(Pt(0, 1), Pt(4, 5)))
+    assert(GeoOps.intersection(a, p).isEmpty)
+    // polyline crossing a line twice → MultiPoint in (x, y) order
+    val zig = LineString(IndexedSeq(Pt(0, 1), Pt(2, -1), Pt(4, 1)))
+    val flat = LineString(IndexedSeq(Pt(-1, 0), Pt(5, 0)))
+    assert(GeoOps.intersection(zig, flat) ==
+      MultiPoint(IndexedSeq(Point(Pt(1, 0)), Point(Pt(3, 0)))))
+  }
+
+  test("intersection: multipoint vs polygon/line keeps covered points") {
+    val mp = MultiPoint(IndexedSeq(
+      Point(Pt(0.5, 0.5)), Point(Pt(2, 2)), Point(Pt(1, 0)), Point(Pt(0.5, 0.5))))
+    val r = rect(0, 0, 1, 1)
+    // inside + boundary survive, outside dropped, duplicate collapsed
+    assert(GeoOps.intersection(mp, r) ==
+      MultiPoint(IndexedSeq(Point(Pt(0.5, 0.5)), Point(Pt(1, 0)))))
+    // (0.5, 0.5) and (2, 2) both lie on y = x; (1, 0) does not
+    val line = LineString(IndexedSeq(Pt(0, 0), Pt(4, 4)))
+    assert(GeoOps.intersection(line, mp) ==
+      MultiPoint(IndexedSeq(Point(Pt(0.5, 0.5)), Point(Pt(2, 2)))))
+    assert(GeoOps.intersection(mp, LineString(IndexedSeq(Pt(9, 9), Pt(10, 10)))).isEmpty)
+  }
+
   test("triangulation partitions concave polygons") {
     val ell = IndexedSeq(Pt(0, 0), Pt(4, 0), Pt(4, 2), Pt(2, 2), Pt(2, 4), Pt(0, 4), Pt(0, 0))
     val tris = GeoOps.triangulate(ell)
