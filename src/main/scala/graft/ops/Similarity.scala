@@ -149,6 +149,12 @@ object Similarity {
     * Per iteration one distributed agg runs; k×dims sum rows reach the
     * driver, corpus vectors never do. An empty cluster keeps its
     * previous centroid.
+    *
+    * Sizing: assignment ships k×dims literals inside the plan, so this
+    * trainer targets moderate k (≤ a few thousand — the IVF sweet spot
+    * for a single coarse quantizer level). For larger codebooks, train
+    * hierarchically (this trainer per shard) or assign via the
+    * broadcast-join path in `ivfTopK` instead of plan literals.
     */
   def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                         k: Int, iters: Int = 2): DataFrame = {
