@@ -40,55 +40,60 @@ object TextExpressions {
     override def prettyName: String = "word_shingles"
 
     override protected def nullSafeEval(v: Any): Any = {
-      val s = v.asInstanceOf[UTF8String].toString
-      val len = s.length
-      // token spans as (start, end) index pairs — one scan, no regex
-      val starts = new java.util.ArrayList[Int]()
-      val ends = new java.util.ArrayList[Int]()
+      val out = TextExpressions.buildShingles(v.asInstanceOf[UTF8String].toString, n, dedup)
+      val arr = new Array[Any](out.length)
       var i = 0
-      while (i < len) {
-        val c = s.charAt(i)
-        val isTok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
-        if (isTok) {
-          val start = i
-          i += 1
-          while (i < len && {
-            val d = s.charAt(i); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
-          }) i += 1
-          starts.add(start); ends.add(i)
-        } else i += 1
-      }
-      val nTok = starts.size()
-      val sb = new java.lang.StringBuilder(32)
-      def joined(from: Int, until: Int): String = {
-        sb.setLength(0)
-        var j = from
-        while (j < until) {
-          if (j > from) sb.append(' ')
-          sb.append(s, starts.get(j), ends.get(j))
-          j += 1
-        }
-        sb.toString
-      }
-      val out: Array[UTF8String] =
-        if (nTok < n) Array(UTF8String.fromString(joined(0, nTok)))
-        else if (dedup) {
-          val seen = new java.util.LinkedHashSet[String]()
-          var k = 0
-          while (k <= nTok - n) { seen.add(joined(k, k + n)); k += 1 }
-          val arr = new Array[UTF8String](seen.size())
-          val it = seen.iterator(); var m = 0
-          while (it.hasNext) { arr(m) = UTF8String.fromString(it.next()); m += 1 }
-          arr
-        } else {
-          val arr = new Array[UTF8String](nTok - n + 1)
-          var k = 0
-          while (k <= nTok - n) { arr(k) = UTF8String.fromString(joined(k, k + n)); k += 1 }
-          arr
-        }
-      new GenericArrayData(out.asInstanceOf[Array[Any]])
+      while (i < out.length) { arr(i) = UTF8String.fromString(out(i)); i += 1 }
+      new GenericArrayData(arr)
     }
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Shared one-pass shingle builder (see WordShingles for the
+    * semantics contract).
+    */
+  private[functions] def buildShingles(s: String, n: Int, dedup: Boolean): Array[String] = {
+    val len = s.length
+    // token spans as (start, end) index pairs — one scan, no regex
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      val isTok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (isTok) {
+        val start = i
+        i += 1
+        while (i < len && {
+          val d = s.charAt(i); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) i += 1
+        starts.add(start); ends.add(i)
+      } else i += 1
+    }
+    val nTok = starts.size()
+    val sb = new java.lang.StringBuilder(32)
+    def joined(from: Int, until: Int): String = {
+      sb.setLength(0)
+      var j = from
+      while (j < until) {
+        if (j > from) sb.append(' ')
+        sb.append(s, starts.get(j), ends.get(j))
+        j += 1
+      }
+      sb.toString
+    }
+    if (nTok < n) Array(joined(0, nTok))
+    else if (dedup) {
+      val seen = new java.util.LinkedHashSet[String]()
+      var k = 0
+      while (k <= nTok - n) { seen.add(joined(k, k + n)); k += 1 }
+      seen.toArray(new Array[String](seen.size()))
+    } else {
+      val arr = new Array[String](nTok - n + 1)
+      var k = 0
+      while (k <= nTok - n) { arr(k) = joined(k, k + n); k += 1 }
+      arr
+    }
   }
 
   /** Column API: `word_shingles(lower(text), n)`. The caller is
@@ -99,4 +104,56 @@ object TextExpressions {
   def word_shingles(text: Column, n: Int, dedup: Boolean): Column =
     ColumnBridge.column(WordShingles(
       ColumnBridge.expression(org.apache.spark.sql.functions.lower(text)), n, dedup))
+
+  /** Shingle hash array: the 60-bit MD5 prefix of every (non-
+    * deduplicated) shingle, exactly
+    * `conv(substring(md5(shingle), 1, 15), 16, 10)` — i.e. the first
+    * 15 hex digits of the MD5 as a long — but computed in the same
+    * pass that builds the shingle, with a thread-local MessageDigest.
+    * MinHash needs only these hashes, never the shingle strings, so
+    * this skips one string materialization + three expression layers
+    * (md5/substring/conv) per shingle and the synchronized
+    * MessageDigest provider lookup per call.
+    */
+  case class ShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1, "shingle width must be >= 1")
+    override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+      containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "shingle_hashes"
+
+    override protected def nullSafeEval(v: Any): Any = {
+      val shingles = TextExpressions.buildShingles(
+        v.asInstanceOf[UTF8String].toString, n, dedup = false)
+      val md = ShingleHashes.digest.get()
+      val out = new Array[Any](shingles.length)
+      var i = 0
+      while (i < out.length) {
+        md.reset()
+        val h = md.digest(shingles(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 15 hex digits = bytes 0..6 in full + the high nibble
+        // of byte 7 → a 60-bit non-negative long
+        var acc = 0L
+        var j = 0
+        while (j < 7) { acc = (acc << 8) | (h(j) & 0xffL); j += 1 }
+        acc = (acc << 4) | ((h(7) & 0xf0L) >> 4)
+        out(i) = acc
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  object ShingleHashes {
+    private val digest = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+  }
+
+  def shingle_hashes(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(
+      ColumnBridge.expression(org.apache.spark.sql.functions.lower(text)), n))
 }

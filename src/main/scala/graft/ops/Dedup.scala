@@ -118,11 +118,13 @@ object Dedup {
     // 60-bit hex prefix mod 2³¹−1. (k md5s per shingle would bottleneck
     // on the synchronized MessageDigest provider lookup under high
     // thread counts.) Integer arithmetic keeps DuckDB-oracle parity.
-    // distinct=false: MIN is insensitive to duplicate shingles, so the
-    // dedup shuffle would be pure overhead
-    val sh = shingleRows(df, idCol, textCol, Seq.empty, n, distinct = false)
-      .select(col("_id").as("id"),
-        (conv(substring(md5(col("_s")), 1, 15), 16, 10).cast("long") % MinhashP).as("h"))
+    // The ShingleHashes kernel builds shingle + MD5 prefix in one pass
+    // (thread-local digest, no shingle-string column materialization);
+    // duplicates are kept — MIN is insensitive to them.
+    val sh = df
+      .select(col(idCol).as("id"),
+        explode(graft.functions.TextExpressions.shingle_hashes(col(textCol), n)).as("h60"))
+      .select(col("id"), (col("h60") % MinhashP).as("h"))
     val aggs = (0 until k).map(i =>
       min((lit(2L * i + 1) * col("h") + lit(1000003L * i + 12345L)) % MinhashP).as(s"sig$i"))
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)

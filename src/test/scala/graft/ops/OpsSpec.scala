@@ -166,6 +166,19 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ShingleHashes kernel matches md5/substring/conv on shingle strings") {
+    val texts = Seq("the quick brown fox jumps", "", "one two", "Hello, WORLD!! 123",
+      "àccents über naïve café", "a a a a a a").toDF("text")
+    val viaExprs = texts.select(
+      explode(graft.functions.TextExpressions.word_shingles(col("text"), 3, dedup = false)).as("s"))
+      .select(conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val viaKernel = texts.select(
+      explode(graft.functions.TextExpressions.shingle_hashes(col("text"), 3)).as("h"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaKernel == viaExprs && viaKernel.nonEmpty)
+  }
+
   test("IVF trainer: deterministic output, sane shape, feeds ivfTopK") {
     val vecs = (0L until 60L).map { i =>
       val base = (i % 3).toInt
