@@ -72,6 +72,30 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming exactly-once dedup over an at-least-once source:
+    * duplicates of `idCols` arriving within the watermark horizon are
+    * dropped (`dropDuplicatesWithinWatermark`), so state is bounded by
+    * the watermark instead of growing with the stream — the streaming
+    * face of the batch dedup family (Dedup.dropExactDuplicates).
+    */
+  def startDedupStream(
+      spark: SparkSession, sourceDir: String, queryName: String,
+      idCols: Seq[String] = Seq("event_id"),
+      watermark: String = "2 hours"): StreamingQuery = {
+    val src = spark.readStream
+      .schema(eventSchema)
+      .parquet(sourceDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+    src.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   // ── stateful sessionization ────────────────────────────────────────
 
   final case class Event(event_id: Long, ts: java.time.LocalDateTime, user_id: Long,

@@ -259,6 +259,27 @@ class OpsSpec extends AnyFunSuite {
     assert(new String(resized(3L).getAs[Array[Byte]]("content"), "UTF-8") == "not an image")
   }
 
+  test("salted equi-join is row-identical to the plain join and keys on the salt") {
+    // 5000 rows, 90% on one hot key
+    val big = spark.range(5000)
+      .selectExpr("CASE WHEN id % 10 = 0 THEN id ELSE 42 END AS k", "id AS payload")
+    val small = spark.range(50).selectExpr("id AS k", "id * 100 AS attr")
+    val plain = big.join(small, "k").selectExpr("k", "payload", "attr")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val salted = Salting.saltedEquiJoin(big, small, Seq("k"), factor = 8)
+      .selectExpr("k", "payload", "attr")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(salted == plain && plain.nonEmpty)
+    // left join parity incl. unmatched rows
+    val plainL = big.join(small, Seq("k"), "left").count()
+    val saltedL = Salting.saltedEquiJoin(big, small, Seq("k"), 8, "left").count()
+    assert(saltedL == plainL)
+    // the salt is part of the join key (visible in the executed plan)
+    val plan = Salting.saltedEquiJoin(big, small, Seq("k"), 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("_salt_b") && plan.contains("_salt_s"))
+  }
+
   test("multimodal plumbing: features + resize + frames") {
     val media = Multimodal.syntheticMedia(docs)
     assert(media.schema("content").dataType == org.apache.spark.sql.types.BinaryType)

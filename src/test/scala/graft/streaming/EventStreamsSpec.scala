@@ -73,6 +73,21 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(sql.size == stateful.size + users.size)
   }
 
+  test("streaming dedup drops within-watermark duplicates exactly once") {
+    // an at-least-once source: every event written twice
+    val src = java.nio.file.Files.createTempDirectory("graft_dedup_src").toString
+    val base = eventsBatch.limit(500)
+    base.write.mode("overwrite").parquet(src)
+    base.write.mode("append").parquet(src)
+
+    val q = EventStreams.startDedupStream(spark, src, "stream_dedup")
+    q.awaitTermination(120000)
+
+    val out = spark.table("stream_dedup")
+    assert(out.count() == base.count())
+    assert(out.select("event_id").distinct().count() == base.count())
+  }
+
   test("sliding windows double-count each event") {
     val n = eventsBatch.count()
     val winTotal = EventStreams.slidingAgg(eventsBatch)
