@@ -87,6 +87,34 @@ class RuntimeSpec extends AnyFunSuite {
     sess.close()
   }
 
+  test("pipeline session: concurrent update/executeNow never caches a stale result") {
+    val sess = new PipelineSession(spark, debounceMs = 5)
+    val src = PipelineNode("p1", "source", "", "places_place", "places/place")
+    val errors = new java.util.concurrent.atomic.AtomicInteger(0)
+    val t = new Thread(() => {
+      var i = 0
+      while (i < 40) {
+        try sess.update(nodes = Seq(src),
+          sqlOverride = Some(s"SELECT ${i % 7} AS v FROM places_place LIMIT 1"))
+        catch { case _: Throwable => errors.incrementAndGet() }
+        i += 1
+      }
+    })
+    t.start()
+    (0 until 40).foreach { _ =>
+      try sess.executeNow() catch { case _: Throwable => errors.incrementAndGet() }
+    }
+    t.join()
+    Thread.sleep(300)
+    assert(errors.get() == 0)
+    // quiesced: a final executeNow must reflect the FINAL override, not
+    // any result cached under a stale signature mid-race
+    sess.update(nodes = Seq(src), sqlOverride = Some("SELECT 99 AS v FROM places_place LIMIT 1"))
+    val v = sess.executeNow().get.head().getInt(0)
+    assert(v == 99, s"stale cached result surfaced: v=$v")
+    sess.close()
+  }
+
   test("pipeline session: sqlOverride replaces compiled SQL") {
     val sess = new PipelineSession(spark, debounceMs = 10)
     sess.update(
