@@ -42,7 +42,37 @@ object GeoQueries {
     s"sqrt(((($px) - (($ax) + $t * ($dx))) * (($px) - (($ax) + $t * ($dx)))) + ((($py) - (($ay) + $t * ($dy))) * (($py) - (($ay) + $t * ($dy)))))"
   }
 
+  /** DuckDB replica of SpaceCurve.zorderKey: identical quantization
+    * op order (subtract, divide, multiply, floor, clamp) then the same
+    * bit-interleave sum — integer-exact across engines.
+    */
+  private def zorderOracleExpr(lon: String, lat: String, bits: Int): String = {
+    val n = 1L << bits
+    def q(v: String, min: String, span: String) =
+      s"LEAST(${n - 1}, GREATEST(0, CAST(FLOOR((($v) - CAST($min AS DOUBLE)) / CAST($span AS DOUBLE) * CAST($n AS DOUBLE)) AS BIGINT)))"
+    val ix = q(lon, "-180.0", "360.0")
+    val iy = q(lat, "-90.0", "180.0")
+    val terms = (0 until bits).map { b =>
+      s"((ix >> $b) & 1) * ${1L << (2 * b)} + ((iy >> $b) & 1) * ${1L << (2 * b + 1)}"
+    }
+    s"(SELECT ${terms.mkString(" + ")} FROM (SELECT $ix AS ix, $iy AS iy))"
+  }
+
   val queries: Seq[Q] = Seq(
+
+    // Z-order write-clustering key (SpaceCurve) — the layout primitive
+    // behind spatially-pruned parquet files.
+    Q("geo_zorder_key",
+      (s, dir) => {
+        GeoViews.register(s, dir)
+        import org.apache.spark.sql.functions.col
+        s.table("geo_places").select(col("id"),
+            graft.geo.SpaceCurve.zorderKey(col("centroid_lon"), col("centroid_lat"), 16).as("z"))
+          .orderBy(col("id"))
+      },
+      Some(withOracle(oraclePlaces) +
+        s"""SELECT id, ${zorderOracleExpr("centroid_lon", "centroid_lat", 16)} AS z
+           |FROM geo_places ORDER BY id""".stripMargin)),
 
     // P1: bbox-struct overlap filter (pushes to parquet stats on raw
     // Overture tables; here over the bbox struct column).
