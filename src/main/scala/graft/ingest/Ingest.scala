@@ -76,6 +76,26 @@ object Ingest {
       (System.nanoTime() - t0) / 1000000)
   }
 
+  /** Write a loaded theme to a parquet dataset (S6 sink), optionally
+    * z-order-clustered: range-partitioned + sorted on the Morton key
+    * of the centroid so each emitted file covers a compact spatial
+    * tile — that is what makes the footer bbox manifest (FileIndex)
+    * and parquet row-group stats selective on the NEXT read. At 100 TB
+    * the re-cluster is one range-shuffle; skipping it writes files
+    * whose stats span the world and prune nothing.
+    */
+  def exportTheme(spark: SparkSession, table: String, path: String,
+                  zorderPartitions: Option[Int] = None): Unit = {
+    val df = spark.table(table)
+    val out = zorderPartitions match {
+      case Some(p) if Seq("centroid_lon", "centroid_lat").forall(df.columns.contains) =>
+        graft.geo.SpaceCurve.clusterForWrite(df, "centroid_lon", "centroid_lat", p)
+      case Some(_) => df
+      case None    => df
+    }
+    out.write.mode("overwrite").parquet(path)
+  }
+
   /** Drop a cached theme view and unpersist its data (S8). */
   def dropTheme(spark: SparkSession, key: String): Unit = {
     val table = ThemeMeta.tableName(key)

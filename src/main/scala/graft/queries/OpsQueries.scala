@@ -78,6 +78,35 @@ object OpsQueries {
     sb.toString
   }
 
+  /** Shared minhash CTE chain (shingle hashes, signatures, LSH bands,
+    * candidate pairs, signature-agreement estimates) used by both the
+    * pair query and the drop-near apply query.
+    */
+  private val minhashOracleCtes: String =
+    s"""d AS (SELECT doc_id, $oracleToks AS toks FROM documents),
+       |sh AS (SELECT doc_id, unnest($oracleShingles) AS s FROM d),
+       |hashes AS (
+       |  SELECT doc_id, (('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS h FROM sh),
+       |sig AS (
+       |  SELECT doc_id, seed, MIN(((2*seed + 1) * h + 1000003*seed + 12345) % 2147483647) AS sig
+       |  FROM hashes, (SELECT unnest(generate_series(0, 15)) AS seed)
+       |  GROUP BY doc_id, seed),
+       |bandh AS (
+       |  SELECT doc_id, seed // 4 AS band,
+       |         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS band_hash
+       |  FROM sig GROUP BY doc_id, seed // 4),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bandh x JOIN bandh y
+       |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+       |est AS (
+       |  SELECT c.id_a, c.id_b,
+       |         CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_jaccard
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.id_a
+       |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+       |  GROUP BY c.id_a, c.id_b)""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ── text analysis ──────────────────────────────────────────────
@@ -195,31 +224,25 @@ object OpsQueries {
             k = 16, bands = 4, n = 3, threshold = 0.25)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some(s"""WITH d AS (SELECT doc_id, $oracleToks AS toks FROM documents),
-              |sh AS (SELECT doc_id, unnest($oracleShingles) AS s FROM d),
-              |hashes AS (
-              |  SELECT doc_id, (('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS h FROM sh),
-              |sig AS (
-              |  SELECT doc_id, seed, MIN(((2*seed + 1) * h + 1000003*seed + 12345) % 2147483647) AS sig
-              |  FROM hashes, (SELECT unnest(generate_series(0, 15)) AS seed)
-              |  GROUP BY doc_id, seed),
-              |bandh AS (
-              |  SELECT doc_id, seed // 4 AS band,
-              |         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS band_hash
-              |  FROM sig GROUP BY doc_id, seed // 4),
-              |cand AS (
-              |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-              |  FROM bandh x JOIN bandh y
-              |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
-              |est AS (
-              |  SELECT c.id_a, c.id_b,
-              |         CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_jaccard
-              |  FROM cand c
-              |  JOIN sig sa ON sa.doc_id = c.id_a
-              |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
-              |  GROUP BY c.id_a, c.id_b)
+      Some(s"""WITH $minhashOracleCtes
               |SELECT id_a, id_b, est_jaccard FROM est
               |WHERE est_jaccard >= 0.25 ORDER BY id_a, id_b""".stripMargin)),
+
+    // the "apply" half at near-dup granularity: drop every id_b side
+    // of the LSH pair set — the end-to-end corpus-dedup composition.
+    Q("dedup_drop_near",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val docs = s.table("documents")
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+            k = 16, bands = 4, n = 3, threshold = 0.25)
+        Dedup.dropPairedDuplicates(docs, "doc_id", pairs)
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $minhashOracleCtes
+              |SELECT doc_id FROM documents
+              |WHERE doc_id NOT IN (SELECT id_b FROM est WHERE est_jaccard >= 0.25)
+              |ORDER BY doc_id""".stripMargin)),
 
     Q("dedup_simhash",
       (s, dir) => {

@@ -89,6 +89,33 @@ class IngestSpec extends AnyFunSuite {
     assert(FileIndex.listParquet("s3a-nonexistent-dir-without-scheme").isEmpty)
   }
 
+  test("exportTheme with z-order clustering writes spatially tight files") {
+    Ingest.loadTheme(spark, fixtureDir, "places/place")
+    val out = java.nio.file.Files.createTempDirectory("graft_export").toString
+    Ingest.exportTheme(spark, "places_place", out, zorderPartitions = Some(4))
+    val files = FileIndex.listParquet(out)
+    assert(files.size == 4)
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min("centroid_lon"),
+          org.apache.spark.sql.functions.max("centroid_lon"),
+          org.apache.spark.sql.functions.min("centroid_lat"),
+          org.apache.spark.sql.functions.max("centroid_lat")).head()
+      (r.getDouble(1) - r.getDouble(0)) * (r.getDouble(3) - r.getDouble(2))
+    }
+    val g = spark.table("places_place")
+      .agg(org.apache.spark.sql.functions.min("centroid_lon"),
+        org.apache.spark.sql.functions.max("centroid_lon"),
+        org.apache.spark.sql.functions.min("centroid_lat"),
+        org.apache.spark.sql.functions.max("centroid_lat")).head()
+    val globalArea = (g.getDouble(1) - g.getDouble(0)) * (g.getDouble(3) - g.getDouble(2))
+    // clustered files tile the extent (~1x coverage); unclustered
+    // writes would each span the whole extent (~4x)
+    assert(spans.sum < globalArea * 1.6,
+      s"file stats span ${spans.sum} vs global $globalArea — not clustered")
+    Ingest.dropTheme(spark, "places/place")
+  }
+
   test("listUserTables hides system and fts helper tables") {
     Ingest.loadTheme(spark, fixtureDir, "places/place")
     spark.range(1).createOrReplaceTempView("_session")
