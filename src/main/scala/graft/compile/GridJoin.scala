@@ -31,11 +31,11 @@ object GridJoin {
     */
   def gridCte(name: String, source: String): String =
     s"""$name AS (
-       |  SELECT b.*, ${cellOf("b.centroid_lon")} + dxs.dx AS _gx,
-       |         ${cellOf("b.centroid_lat")} + dys.dy AS _gy
+       |  SELECT b.*, ${cellOf("b.centroid_lon")} + dx AS _gx,
+       |         ${cellOf("b.centroid_lat")} + dy AS _gy
        |  FROM $source b
-       |  CROSS JOIN (SELECT * FROM VALUES (-1), (0), (1) AS t(dx)) dxs
-       |  CROSS JOIN (SELECT * FROM VALUES (-1), (0), (1) AS t(dy)) dys
+       |  LATERAL VIEW explode(array(-1, 0, 1)) _dxs AS dx
+       |  LATERAL VIEW explode(array(-1, 0, 1)) _dys AS dy
        |)""".stripMargin
 
   /** Equality predicate pairing a grid-expanded alias against the

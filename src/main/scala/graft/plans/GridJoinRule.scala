@@ -115,18 +115,25 @@ object GridJoinRule extends Rule[LogicalPlan] {
     val (lLon, rLon) = prefilterPair(conjuncts, left, right, "centroid_lon").get
     val (lLat, rLat) = prefilterPair(conjuncts, left, right, "centroid_lat").get
 
-    // 9-row delta relation
+    // 9-way neighbor expansion as a Generate (inline of 9 literal
+    // (dx, dy) structs) — pipelined row multiplication inside the
+    // stage, no join node, so the expansion can never plan as a
+    // nested-loop join
     val dxAttr = AttributeReference("_graft_dx", LongType, nullable = false)()
     val dyAttr = AttributeReference("_graft_dy", LongType, nullable = false)()
-    val deltas = LocalRelation(Seq(dxAttr, dyAttr),
-      (for (dx <- -1L to 1L; dy <- -1L to 1L) yield InternalRow(dx, dy)).toSeq)
+    val deltaStructs = for (dx <- -1L to 1L; dy <- -1L to 1L)
+      yield CreateStruct(Seq(Literal(dx, LongType), Literal(dy, LongType)))
+    val generate = Generate(
+      Inline(CreateArray(deltaStructs)),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(dxAttr, dyAttr), child = right)
 
-    // right side × deltas, with the expanded cell keys projected
+    // expanded right side with the cell keys projected
     val gxAttr = Alias(Add(cellOf(rLon), dxAttr), "_graft_gx")()
     val gyAttr = Alias(Add(cellOf(rLat), dyAttr), "_graft_gy")()
     val expanded = Project(
       right.output.map(a => a: NamedExpression) ++ Seq(gxAttr, gyAttr),
-      Join(right, deltas, Cross, None, JoinHint.NONE))
+      generate)
 
     val keyCond = And(
       EqualTo(gxAttr.toAttribute, cellOf(lLon)),

@@ -32,4 +32,27 @@ class QueriesSmokeSpec extends AnyFunSuite {
   test("every oracle key has a query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  /** Queries whose plan legitimately contains an unconditioned join:
+    * deliberate broadcast linear scans (brute-force ANN, centroid
+    * assignment against a broadcast centroid set) and crossJoins of
+    * single-row aggregates.
+    */
+  private val intentionalCross = Set(
+    "ann_bruteforce_topk", // exact baseline: broadcast queries × corpus scan
+    "ann_ivf_topk",        // corpus × broadcast centroid set (k rows)
+    "ann_ivf_train_centroids", // same, inside the trainer
+    "dedup_exact_stats")   // crossJoin of two 1-row aggregate results
+
+  test("no query accidentally plans a cartesian or nested-loop join") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!intentionalCross(name)) {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"$name plans a CartesianProduct:\n${plan.take(2000)}")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin:\n${plan.take(2000)}")
+      }
+    }
+  }
 }
