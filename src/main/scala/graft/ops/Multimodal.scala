@@ -9,15 +9,16 @@ import org.apache.spark.sql.types._
   * decode / feature-extraction / resize / frame-sampling run as
   * partition-local batch transforms.
   *
-  * IMAGE decode and resize are REAL (JDK `javax.imageio` —
-  * PNG/JPEG/BMP/GIF, no external libraries): `decodeImage`,
-  * `extractImageFeatures`, `resizeImages`. Audio and video codecs are
-  * not in the JDK, so those paths remain STUBBED (`decodeStub`,
-  * `sampleFrames`' byte slices): deterministic fakes with the real
-  * signature, batch shape and schema, so swapping in a real decoder
-  * is a one-function change. The Spark-side plumbing — schema,
-  * partitioning, per-partition batching — is real and tested either
-  * way.
+  * IMAGE decode/resize and AUDIO decode are REAL, using only what the
+  * JDK ships: `javax.imageio` (PNG/JPEG/BMP/GIF → `decodeImage`,
+  * `extractImageFeatures`, `resizeImages`) and `javax.sound.sampled`
+  * (WAV/AIFF/AU PCM → `decodeAudio`, `extractAudioFeatures`). VIDEO
+  * codecs are not in the JDK, so frame decode remains STUBBED
+  * (`decodeStub`, `sampleFrames`' byte slices): deterministic fakes
+  * with the real signature, batch shape and schema, so swapping in a
+  * real decoder is a one-function change. The Spark-side plumbing —
+  * schema, partitioning, per-partition batching — is real and tested
+  * either way.
   */
 object Multimodal {
 
@@ -191,6 +192,86 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, schema)
+  }
+
+  // ── real audio codec (JDK javax.sound — WAV/PCM, no external libs) ─
+
+  /** REAL audio decode via `javax.sound.sampled` (WAV/AIFF/AU PCM ship
+    * with the JDK). Returns (sampleRate, channels, mono samples in
+    * [-1, 1]) or None for undecodable bytes.
+    */
+  def decodeAudio(content: Array[Byte], maxFrames: Int = 1 << 20): Option[(Float, Int, Array[Double])] =
+    if (content == null || content.isEmpty) None
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val fmt = in.getFormat
+          val bytesPerSample = fmt.getSampleSizeInBits / 8
+          if (bytesPerSample != 2) return None // 16-bit PCM only
+          val frameSize = fmt.getFrameSize
+          val nFrames = math.min(in.getFrameLength, maxFrames.toLong).toInt
+          val buf = new Array[Byte](nFrames * frameSize)
+          var off = 0
+          var read = 0
+          while (off < buf.length && read >= 0) {
+            read = in.read(buf, off, buf.length - off)
+            if (read > 0) off += read
+          }
+          val ch = fmt.getChannels
+          val big = fmt.isBigEndian
+          val samples = new Array[Double](off / frameSize)
+          var f = 0
+          while (f < samples.length) {
+            // average channels to mono
+            var acc = 0.0
+            var c = 0
+            while (c < ch) {
+              val i = f * frameSize + c * bytesPerSample
+              val v =
+                if (big) ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort
+                else ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
+              acc += v / 32768.0
+              c += 1
+            }
+            samples(f) = acc / ch
+            f += 1
+          }
+          Some((fmt.getSampleRate, ch, samples))
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+  /** Audio features with the REAL decoder: duration, RMS level, zero-
+    * crossing rate — null for undecodable content. Partition-local,
+    * no shuffle, same contract as `extractImageFeatures`.
+    */
+  def extractAudioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(media.schema.fields.filter(_.name != "content") ++ Seq(
+      StructField("audio_seconds", DoubleType),
+      StructField("audio_rms", DoubleType),
+      StructField("audio_zcr", DoubleType)))
+    val rdd = media.rdd.mapPartitions { it =>
+      it.map { r =>
+        val base = r.toSeq.patch(r.fieldIndex("content"), Nil, 1)
+        decodeAudio(r.getAs[Array[Byte]]("content")) match {
+          case Some((rate, _, s)) if s.nonEmpty =>
+            var sq = 0.0
+            var zc = 0
+            var i = 0
+            while (i < s.length) {
+              sq += s(i) * s(i)
+              if (i > 0 && (s(i) >= 0) != (s(i - 1) >= 0)) zc += 1
+              i += 1
+            }
+            Row.fromSeq(base ++ Seq[Any](s.length / rate.toDouble,
+              math.sqrt(sq / s.length), zc.toDouble / s.length))
+          case _ => Row.fromSeq(base ++ Seq(null, null, null))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Frame sampling: byte-range slices standing in for frame decode —

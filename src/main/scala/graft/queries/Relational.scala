@@ -113,7 +113,10 @@ object Relational {
         val c = t(s, dir, "customer")
         val o = s.table("orders")
         val l = s.table("lineitem")
-        c.where($"c_mktsegment" === "BUILDING")
+        // the filtered dim is known-small by semantics (1-in-5 segment
+        // selectivity) — explicit broadcast so the plan holds even
+        // when file-size stats at corpus scale would suggest shuffling
+        broadcast(c.where($"c_mktsegment" === "BUILDING"))
           .join(o, $"c_custkey" === $"o_custkey")
           .join(l, $"o_orderkey" === $"l_orderkey")
           .groupBy($"o_orderkey")

@@ -280,6 +280,42 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("_salt_b") && plan.contains("_salt_s"))
   }
 
+  test("real audio codec: WAV PCM decode, duration/rms/zcr features") {
+    // genuine 16-bit PCM WAV built in-process: 0.5 s of a 400 Hz sine
+    // at 8 kHz, amplitude 0.5
+    def wav(seconds: Double, hz: Double, amp: Double, rate: Float = 8000f): Array[Byte] = {
+      val n = (seconds * rate).toInt
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val v = (amp * math.sin(2 * math.Pi * hz * i / rate) * 32767).toInt.toShort
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Row(1L, wav(0.5, 400, 0.5), Row("wav", 0, 0, 1)),
+      Row(2L, "not audio".getBytes("UTF-8"), Row("txt", 0, 0, 1)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
+      Multimodal.mediaSchema)
+    val feats = Multimodal.extractAudioFeatures(df).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    val a = feats(1L)
+    assert(math.abs(a.getAs[Double]("audio_seconds") - 0.5) < 0.01)
+    // rms of a 0.5-amplitude sine = 0.5 / sqrt(2)
+    assert(math.abs(a.getAs[Double]("audio_rms") - 0.5 / math.sqrt(2)) < 0.01)
+    // a 400 Hz tone at 8 kHz crosses zero ~800x/s → zcr ~0.1/sample
+    assert(math.abs(a.getAs[Double]("audio_zcr") - 0.1) < 0.01)
+    assert(feats(2L).isNullAt(feats(2L).fieldIndex("audio_seconds")))
+  }
+
   test("multimodal plumbing: features + resize + frames") {
     val media = Multimodal.syntheticMedia(docs)
     assert(media.schema("content").dataType == org.apache.spark.sql.types.BinaryType)
