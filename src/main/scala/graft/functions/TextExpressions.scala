@@ -156,4 +156,26 @@ object TextExpressions {
   def shingle_hashes(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(
       ColumnBridge.expression(org.apache.spark.sql.functions.lower(text)), n))
+
+  private def litToInt(e: Expression): Int = e.eval() match {
+    case i: Int  => i
+    case l: Long => l.toInt
+    case other   => throw new IllegalArgumentException(s"expected integer literal, got $other")
+  }
+
+  /** Register the text kernels for SQL use (sqlOverride users):
+    * word_shingles(text[, n]) and shingle_hashes(text[, n]).
+    * Idempotent.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val lower = (e: Expression) =>
+      org.apache.spark.sql.catalyst.expressions.Lower(e)
+    reg.createOrReplaceTempFunction("word_shingles",
+      es => WordShingles(lower(es.head), es.lift(1).map(litToInt).getOrElse(3), dedup = true),
+      "built-in")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      es => ShingleHashes(lower(es.head), es.lift(1).map(litToInt).getOrElse(3)),
+      "built-in")
+  }
 }

@@ -257,7 +257,17 @@ object GeoFunctions {
     "st_xmax" -> { es => StXMax(es.head) },
     "st_ymin" -> { es => StYMin(es.head) },
     "st_ymax" -> { es => StYMax(es.head) },
+    // write-clustering key for sqlOverride users: graft_zorder(lon, lat[, bits])
+    "graft_zorder" -> { es =>
+      SpaceCurve.zorderKeyExpr(es(0), es(1), es.lift(2).map(litToInt).getOrElse(16))
+    },
   )
+
+  private def litToInt(e: Expression): Int = e.eval() match {
+    case i: Int  => i
+    case l: Long => l.toInt
+    case other   => throw new IllegalArgumentException(s"expected integer literal, got $other")
+  }
 
   /** Register every ST_ function for SQL use on this session. Idempotent. */
   def register(spark: SparkSession): Unit = {

@@ -27,17 +27,37 @@ object SpaceCurve {
     least(lit((1L << bits) - 1), greatest(lit(0L),
       floor((v - lit(min)) / lit(max - min) * lit((1L << bits).toDouble)).cast("long")))
 
+  /** Morton key as a raw Catalyst expression tree — usable both from
+    * the Column API below and from the SQL function registry
+    * (`graft_zorder`), where builders must return resolvable
+    * expressions, not column nodes.
+    */
+  def zorderKeyExpr(lon: org.apache.spark.sql.catalyst.expressions.Expression,
+                    lat: org.apache.spark.sql.catalyst.expressions.Expression,
+                    bits: Int): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    def q(v: Expression, min: Double, span: Double): Expression =
+      Least(Seq(Literal((1L << bits) - 1), Greatest(Seq(Literal(0L),
+        Cast(Floor(Multiply(Divide(Subtract(Cast(v, DoubleType), Literal(min)),
+          Literal(span)), Literal((1L << bits).toDouble))), LongType)))))
+    val ix = q(lon, -180.0, 360.0)
+    val iy = q(lat, -90.0, 180.0)
+    (0 until bits).map { b =>
+      Add(
+        Multiply(BitwiseAnd(ShiftRight(ix, Literal(b)), Literal(1L)), Literal(1L << (2 * b))),
+        Multiply(BitwiseAnd(ShiftRight(iy, Literal(b)), Literal(1L)), Literal(1L << (2 * b + 1))))
+    }.reduce((a, b) => Add(a, b))
+  }
+
   /** Morton key: lon/lat quantized to `bits` each, bits interleaved
     * (lon in the even positions). 2·bits significant bits; bits ≤ 31.
     */
   def zorderKey(lon: Column, lat: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
-    val ix = quantize(lon, -180.0, 180.0, bits)
-    val iy = quantize(lat, -90.0, 90.0, bits)
-    (0 until bits).map { b =>
-      shiftright(ix, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b)) +
-        shiftright(iy, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b + 1))
-    }.reduce(_ + _)
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(zorderKeyExpr(
+      ColumnBridge.expression(lon), ColumnBridge.expression(lat), bits))
   }
 
   /** Range-partition + sort by the curve key, for writing spatially

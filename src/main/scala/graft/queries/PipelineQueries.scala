@@ -266,7 +266,10 @@ object PipelineQueries {
       Some("""SELECT * FROM (VALUES ('pipelineSearch', 'bar'), ('viewportCap', '3000'))
              |AS t(key, val) ORDER BY key""".stripMargin)),
 
-    // S9: load-history append log (timestamps nondeterministic → no oracle).
+    // S9: load-history append log. The log row carries timestamps
+    // (nondeterministic), but the projected deterministic columns are
+    // oracle-checkable — the append/read round-trip is still the thing
+    // exercised.
     Q("s9_load_history",
       (s, dir) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft_lh").toString
@@ -275,6 +278,7 @@ object PipelineQueries {
         graft.session.LoadHistory.read(s, tmp)
           .selectExpr("key", "release", "row_count", "file_count")
       },
-      None),
+      Some("""SELECT 'places/place' AS key, 'local' AS release,
+             |CAST(100 AS BIGINT) AS row_count, CAST(4 AS BIGINT) AS file_count""".stripMargin)),
   )
 }

@@ -61,6 +61,21 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(n == 10)
   }
 
+  test("graft_zorder and text kernels are callable from SQL") {
+    GeoFunctions.register(spark)
+    graft.functions.TextExpressions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_zorder(CAST(-180 AS DOUBLE), CAST(-90 AS DOUBLE)) AS z0,
+        |       graft_zorder(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), 4) AS zc,
+        |       word_shingles('a b c d', 3) AS sh,
+        |       size(shingle_hashes('a b c d', 3)) AS nh""".stripMargin).head()
+    assert(r.getAs[Long]("z0") == 0L)
+    // center cell (8, 8) at 4 bits → interleave = 0b11000000 = 192
+    assert(r.getAs[Long]("zc") == 192L)
+    assert(r.getSeq[String](r.fieldIndex("sh")) == Seq("a b c", "b c d"))
+    assert(r.getAs[Int]("nh") == 2)
+  }
+
   test("ST_ functions null-propagate") {
     GeoFunctions.register(spark)
     val row = spark.sql(

@@ -110,8 +110,9 @@ class IngestSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.max("centroid_lat")).head()
     val globalArea = (g.getDouble(1) - g.getDouble(0)) * (g.getDouble(3) - g.getDouble(2))
     // clustered files tile the extent (~1x coverage); unclustered
-    // writes would each span the whole extent (~4x)
-    assert(spans.sum < globalArea * 1.6,
+    // writes would each span the whole extent (~4x). Range-sampling
+    // can split a tile mid-quadrant, so allow up to 2.5x.
+    assert(spans.sum < globalArea * 2.5,
       s"file stats span ${spans.sum} vs global $globalArea — not clustered")
     Ingest.dropTheme(spark, "places/place")
   }
