@@ -9,16 +9,17 @@ import org.apache.spark.sql.types._
   * decode / feature-extraction / resize / frame-sampling run as
   * partition-local batch transforms.
   *
-  * IMAGE decode/resize and AUDIO decode are REAL, using only what the
+  * IMAGE, AUDIO and MJPEG-VIDEO decode are REAL, using only what the
   * JDK ships: `javax.imageio` (PNG/JPEG/BMP/GIF → `decodeImage`,
-  * `extractImageFeatures`, `resizeImages`) and `javax.sound.sampled`
-  * (WAV/AIFF/AU PCM → `decodeAudio`, `extractAudioFeatures`). VIDEO
-  * codecs are not in the JDK, so frame decode remains STUBBED
-  * (`decodeStub`, `sampleFrames`' byte slices): deterministic fakes
-  * with the real signature, batch shape and schema, so swapping in a
-  * real decoder is a one-function change. The Spark-side plumbing —
-  * schema, partitioning, per-partition batching — is real and tested
-  * either way.
+  * `extractImageFeatures`, `resizeImages`), `javax.sound.sampled`
+  * (WAV/AIFF/AU PCM → `decodeAudio`, `extractAudioFeatures`), and a
+  * hand-walked RIFF container for MJPEG AVI (`decodeMjpegFrames`,
+  * `sampleFramesDecoded` — each frame is a JPEG, decoded via ImageIO).
+  * Compressed video codecs (H.264 etc.) are not decodable JDK-only,
+  * so for those `decodeStub`/`sampleFrames` remain as deterministic
+  * stand-ins with the real signature, batch shape and schema. The
+  * Spark-side plumbing — schema, partitioning, per-partition
+  * batching — is real and tested either way.
   */
 object Multimodal {
 
@@ -132,22 +133,9 @@ object Multimodal {
         val base = r.toSeq.patch(r.fieldIndex("content"), Nil, 1)
         decodeImage(r.getAs[Array[Byte]]("content")) match {
           case Some(img) =>
-            val w = img.getWidth; val h = img.getHeight
-            var sum = 0.0
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                sum += ((rgb >> 16) & 0xff) * 0.299 +
-                  (((rgb >> 8) & 0xff) * 0.587) + ((rgb & 0xff) * 0.114)
-                x += 1
-              }
-              y += 1
-            }
-            // Seq[Any] — a plain Seq(w, h, double) would numerically
-            // widen the Ints to Double and break the row encoder
-            Row.fromSeq(base ++ Seq[Any](w, h, sum / (w.toLong * h)))
+            // Seq[Any] — a plain Seq(int, int, double) would
+            // numerically widen the Ints and break the row encoder
+            Row.fromSeq(base ++ Seq[Any](img.getWidth, img.getHeight, meanLuma(img)))
           case None => Row.fromSeq(base ++ Seq(null, null, null))
         }
       }
@@ -272,6 +260,87 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  // ── real video codec (MJPEG-AVI: RIFF walked by hand, frames via
+  //    ImageIO — still JDK-only) ───────────────────────────────────────
+
+  /** REAL video frame extraction for MJPEG AVI: walks the RIFF
+    * container ('RIFF'…'AVI ' → LIST 'movi' → '..dc'/'..db' chunks)
+    * and returns the embedded JPEG frame payloads. Empty for anything
+    * that is not an MJPEG AVI.
+    */
+  def decodeMjpegFrames(b: Array[Byte], maxFrames: Int = 256): Seq[Array[Byte]] = {
+    if (b == null || b.length < 12) return Nil
+    def fourcc(i: Int) = new String(b, i, 4, "ISO-8859-1")
+    def u32(i: Int): Long =
+      (b(i) & 0xffL) | (b(i + 1) & 0xffL) << 8 | (b(i + 2) & 0xffL) << 16 | (b(i + 3) & 0xffL) << 24
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return Nil
+    val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def walk(start: Int, end: Int): Unit = {
+      var i = start
+      while (i + 8 <= end && out.length < maxFrames) {
+        val id = fourcc(i)
+        val sz = math.max(0, u32(i + 4).toInt)
+        val dataStart = i + 8
+        if (id == "LIST" && dataStart + 4 <= end) {
+          walk(dataStart + 4, math.min(dataStart + sz.toLong, end.toLong).toInt)
+        } else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) && sz >= 2 &&
+          dataStart + 1 < b.length &&
+          (b(dataStart) & 0xff) == 0xff && (b(dataStart + 1) & 0xff) == 0xd8) {
+          out += java.util.Arrays.copyOfRange(b, dataStart,
+            math.min(dataStart + sz.toLong, b.length.toLong).toInt)
+        }
+        i = dataStart + sz + (sz & 1) // RIFF chunks are word-aligned
+      }
+    }
+    walk(12, b.length)
+    out.toSeq
+  }
+
+  /** Frame sampling with the REAL decoder: every `everyN`-th MJPEG
+    * frame decoded via ImageIO to (frame_idx, width, height, mean
+    * luma). Non-MJPEG content yields no rows — compose with
+    * `sampleFrames` (the stub) for opaque formats.
+    */
+  def sampleFramesDecoded(media: DataFrame, everyN: Int = 10): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame_width", IntegerType),
+      StructField("frame_height", IntegerType),
+      StructField("frame_mean_luma", DoubleType)))
+    val rdd = media.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getAs[Long]("media_id")
+        decodeMjpegFrames(r.getAs[Array[Byte]]("content")).zipWithIndex
+          .filter(_._2 % everyN == 0)
+          .flatMap { case (jpeg, idx) =>
+            decodeImage(jpeg).map { img =>
+              Row(id, idx, img.getWidth, img.getHeight, meanLuma(img))
+            }
+          }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  private def meanLuma(img: java.awt.image.BufferedImage): Double = {
+    val w = img.getWidth; val h = img.getHeight
+    var sum = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16) & 0xff) * 0.299 +
+          (((rgb >> 8) & 0xff) * 0.587) + ((rgb & 0xff) * 0.114)
+        x += 1
+      }
+      y += 1
+    }
+    sum / (w.toLong * h)
   }
 
   /** Frame sampling: byte-range slices standing in for frame decode —

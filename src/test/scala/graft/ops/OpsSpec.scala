@@ -316,6 +316,55 @@ class OpsSpec extends AnyFunSuite {
     assert(feats(2L).isNullAt(feats(2L).fieldIndex("audio_seconds")))
   }
 
+  test("real video codec: MJPEG-AVI frame extraction + decode") {
+    def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // hand-assemble a minimal RIFF/AVI: RIFF('AVI ' LIST('movi' 00dc...))
+    def avi(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Array[Byte] =
+        Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      val movi = new java.io.ByteArrayOutputStream()
+      movi.write("movi".getBytes("ISO-8859-1"))
+      frames.foreach { f =>
+        movi.write("00dc".getBytes("ISO-8859-1")); movi.write(le32(f.length))
+        movi.write(f); if (f.length % 2 == 1) movi.write(0)
+      }
+      val m = movi.toByteArray
+      val inner = new java.io.ByteArrayOutputStream()
+      inner.write("AVI ".getBytes("ISO-8859-1"))
+      inner.write("LIST".getBytes("ISO-8859-1")); inner.write(le32(m.length)); inner.write(m)
+      val body = inner.toByteArray
+      bos.write("RIFF".getBytes("ISO-8859-1")); bos.write(le32(body.length)); bos.write(body)
+      bos.toByteArray
+    }
+    val f1 = jpeg(40, 20, 0x808080)
+    val f2 = jpeg(20, 10, 0x404040)
+    val video = avi(Seq(f1, f2, f1))
+    val raw = Multimodal.decodeMjpegFrames(video)
+    assert(raw.length == 3 && raw.forall(f => (f(0) & 0xff) == 0xff))
+    val rows = Seq(Row(1L, video, Row("avi", 40, 20, 3)),
+      Row(2L, "not video".getBytes("UTF-8"), Row("txt", 0, 0, 1)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
+      Multimodal.mediaSchema)
+    val frames = Multimodal.sampleFramesDecoded(df, everyN = 2).collect()
+      .sortBy(_.getInt(1))
+    // frames 0 and 2 sampled, both 40x20 gray (~128 luma after JPEG loss)
+    assert(frames.length == 2)
+    assert(frames.forall(_.getAs[Long]("media_id") == 1L))
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2))
+    assert(frames.forall(r => r.getAs[Int]("frame_width") == 40 &&
+      r.getAs[Int]("frame_height") == 20 &&
+      math.abs(r.getAs[Double]("frame_mean_luma") - 128.0) < 3.0))
+  }
+
   test("multimodal plumbing: features + resize + frames") {
     val media = Multimodal.syntheticMedia(docs)
     assert(media.schema("content").dataType == org.apache.spark.sql.types.BinaryType)
