@@ -94,4 +94,51 @@ final class Graft(val spark: SparkSession, stateDir: String) {
   }
 
   def loadHistory: DataFrame = LoadHistory.read(spark, stateDir)
+
+  // ── training-data pipeline extensions (ops.*) ──────────────────────
+
+  /** Drop exact (or normalized-form) duplicate documents, keeping the
+    * min-id canonical row per digest group.
+    */
+  def dedupExact(df: DataFrame, idCol: String, textCol: String,
+                 normalized: Boolean = false): DataFrame =
+    graft.ops.Dedup.dropExactDuplicates(df, idCol, textCol, normalized)
+
+  /** Drop near-duplicate documents via MinHash+LSH candidate pairs at
+    * `threshold` estimated Jaccard.
+    */
+  def dedupNear(df: DataFrame, idCol: String, textCol: String,
+                threshold: Double = 0.5): DataFrame =
+    graft.ops.Dedup.dropPairedDuplicates(df, idCol,
+      graft.ops.Dedup.minhashLshPairs(df, idCol, textCol, threshold = threshold))
+
+  /** Exact cosine top-k neighbors (broadcast query set × corpus scan). */
+  def annTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int = 10): DataFrame =
+    graft.ops.Similarity.bruteForceTopK(corpus, queries, idCol, vecCol, k)
+
+  /** IVF ANN end-to-end: train `nlist` centroids (deterministic
+    * k-means), then probe `nprobe` lists per query.
+    */
+  def annIvf(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String,
+             k: Int = 10, nlist: Int = 64, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cents = graft.ops.Similarity.trainIvfCentroids(corpus, idCol, vecCol, nlist)
+      .select(col("cent_id").as(idCol), col("centroid").as(vecCol))
+    graft.ops.Similarity.ivfTopK(corpus, queries, cents, idCol, vecCol, k, nprobe)
+  }
+
+  /** Full text-analysis bundle: token counts, language ID, quality
+    * ratios, fingerprint.
+    */
+  def annotateText(df: DataFrame, textCol: String = "text"): DataFrame =
+    graft.ops.TextAnalysis.annotate(df, textCol)
+
+  /** Export a registered table to parquet, optionally z-order
+    * clustered on its centroid columns for spatially-pruned reads.
+    */
+  def exportTable(table: String, path: String,
+                  zorderPartitions: Option[Int] = None): Unit =
+    Ingest.exportTheme(spark, table, path, zorderPartitions)
 }

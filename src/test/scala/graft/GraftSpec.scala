@@ -60,6 +60,26 @@ class GraftSpec extends AnyFunSuite {
     assert(g.sessionState.get("pipelineSearch").contains("cafe"))
   }
 
+  test("training-pipeline extensions are reachable through the facade") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (4L, "completely different text about spark engines")).toDF("doc_id", "text")
+    assert(g.dedupExact(docs, "doc_id", "text").count() == 3) // doc 2 dropped
+    val near = g.dedupNear(docs, "doc_id", "text", threshold = 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(near.contains(1L) && !near.contains(2L) && !near.contains(3L) && near.contains(4L))
+    val ann = g.annotateText(docs)
+    assert(ann.columns.contains("lang_pred") && ann.columns.contains("q_tokens"))
+    val vecs = (0L until 30L).map { i =>
+      val arr = Array.fill(8)(0.01f); arr((i % 3).toInt) = 1.0f; (i, arr)
+    }.toDF("vec_id", "embedding")
+    val nn = g.annIvf(vecs, vecs.limit(2), "vec_id", "embedding", k = 3, nlist = 3, nprobe = 1)
+    assert(nn.count() > 0)
+  }
+
   test("dropArea removes views and indexes") {
     g.loadArea(dataDir, Seq("places/place"))
     g.dropArea(Seq("places/place"))
