@@ -31,9 +31,13 @@ object GeoKernels {
     }
 
   /** Decode WKB through the per-thread LRU. ByteBuffer.wrap gives
-    * content-based equals/hashCode without copying the array.
+    * content-based equals/hashCode without copying the array. Point
+    * WKB (21 bytes) bypasses the cache: a probe-side point is
+    * typically unique per row, and parsing two doubles is cheaper
+    * than hashing the bytes for a guaranteed miss.
     */
   def decode(wkb: Array[Byte]): Geometry = {
+    if (wkb.length <= 25) return Wkb.read(wkb)
     val m = cache.get()
     val k = java.nio.ByteBuffer.wrap(wkb)
     val g = m.get(k)
