@@ -83,13 +83,17 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int = 3, threshold: Double = 0.5): DataFrame = {
     // per-doc shingle count from the un-exploded array (free — no
-    // window shuffle); cached because both join sides read this subtree
+    // window shuffle); materialized once because both join sides read
+    // this subtree. localCheckpoint, not cache(): checkpoint blocks are
+    // freed by the ContextCleaner as soon as the DataFrame is
+    // unreachable, where CacheManager entries from cache() persist for
+    // the session lifetime and accrete across repeated dedup calls.
     val ex = df.select((Seq(col(idCol).as("_id")) ++ blockCols.map(col)) :+
         shingles(col(textCol), n).as("_sha"): _*)
       .withColumn("_nsh", size(col("_sha")).cast("long"))
       .select((Seq(col("_id"), col("_nsh")) ++ blockCols.map(col)) :+
         explode(col("_sha")).as("_s"): _*)
-      .cache()
+      .localCheckpoint()
     val a = ex.select((Seq(col("_id").as("id_a"), col("_nsh").as("na"), col("_s")) ++
       blockCols.map(col)): _*)
     val b = ex.select((Seq(col("_id").as("id_b"), col("_nsh").as("nb"), col("_s").as("_sb")) ++
@@ -151,7 +155,10 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rowsPerBand = k / bands
-    val wide = minhashSignaturesWide(df, idCol, textCol, k, n).cache()
+    // three consumers (band explode + both pair sides) read the
+    // signatures; localCheckpoint materializes them once and lets the
+    // blocks die with the DataFrame — see ngramJaccardPairs note
+    val wide = minhashSignaturesWide(df, idCol, textCol, k, n).localCheckpoint()
     val bandRows = wide.select(col("id"),
         explode(array((0 until bands).map { b =>
           val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(s => col(s"sig$s"))
@@ -214,10 +221,20 @@ object Dedup {
     * (id_a, id_b) pairs with id_a < id_b, drops every id_b (transitive
     * chains collapse to their smallest id as long as the pair set is
     * closed under the blocking scheme).
+    *
+    * The drop set is bounded by the near-duplicate pair count — tiny
+    * relative to the corpus — so by default it is broadcast into the
+    * anti join and the corpus itself never shuffles. Pass
+    * `broadcastDrops = false` only when the duplicate fraction is so
+    * large the id set won't fit in executor memory (then a shuffled
+    * anti join on the id key is the right plan).
     */
-  def dropPairedDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
-    df.join(pairs.select(col("id_b").as("_drop")).distinct(),
+  def dropPairedDuplicates(df: DataFrame, idCol: String, pairs: DataFrame,
+                           broadcastDrops: Boolean = true): DataFrame = {
+    val drops = pairs.select(col("id_b").as("_drop")).distinct()
+    df.join(if (broadcastDrops) broadcast(drops) else drops,
       col(idCol) === col("_drop"), "left_anti")
+  }
 
   /** Hamming distance between two equal-length bit strings. */
   def hammingDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -232,6 +249,13 @@ object Dedup {
     * the result is approximate: pairs whose vectors land in different
     * buckets are missed, the classic LSH recall trade. Lower
     * `lshPlanes` for higher recall at larger buckets.
+    *
+    * @note SEMANTIC CHANGE vs the first release: `blockCol = None`
+    *       used to mean exact all-pairs comparison; it now means
+    *       approximate LSH blocking (the all-pairs path was removed as
+    *       a corpus-scale foot-gun). Callers needing exact pairs must
+    *       supply a `blockCol` that partitions the space (exact within
+    *       each block).
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, blockCol: Option[String] = None,

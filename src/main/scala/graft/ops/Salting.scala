@@ -22,10 +22,24 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
+  /** Join types whose results survive small-side replication: for
+    * inner/left/semi/anti every replica either matches (and the salt
+    * picks exactly one) or silently drops. Right/full outer would emit
+    * each UNMATCHED small-side replica `factor` times as null-extended
+    * output — not row-identical — so they are rejected.
+    */
+  private val SafeJoinTypes = Set(
+    "inner", "left", "leftouter", "left_outer",
+    "leftsemi", "left_semi", "semi", "leftanti", "left_anti", "anti", "cross")
+
   def saltedEquiJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                      factor: Int, joinType: String = "inner"): DataFrame = {
     require(factor >= 1, "salt factor must be >= 1")
     require(keys.nonEmpty, "equi-join needs at least one key")
+    val normalizedType = joinType.toLowerCase.replace(" ", "")
+    require(SafeJoinTypes.contains(normalizedType),
+      s"saltedEquiJoin supports inner/left/semi/anti join types only; '$joinType' " +
+        "would replicate unmatched small-side rows (salt the other side instead)")
     val b = big.withColumn("_salt_b", pmod(hash(big.columns.map(col): _*), lit(factor)))
     val renamed = small.columns.map(c => if (keys.contains(c)) s"_r_$c" else c)
     val s = small.toDF(renamed.toIndexedSeq: _*)

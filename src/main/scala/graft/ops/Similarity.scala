@@ -29,6 +29,32 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Exact per-query top-k over scored (query_id, nn_id, cosine) pairs
+    * in TWO window stages. A single `row_number() OVER (PARTITION BY
+    * query_id)` funnels every scored candidate of a query onto one
+    * task — with a handful of queries against a 100 TB corpus that is
+    * a one-task-per-query sort of the whole candidate set. Stage 1
+    * ranks within (query_id, salt) so candidates spread over `fanout`
+    * tasks per query and each keeps its local top-k; stage 2 ranks the
+    * ≤ fanout×k survivors — a tiny exchange. Results are identical to
+    * the single-window form: every global top-k row ranks ≤ k inside
+    * its salt group (local rank never exceeds global rank), so stage 1
+    * never discards a true neighbor. The salt is content-derived
+    * (hash of nn_id), not partition-derived, so the plan is
+    * deterministic under any physical partitioning.
+    */
+  private def topKPerQuery(pairs: DataFrame, k: Int, fanout: Int = 32): DataFrame = {
+    val salted = pairs.withColumn("_salt", pmod(hash(col("nn_id")), lit(fanout)))
+    val w1 = Window.partitionBy(col("query_id"), col("_salt"))
+      .orderBy(desc("cosine"), col("nn_id"))
+    val survivors = salted.withColumn("_r1", row_number().over(w1))
+      .where(col("_r1") <= k)
+    val w2 = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("nn_id"))
+    survivors.withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "nn_id", "cosine")
+  }
+
   /** Exact top-k neighbors for each query vector (brute force).
     * `queries` is broadcast — it is the small side by construction.
     */
@@ -44,10 +70,7 @@ object Similarity {
     val pairs = c.crossJoin(broadcast(q))
       .where(if (includeSelf) lit(true) else col("nn_id") =!= col("query_id"))
       .withColumn("cosine", dot(col("q_vec"), col("nn_vec")) / (col("q_norm") * col("nn_norm")))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("nn_id"))
-    pairs.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "nn_id", "cosine")
+    topKPerQuery(pairs, k)
   }
 
   /** Deterministic md5-derived ±1 hyperplane weight for (plane, dim):
@@ -125,10 +148,7 @@ object Similarity {
     val pairs = c.join(broadcast(q), "cent_id")
       .where(col("nn_id") =!= col("query_id"))
       .withColumn("cosine", dot(col("q_vec"), col("nn_vec")) / (col("q_norm") * col("nn_norm")))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("nn_id"))
-    pairs.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "nn_id", "cosine")
+    topKPerQuery(pairs, k)
   }
 
   /** Deterministic spherical k-means trainer producing the IVF
@@ -172,7 +192,10 @@ object Similarity {
       val scored = cents.zipWithIndex.map { case (cv, ci) =>
         struct(cosine(col("_v"), array(cv.toSeq.map(lit): _*)).as("c"), lit(ci).as("ci"))
       }
-      val assigned = vecs.withColumn("_ci", greatest(scored: _*).getField("ci"))
+      // greatest() needs ≥2 args; with a single centroid the argmax is 0
+      val assigned =
+        if (scored.length == 1) vecs.withColumn("_ci", lit(0))
+        else vecs.withColumn("_ci", greatest(scored: _*).getField("ci"))
       val sums = assigned
         .select(col("_ci"), posexplode(col("_v")).as(Seq("_pos", "_val")))
         .groupBy(col("_ci"), col("_pos"))
@@ -208,9 +231,6 @@ object Similarity {
     val pairs = c.join(broadcast(q), "bucket")
       .where(col("nn_id") =!= col("query_id"))
       .withColumn("cosine", dot(col("q_vec"), col("nn_vec")) / (col("q_norm") * col("nn_norm")))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("nn_id"))
-    pairs.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "nn_id", "cosine")
+    topKPerQuery(pairs, k)
   }
 }

@@ -44,6 +44,11 @@ object EventQueries {
              |FROM w GROUP BY 1 ORDER BY window_start""".stripMargin)),
 
     // Gap-based sessionization (30-min inactivity closes a session).
+    // Session bounds travel as BIGINT epoch-microseconds on BOTH sides:
+    // rendered-timestamp comparison is representation-sensitive (the one
+    // historic hash mismatch), int64 micros are not. Likewise the oracle
+    // casts its windowed SUM to BIGINT — DuckDB widens SUM(int) to
+    // HUGEINT, whose export representation differs from Spark's int64.
     Q("events_sessionization",
       (s, dir) => {
         Tables.registerAll(s, dir)
@@ -52,6 +57,9 @@ object EventQueries {
           .selectExpr("event_id", "ts", "user_id", "event_type", "value")
           .as[EventStreams.Event]
         EventStreams.sessionizeBatchComplete(ev)
+          .select(col("user_id"), col("session_id"), col("n_events"),
+            unix_micros(col("start_ts").cast("timestamp")).as("start_us"),
+            unix_micros(col("end_ts").cast("timestamp")).as("end_us"))
           .orderBy(col("user_id"), col("session_id"))
       },
       Some("""WITH ordered AS (
@@ -65,12 +73,12 @@ object EventQueries {
              |  FROM ordered),
              |numbered AS (
              |  SELECT user_id, event_id, ts,
-             |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+             |         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
              |  FROM flagged)
              |SELECT user_id, session_id, COUNT(*) AS n_events,
-             |       make_timestamp(epoch_us(MIN(ts))) AS start_ts,
-             |       make_timestamp(epoch_us(MAX(ts))) AS end_ts
+             |       epoch_us(MIN(ts)) AS start_us,
+             |       epoch_us(MAX(ts)) AS end_us
              |FROM numbered GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
 
