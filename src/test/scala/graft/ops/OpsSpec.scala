@@ -386,4 +386,68 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.nonEmpty)
     assert(frames.forall(_.getAs[Array[Byte]]("frame_bytes").length <= 4))
   }
+
+  test("dedup pipelines leave no CacheManager entries behind") {
+    spark.sharedState.cacheManager.clearCache()
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", blockCols = Seq("lang")).count()
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", k = 16, bands = 4, threshold = 0.25)
+    Dedup.dropPairedDuplicates(docs, "doc_id", pairs).count()
+    // localCheckpoint blocks die with their DataFrames; nothing may be
+    // registered in the session-lifetime cache manager
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("ANN top-k is two-stage: salted local rank before the per-query window") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Array(math.sin(i * 1.7), math.cos(i * 0.9), math.sin(i * 0.3) + 1.0))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where($"vec_id" < 2)
+    val topk = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 5)
+    // plan: two Window nodes, the first partitioned by the salt
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), "expected the salted local-rank stage in the plan")
+    assert("(?s)Window.*Window".r.findFirstIn(plan).isDefined, "expected two window stages")
+    // row identity vs the naive single-window formulation
+    import org.apache.spark.sql.expressions.Window
+    val c = vecs.select($"vec_id".as("nn_id"), $"embedding".as("nn_vec"),
+      Similarity.norm($"embedding").as("nn_norm"))
+    val q = queries.select($"vec_id".as("query_id"), $"embedding".as("q_vec"),
+      Similarity.norm($"embedding").as("q_norm"))
+    val naive = c.crossJoin(broadcast(q)).where($"nn_id" =!= $"query_id")
+      .withColumn("cosine", Similarity.dot($"q_vec", $"nn_vec") / ($"q_norm" * $"nn_norm"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy(desc("cosine"), $"nn_id")))
+      .where($"rank" <= 5).select("query_id", "rank", "nn_id", "cosine")
+    assert(topk.collect().toSet == naive.collect().toSet)
+  }
+
+  test("dropPairedDuplicates broadcasts the drop set into the anti join") {
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val dropped = Dedup.dropPairedDuplicates(docs, "doc_id", pairs)
+    val plan = dropped.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"))
+    assert(dropped.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("saltedEquiJoin rejects join types that would replicate unmatched rows") {
+    val big = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val small = Seq((1L, "x"), (9L, "y")).toDF("k", "w")
+    intercept[IllegalArgumentException] {
+      Salting.saltedEquiJoin(big, small, Seq("k"), factor = 4, joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      Salting.saltedEquiJoin(big, small, Seq("k"), factor = 4, joinType = "full_outer")
+    }
+  }
+
+  test("trainIvfCentroids handles k = 1") {
+    val vecs = (0L until 10L).map(i => (i, Array(i.toDouble, 1.0))).toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroids(vecs, "vec_id", "embedding", k = 1, iters = 2)
+    val rows = cents.collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 0L)
+    // the single centroid converges to the global per-dimension mean
+    val c = rows.head.getSeq[Double](1)
+    assert(math.abs(c(0) - 4.5) < 1e-9 && math.abs(c(1) - 1.0) < 1e-9)
+  }
 }
