@@ -85,6 +85,17 @@ final class Graft(val spark: SparkSession, stateDir: String) {
     */
   def sql(text: String): DataFrame = spark.sql(text)
 
+  /** Direct SQL in the DuckDB dialect: a reference-session override
+    * runs unmodified — syntax deltas are rewritten by
+    * [[graft.compile.DuckSqlShim]] and DuckDB function names resolve
+    * via [[graft.functions.DuckFunctions]] (registered at session
+    * prepare). See docs/sql-dialect.md for the covered surface.
+    */
+  def duckSql(text: String): DataFrame = {
+    graft.functions.DuckFunctions.register(spark)
+    spark.sql(graft.compile.DuckSqlShim.rewrite(text))
+  }
+
   /** Typed boundary: a loaded theme as Dataset[CanonicalFeature]. */
   def features(key: String): Dataset[CanonicalFeature] = {
     import spark.implicits._

@@ -42,6 +42,7 @@ object Engine {
   def prepare(spark: SparkSession): SparkSession = {
     graft.geo.GeoFunctions.register(spark)
     graft.functions.TextExpressions.register(spark)
+    graft.functions.DuckFunctions.register(spark)
     // protects naive user spatial SQL with the grid rewrite even when
     // the session wasn't built withExtensions(new GraftExtensions)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.GridJoinRule))

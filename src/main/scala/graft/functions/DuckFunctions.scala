@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** DuckDB function-name surface for `sqlOverride` users (reference:
+  * src/lib/pipelineRunner.js:73 hands users DuckDB SQL to edit and
+  * re-run). Together with [[graft.compile.DuckSqlShim]] (which handles
+  * the syntax-level deltas) this lets a DuckDB-dialect override run
+  * unmodified: the function-NAME deltas from docs/sql-dialect.md are
+  * registered here as session functions resolving to the native
+  * Catalyst expressions Spark already codegens — aliases where a
+  * builtin matches 1:1, thin expression compositions where it doesn't.
+  * No UDFs anywhere; everything stays inside whole-stage codegen.
+  */
+object DuckFunctions {
+
+  /** DuckDB `len(x)`: BIGINT length of a list, map or string — Spark
+    * splits this across `size` (INT) and `length` (INT); the dispatch
+    * happens on the resolved child type and the result widens to
+    * BIGINT for DuckDB parity.
+    */
+  case class DuckLen(child: Expression) extends RuntimeReplaceable {
+    override lazy val replacement: Expression = child.dataType match {
+      case _: ArrayType | _: MapType => Cast(Size(child), LongType)
+      case _                         => Cast(Length(child), LongType)
+    }
+    override def children: Seq[Expression] = Seq(child)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression = copy(child = newChildren.head)
+  }
+
+  /** DuckDB `list_sum(l)`: a left-to-right fold skipping NULL elements
+    * (DuckDB aggregate semantics). Integrals fold in BIGINT, decimals
+    * in their own type, floats in DOUBLE.
+    *
+    * @note delta vs DuckDB: an empty or all-NULL list yields the fold
+    *       zero (0), where DuckDB yields NULL; and BIGINT sums do not
+    *       widen to HUGEINT (overflow raises under ANSI).
+    */
+  case class DuckListSum(child: Expression) extends RuntimeReplaceable {
+    override lazy val replacement: Expression = {
+      val elemType = child.dataType match {
+        case ArrayType(et, _) => et
+        case other =>
+          throw new IllegalArgumentException(s"list_sum expects an array, got $other")
+      }
+      val (accType, zero) = elemType match {
+        case ByteType | ShortType | IntegerType | LongType => (LongType, Literal(0L))
+        case d: DecimalType => (d, Literal(Decimal(0), d))
+        case _              => (DoubleType, Literal(0.0))
+      }
+      val acc  = NamedLambdaVariable("acc", accType, nullable = true)
+      val x    = NamedLambdaVariable("x", elemType, nullable = true)
+      val merge = LambdaFunction(
+        If(IsNull(x), acc, Add(acc, Cast(x, accType))), Seq(acc, x))
+      val accF = NamedLambdaVariable("acc", accType, nullable = true)
+      val fin  = LambdaFunction(accF, Seq(accF))
+      ArrayAggregate(child, zero, merge, fin)
+    }
+    override def children: Seq[Expression] = Seq(child)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression = copy(child = newChildren.head)
+  }
+
+  /** DuckDB name → Spark builtin resolving identically (same argument
+    * order and semantics); registered by builder lookup so they stay
+    * in lock-step with the session's builtin implementations.
+    */
+  private val aliases: Seq[(String, String)] = Seq(
+    "list_transform"     -> "transform",
+    "list_filter"        -> "filter",
+    "list_distinct"      -> "array_distinct",
+    "list_concat"        -> "concat",
+    "list_cat"           -> "concat",
+    "list_intersect"     -> "array_intersect",
+    "list_contains"      -> "array_contains",
+    "list_has"           -> "array_contains",
+    "list_value"         -> "array",
+    "string_split_regex" -> "split",
+    "str_split_regex"    -> "split",
+    "generate_series"    -> "sequence", // both ends inclusive in both engines
+    "unnest"             -> "explode",
+    "strpos"             -> "instr",    // both (string, needle), 1-based, 0 = absent
+    "regexp_matches"     -> "rlike",    // partial-match boolean in both
+    "string_agg"         -> "listagg"   // unordered form only (no ORDER BY in args)
+  )
+
+  /** Register the DuckDB-name surface on `spark`'s session function
+    * registry. Idempotent; session-scoped (the builtin registry is
+    * never mutated).
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    aliases.foreach { case (duck, target) =>
+      FunctionRegistry.builtin
+        .lookupFunctionBuilder(FunctionIdentifier(target))
+        .foreach(b => reg.createOrReplaceTempFunction(duck, b, "built-in"))
+    }
+    reg.createOrReplaceTempFunction("len", es => DuckLen(es.head), "built-in")
+    reg.createOrReplaceTempFunction("array_length", es => DuckLen(es.head), "built-in")
+    reg.createOrReplaceTempFunction("list_sum", es => DuckListSum(es.head), "built-in")
+    reg.createOrReplaceTempFunction("epoch_us",
+      es => UnixMicros(Cast(es.head, TimestampType)), "built-in")
+    reg.createOrReplaceTempFunction("epoch_ms",
+      es => UnixMillis(Cast(es.head, TimestampType)), "built-in")
+    // DuckDB's 1-arg make_timestamp(µs) vs the 6-arg ANSI form Spark
+    // also has — arity-dispatch keeps both callable.
+    reg.createOrReplaceTempFunction("make_timestamp",
+      es =>
+        if (es.length == 1) MicrosToTimestamp(es.head)
+        else MakeTimestamp(es(0), es(1), es(2), es(3), es(4), es(5)),
+      "built-in")
+  }
+}

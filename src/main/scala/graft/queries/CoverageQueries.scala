@@ -10,6 +10,19 @@ import graft.core.Tables
   */
 object CoverageQueries {
 
+  /** The DuckDB-dialect override text for `shim_duck_sql` — runnable
+    * verbatim by DuckDB, and by Spark after DuckSqlShim.rewrite.
+    * (Defined before `queries`, which captures it at object init.)
+    */
+  val duckOverrideText: String =
+    """SELECT doc_id,
+      |       (doc_id // 100)::BIGINT AS bucket,
+      |       len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS n_toks,
+      |       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')[1] AS first_tok
+      |FROM documents
+      |ORDER BY doc_id
+      |LIMIT 200""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // S2: schema peek — footer-only read drives the adaptive
@@ -103,5 +116,18 @@ object CoverageQueries {
       Some(s"WITH ${GeoViews.oracleBuildings}\n" +
         """SELECT id, (xmax - xmin) * (ymax - ymin) AS area FROM geo_buildings
           |ORDER BY area DESC, id LIMIT 100""".stripMargin)),
+
+    // sqlOverride dialect shim, proven end-to-end: ONE DuckDB-dialect
+    // text is both the oracle (DuckDB runs it verbatim) and — through
+    // DuckSqlShim + DuckFunctions — the Spark query. Exercises `//`
+    // integer division, `::` casts (postfix on parenthesized and call
+    // expressions), DuckDB function names (len, list_filter,
+    // string_split_regex), and 1-based `[i]` subscripts.
+    Q("shim_duck_sql",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(graft.compile.DuckSqlShim.rewrite(CoverageQueries.duckOverrideText))
+      },
+      Some(duckOverrideText)),
   )
 }

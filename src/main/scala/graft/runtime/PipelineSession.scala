@@ -27,6 +27,12 @@ final class PipelineSession(
   @volatile var bbox: Option[(Double, Double, Double, Double)] = None
   @volatile var sqlOverride: Option[String] = None
 
+  /** Dialect of `sqlOverride` text: "spark" (default) runs it verbatim;
+    * "duckdb" rewrites it through DuckSqlShim first, so an override
+    * pasted from a reference session runs unmodified.
+    */
+  @volatile var sqlDialect: String = "spark"
+
   val runner = new QueryRunner
 
   private val scheduler = Executors.newSingleThreadScheduledExecutor(r => {
@@ -40,7 +46,7 @@ final class PipelineSession(
                         bbox: Option[(Double, Double, Double, Double)],
                         sqlOverride: Option[String]): String =
     Seq(nodes.mkString("|"), search, limit.toString, bbox.toString,
-      sqlOverride.getOrElse("")).mkString("\u0000")
+      sqlOverride.getOrElse(""), sqlDialect).mkString("\u0000")
 
   /** Mutate state and schedule a (debounced) re-run. */
   def update(
@@ -76,10 +82,15 @@ final class PipelineSession(
     val ftsTables = sNodes.map(_.table).distinct
       .filter(t => t.nonEmpty && FtsIndex.hasIndex(spark, t)).toSet
 
-    def compileWith(fts: Set[String]): String = sOverride.getOrElse(
-      PipelineCompiler.compile(sNodes,
-        Options(search = sSearch, limit = sLimit, bbox = sBbox, ftsTables = fts,
-          tableFields = tableFields(sNodes))))
+    def compileWith(fts: Set[String]): String = sOverride
+      .map(t => if (sqlDialect == "duckdb") {
+        graft.functions.DuckFunctions.register(spark)
+        graft.compile.DuckSqlShim.rewrite(t)
+      } else t)
+      .getOrElse(
+        PipelineCompiler.compile(sNodes,
+          Options(search = sSearch, limit = sLimit, bbox = sBbox, ftsTables = fts,
+            tableFields = tableFields(sNodes))))
 
     val sql = compileWith(ftsTables)
     if (sql.isEmpty) return None

@@ -1,0 +1,151 @@
+package graft.compile
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests for the DuckDB → Spark SQL shim: pure text rewrites
+  * first, then end-to-end execution of DuckDB-dialect text on a live
+  * session with the DuckFunctions surface registered.
+  */
+class DuckSqlShimSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def rw(s: String): String = DuckSqlShim.rewrite(s)
+
+  // ── text rewrites ──────────────────────────────────────────────────
+
+  test("`::` cast on identifiers, numbers, calls and parens") {
+    assert(rw("SELECT x::BIGINT") == "SELECT CAST(x AS BIGINT)")
+    assert(rw("SELECT 1.5::INT") == "SELECT CAST(1.5 AS INT)")
+    assert(rw("SELECT a.b::DOUBLE FROM t") == "SELECT CAST(a.b AS DOUBLE) FROM t")
+    assert(rw("SELECT f(x, y)::DECIMAL(10,2)") == "SELECT CAST(f(x, y) AS DECIMAL(10,2))")
+    assert(rw("SELECT (a + b)::BIGINT") == "SELECT CAST((a + b) AS BIGINT)")
+    assert(rw("SELECT '42'::INT") == "SELECT CAST('42' AS INT)")
+  }
+
+  test("`//` integer division becomes div") {
+    assert(rw("SELECT a // b") == "SELECT a  div  b")
+    assert(rw("SELECT (epoch_us(ts) // 3600) * 3600") ==
+      "SELECT (epoch_us(ts)  div  3600) * 3600")
+  }
+
+  test("double-quoted identifiers become backticks") {
+    assert(rw("""SELECT "my col" FROM "my table"""") ==
+      "SELECT `my col` FROM `my table`")
+  }
+
+  test("subscripts become try_element_at (1-based, NULL out of range)") {
+    assert(rw("SELECT arr[1]") == "SELECT try_element_at(arr, 1)")
+    assert(rw("SELECT split(s, ',')[2] FROM t") ==
+      "SELECT try_element_at(split(s, ','), 2) FROM t")
+    assert(rw("SELECT t.arr[i + 1]") == "SELECT try_element_at(t.arr, i + 1)")
+  }
+
+  test("slices become slice() with inclusive bounds") {
+    assert(rw("SELECT arr[2:4]") == "SELECT slice(arr, 2, (4) - (2) + 1)")
+  }
+
+  test("bare list literals become array()") {
+    assert(rw("SELECT [1, 2, 3]") == "SELECT array(1, 2, 3)")
+    assert(rw("SELECT f([1,2], x)") == "SELECT f(array(1,2), x)")
+    assert(rw("SELECT ARRAY[1,2]") == "SELECT array(1,2)")
+    // nested: literal inside a literal, subscript of a literal-valued call
+    assert(rw("SELECT [[1],[2]]") == "SELECT array(array(1),array(2))")
+  }
+
+  test("strings and comments pass through untouched") {
+    assert(rw("SELECT 'a::b // c [1]' AS s") == "SELECT 'a::b // c [1]' AS s")
+    assert(rw("SELECT x -- cast::later [1]\nFROM t") ==
+      "SELECT x -- cast::later [1]\nFROM t")
+    assert(rw("SELECT /* x::y */ 1") == "SELECT /* x::y */ 1")
+    assert(rw("SELECT 'it''s'") == "SELECT 'it''s'")
+  }
+
+  test("unsupported star-modifiers raise with a doc pointer") {
+    val e1 = intercept[IllegalArgumentException](rw("SELECT a FROM t QUALIFY rn = 1"))
+    assert(e1.getMessage.contains("sql-dialect"))
+    intercept[IllegalArgumentException](rw("SELECT * EXCLUDE (a) FROM t"))
+    intercept[IllegalArgumentException](rw("SELECT COLUMNS('x.*') FROM t"))
+    // non-modifier uses of the same words survive
+    assert(rw("SELECT exclude, columns FROM t") == "SELECT exclude, columns FROM t")
+  }
+
+  // ── end-to-end on a live session ───────────────────────────────────
+
+  test("DuckDB-dialect text runs end-to-end after rewrite + registration") {
+    graft.functions.DuckFunctions.register(spark)
+    import spark.implicits._
+    Seq((1L, "The quick brown fox"), (2L, "  hello,, world  "))
+      .toDF("id", "text").createOrReplaceTempView("shim_docs")
+
+    val duck =
+      """SELECT id,
+        |  (id * 7 // 2)::BIGINT AS q,
+        |  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS n_toks,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')[1] AS first_tok,
+        |  list_sum([1, 2, 3]) AS s,
+        |  strpos(text, 'o') AS p
+        |FROM shim_docs ORDER BY id""".stripMargin
+    val rows = spark.sql(rw(duck)).collect()
+    assert(rows.length == 2)
+    val r1 = rows(0)
+    assert(r1.getAs[Long]("q") == 3L)        // 7 // 2 = 3
+    assert(r1.getAs[Long]("n_toks") == 4L)
+    assert(r1.getAs[String]("first_tok") == "the")
+    assert(r1.getAs[Long]("s") == 6L)
+    assert(r1.getAs[Int]("p") == 13)         // first 'o' ("brown"), 1-based
+    val r2 = rows(1)
+    assert(r2.getAs[Long]("n_toks") == 2L)
+    assert(r2.getAs[String]("first_tok") == "hello")
+  }
+
+  test("epoch_us / 1-arg make_timestamp round-trip; 6-arg form still works") {
+    graft.functions.DuckFunctions.register(spark)
+    val us = spark.sql("SELECT epoch_us(make_timestamp(1700000000000000)) AS us")
+      .head().getAs[Long]("us")
+    assert(us == 1700000000000000L)
+    // session tz is UTC; TIMESTAMP surfaces as java.sql.Timestamp
+    val t = spark.sql("SELECT make_timestamp(2024, 3, 1, 12, 30, 0) AS t")
+      .head().getTimestamp(0).toInstant
+    assert(t == java.time.Instant.parse("2024-03-01T12:30:00Z"))
+  }
+
+  test("generate_series, unnest, list aliases, len on strings and arrays") {
+    graft.functions.DuckFunctions.register(spark)
+    val n = spark.sql(
+      rw("SELECT len(list_distinct(list_concat([1,2], [2,3]))) AS n")).head().getAs[Long]("n")
+    assert(n == 3L)
+    val strLen = spark.sql("SELECT len('hello') AS n").head().getAs[Long]("n")
+    assert(strLen == 5L)
+    val total = spark.sql(
+      "SELECT list_sum(list_transform(generate_series(1, 4), x -> x * x)) AS s")
+      .head().getAs[Long]("s")
+    assert(total == 30L)
+    val exploded = spark.sql(rw("SELECT unnest([10, 20, 30]) AS v")).collect().map(_.getInt(0))
+    assert(exploded.toSeq == Seq(10, 20, 30))
+  }
+
+  test("try_element_at preserves DuckDB NULL-on-out-of-range") {
+    val v = spark.sql(rw("SELECT [1,2][5] AS v")).head()
+    assert(v.isNullAt(0))
+  }
+
+  test("PipelineSession accepts a duckdb-dialect override") {
+    graft.functions.DuckFunctions.register(spark)
+    import spark.implicits._
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+      .createOrReplaceTempView("shim_session_t")
+    val sess = new graft.runtime.PipelineSession(spark)
+    sess.sqlDialect = "duckdb"
+    sess.update(sqlOverride = Some("SELECT id, name FROM shim_session_t WHERE (id // 2)::INT = 1"))
+    val df = sess.executeNow().get
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    sess.close()
+  }
+}
