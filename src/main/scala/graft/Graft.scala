@@ -96,6 +96,21 @@ final class Graft(val spark: SparkSession, stateDir: String) {
     spark.sql(graft.compile.DuckSqlShim.rewrite(text))
   }
 
+  /** SQL with Arrow results: the reference surfaces query results as
+    * Arrow record batches to its consumers
+    * (src/react/components/SqlQueryPanel.jsx:110-112); this is the
+    * same contract — each returned chunk is a self-describing Arrow
+    * IPC stream (schema + one record batch), serialized by Spark's own
+    * Arrow writer (the PySpark `toArrow()` code path). Rebuild a
+    * DataFrame from them with [[Graft.fromArrow]].
+    */
+  def sqlArrow(text: String, maxRecordsPerBatch: Long = 10000L): Array[Array[Byte]] =
+    org.apache.spark.sql.graft.ArrowBridge.toArrowBatches(sql(text), maxRecordsPerBatch)
+
+  /** Inverse of [[sqlArrow]] — Arrow IPC chunks back to a DataFrame. */
+  def fromArrow(batches: Seq[Array[Byte]]): DataFrame =
+    org.apache.spark.sql.graft.ArrowBridge.fromArrowBatches(spark, batches.iterator)
+
   /** Typed boundary: a loaded theme as Dataset[CanonicalFeature]. */
   def features(key: String): Dataset[CanonicalFeature] = {
     import spark.implicits._
