@@ -15,11 +15,14 @@ import org.apache.spark.sql.types._
   * (WAV/AIFF/AU PCM → `decodeAudio`, `extractAudioFeatures`), and a
   * hand-walked RIFF container for MJPEG AVI (`decodeMjpegFrames`,
   * `sampleFramesDecoded` — each frame is a JPEG, decoded via ImageIO).
-  * Compressed video codecs (H.264 etc.) are not decodable JDK-only,
-  * so for those `decodeStub`/`sampleFrames` remain as deterministic
-  * stand-ins with the real signature, batch shape and schema. The
-  * Spark-side plumbing — schema, partitioning, per-partition
-  * batching — is real and tested either way.
+  * Compressed video codecs (H.264 etc.) need native libraries the JDK
+  * doesn't ship; they plug in through the [[Multimodal.VideoDecoder]]
+  * seam (serializable, partition-local, same output schema), with
+  * MJPEG-AVI as the default registry entry and
+  * `decodeStub`/`sampleFrames` as deterministic stand-ins for content
+  * no registered decoder claims. The Spark-side plumbing — schema,
+  * partitioning, per-partition batching, format dispatch — is real and
+  * tested for every path.
   */
 object Multimodal {
 
@@ -298,12 +301,44 @@ object Multimodal {
     out.toSeq
   }
 
-  /** Frame sampling with the REAL decoder: every `everyN`-th MJPEG
-    * frame decoded via ImageIO to (frame_idx, width, height, mean
-    * luma). Non-MJPEG content yields no rows — compose with
-    * `sampleFrames` (the stub) for opaque formats.
+  /** Pluggable compressed-video decoder seam: H.264/VP9/... decode
+    * needs a native codec library the JDK doesn't ship, so the engine
+    * defines the CONTRACT — serializable, partition-local, frames out
+    * as BufferedImages — and ships the one decoder that IS JDK-only
+    * (MJPEG-AVI) as the default registry entry. A deployment with an
+    * ffmpeg/JavaCV binding registers its decoder here and every frame
+    * pipeline picks it up with no other change; the Spark-side
+    * plumbing (dispatch on declared format, mapPartitions batch shape,
+    * output schema) is identical for every codec and is what the specs
+    * pin down (OpsSpec exercises a plugged test decoder end-to-end).
     */
-  def sampleFramesDecoded(media: DataFrame, everyN: Int = 10): DataFrame = {
+  trait VideoDecoder extends Serializable {
+    /** meta.format values this decoder claims (lowercase). */
+    def formats: Set[String]
+
+    /** Up to `maxFrames` decoded frames; Nil when the bytes are not
+      * decodable by this implementation (callers drop the row rather
+      * than failing the partition).
+      */
+    def decodeFrames(content: Array[Byte], maxFrames: Int): Seq[java.awt.image.BufferedImage]
+  }
+
+  /** The JDK-only real decoder: MJPEG inside a RIFF AVI container. */
+  object MjpegDecoder extends VideoDecoder {
+    def formats: Set[String] = Set("avi", "mjpeg")
+    def decodeFrames(content: Array[Byte], maxFrames: Int): Seq[java.awt.image.BufferedImage] =
+      decodeMjpegFrames(content, maxFrames).flatMap(decodeImage(_))
+  }
+
+  /** Frame sampling with REAL decoders: rows dispatch to the first
+    * decoder claiming their `meta.format` (falling back to trying each
+    * in order when the format is unknown); every `everyN`-th decoded
+    * frame becomes (frame_idx, width, height, mean luma). Content no
+    * decoder handles yields no rows — compose with `sampleFrames` (the
+    * byte-slice stand-in) for opaque formats.
+    */
+  def sampleFramesDecoded(media: DataFrame, everyN: Int = 10,
+                          decoders: Seq[VideoDecoder] = Seq(MjpegDecoder)): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
@@ -311,15 +346,24 @@ object Multimodal {
       StructField("frame_width", IntegerType),
       StructField("frame_height", IntegerType),
       StructField("frame_mean_luma", DoubleType)))
+    val hasFormat = media.schema.fields.exists(_.name == "meta")
     val rdd = media.rdd.mapPartitions { it =>
       it.flatMap { r =>
         val id = r.getAs[Long]("media_id")
-        decodeMjpegFrames(r.getAs[Array[Byte]]("content")).zipWithIndex
+        val content = r.getAs[Array[Byte]]("content")
+        val fmt =
+          if (hasFormat) Option(r.getAs[Row]("meta")).flatMap(m =>
+            Option(m.getAs[String]("format"))).map(_.toLowerCase)
+          else None
+        val candidates = fmt.flatMap(f => decoders.find(_.formats(f)))
+          .map(Seq(_)).getOrElse(decoders)
+        val frames = candidates.iterator
+          .map(_.decodeFrames(content, maxFrames = 256))
+          .find(_.nonEmpty).getOrElse(Nil)
+        frames.zipWithIndex
           .filter(_._2 % everyN == 0)
-          .flatMap { case (jpeg, idx) =>
-            decodeImage(jpeg).map { img =>
-              Row(id, idx, img.getWidth, img.getHeight, meanLuma(img))
-            }
+          .map { case (img, idx) =>
+            Row(id, idx, img.getWidth, img.getHeight, meanLuma(img))
           }
       }
     }

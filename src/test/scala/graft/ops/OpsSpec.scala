@@ -387,6 +387,54 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.forall(_.getAs[Array[Byte]]("frame_bytes").length <= 4))
   }
 
+  test("video decoder seam: a plugged compressed-format decoder drives the same pipeline") {
+    // toy compressed format standing in for an H.264 binding:
+    // "RAWV" magic, u8 width, u8 height, then per-frame gray planes
+    object RawvDecoder extends Multimodal.VideoDecoder {
+      def formats: Set[String] = Set("h264")
+      def decodeFrames(content: Array[Byte], maxFrames: Int): Seq[java.awt.image.BufferedImage] = {
+        if (content == null || content.length < 6 ||
+          new String(content, 0, 4, "ISO-8859-1") != "RAWV") return Nil
+        val w = content(4) & 0xff; val h = content(5) & 0xff
+        if (w == 0 || h == 0) return Nil
+        val frameLen = w * h
+        val n = math.min((content.length - 6) / frameLen, maxFrames)
+        (0 until n).map { f =>
+          // TYPE_INT_RGB: getRGB is exact (TYPE_BYTE_GRAY would remap
+          // linear gray to sRGB and skew the luma check)
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0
+          while (i < frameLen) {
+            val g = content(6 + f * frameLen + i) & 0xff
+            img.setRGB(i % w, i / w, (g << 16) | (g << 8) | g)
+            i += 1
+          }
+          img
+        }
+      }
+    }
+    val w = 8; val h = 4
+    val frames = (0 until 5).flatMap(f => Array.fill(w * h)((f * 40 + 20).toByte))
+    val bytes = "RAWV".getBytes("ISO-8859-1") ++ Array(w.toByte, h.toByte) ++ frames
+    val rows = Seq(
+      Row(1L, bytes, Row("h264", w, h, 5)),
+      Row(2L, "garbage".getBytes("UTF-8"), Row("h264", 0, 0, 1)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
+      Multimodal.mediaSchema)
+    val out = Multimodal.sampleFramesDecoded(df, everyN = 2,
+      decoders = Seq(Multimodal.MjpegDecoder, RawvDecoder)).collect().sortBy(_.getInt(1))
+    // frames 0, 2, 4 sampled from media 1; media 2 is undecodable → dropped
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[Long]("media_id") == 1L))
+    assert(out.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2, 4))
+    assert(out.forall(r => r.getAs[Int]("frame_width") == w && r.getAs[Int]("frame_height") == h))
+    // gray value of frame f is f*40+20 exactly (no JPEG loss in the toy codec)
+    assert(out.map(_.getAs[Double]("frame_mean_luma")).zip(Seq(20.0, 100.0, 180.0))
+      .forall { case (a, e) => math.abs(a - e) < 1.0 })
+  }
+
   test("dedup pipelines leave no CacheManager entries behind") {
     spark.sharedState.cacheManager.clearCache()
     Dedup.ngramJaccardPairs(docs, "doc_id", "text", blockCols = Seq("lang")).count()
