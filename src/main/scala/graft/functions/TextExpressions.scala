@@ -147,7 +147,7 @@ object TextExpressions {
   }
 
   object ShingleHashes {
-    private val digest = new ThreadLocal[java.security.MessageDigest] {
+    private[functions] val digest = new ThreadLocal[java.security.MessageDigest] {
       override def initialValue(): java.security.MessageDigest =
         java.security.MessageDigest.getInstance("MD5")
     }
@@ -156,6 +156,98 @@ object TextExpressions {
   def shingle_hashes(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(
       ColumnBridge.expression(org.apache.spark.sql.functions.lower(text)), n))
+
+  /** MOSS-style winnowing fingerprints in one pass: canonical form
+    * (runs of [a-z0-9] of the lowercased input joined by single
+    * spaces — identical to
+    * `trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))`),
+    * character `k`-gram md5 15-hex-prefix hashes, sliding-window
+    * minima (window `w`, monotonic deque — O(grams) not O(grams·w)),
+    * distinct + sorted.
+    *
+    * The declarative formulation (`transform(sequence, i ->
+    * substring(norm, i, k))`) is O(L²) per document — Spark's
+    * `substring` re-scans from the string start for code-point
+    * positioning — which is why this is a kernel like its shingle
+    * siblings above. Hashes stay fixed-width hex STRINGS so
+    * lexicographic minima equal numeric minima and the DuckDB oracle
+    * reproduces them verbatim.
+    */
+  case class WinnowHashes(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 2 && w >= 1, "need k >= 2, w >= 1")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "winnow_hashes"
+
+    override protected def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      // canonical form: token runs joined by single spaces
+      val norm = {
+        val sb = new java.lang.StringBuilder(s.length)
+        var i = 0
+        var first = true
+        while (i < s.length) {
+          val c = s.charAt(i)
+          if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+            val start = i
+            i += 1
+            while (i < s.length && {
+              val d = s.charAt(i); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+            }) i += 1
+            if (!first) sb.append(' ')
+            sb.append(s, start, i)
+            first = false
+          } else i += 1
+        }
+        sb.toString
+      }
+      val md = ShingleHashes.digest.get()
+      val hexChars = "0123456789abcdef".toCharArray
+      val L  = norm.length
+      val nG = math.max(L - k + 1, 1)
+      val hashes = new Array[String](nG)
+      var i = 0
+      while (i < nG) {
+        md.reset()
+        val gram = norm.substring(i, math.min(i + k, L))
+        val h = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val cs = new Array[Char](15)
+        var j = 0
+        while (j < 15) {
+          val b = h(j / 2) & 0xff
+          cs(j) = hexChars(if (j % 2 == 0) b >> 4 else b & 0xf)
+          j += 1
+        }
+        hashes(i) = new String(cs)
+        i += 1
+      }
+      // sliding-window minima via monotonic deque of indices
+      val win = math.min(w, nG)
+      val nW  = math.max(nG - w + 1, 1)
+      val set = new java.util.TreeSet[String]()
+      val dq  = new Array[Int](nG)
+      var head = 0; var tail = 0 // [head, tail) holds candidate indices
+      i = 0
+      while (i < nG) {
+        while (tail > head && hashes(dq(tail - 1)).compareTo(hashes(i)) >= 0) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - win) head += 1
+        if (i >= win - 1 && (i - win + 1) < nW) set.add(hashes(dq(head)))
+        i += 1
+      }
+      val out = new Array[Any](set.size())
+      val it = set.iterator()
+      i = 0
+      while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def winnow_hashes(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowHashes(
+      ColumnBridge.expression(org.apache.spark.sql.functions.lower(text)), k, w))
 
   private def litToInt(e: Expression): Int = e.eval() match {
     case i: Int  => i
@@ -176,6 +268,10 @@ object TextExpressions {
       "built-in")
     reg.createOrReplaceTempFunction("shingle_hashes",
       es => ShingleHashes(lower(es.head), es.lift(1).map(litToInt).getOrElse(3)),
+      "built-in")
+    reg.createOrReplaceTempFunction("winnow_hashes",
+      es => WinnowHashes(lower(es.head),
+        es.lift(1).map(litToInt).getOrElse(8), es.lift(2).map(litToInt).getOrElse(4)),
       "built-in")
   }
 }

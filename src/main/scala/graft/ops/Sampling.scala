@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `rand()`-based sampling is non-reproducible across runs, retries
+  * and engines; these operators derive the keep/drop decision from an
+  * md5 hash of the row's id, so a sample is a pure map-side filter —
+  * no shuffle, no state, bit-identical on every engine and every
+  * re-run, and stable under repartitioning (the properties a 100 TB
+  * dataset-curation pipeline needs for auditable subsets).
+  *
+  * Portability trick: rather than converting the hash to a number
+  * (hex→int builtins differ across engines), the fraction is converted
+  * ONCE to a fixed-width 15-hex-char threshold and compared as a
+  * string — lexicographic order on fixed-width lowercase hex equals
+  * numeric order, and md5 hex is identical everywhere.
+  */
+object Sampling {
+
+  /** 60-bit uniform hash of the id as a fixed-width hex string. */
+  def hashKey(id: Column): Column = substring(md5(id.cast("string")), 1, 15)
+
+  /** `fraction` ∈ [0,1] as the equivalent 15-hex-char cutoff. */
+  def thresholdHex(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of [0,1]: $fraction")
+    val max = 1L << 60 // 16^15
+    val cut = math.min(max, math.round(fraction * max.toDouble))
+    if (cut >= max) "g" // > every hex char — keep all
+    else f"$cut%015x"
+  }
+
+  /** Keep each row independently with probability `fraction`,
+    * deterministically in its id.
+    */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.where(hashKey(col(idCol)) < lit(thresholdHex(fraction)))
+
+  /** Per-stratum sampling rates (e.g. downsample boilerplate-heavy
+    * sources, keep rare languages whole): rows in strata missing from
+    * `fractions` keep `defaultFraction`.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 1.0): DataFrame = {
+    val cutoff = fractions.foldLeft(lit(thresholdHex(defaultFraction))) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(thresholdHex(f))).otherwise(acc)
+    }
+    df.where(hashKey(col(idCol)) < cutoff)
+  }
+}

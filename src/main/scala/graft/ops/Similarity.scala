@@ -218,6 +218,40 @@ object Similarity {
       .toDF("cent_id", "centroid")
   }
 
+  /** Symmetric per-vector int8 quantization — the memory-scale path
+    * for a 100 TB vector corpus: 4× smaller than float32, and the
+    * quantized dot product runs on integers. scale = max|x| / 127;
+    * q_i = ⌊x_i / scale + 0.5⌋ (round-half-up via floor — identical
+    * arithmetic on every engine, unlike banker's-rounding builtins).
+    * Zero vectors quantize to all-zero with scale 0.
+    *
+    * Adds `q_vec: array<int>` (int8 value range) and `q_scale`;
+    * reconstruction is `q_i * q_scale`. Pure column expressions.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String,
+                   qCol: String = "q_vec", scaleCol: String = "q_scale"): DataFrame = {
+    val v    = transform(col(vecCol), x => x.cast("double"))
+    val amax = array_max(transform(v, x => abs(x)))
+    val q = when(amax > 0,
+      transform(v, x => floor(x / amax * 127.0 + 0.5).cast("int")))
+      .otherwise(transform(v, _ => lit(0)))
+    df.withColumn(qCol, q)
+      .withColumn(scaleCol, when(amax > 0, amax / 127.0).otherwise(lit(0.0)))
+  }
+
+  /** Cosine over int8-quantized vectors: integer dot product scaled
+    * back by both scales — the refine step a quantized ANN index runs
+    * before (optionally) re-scoring survivors in full precision.
+    */
+  def quantizedCosine(qa: Column, sa: Column, qb: Column, sb: Column): Column = {
+    def qnorm(q: Column, s: Column): Column =
+      sqrt(aggregate(q, lit(0L), (acc, x) => acc + x.cast("long") * x.cast("long"))
+        .cast("double")) * s
+    val dotQ = aggregate(zip_with(qa, qb, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, x) => acc + x).cast("double") * sa * sb
+    dotQ / (qnorm(qa, sa) * qnorm(qb, sb))
+  }
+
   /** ANN via LSH buckets: exact cosine within the query's bucket.
     * Recall is bucket-limited (the classic LSH trade); bump `planes`
     * down or probe neighbors for higher recall.

@@ -74,6 +74,25 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
 
+  /** MOSS-style winnowing fingerprints (rolling-hash document
+    * fingerprinting): character `k`-grams over the canonical form,
+    * each hashed to a fixed-width md5 hex prefix, minimum per sliding
+    * window of `w` hashes, distinct + sorted. Robust to local edits —
+    * two documents sharing any k-gram run of length ≥ k+w−1 share a
+    * fingerprint — which is what plagiarism/near-dup detection at
+    * corpus scale selects on.
+    *
+    * Runs as the native `WinnowHashes` kernel (one pass, thread-local
+    * md5, monotonic-deque window minima) — the declarative
+    * transform/substring formulation is O(L²) per document because
+    * `substring` positions by re-scanning. Hashes stay 15-hex-char
+    * STRINGS — lexicographic min equals numeric min at fixed width,
+    * and both engines derive identical md5 hex, so results are
+    * oracle-portable (same trick as the MinHash family).
+    */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    graft.functions.TextExpressions.winnow_hashes(text, k, w)
+
   /** Convenience: annotate a corpus with the full analysis bundle. */
   def annotate(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

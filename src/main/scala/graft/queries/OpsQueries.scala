@@ -419,5 +419,92 @@ object OpsQueries {
       Some("""SELECT doc_id AS media_id,
              |  GREATEST((CAST(doc_id % 30 + 1 AS INT) - 1) // 10, 0) + 1 AS n_sampled
              |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // ── winnowing / sampling / quantization (round-3 extensions) ───
+
+    // MOSS-style rolling-hash fingerprints: k=8 char-grams, window 4;
+    // fingerprint SET is compared via count/min/max/digest scalars.
+    Q("text_winnow_fingerprint",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.table("documents")
+          .select(col("doc_id"),
+            TextAnalysis.winnowFingerprints(col("text"), k = 8, w = 4).as("fps"))
+          .select(col("doc_id"),
+            size(col("fps")).cast("long").as("n_fp"),
+            array_min(col("fps")).as("fp_min"),
+            array_max(col("fps")).as("fp_max"),
+            md5(concat_ws(",", col("fps"))).as("fp_digest"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nrm
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    [substr(md5(substr(nrm, i, 8)), 1, 15) for i in generate_series(1, GREATEST(len(nrm) - 7, 1))] AS hs
+             |  FROM d),
+             |wn AS (
+             |  SELECT doc_id,
+             |    list_sort(list_distinct([list_aggregate(hs[j:j+3], 'min') for j in generate_series(1, GREATEST(len(hs) - 3, 1))])) AS fps
+             |  FROM g)
+             |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+             |       fps[1] AS fp_min, fps[len(fps)] AS fp_max,
+             |       md5(array_to_string(fps, ',')) AS fp_digest
+             |FROM wn ORDER BY doc_id""".stripMargin)),
+
+    // deterministic hash-based stratified sampling: en halved, de kept
+    // whole, everything else quartered — md5-threshold keep decision
+    // is engine-portable by construction.
+    Q("sample_stratified",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        graft.ops.Sampling.stratifiedSample(s.table("documents"), "doc_id", "lang",
+            Map("en" -> 0.5, "de" -> 1.0), defaultFraction = 0.25)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_id"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS first_id FROM documents
+              |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) <
+              |  CASE WHEN lang = 'en' THEN '${graft.ops.Sampling.thresholdHex(0.5)}'
+              |       WHEN lang = 'de' THEN '${graft.ops.Sampling.thresholdHex(1.0)}'
+              |       ELSE '${graft.ops.Sampling.thresholdHex(0.25)}' END
+              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // symmetric int8 quantization of the embedding corpus: scale,
+    // integer checksum, saturation count and max reconstruction error.
+    Q("ann_quantize_int8",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        Similarity.quantizeInt8(s.table("embeddings"), "embedding")
+          // error computed BEFORE the rounding projection: a lateral
+          // column alias would otherwise resolve q_scale to its own
+          // rounded alias in the same select list
+          .withColumn("_err", array_max(zip_with(
+            transform(col("embedding"), x => x.cast("double")), col("q_vec"),
+            (x, q) => abs(x - q.cast("double") * col("q_scale")))))
+          .select(col("vec_id"),
+            round(col("q_scale"), 6).as("q_scale"),
+            aggregate(col("q_vec"), lit(0L), (a, x) => a + x).as("q_sum"),
+            size(filter(col("q_vec"), x => abs(x) === 127)).cast("long").as("q_sat"),
+            round(col("_err"), 6).as("q_err"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |a AS (
+             |  SELECT vec_id, e, list_aggregate(list_transform(e, x -> abs(x)), 'max') AS amax FROM v),
+             |q AS (
+             |  SELECT vec_id, e, amax,
+             |    CASE WHEN amax > 0 THEN list_transform(e, x -> CAST(floor(x / amax * 127 + 0.5) AS BIGINT))
+             |         ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS qv,
+             |    CASE WHEN amax > 0 THEN amax / 127 ELSE 0.0 END AS scale
+             |  FROM a)
+             |SELECT vec_id, ROUND(scale, 6) AS q_scale,
+             |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+             |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS q_sat,
+             |  ROUND(list_aggregate([abs(e[i] - qv[i] * scale) for i in generate_series(1, len(e))], 'max'), 6) AS q_err
+             |FROM q ORDER BY vec_id""".stripMargin)),
   )
 }

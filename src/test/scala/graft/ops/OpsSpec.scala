@@ -435,6 +435,67 @@ class OpsSpec extends AnyFunSuite {
       .forall { case (a, e) => math.abs(a - e) < 1.0 })
   }
 
+  test("winnowing fingerprints: near-dups overlap, unrelated don't, edits stay local") {
+    val fps = docs.select($"doc_id",
+        TextAnalysis.winnowFingerprints($"text", k = 8, w = 4).as("fps"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1).toSet).toMap
+    assert(fps(1L) == fps(2L))                      // identical docs
+    assert(fps(1L) == fps(4L))                      // punctuation-variant (same canonical form)
+    val nearOverlap = (fps(1L) & fps(3L)).size.toDouble / (fps(1L) | fps(3L)).size
+    assert(nearOverlap > 0.3, s"near-dup overlap $nearOverlap")  // one-word edit
+    val farOverlap = (fps(1L) & fps(5L)).size.toDouble / (fps(1L) | fps(5L)).size
+    assert(farOverlap < 0.1, s"unrelated overlap $farOverlap")
+    assert(fps.values.forall(s => s.nonEmpty && s.forall(_.length == 15)))
+  }
+
+  test("deterministic sampling: reproducible, rate-accurate, stratified rates apply") {
+    val ids = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val s1 = Sampling.deterministicSample(ids, "id", 0.3).collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.deterministicSample(ids, "id", 0.3).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)                                 // bit-identical re-run
+    assert(math.abs(s1.size / 2000.0 - 0.3) < 0.05)  // rate within 5pp
+    // monotone: a larger fraction keeps a superset
+    val s3 = Sampling.deterministicSample(ids, "id", 0.6).collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s3))
+    val strat = Sampling.stratifiedSample(ids, "id", "lang", Map("en" -> 1.0, "de" -> 0.0))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(strat.forall(_._2 == "en") && strat.length == 1000)
+    // fraction 0/1 edge cases
+    assert(Sampling.deterministicSample(ids, "id", 0.0).count() == 0)
+    assert(Sampling.deterministicSample(ids, "id", 1.0).count() == 2000)
+  }
+
+  test("int8 quantization: bounded values, bounded error, quantized cosine tracks exact") {
+    val vecs = Seq(
+      (1L, Array(0.5, -1.0, 0.25, 0.75)),
+      (2L, Array(0.45, -0.95, 0.2, 0.8)),
+      (3L, Array(-3.0, 2.0, 0.0, 1.0)),
+      (4L, Array(0.0, 0.0, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(vecs, "embedding")
+    val rows = q.collect().map(r => r.getAs[Long]("vec_id") ->
+      ((r.getSeq[Int](r.fieldIndex("q_vec")), r.getAs[Double]("q_scale")))).toMap
+    assert(rows.values.forall(_._1.forall(v => v >= -127 && v <= 127)))
+    assert(rows(1L)._1.contains(-127))               // the max-|x| slot saturates
+    assert(rows(4L)._1.forall(_ == 0) && rows(4L)._2 == 0.0)
+    // reconstruction error ≤ scale/2 per element
+    vecs.collect().foreach { r =>
+      val id = r.getLong(0); val e = r.getSeq[Double](1)
+      val (qv, s) = rows(id)
+      e.zip(qv).foreach { case (x, qi) => assert(math.abs(x - qi * s) <= s / 2 + 1e-12) }
+    }
+    // quantized cosine within 2% of exact for non-zero pairs
+    val cos = q.where($"vec_id" === 1).crossJoin(
+        q.where($"vec_id" === 2).select($"q_vec".as("qb"), $"q_scale".as("sb"),
+          $"embedding".as("eb")))
+      .select(
+        Similarity.quantizedCosine($"q_vec", $"q_scale", $"qb", $"sb").as("qc"),
+        Similarity.cosine($"embedding", $"eb").as("ec"))
+      .head()
+    assert(math.abs(cos.getDouble(0) - cos.getDouble(1)) < 0.02)
+  }
+
   test("dedup pipelines leave no CacheManager entries behind") {
     spark.sharedState.cacheManager.clearCache()
     Dedup.ngramJaccardPairs(docs, "doc_id", "text", blockCols = Seq("lang")).count()
