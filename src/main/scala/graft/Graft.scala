@@ -161,6 +161,33 @@ final class Graft(val spark: SparkSession, stateDir: String) {
   def annotateText(df: DataFrame, textCol: String = "text"): DataFrame =
     graft.ops.TextAnalysis.annotate(df, textCol)
 
+  /** MOSS-style winnowing fingerprint set per document (rolling-hash
+    * k-grams, window minima) — the plagiarism/near-dup selection key.
+    */
+  def winnow(df: DataFrame, textCol: String = "text",
+             k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("winnow_fps",
+      graft.ops.TextAnalysis.winnowFingerprints(col(textCol), k, w))
+  }
+
+  /** Deterministic (hash-threshold) sample — reproducible across
+    * runs, engines and repartitioning; optional per-stratum rates.
+    */
+  def sample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    graft.ops.Sampling.deterministicSample(df, idCol, fraction)
+
+  def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 1.0): DataFrame =
+    graft.ops.Sampling.stratifiedSample(df, idCol, strataCol, fractions, defaultFraction)
+
+  /** Symmetric int8 quantization of an embedding column (adds q_vec +
+    * q_scale) — the 4× memory-scale path for vector search.
+    */
+  def quantize(df: DataFrame, vecCol: String = "embedding"): DataFrame =
+    graft.ops.Similarity.quantizeInt8(df, vecCol)
+
   /** Export a registered table to parquet, optionally z-order
     * clustered on its centroid columns for spatially-pruned reads.
     */

@@ -63,4 +63,31 @@ class TextPropertySpec extends AnyFunSuite {
     }
     texts.unpersist()
   }
+
+  test("WinnowHashes matches the declarative formulation on random input") {
+    import spark.implicits._
+    val r = new Random(20260813L)
+    val texts = ((0 until 300).map(_ => genText(r)) ++
+      Seq("", " ", "abcdefgh", "ab", "!!!", "aa aa aa aa aa aa aa"))
+      .toDF("text")
+    texts.cache().count()
+    for ((k, w) <- Seq((8, 4), (5, 3), (2, 1))) {
+      val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+      val nGrams = length(norm) - lit(k - 1)
+      val hashes = transform(sequence(lit(1), greatest(nGrams, lit(1))),
+        i => substring(md5(substring(norm, i, lit(k))), 1, 15))
+      val nh = size(hashes)
+      val decl = array_sort(array_distinct(transform(
+        sequence(lit(1), greatest(nh - lit(w - 1), lit(1))),
+        j => array_min(slice(hashes, j, least(lit(w), nh))))))
+      val rows = texts.select(col("text"),
+          TextExpressions.winnow_hashes(col("text"), k, w).as("kern"), decl.as("decl"))
+        .collect()
+      rows.foreach { row =>
+        assert(row.getSeq[String](1) == row.getSeq[String](2),
+          s"k=$k w=$w text=${row.getString(0).take(60)}")
+      }
+    }
+    texts.unpersist()
+  }
 }
