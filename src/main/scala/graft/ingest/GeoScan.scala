@@ -141,8 +141,14 @@ object GeoScan {
     val paths = FileIndex.listParquet(dir, conf)
     require(paths.nonEmpty, s"no parquet files under $dir")
     val manifest = FileIndex.build(spark, paths)
-    val fs = new Path(paths.head).getFileSystem(conf)
-    val statuses = paths.map(p => fs.getFileStatus(new Path(p)))
+    // ONE directory listing supplies every FileStatus — a per-file
+    // getFileStatus loop would be 100k serial RPCs on an object store
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val wanted = paths.map(p => new Path(p).toUri.getPath).toSet
+    val statuses = fs.listStatus(dirPath).toSeq
+      .filter(st => st.isFile && wanted(st.getPath.toUri.getPath))
+      .sortBy(_.getPath.toString)
     val schema = spark.read.parquet(paths.head).schema
     val index = new BBoxFileIndex(dir, statuses, manifest)
     val relation = HadoopFsRelation(
