@@ -109,6 +109,40 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Pairwise near-duplicate candidates by shared WINNOWING
+    * fingerprints (TextAnalysis.winnowFingerprints): fingerprint sets
+    * are tiny (one hash per window position survives), so the
+    * inverted-index join — explode fps, equi-join on (block, fp),
+    * count shared per pair — moves far fewer rows than the shingle
+    * join for the same corpus; jaccard over the fingerprint SETS
+    * estimates document overlap. Same scale shape as
+    * `ngramJaccardPairs`: one shuffle keyed on (block, fp), never
+    * O(n²).
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  blockCols: Seq[String], k: Int = 8, w: Int = 4,
+                  threshold: Double = 0.5): DataFrame = {
+    val ex = df.select((Seq(col(idCol).as("_id")) ++ blockCols.map(col)) :+
+        TextAnalysis.winnowFingerprints(col(textCol), k, w).as("_fps"): _*)
+      .withColumn("_nfp", size(col("_fps")).cast("long"))
+      .select((Seq(col("_id"), col("_nfp")) ++ blockCols.map(col)) :+
+        explode(col("_fps")).as("_fp"): _*)
+      .localCheckpoint()
+    val a = ex.select((Seq(col("_id").as("id_a"), col("_nfp").as("na"), col("_fp")) ++
+      blockCols.map(col)): _*)
+    val b = ex.select((Seq(col("_id").as("id_b"), col("_nfp").as("nb"), col("_fp").as("_fpb")) ++
+      blockCols.map(c => col(c).as(s"${c}_b"))): _*)
+    val joinCond = (blockCols.map(c => col(c) === col(s"${c}_b")) :+
+      (col("_fp") === col("_fpb")) :+ (col("id_a") < col("id_b"))).reduce(_ && _)
+    a.join(b, joinCond)
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("fp_jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+      .where(col("fp_jaccard") >= threshold)
+      .select("id_a", "id_b", "fp_jaccard")
+  }
+
   /** MinHash signatures in wide form: one row per doc, k `sig<i>`
     * columns — a single shuffle (groupBy id) with k min-aggregates,
     * instead of exploding every shingle k times.

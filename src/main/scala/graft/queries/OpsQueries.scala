@@ -453,6 +453,38 @@ object OpsQueries {
              |       md5(array_to_string(fps, ',')) AS fp_digest
              |FROM wn ORDER BY doc_id""".stripMargin)),
 
+    // winnow-fingerprint near-dup pairs: inverted-index join on shared
+    // fingerprints within (lang, source) blocks — the pair-generation
+    // half of the winnowing family.
+    Q("dedup_winnow_pairs",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        Dedup.winnowPairs(s.table("documents"), "doc_id", "text",
+            blockCols = Seq("lang", "source"), k = 8, w = 4, threshold = 0.0)
+          .where(col("fp_jaccard") > 0)
+          .orderBy(desc("fp_jaccard"), col("id_a"), col("id_b"))
+          .limit(50)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang, source,
+             |         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nrm
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, lang, source,
+             |    [substr(md5(substr(nrm, i, 8)), 1, 15) for i in generate_series(1, GREATEST(len(nrm) - 7, 1))] AS hs
+             |  FROM d),
+             |wn AS (
+             |  SELECT doc_id, lang, source,
+             |    list_distinct([list_aggregate(hs[j:j+3], 'min') for j in generate_series(1, GREATEST(len(hs) - 3, 1))]) AS fps
+             |  FROM g)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(len(list_intersect(a.fps, b.fps)) AS DOUBLE) /
+             |  CAST(len(list_distinct(list_concat(a.fps, b.fps))) AS DOUBLE) AS fp_jaccard
+             |FROM wn a JOIN wn b
+             |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.fps, b.fps)) > 0
+             |ORDER BY fp_jaccard DESC, id_a, id_b LIMIT 50""".stripMargin)),
+
     // deterministic hash-based stratified sampling: en halved, de kept
     // whole, everything else quartered — md5-threshold keep decision
     // is engine-portable by construction.

@@ -448,6 +448,19 @@ class OpsSpec extends AnyFunSuite {
     assert(fps.values.forall(s => s.nonEmpty && s.forall(_.length == 15)))
   }
 
+  test("winnowPairs ranks near-dup above unrelated, like the shingle family") {
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text",
+        blockCols = Seq("lang"), k = 8, w = 4, threshold = 0.0)
+      .where($"fp_jaccard" > 0).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("fp_jaccard"))).toMap
+    assert(pairs((1L, 2L)) == 1.0)                    // identical docs share all fingerprints
+    assert(pairs((1L, 4L)) == 1.0)                    // punctuation variant, same canonical form
+    // near dup scores high; winnowing may legitimately select no
+    // fingerprint from a short differing tail, so 1.0 is possible
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) >= 0.5)
+    assert(!pairs.contains((1L, 5L)) || pairs((1L, 5L)) < 0.1)
+  }
+
   test("deterministic sampling: reproducible, rate-accurate, stratified rates apply") {
     val ids = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("id", "lang")
