@@ -249,6 +249,167 @@ object TextExpressions {
     ColumnBridge.column(WinnowHashes(
       ColumnBridge.expression(org.apache.spark.sql.functions.lower(text)), k, w))
 
+  /** Language-ID heuristic in one pass: tokenize (same byte-run
+    * contract as the shingle kernels), count stopword hits per
+    * lexicon, argmax with ties to the lexicographically larger
+    * language code, "und" when nothing hits — exactly
+    * `greatest(struct(hits, lang))` over the declarative formulation,
+    * which evaluates (langs+1) interpreted filter/size HOF chains per
+    * row.
+    *
+    * `lexicons` maps language code → stopword set; passed at
+    * construction so the kernel stays generic (TextAnalysis supplies
+    * its built-in table).
+    */
+  case class LangIdExpr(child: Expression, lexicons: Seq[(String, Seq[String])])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "lang_id"
+
+    // token → indexes of lexicons containing it (a word can be a
+    // stopword in several languages: "de", "la", "un", ...)
+    @transient private lazy val langs: Array[String] =
+      lexicons.map(_._1).sorted.toArray
+    @transient private lazy val wordLangs: java.util.HashMap[String, Array[Int]] = {
+      val byLang = lexicons.toMap
+      val m = new java.util.HashMap[String, Array[Int]]()
+      langs.zipWithIndex.foreach { case (l, li) =>
+        byLang(l).foreach { wrd =>
+          val prev = m.get(wrd)
+          m.put(wrd, if (prev == null) Array(li) else prev :+ li)
+        }
+      }
+      m
+    }
+
+    override protected def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val hits = new Array[Int](langs.length)
+      val len = s.length
+      var i = 0
+      while (i < len) {
+        val c = s.charAt(i)
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+          val start = i
+          i += 1
+          while (i < len && {
+            val d = s.charAt(i); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+          }) i += 1
+          val ls = wordLangs.get(s.substring(start, i))
+          if (ls != null) {
+            var j = 0
+            while (j < ls.length) { hits(ls(j)) += 1; j += 1 }
+          }
+        } else i += 1
+      }
+      // argmax; ties → larger lang code (langs ascending, so >=)
+      var best = -1
+      var bestHits = 0
+      var j = 0
+      while (j < langs.length) {
+        if (hits(j) > 0 && hits(j) >= bestHits) { best = j; bestHits = hits(j) }
+        j += 1
+      }
+      UTF8String.fromString(if (best >= 0) langs(best) else "und")
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def lang_id(text: Column, lexicons: Seq[(String, Seq[String])]): Column =
+    ColumnBridge.column(LangIdExpr(
+      ColumnBridge.expression(org.apache.spark.sql.functions.lower(text)), lexicons))
+
+  /** The full token/quality stats bundle in ONE pass over (raw,
+    * lowered) text: struct(n_tokens, n_subwords_est, q_chars,
+    * q_avg_token_len, q_stopword_ratio, q_distinct_ratio,
+    * q_punct_ratio) — bit-identical to TextAnalysis's declarative
+    * column bundle, which walks 6 separate interpreted HOF chains
+    * (tokens() recomputed per metric) per row.
+    *
+    * Parity notes: char counts are CODE POINTS (Spark `length`
+    * semantics — raw and lowered lengths differ when lowercasing
+    * expands, e.g. İ); the punct class mirrors Java regex
+    * `[a-zA-Z0-9\s]` (ASCII whitespace incl. \x0B); subword cost
+    * ceil(len/4) is the integer (len+3)/4.
+    */
+  case class TokenStatsExpr(raw: Expression, lowered: Expression,
+                            enStopwords: Seq[String])
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    override def left: Expression = raw
+    override def right: Expression = lowered
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_subwords_est", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("q_chars", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("q_avg_token_len", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("q_stopword_ratio", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("q_distinct_ratio", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("q_punct_ratio", org.apache.spark.sql.types.DoubleType)))
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "token_stats"
+
+    @transient private lazy val stopSet: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String]()
+      enStopwords.foreach(s.add)
+      s
+    }
+
+    override protected def nullSafeEval(rawAny: Any, lowAny: Any): Any = {
+      val rawS = rawAny.asInstanceOf[UTF8String].toString
+      val lowS = lowAny.asInstanceOf[UTF8String].toString
+      // raw-side: code-point length + punct count
+      var rawCps = 0L
+      var punct = 0L
+      var i = 0
+      while (i < rawS.length) {
+        val cp = rawS.codePointAt(i)
+        rawCps += 1
+        val ok = (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+          (cp >= '0' && cp <= '9') || cp == ' ' || cp == '\t' || cp == '\n' ||
+          cp == 0x0B || cp == '\f' || cp == '\r'
+        if (!ok) punct += 1
+        i += Character.charCount(cp)
+      }
+      // lowered-side: one token scan feeds count/subwords/stopwords/distinct
+      var nTok = 0L
+      var subwords = 0L
+      var stopHits = 0L
+      val distinct = new java.util.HashSet[String]()
+      i = 0
+      while (i < lowS.length) {
+        val c = lowS.charAt(i)
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+          val start = i
+          i += 1
+          while (i < lowS.length && {
+            val d = lowS.charAt(i); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+          }) i += 1
+          val tok = lowS.substring(start, i)
+          nTok += 1
+          subwords += (tok.length + 3) / 4
+          if (stopSet.contains(tok)) stopHits += 1
+          distinct.add(tok)
+        } else i += 1
+      }
+      val tokD = math.max(nTok.toDouble, 1.0)
+      org.apache.spark.sql.catalyst.InternalRow(
+        nTok, subwords, rawCps,
+        rawCps.toDouble / tokD,
+        stopHits.toDouble / tokD,
+        distinct.size.toDouble / tokD,
+        punct.toDouble / math.max(rawCps.toDouble, 1.0))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(raw = l, lowered = r)
+  }
+
+  def token_stats(text: Column, enStopwords: Seq[String]): Column =
+    ColumnBridge.column(TokenStatsExpr(
+      ColumnBridge.expression(text),
+      ColumnBridge.expression(org.apache.spark.sql.functions.lower(text)),
+      enStopwords))
+
   private def litToInt(e: Expression): Int = e.eval() match {
     case i: Int  => i
     case l: Long => l.toInt

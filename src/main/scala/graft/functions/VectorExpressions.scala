@@ -68,4 +68,48 @@ object VectorExpressions {
     ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def vec_norm(a: Column): Column =
     ColumnBridge.column(VecNorm(ColumnBridge.expression(a)))
+
+  /** Symmetric int8 quantization in one pass:
+    * struct(q: array<int>, scale: double) with scale = max|x| / 127,
+    * qᵢ = ⌊xᵢ/scale + 0.5⌋ (round-half-up — identical arithmetic on
+    * every engine), all-zero/scale-0 for zero vectors. Replaces a
+    * 4-layer interpreted HOF chain (transform·abs, array_max,
+    * transform·floor, cast) with one loop — the per-row cost term of
+    * quantizing a 100 TB corpus.
+    */
+  case class VecQuantize(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("q",
+          ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)),
+        org.apache.spark.sql.types.StructField("scale", DoubleType)))
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vec_quantize"
+    override protected def nullSafeEval(v: Any): Any = {
+      val a  = v.asInstanceOf[ArrayData]
+      val ea = elemType(child.dataType)
+      val n  = a.numElements()
+      var amax = 0.0
+      var i = 0
+      while (i < n) { val x = math.abs(toDouble(a, ea, i)); if (x > amax) amax = x; i += 1 }
+      val q = new Array[Any](n)
+      if (amax > 0) {
+        i = 0
+        while (i < n) {
+          q(i) = math.floor(toDouble(a, ea, i) / amax * 127.0 + 0.5).toInt
+          i += 1
+        }
+      } else {
+        i = 0
+        while (i < n) { q(i) = 0; i += 1 }
+      }
+      org.apache.spark.sql.catalyst.InternalRow(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(q),
+        if (amax > 0) amax / 127.0 else 0.0)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  def vec_quantize(a: Column): Column =
+    ColumnBridge.column(VecQuantize(ColumnBridge.expression(a)))
 }

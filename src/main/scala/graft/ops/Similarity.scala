@@ -230,13 +230,14 @@ object Similarity {
     */
   def quantizeInt8(df: DataFrame, vecCol: String,
                    qCol: String = "q_vec", scaleCol: String = "q_scale"): DataFrame = {
-    val v    = transform(col(vecCol), x => x.cast("double"))
-    val amax = array_max(transform(v, x => abs(x)))
-    val q = when(amax > 0,
-      transform(v, x => floor(x / amax * 127.0 + 0.5).cast("int")))
-      .otherwise(transform(v, _ => lit(0)))
-    df.withColumn(qCol, q)
-      .withColumn(scaleCol, when(amax > 0, amax / 127.0).otherwise(lit(0.0)))
+    // one-pass native kernel — the HOF formulation (transform·abs →
+    // array_max → transform·floor) evaluates 4 interpreted lambda
+    // layers per row
+    val qz = graft.functions.VectorExpressions.vec_quantize(col(vecCol))
+    df.withColumn("_qz", qz)
+      .withColumn(qCol, col("_qz.q"))
+      .withColumn(scaleCol, col("_qz.scale"))
+      .drop("_qz")
   }
 
   /** Cosine over int8-quantized vectors: integer dot product scaled

@@ -41,8 +41,18 @@ object TextAnalysis {
 
   /** Language-ID heuristic: argmax of stopword hit counts, ties broken
     * lexicographically, "und" (undetermined) when nothing matches.
+    * Runs as the native `LangIdExpr` kernel (one tokenization pass +
+    * lexicon lookups) — the declarative `greatest(struct(hits, lang))`
+    * form evaluates an interpreted filter/size HOF chain per language
+    * per row; TextPropertySpec pins the two bit-identical.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    graft.functions.TextExpressions.lang_id(text, stopwords.toSeq)
+
+  /** The declarative formulation langId replaced — kept as the parity
+    * reference for the property suite.
+    */
+  private[graft] def langIdDeclarative(text: Column): Column = {
     val scored = stopwords.keys.toSeq.sorted.map { l =>
       struct(stopwordHits(text, l).as("hits"), lit(l).as("lang"))
     }
@@ -93,14 +103,32 @@ object TextAnalysis {
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     graft.functions.TextExpressions.winnow_hashes(text, k, w)
 
-  /** Convenience: annotate a corpus with the full analysis bundle. */
+  /** Full token/quality stats as one struct column, computed by the
+    * fused native `TokenStatsExpr` kernel (one pass; the declarative
+    * `qualityColumns` bundle re-walks the token HOF chain per metric).
+    * Fields: n_tokens, n_subwords_est, q_chars, q_avg_token_len,
+    * q_stopword_ratio, q_distinct_ratio, q_punct_ratio.
+    */
+  def tokenStats(text: Column): Column =
+    graft.functions.TextExpressions.token_stats(text, stopwords("en"))
+
+  /** Convenience: annotate a corpus with the full analysis bundle
+    * (fused kernel for the stats, LangIdExpr for the language).
+    */
   def annotate(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    df.withColumns(Map(
-      "n_tokens" -> tokenCount(t),
-      "n_subwords_est" -> subwordCountEstimate(t),
-      "lang_pred" -> langId(t),
-      "fingerprint" -> fingerprint(t))
-    ).withColumns(qualityColumns(t).toMap)
+    df.withColumn("_ts", tokenStats(t))
+      .withColumns(Map(
+        "n_tokens" -> col("_ts.n_tokens"),
+        "n_subwords_est" -> col("_ts.n_subwords_est"),
+        "lang_pred" -> langId(t),
+        "fingerprint" -> fingerprint(t),
+        "q_chars" -> col("_ts.q_chars"),
+        "q_tokens" -> col("_ts.n_tokens"),
+        "q_avg_token_len" -> col("_ts.q_avg_token_len"),
+        "q_stopword_ratio" -> col("_ts.q_stopword_ratio"),
+        "q_distinct_ratio" -> col("_ts.q_distinct_ratio"),
+        "q_punct_ratio" -> col("_ts.q_punct_ratio")))
+      .drop("_ts")
   }
 }

@@ -114,11 +114,19 @@ object OpsQueries {
     Q("text_token_stats",
       (s, dir) => {
         Tables.registerAll(s, dir)
-        val t = col("text")
-        s.table("documents").select(
-            Seq(col("doc_id"), TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
-              TextAnalysis.subwordCountEstimate(t).as("n_subwords_est")) ++
-              TextAnalysis.qualityColumns(t).map { case (n, c) => c.as(n) }: _*)
+        // fused one-pass kernel (TokenStatsExpr); TextPropertySpec pins
+        // it bit-identical to the declarative qualityColumns bundle
+        s.table("documents")
+          .select(col("doc_id"), TextAnalysis.tokenStats(col("text")).as("_ts"))
+          .select(col("doc_id"),
+            col("_ts.n_tokens").as("n_tokens"),
+            col("_ts.n_subwords_est").as("n_subwords_est"),
+            col("_ts.q_chars").as("q_chars"),
+            col("_ts.n_tokens").as("q_tokens"),
+            col("_ts.q_avg_token_len").as("q_avg_token_len"),
+            col("_ts.q_stopword_ratio").as("q_stopword_ratio"),
+            col("_ts.q_distinct_ratio").as("q_distinct_ratio"),
+            col("_ts.q_punct_ratio").as("q_punct_ratio"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH d AS (SELECT doc_id, text, $oracleToks AS toks FROM documents)

@@ -64,6 +64,77 @@ class TextPropertySpec extends AnyFunSuite {
     texts.unpersist()
   }
 
+  test("LangIdExpr matches the declarative greatest(struct) formulation on random input") {
+    import spark.implicits._
+    val r = new Random(20260814L)
+    // bias towards stopword-bearing text so hits > 0 paths are exercised
+    val stop = graft.ops.TextAnalysis.stopwords.values.flatten.toIndexedSeq
+    def genDoc(): String = {
+      val n = r.nextInt(20)
+      (0 until n).map { _ =>
+        if (r.nextBoolean()) stop(r.nextInt(stop.length)) else genText(r)
+      }.mkString(" ")
+    }
+    val texts = ((0 until 300).map(_ => genDoc()) ++ Seq("", "la la un de", "the und la"))
+      .toDF("text")
+    val rows = texts.select(col("text"),
+        graft.ops.TextAnalysis.langId(col("text")).as("kern"),
+        graft.ops.TextAnalysis.langIdDeclarative(col("text")).as("decl"))
+      .collect()
+    rows.foreach { row =>
+      assert(row.getString(1) == row.getString(2), s"text=${row.getString(0).take(80)}")
+    }
+  }
+
+  test("TokenStatsExpr matches the declarative quality bundle on random input") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val r = new Random(20260816L)
+    val texts = ((0 until 300).map(_ => genText(r)) ++
+      Seq("", " ", "the the of dog", "ONLY CAPS 123", "!!\t\n..", "é中文👍"))
+      .toDF("text")
+    val t = col("text")
+    val decl = texts.select(col("text"),
+      TextAnalysis.tokenCount(t).cast("long").as("d_n"),
+      TextAnalysis.subwordCountEstimate(t).as("d_sub"),
+      struct(TextAnalysis.qualityColumns(t).map { case (n, c) => c.as(n) }: _*).as("d_q"),
+      TextAnalysis.tokenStats(t).as("k"))
+    decl.collect().foreach { row =>
+      val k = row.getStruct(row.fieldIndex("k"))
+      val q = row.getStruct(row.fieldIndex("d_q"))
+      val tag = s"text=${row.getString(0).take(60)}"
+      assert(k.getAs[Long]("n_tokens") == row.getAs[Long]("d_n"), tag)
+      assert(k.getAs[Long]("n_subwords_est") == row.getAs[Long]("d_sub"), tag)
+      assert(k.getAs[Long]("q_chars") == q.getAs[Long]("q_chars"), tag)
+      assert(k.getAs[Double]("q_avg_token_len") == q.getAs[Double]("q_avg_token_len"), tag)
+      assert(k.getAs[Double]("q_stopword_ratio") == q.getAs[Double]("q_stopword_ratio"), tag)
+      assert(k.getAs[Double]("q_distinct_ratio") == q.getAs[Double]("q_distinct_ratio"), tag)
+      assert(k.getAs[Double]("q_punct_ratio") == q.getAs[Double]("q_punct_ratio"), tag)
+    }
+  }
+
+  test("VecQuantize matches the declarative HOF formulation on random vectors") {
+    import spark.implicits._
+    val r = new Random(20260815L)
+    val vecs = ((0 until 300).map { _ =>
+      Array.fill(r.nextInt(16) + 1)((r.nextDouble() - 0.5) * math.pow(10, r.nextInt(6) - 3))
+    } ++ Seq(Array(0.0, 0.0), Array(1.0), Array(-1e-12)))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val amax = array_max(transform(col("v"), x => abs(x)))
+    val declQ = when(amax > 0, transform(col("v"), x => floor(x / amax * lit(127.0) + lit(0.5)).cast("int")))
+      .otherwise(transform(col("v"), _ => lit(0)))
+    val declS = when(amax > 0, amax / lit(127.0)).otherwise(lit(0.0))
+    val rows = vecs.select(col("id"),
+        graft.functions.VectorExpressions.vec_quantize(col("v")).as("k"),
+        declQ.as("dq"), declS.as("ds"))
+      .selectExpr("id", "k.q AS kq", "k.scale AS ks", "dq", "ds")
+      .collect()
+    rows.foreach { row =>
+      assert(row.getSeq[Int](1) == row.getSeq[Int](3), s"id=${row.getLong(0)}")
+      assert(row.getDouble(2) == row.getDouble(4), s"id=${row.getLong(0)}")
+    }
+  }
+
   test("WinnowHashes matches the declarative formulation on random input") {
     import spark.implicits._
     val r = new Random(20260813L)
