@@ -410,6 +410,66 @@ object TextExpressions {
       ColumnBridge.expression(org.apache.spark.sql.functions.lower(text)),
       enStopwords))
 
+  /** SimHash fingerprint per document in one pass — SimHash is a
+    * purely per-row computation (tokenize → tf → per-token md5 bit
+    * votes → sign), but the declarative formulation pays TWO full
+    * shuffles for it (explode + groupBy(id, token) for tf, then a
+    * 64-aggregate groupBy(id) for the votes): at corpus scale that
+    * moves the entire token stream through the cluster for a value
+    * each row can compute locally. This kernel does tf in a local
+    * hashmap and votes in a tight loop; output and semantics are
+    * bit-identical (bit b of the md5 = bit (7−b%8) of byte b/8;
+    * vote +tf/−tf; strictly-positive sum → '1').
+    */
+  case class SimHashExpr(child: Expression, bits: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(bits % 4 == 0 && bits > 0 && bits <= 128, "bits must be multiple of 4, <= 128")
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "simhash"
+
+    override protected def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val tf = new java.util.HashMap[String, Long]()
+      val len = s.length
+      var i = 0
+      while (i < len) {
+        val c = s.charAt(i)
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+          val start = i
+          i += 1
+          while (i < len && {
+            val d = s.charAt(i); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+          }) i += 1
+          tf.merge(s.substring(start, i), 1L, (a, b) => a + b)
+        } else i += 1
+      }
+      val votes = new Array[Long](bits)
+      val md = ShingleHashes.digest.get()
+      val it = tf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        md.reset()
+        val h = md.digest(e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val t = e.getValue
+        var b = 0
+        while (b < bits) {
+          if (((h(b / 8) >> (7 - b % 8)) & 1) == 1) votes(b) += t else votes(b) -= t
+          b += 1
+        }
+      }
+      val cs = new Array[Char](bits)
+      var b = 0
+      while (b < bits) { cs(b) = if (votes(b) > 0) '1' else '0'; b += 1 }
+      UTF8String.fromString(new String(cs))
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def simhash(text: Column, bits: Int): Column =
+    ColumnBridge.column(SimHashExpr(
+      ColumnBridge.expression(org.apache.spark.sql.functions.lower(text)), bits))
+
   private def litToInt(e: Expression): Int = e.eval() match {
     case i: Int  => i
     case l: Long => l.toInt

@@ -214,10 +214,21 @@ object Dedup {
   }
 
   /** SimHash fingerprint over tokens (bit-width configurable; 64 by
-    * default) as a native Catalyst-friendly column expression chain:
-    * per-token md5 bits vote ±tf, sign gives the fingerprint bit.
+    * default): per-token md5 bits vote ±tf, sign gives the fingerprint
+    * bit. Runs as the native `SimHashExpr` kernel — SimHash is a
+    * per-row value, so this is a map-only pass with ZERO shuffles; the
+    * declarative form below shuffled the full token stream twice.
+    * TextPropertySpec pins the kernel bit-identical to it.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 64): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 64): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.TextExpressions.simhash(col(textCol), bits).as("simhash"))
+
+  /** The two-shuffle declarative formulation `simhash` replaced — kept
+    * as the parity reference for the property suite.
+    */
+  private[graft] def simhashDeclarative(df: DataFrame, idCol: String, textCol: String,
+                                        bits: Int = 64): DataFrame = {
     require(bits % 4 == 0 && bits <= 128, "bits must be multiple of 4, \u2264 128")
     val toks = df.select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
     val tf = toks.groupBy("id", "tok").agg(count(lit(1)).as("tf"))

@@ -135,6 +135,26 @@ class TextPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("SimHashExpr matches the two-shuffle declarative formulation on random input") {
+    import spark.implicits._
+    val r = new Random(20260817L)
+    val texts = ((0 until 200).map(i => (i.toLong, genText(r))) ++
+      Seq((990L, ""), (991L, "the the the"), (992L, "a b c d e f g")))
+      .toDF("doc_id", "text")
+    for (bits <- Seq(64, 32)) {
+      val kern = graft.ops.Dedup.simhash(texts, "doc_id", "text", bits)
+        .collect().map(rw => rw.getLong(0) -> rw.getString(1)).toMap
+      val decl = graft.ops.Dedup.simhashDeclarative(texts, "doc_id", "text", bits)
+        .collect().map(rw => rw.getLong(0) -> rw.getString(1)).toMap
+      // the declarative form drops zero-token docs (no rows to group);
+      // the kernel emits the all-zero fingerprint for them
+      decl.foreach { case (id, d) => assert(kern(id) == d, s"bits=$bits id=$id") }
+      (kern.keySet -- decl.keySet).foreach { id =>
+        assert(kern(id) == "0" * bits, s"bits=$bits id=$id empty-doc fingerprint")
+      }
+    }
+  }
+
   test("WinnowHashes matches the declarative formulation on random input") {
     import spark.implicits._
     val r = new Random(20260813L)
