@@ -104,28 +104,51 @@ object GeoScan {
     }
   }
 
-  /** Spark FileIndex over a fixed file list + bbox manifest. */
+  /** Immutable listing snapshot: one directory listing (never a
+    * per-file getFileStatus loop — 100k serial RPCs on an object
+    * store) + the distributed footer-bbox manifest, keyed scheme-less
+    * (manifest keys and FileStatus paths may differ in scheme:
+    * "/a/b.parquet" vs "file:/a/b.parquet").
+    */
+  private final case class Snapshot(statuses: Seq[FileStatus],
+                                    byPath: Map[String, FileIndex.FileBBox])
+
+  private def takeSnapshot(spark: SparkSession, dir: String, conf: Configuration): Snapshot = {
+    val paths = FileIndex.listParquet(dir, conf)
+    require(paths.nonEmpty, s"no parquet files under $dir")
+    val manifest = FileIndex.build(spark, paths)
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val wanted = paths.map(p => new Path(p).toUri.getPath).toSet
+    val statuses = fs.listStatus(dirPath).toSeq
+      .filter(st => st.isFile && wanted(st.getPath.toUri.getPath))
+      .sortBy(_.getPath.toString)
+    Snapshot(statuses,
+      manifest.map { case (k, v) => new Path(k).toUri.getPath -> v })
+  }
+
+  /** Spark FileIndex over a directory snapshot + bbox manifest;
+    * `refresh()` re-lists and re-reads footers (the contract Spark's
+    * REFRESH TABLE path expects), picking up appended files.
+    */
   final class BBoxFileIndex(
-      dir: String,
-      statuses: Seq[FileStatus],
-      manifest: Map[String, FileIndex.FileBBox]) extends SparkFileIndex {
+      spark: SparkSession, dir: String,
+      @volatile private var snapshot: Snapshot) extends SparkFileIndex {
 
     override def rootPaths: Seq[Path] = Seq(new Path(dir))
     override def partitionSchema: StructType = new StructType()
-    override def inputFiles: Array[String] = statuses.map(_.getPath.toString).toArray
-    override def refresh(): Unit = ()
-    override def sizeInBytes: Long = statuses.map(_.getLen).sum
-
-    // manifest keys and FileStatus paths may differ in scheme
-    // ("/a/b.parquet" vs "file:/a/b.parquet") — compare scheme-less
-    private val byPath: Map[String, FileIndex.FileBBox] =
-      manifest.map { case (k, v) => new Path(k).toUri.getPath -> v }
+    override def inputFiles: Array[String] = snapshot.statuses.map(_.getPath.toString).toArray
+    override def refresh(): Unit =
+      snapshot = takeSnapshot(spark, dir,
+        new Configuration(spark.sparkContext.hadoopConfiguration))
+    override def sizeInBytes: Long = snapshot.statuses.map(_.getLen).sum
 
     override def listFiles(partitionFilters: Seq[Expression],
                            dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+      val snap = snapshot
       val tests = dataFilters.flatMap(fileTest)
-      val kept = statuses.filter { st =>
-        byPath.get(st.getPath.toUri.getPath)
+      val kept = snap.statuses.filter { st =>
+        snap.byPath.get(st.getPath.toUri.getPath)
           .forall(b => tests.forall(t => t(b))) // no stats → keep
       }
       Seq(PartitionDirectory(InternalRow.empty, kept.map(s => FileStatusWithMetadata(s))))
@@ -138,19 +161,9 @@ object GeoScan {
     */
   def bboxPrunedTable(spark: SparkSession, dir: String): DataFrame = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
-    val paths = FileIndex.listParquet(dir, conf)
-    require(paths.nonEmpty, s"no parquet files under $dir")
-    val manifest = FileIndex.build(spark, paths)
-    // ONE directory listing supplies every FileStatus — a per-file
-    // getFileStatus loop would be 100k serial RPCs on an object store
-    val dirPath = new Path(dir)
-    val fs = dirPath.getFileSystem(conf)
-    val wanted = paths.map(p => new Path(p).toUri.getPath).toSet
-    val statuses = fs.listStatus(dirPath).toSeq
-      .filter(st => st.isFile && wanted(st.getPath.toUri.getPath))
-      .sortBy(_.getPath.toString)
-    val schema = spark.read.parquet(paths.head).schema
-    val index = new BBoxFileIndex(dir, statuses, manifest)
+    val snap = takeSnapshot(spark, dir, conf)
+    val schema = spark.read.parquet(snap.statuses.head.getPath.toString).schema
+    val index = new BBoxFileIndex(spark, dir, snap)
     val relation = HadoopFsRelation(
       index, new StructType(), schema, None, new ParquetFileFormat(), Map.empty)(spark)
     DatasetBridge.ofRows(spark, LogicalRelation(relation))

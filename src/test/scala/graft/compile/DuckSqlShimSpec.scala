@@ -76,6 +76,18 @@ class DuckSqlShimSpec extends AnyFunSuite {
     assert(rw("SELECT exclude, columns FROM t") == "SELECT exclude, columns FROM t")
   }
 
+  test("rewrite is stable on its own output, including quoted names with operators") {
+    val inputs = Seq(
+      "SELECT x::BIGINT, a // b, arr[1], [1,2,3], \"my col\" FROM t",
+      "SELECT \"weird::name\", \"a[1]b\" FROM \"my // table\"",
+      "SELECT split(s, ',')[2]::INT AS v, 'lit::[1]//' FROM t",
+      "SELECT f(x, y)::DECIMAL(10,2), arr[2:4] FROM t")
+    inputs.foreach { in =>
+      val once = rw(in)
+      assert(rw(once) == once, s"not stable for: $in ->\n  $once\n  ${rw(once)}")
+    }
+  }
+
   // ── end-to-end on a live session ───────────────────────────────────
 
   test("DuckDB-dialect text runs end-to-end after rewrite + registration") {

@@ -86,6 +86,27 @@ class GeoScanSpec extends AnyFunSuite {
     assert(df.count() == 25) // the whole band-3 file qualifies
   }
 
+  test("refresh() picks up appended files") {
+    val d = java.nio.file.Files.createTempDirectory("geoscan_r").toFile
+    d.deleteOnExit()
+    def writeBand(band: Int): Unit =
+      (0 until 10).map(i => (band * 100L + i, band * 10.0 + i * 0.9, 1.0))
+        .toDF("id", "x", "y")
+        .select($"id", struct($"x".as("xmin"), ($"x" + 0.5).as("xmax"),
+          $"y".as("ymin"), ($"y" + 0.5).as("ymax")).as("bbox"))
+        .coalesce(1).write.mode("append").parquet(d.getAbsolutePath)
+    writeBand(0)
+    val df = GeoScan.bboxPrunedTable(spark, d.getAbsolutePath)
+    assert(df.count() == 10)
+    writeBand(1)
+    df.queryExecution.logical.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.refresh()
+    }
+    assert(df.count() == 20)
+  }
+
   test("fileTest unit: canonical + flipped forms, unknown columns ignored") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     import org.apache.spark.sql.catalyst.expressions.Literal
