@@ -94,4 +94,22 @@ class EventStreamsSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.sum("n_events")).head().getLong(0)
     assert(winTotal == 2 * n)
   }
+
+  test("streaming curation (sample + quality gate + annotate) equals batch") {
+    graft.core.Tables.registerAll(spark, dir)
+    val docs = spark.table("documents")
+    val src = java.nio.file.Files.createTempDirectory("graft_curate_src").toString
+    docs.write.mode("overwrite").parquet(src)
+
+    val q = CurationStreams.startCurationStream(
+      spark, src, "stream_curate", docs.schema, fraction = 0.5, minTokens = 5)
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_curate").collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val batch = CurationStreams.curate(docs, 0.5, 5).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(batch.nonEmpty && batch.size < docs.count())
+    assert(streamed == batch) // stateless stages → byte-identical results
+  }
 }
