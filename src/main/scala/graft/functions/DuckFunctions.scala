@@ -80,6 +80,8 @@ object DuckFunctions {
     "list_contains"      -> "array_contains",
     "list_has"           -> "array_contains",
     "list_value"         -> "array",
+    "list_append"        -> "array_append", // both (list, element)
+    "list_reverse"       -> "reverse",
     "string_split_regex" -> "split",
     "str_split_regex"    -> "split",
     "generate_series"    -> "sequence", // both ends inclusive in both engines
@@ -103,6 +105,44 @@ object DuckFunctions {
     reg.createOrReplaceTempFunction("len", es => DuckLen(es.head), "built-in")
     reg.createOrReplaceTempFunction("array_length", es => DuckLen(es.head), "built-in")
     reg.createOrReplaceTempFunction("list_sum", es => DuckListSum(es.head), "built-in")
+    reg.createOrReplaceTempFunction("list_min", es => ArrayMin(es.head), "built-in")
+    reg.createOrReplaceTempFunction("list_max", es => ArrayMax(es.head), "built-in")
+    // list_aggregate(l, 'name') dispatches on the (literal) name
+    reg.createOrReplaceTempFunction("list_aggregate",
+      es => {
+        val fname = es(1) match {
+          case Literal(s, StringType) if s != null => s.toString.toLowerCase
+          case other =>
+            throw new IllegalArgumentException(
+              s"list_aggregate expects a literal function name, got $other")
+        }
+        fname match {
+          case "min"   => ArrayMin(es.head)
+          case "max"   => ArrayMax(es.head)
+          case "sum"   => DuckListSum(es.head)
+          case "count" => DuckLen(es.head)
+          case other =>
+            throw new IllegalArgumentException(s"unsupported list_aggregate function '$other'")
+        }
+      }, "built-in")
+    // array_to_string(arr, delim) — Spark's concat_ws takes the
+    // delimiter FIRST
+    reg.createOrReplaceTempFunction("array_to_string",
+      es => ConcatWs(Seq(es(1), es(0))), "built-in")
+    // list_position returns NULL when absent (Spark's array_position
+    // returns 0)
+    def positionOrNull(es: Seq[Expression]): Expression = {
+      val pos = ArrayPosition(es(0), es(1))
+      If(EqualTo(pos, Literal(0L)), Literal(null, LongType), pos)
+    }
+    reg.createOrReplaceTempFunction("list_position", positionOrNull, "built-in")
+    reg.createOrReplaceTempFunction("list_indexof", positionOrNull, "built-in")
+    // list_prepend(element, list) — Spark's array_prepend takes the
+    // list FIRST. (list_slice is intentionally absent: DuckDB's is
+    // inclusive-END, Spark's slice takes a LENGTH — the shim's [a:b]
+    // rewrite covers the syntax form with correct arithmetic.)
+    reg.createOrReplaceTempFunction("list_prepend",
+      es => ArrayPrepend(es(1), es(0)), "built-in")
     reg.createOrReplaceTempFunction("epoch_us",
       es => UnixMicros(Cast(es.head, TimestampType)), "built-in")
     reg.createOrReplaceTempFunction("epoch_ms",

@@ -143,6 +143,30 @@ class DuckSqlShimSpec extends AnyFunSuite {
     assert(exploded.toSeq == Seq(10, 20, 30))
   }
 
+  test("extended list surface: aggregates, to_string, position, append/prepend") {
+    graft.functions.DuckFunctions.register(spark)
+    val r = spark.sql(rw(
+      """SELECT list_aggregate([3,1,2], 'min') AS mn,
+        |  list_aggregate([3,1,2], 'max') AS mx,
+        |  list_aggregate([3,1,2], 'sum') AS sm,
+        |  list_min([5,4]) AS m2, list_max([5,4]) AS m3,
+        |  array_to_string([1,2,3], '-') AS s,
+        |  list_position([10,20,30], 20) AS p,
+        |  list_position([10,20,30], 99) AS p0,
+        |  list_append([1,2], 3) AS ap,
+        |  list_prepend(0, [1,2]) AS pp,
+        |  list_reverse([1,2,3]) AS rv""".stripMargin)).head()
+    assert(r.getAs[Int]("mn") == 1 && r.getAs[Int]("mx") == 3)
+    assert(r.getAs[Long]("sm") == 6L)
+    assert(r.getAs[Int]("m2") == 4 && r.getAs[Int]("m3") == 5)
+    assert(r.getAs[String]("s") == "1-2-3")
+    assert(r.getAs[Long]("p") == 2L)
+    assert(r.isNullAt(r.fieldIndex("p0"))) // DuckDB: NULL when absent
+    assert(r.getSeq[Int](r.fieldIndex("ap")) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](r.fieldIndex("pp")) == Seq(0, 1, 2))
+    assert(r.getSeq[Int](r.fieldIndex("rv")) == Seq(3, 2, 1))
+  }
+
   test("try_element_at preserves DuckDB NULL-on-out-of-range") {
     val v = spark.sql(rw("SELECT [1,2][5] AS v")).head()
     assert(v.isNullAt(0))
