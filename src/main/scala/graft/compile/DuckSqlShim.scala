@@ -17,8 +17,11 @@ package graft.compile
   *    (1-based and NULL on out-of-range in both engines, ANSI or not)
   *  - `arr[a:b]` inclusive slices   → `slice(arr, a, b-a+1)`
   *  - bare `[...]` list literals    → `array(...)`
-  *  - `QUALIFY` / `* EXCLUDE` / `COLUMNS(...)` have no mechanical
-  *    equivalent → raise with a pointer to the doc.
+  *  - top-level `QUALIFY cond`      → subquery wrap with outer WHERE
+  *    (alias-referencing conditions; inline-OVER conditions raise)
+  *  - `* EXCLUDE cols`              → `* EXCEPT (cols)` (Spark 4)
+  *  - `COLUMNS(...)` has no mechanical equivalent → raises with a
+  *    pointer to the doc.
   *
   * The rewriter is a single-pass tokenizer (string literals, quoted
   * identifiers and comments pass through untouched), not a SQL parser:
@@ -38,7 +41,57 @@ object DuckSqlShim {
     "values", "exists", "any", "some", "interval", "using", "with", "return",
     "returning", "array")
 
-  def rewrite(sql: String): String = {
+  def rewrite(sql: String): String = rewriteTokens(rewriteQualify(sql))
+
+  /** Top-level `QUALIFY cond` → subquery wrap:
+    * `SELECT * FROM (<select sans qualify/tail>) __qualify_sub WHERE
+    * cond <order/limit tail>`. Covers the common form where the
+    * condition references select-list aliases (`QUALIFY rn = 1`);
+    * conditions with an inline `OVER(...)` window — which an outer
+    * WHERE can't host — and QUALIFY nested in subqueries/CTEs fall
+    * through to the explicit error in the token pass.
+    */
+  private def rewriteQualify(sql: String): String = {
+    val qStart = findTopLevelWord(sql, 0, Set("qualify"))
+    if (qStart < 0) return sql
+    val condStart = qStart + "qualify".length
+    var tailStart = findTopLevelWord(sql, condStart, Set("order", "limit", "offset"))
+    if (tailStart < 0) tailStart = sql.length
+    val cond = sql.substring(condStart, tailStart).trim
+    if (cond.isEmpty || cond.toLowerCase.matches("(?s).*\\bover\\s*\\(.*")) return sql
+    val inner = sql.substring(0, qStart).trim
+    val tail  = sql.substring(tailStart)
+    s"SELECT * FROM (\n$inner\n) __qualify_sub WHERE $cond $tail".trim
+  }
+
+  /** Index of the first depth-0 occurrence of any of `words` (matched
+    * as whole identifiers, case-insensitive, outside strings/quotes/
+    * comments), or -1.
+    */
+  private def findTopLevelWord(sql: String, from: Int, words: Set[String]): Int = {
+    var i = from
+    var depth = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') i = closeString(sql, i)
+      else if (c == '"') i = closeQuoted(sql, i)
+      else if (c == '`') { var j = i + 1; while (j < sql.length && sql.charAt(j) != '`') j += 1; i = j + 1 }
+      else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        val e = sql.indexOf('\n', i); i = if (e < 0) sql.length else e
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        val e = sql.indexOf("*/", i); i = if (e < 0) sql.length else e + 2
+      } else if (c == '(' || c == '[') { depth += 1; i += 1 }
+      else if (c == ')' || c == ']') { depth -= 1; i += 1 }
+      else if (c.isLetter || c == '_') {
+        val s = i
+        while (i < sql.length && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
+        if (depth == 0 && words.contains(sql.substring(s, i).toLowerCase)) return s
+      } else i += 1
+    }
+    -1
+  }
+
+  private def rewriteTokens(sql: String): String = {
     val out = new StringBuilder
     val n   = sql.length
     var i   = 0
@@ -116,9 +169,22 @@ object DuckSqlShim {
         val word = sql.substring(s, i)
         word.toLowerCase match {
           case "qualify" =>
-            fail("QUALIFY", "wrap the query in a subquery with WHERE instead")
+            // the pre-pass wraps every rewritable form; reaching here
+            // means an inline-window condition or a nested QUALIFY
+            fail("QUALIFY with an inline window (or nested in a subquery)",
+              "alias the window expression in the select list and QUALIFY the alias, " +
+                "or wrap the query in a subquery with WHERE")
           case "exclude" if prevSignificant(out) == '*' =>
-            fail("* EXCLUDE", "list the wanted columns explicitly")
+            // Spark 4 star-modifier spells this EXCEPT; DuckDB allows a
+            // bare single column, Spark requires the paren list
+            out.append("EXCEPT")
+            if (nextSignificant(sql, i) != '(') {
+              while (i < n && sql.charAt(i).isWhitespace) i += 1
+              val s2 = i
+              while (i < n && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
+              if (i == s2) fail("* EXCLUDE <non-identifier>", "list the wanted columns explicitly")
+              out.append(" (").append(sql.substring(s2, i)).append(')')
+            }
           case "columns" if nextSignificant(sql, i) == '(' =>
             fail("COLUMNS(...)", "list the wanted columns explicitly")
           case _ => out.append(word)

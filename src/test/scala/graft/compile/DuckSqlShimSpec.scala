@@ -67,13 +67,38 @@ class DuckSqlShimSpec extends AnyFunSuite {
     assert(rw("SELECT 'it''s'") == "SELECT 'it''s'")
   }
 
-  test("unsupported star-modifiers raise with a doc pointer") {
-    val e1 = intercept[IllegalArgumentException](rw("SELECT a FROM t QUALIFY rn = 1"))
+  test("QUALIFY on an alias wraps into a subquery; inline windows raise") {
+    assert(rw("SELECT a, rn FROM t QUALIFY rn = 1") ==
+      "SELECT * FROM (\nSELECT a, rn FROM t\n) __qualify_sub WHERE rn = 1")
+    assert(rw("SELECT a, rn FROM t QUALIFY rn <= 2 ORDER BY a LIMIT 5") ==
+      "SELECT * FROM (\nSELECT a, rn FROM t\n) __qualify_sub WHERE rn <= 2 ORDER BY a LIMIT 5")
+    // dialect rewrites still apply to both halves
+    assert(rw("SELECT a, rn FROM t QUALIFY rn::INT = 1") ==
+      "SELECT * FROM (\nSELECT a, rn FROM t\n) __qualify_sub WHERE CAST(rn AS INT) = 1")
+    val e1 = intercept[IllegalArgumentException](
+      rw("SELECT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1"))
     assert(e1.getMessage.contains("sql-dialect"))
-    intercept[IllegalArgumentException](rw("SELECT * EXCLUDE (a) FROM t"))
+  }
+
+  test("* EXCLUDE becomes Spark's * EXCEPT; COLUMNS raises") {
+    assert(rw("SELECT * EXCLUDE (a, b) FROM t") == "SELECT * EXCEPT (a, b) FROM t")
+    assert(rw("SELECT * EXCLUDE a FROM t") == "SELECT * EXCEPT (a) FROM t")
     intercept[IllegalArgumentException](rw("SELECT COLUMNS('x.*') FROM t"))
     // non-modifier uses of the same words survive
     assert(rw("SELECT exclude, columns FROM t") == "SELECT exclude, columns FROM t")
+  }
+
+  test("* EXCLUDE runs end-to-end on a live session") {
+    import spark.implicits._
+    Seq((1L, "x", 2.0)).toDF("id", "name", "v").createOrReplaceTempView("shim_excl_t")
+    assert(spark.sql(rw("SELECT * EXCLUDE (name) FROM shim_excl_t")).columns.toSeq ==
+      Seq("id", "v"))
+    // QUALIFY end-to-end via an aliased window
+    Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("k", "v").createOrReplaceTempView("shim_q_t")
+    val top = spark.sql(rw(
+      """SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+        |FROM shim_q_t QUALIFY rn = 1 ORDER BY k""".stripMargin)).collect()
+    assert(top.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 20.0), (2L, 5.0)))
   }
 
   test("rewrite is stable on its own output, including quoted names with operators") {
