@@ -54,11 +54,21 @@ object DuckSqlShim {
   private def rewriteQualify(sql: String): String = {
     val qStart = findTopLevelWord(sql, 0, Set("qualify"))
     if (qStart < 0) return sql
+    // guard against a COLUMN merely named "qualify": the clause can
+    // only follow a top-level FROM, and its condition must look like
+    // one (non-empty, not starting with another clause keyword)
+    val fromPos = findTopLevelWord(sql, 0, Set("from"))
+    if (fromPos < 0 || fromPos > qStart) return sql
     val condStart = qStart + "qualify".length
     var tailStart = findTopLevelWord(sql, condStart, Set("order", "limit", "offset"))
     if (tailStart < 0) tailStart = sql.length
     val cond = sql.substring(condStart, tailStart).trim
     if (cond.isEmpty || cond.toLowerCase.matches("(?s).*\\bover\\s*\\(.*")) return sql
+    val firstWord = cond.takeWhile(c => c.isLetterOrDigit || c == '_').toLowerCase
+    val clauseKeywords = Set("from", "where", "group", "having", "window", "union",
+      "intersect", "except", "join", "on", "and", "or", "as", "asc", "desc", "by")
+    val condStartsOk = cond.head.isLetter || cond.head == '_' || cond.head == '('
+    if (!condStartsOk || clauseKeywords.contains(firstWord)) return sql
     val inner = sql.substring(0, qStart).trim
     val tail  = sql.substring(tailStart)
     s"SELECT * FROM (\n$inner\n) __qualify_sub WHERE $cond $tail".trim

@@ -78,6 +78,10 @@ class DuckSqlShimSpec extends AnyFunSuite {
     val e1 = intercept[IllegalArgumentException](
       rw("SELECT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1"))
     assert(e1.getMessage.contains("sql-dialect"))
+    // a column merely NAMED qualify is left alone (no FROM-after, or
+    // clause-keyword condition)
+    intercept[IllegalArgumentException](rw("SELECT qualify FROM t"))
+    intercept[IllegalArgumentException](rw("SELECT a FROM t WHERE qualify = 1")) // ambiguous → raise
   }
 
   test("* EXCLUDE becomes Spark's * EXCEPT; COLUMNS raises") {
