@@ -253,16 +253,37 @@ object Similarity {
     dotQ / (qnorm(qa, sa) * qnorm(qb, sb))
   }
 
-  /** ANN via LSH buckets: exact cosine within the query's bucket.
-    * Recall is bucket-limited (the classic LSH trade); bump `planes`
-    * down or probe neighbors for higher recall.
+  /** ANN via LSH buckets: exact cosine within the query's bucket(s).
+    * Recall is bucket-limited (the classic LSH trade); `hamming = 1`
+    * enables multi-probe — each query also searches every bucket one
+    * bit-flip away (planes+1 buckets total), recovering neighbors that
+    * fell just across a hyperplane. Only the TINY query side fans out
+    * (probe buckets are distinct, so a corpus vector pairs with a
+    * query at most once); the corpus keeps its single bucket key — at
+    * 100 TB that is the side that matters.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, k: Int = 10, planes: Int = 8): DataFrame = {
+              idCol: String, vecCol: String, k: Int = 10, planes: Int = 8,
+              hamming: Int = 0): DataFrame = {
+    require(hamming == 0 || hamming == 1, "hamming must be 0 (exact bucket) or 1 (multi-probe)")
     val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
       norm(col(vecCol)).as("nn_norm"), lshBucket(col(vecCol), planes).as("bucket"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       norm(col(vecCol)).as("q_norm"), lshBucket(col(vecCol), planes).as("bucket"))
+    val q =
+      if (hamming == 0) qBase
+      else {
+        // the home bucket + every single-bit flip, as a generator over
+        // the (small) query side
+        val flips = (0 until planes).map { i =>
+          concat(
+            substring(col("bucket"), 1, i),
+            when(substring(col("bucket"), i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+            substring(col("bucket"), i + 2, planes - i - 1))
+        }
+        qBase.select(col("query_id"), col("q_vec"), col("q_norm"),
+          explode(array(col("bucket") +: flips: _*)).as("bucket"))
+      }
     val pairs = c.join(broadcast(q), "bucket")
       .where(col("nn_id") =!= col("query_id"))
       .withColumn("cosine", dot(col("q_vec"), col("nn_vec")) / (col("q_norm") * col("nn_norm")))

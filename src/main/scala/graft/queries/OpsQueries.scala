@@ -28,6 +28,25 @@ object OpsQueries {
        |  THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
        |  ELSE [array_to_string(toks, ' ')] END""".stripMargin
 
+  /** DuckDB replica of Similarity.lshBucket (8 planes, 64 dims): CTE
+    * chain ending in `b(vec_id, bucket)`.
+    */
+  private val lshBucketCtes: String =
+    """planes AS (SELECT unnest(generate_series(0, 7)) AS p),
+      |dims AS (SELECT unnest(generate_series(0, 63)) AS i),
+      |w AS (SELECT p, i,
+      |  CASE WHEN (strpos('0123456789abcdef', substr(md5(p || '|' || i), 1, 1)) - 1) % 2 = 0
+      |       THEN 1.0 ELSE -1.0 END AS wt
+      |  FROM planes CROSS JOIN dims),
+      |sums AS (
+      |  SELECT e.vec_id, w.p,
+      |         SUM(CAST(e.embedding[w.i + 1] AS DOUBLE) * w.wt) AS s
+      |  FROM embeddings e CROSS JOIN w
+      |  GROUP BY e.vec_id, w.p),
+      |b AS (
+      |  SELECT vec_id, string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+      |  FROM sums GROUP BY vec_id)""".stripMargin
+
   /** DuckDB cosine matching Similarity.cosine's double math. */
   private def oracleCosine(a: String, b: String): String =
     s"""((SELECT SUM(CAST(ea AS DOUBLE)*CAST(eb AS DOUBLE)) FROM (SELECT unnest($a) ea, unnest($b) eb))
@@ -374,19 +393,47 @@ object OpsQueries {
         emb.select(col("vec_id"), Similarity.lshBucket(col("embedding"), planes = 8).as("bucket"))
           .orderBy(col("vec_id"))
       },
-      Some("""WITH planes AS (SELECT unnest(generate_series(0, 7)) AS p),
-             |dims AS (SELECT unnest(generate_series(0, 63)) AS i),
-             |w AS (SELECT p, i,
-             |  CASE WHEN (strpos('0123456789abcdef', substr(md5(p || '|' || i), 1, 1)) - 1) % 2 = 0
-             |       THEN 1.0 ELSE -1.0 END AS wt
-             |  FROM planes CROSS JOIN dims),
-             |sums AS (
-             |  SELECT e.vec_id, w.p,
-             |         SUM(CAST(e.embedding[w.i + 1] AS DOUBLE) * w.wt) AS s
-             |  FROM embeddings e CROSS JOIN w
-             |  GROUP BY e.vec_id, w.p)
-             |SELECT vec_id, string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
-             |FROM sums GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+      Some(s"""WITH $lshBucketCtes
+              |SELECT vec_id, bucket FROM b ORDER BY vec_id""".stripMargin)),
+
+    // multi-probe LSH: each query also searches every hamming-1 bucket
+    // (9 buckets at 8 planes) — recall recovery for neighbors that fell
+    // just across a hyperplane; the corpus side keeps one bucket key.
+    Q("ann_lsh_multiprobe",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val emb = s.table("embeddings")
+        Similarity.lshTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
+            k = 10, planes = 8, hamming = 1)
+          .selectExpr("query_id", "rank", "nn_id", "ROUND(cosine, 6) AS cosine")
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH $lshBucketCtes,
+              |qprobe AS (
+              |  SELECT vec_id AS query_id,
+              |         unnest(list_prepend(bucket,
+              |           [substr(bucket, 1, i - 1) ||
+              |            CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END ||
+              |            substr(bucket, i + 1, 8 - i)
+              |            for i in generate_series(1, 8)])) AS bucket
+              |  FROM b WHERE vec_id < 5),
+              |cand AS (
+              |  SELECT qp.query_id, cb.vec_id AS nn_id
+              |  FROM qprobe qp JOIN b cb ON cb.bucket = qp.bucket
+              |  WHERE cb.vec_id <> qp.query_id),
+              |scored AS (
+              |  SELECT c.query_id, c.nn_id,
+              |         ${oracleCosine("qe.embedding", "ne.embedding")} AS cos
+              |  FROM cand c
+              |  JOIN embeddings qe ON qe.vec_id = c.query_id
+              |  JOIN embeddings ne ON ne.vec_id = c.nn_id),
+              |ranked AS (
+              |  SELECT query_id, nn_id, cos,
+              |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS rank
+              |  FROM scored)
+              |SELECT query_id, rank, nn_id, ROUND(cos, 6) AS cosine
+              |FROM ranked WHERE rank <= 10
+              |ORDER BY query_id, rank""".stripMargin)),
 
     // ── multimodal plumbing ────────────────────────────────────────
 

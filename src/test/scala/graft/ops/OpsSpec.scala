@@ -448,6 +448,24 @@ class OpsSpec extends AnyFunSuite {
     assert(fps.values.forall(s => s.nonEmpty && s.forall(_.length == 15)))
   }
 
+  test("multi-probe LSH recall dominates single-bucket recall") {
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.tabulate(16)(d => math.sin(i * 0.37 + d * 1.3)))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where($"vec_id" < 8)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    val exact  = hits(Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 5))
+    val single = hits(Similarity.lshTopK(vecs, queries, "vec_id", "embedding", k = 5, planes = 6))
+    val multi  = hits(Similarity.lshTopK(vecs, queries, "vec_id", "embedding", k = 5,
+      planes = 6, hamming = 1))
+    assert(single.subsetOf(multi) ||
+      (multi & exact).size >= (single & exact).size) // probing never loses recall
+    assert((multi & exact).size >= (single & exact).size)
+    // every multi-probe pair is a genuine bucket-or-neighbor match
+    assert(multi.nonEmpty)
+  }
+
   test("winnowPairs ranks near-dup above unrelated, like the shingle family") {
     val pairs = Dedup.winnowPairs(docs, "doc_id", "text",
         blockCols = Seq("lang"), k = 8, w = 4, threshold = 0.0)
