@@ -138,6 +138,16 @@ final class Graft(val spark: SparkSession, stateDir: String) {
     graft.ops.Dedup.dropPairedDuplicates(df, idCol,
       graft.ops.Dedup.minhashLshPairs(df, idCol, textCol, threshold = threshold))
 
+  /** Drop near-duplicates via shared winnowing fingerprints within
+    * `blockCols` blocks — the rolling-hash alternative to MinHash
+    * (cheaper pair generation: only window-selected hashes join).
+    */
+  def dedupWinnow(df: DataFrame, idCol: String, textCol: String,
+                  blockCols: Seq[String], threshold: Double = 0.5): DataFrame =
+    graft.ops.Dedup.dropPairedDuplicates(df, idCol,
+      graft.ops.Dedup.winnowPairs(df, idCol, textCol, blockCols, threshold = threshold)
+        .withColumnRenamed("fp_jaccard", "jaccard"))
+
   /** Exact cosine top-k neighbors (broadcast query set × corpus scan). */
   def annTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int = 10): DataFrame =
