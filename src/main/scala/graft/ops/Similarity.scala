@@ -218,6 +218,78 @@ object Similarity {
       .toDF("cent_id", "centroid")
   }
 
+  /** Hierarchical trainer for LARGE codebooks — the documented scale
+    * path past `trainIvfCentroids`'s plan-literal ceiling (k ≤ a few
+    * thousand): Lloyd-train `branch` coarse centroids with the literal
+    * trainer, assign each corpus vector to its coarse cluster once,
+    * then run Lloyd for ⌈k/branch⌉ LOCAL centroids inside every coarse
+    * cluster SIMULTANEOUSLY — local centroids live in a (broadcast)
+    * DataFrame keyed by (coarse, local), assignment is a broadcast
+    * equi-join on the coarse key + hash-agg argmax, and the per-dim
+    * DECIMAL mean update is one distributed aggregation over all
+    * clusters at once. Total jobs: O(iters), independent of k.
+    *
+    * Deterministic like its base: md5-ordered init per cluster, exact
+    * decimal sums, ties to the larger local index; empty locals keep
+    * their previous centroid. Emits cent_id = coarse·perCluster+local,
+    * so ivfTopK consumes the codebook unchanged.
+    */
+  def trainIvfCentroidsHierarchical(corpus: DataFrame, idCol: String, vecCol: String,
+                                    k: Int, branch: Int = 64, iters: Int = 2): DataFrame = {
+    require(k > 0 && branch > 0, "k and branch must be positive")
+    if (k <= branch) return trainIvfCentroids(corpus, idCol, vecCol, k, iters)
+    val perCluster = (k + branch - 1) / branch
+
+    val vecs = corpus.select(col(idCol).as("_vid"),
+      col(vecCol).cast("array<double>").as("_v"))
+
+    // level 1: coarse codebook + one assignment pass (literal argmax)
+    val coarse = trainIvfCentroids(corpus, idCol, vecCol, branch, iters)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val scored = coarse.map { case (ci, cv) =>
+      struct(cosine(col("_v"), array(cv.toSeq.map(lit): _*)).as("c"), lit(ci.toInt).as("ci"))
+    }
+    val assigned = (if (scored.length == 1) vecs.withColumn("_coarse", lit(0))
+      else vecs.withColumn("_coarse", greatest(scored.toSeq: _*).getField("ci")))
+      .localCheckpoint() // one materialization; reread per iteration
+
+    // level 2 init: the perCluster md5-smallest vectors of each cluster
+    val initW = Window.partitionBy(col("_coarse"))
+      .orderBy(md5(col("_vid").cast("string")), col("_vid"))
+    var localCents: DataFrame = assigned
+      .withColumn("_rank", row_number().over(initW))
+      .where(col("_rank") <= perCluster)
+      .select(col("_coarse"), (col("_rank") - 1).as("_local"), col("_v").as("_cv"))
+      .localCheckpoint()
+
+    for (_ <- 0 until iters) {
+      // assignment: broadcast join on the coarse key, hash-agg argmax
+      // over the cluster's locals (ties → larger local, like the base)
+      val best = assigned.join(broadcast(localCents), "_coarse")
+        .withColumn("_cos", cosine(col("_v"), col("_cv")))
+        .groupBy(col("_vid"), col("_coarse"))
+        .agg(max(struct(col("_cos"), col("_local"))).getField("_local").as("_local"))
+      val members = assigned.join(best, Seq("_vid", "_coarse"))
+      // mean update: one distributed agg over every (coarse, local, dim)
+      val sums = members
+        .select(col("_coarse"), col("_local"), posexplode(col("_v")).as(Seq("_pos", "_val")))
+        .groupBy(col("_coarse"), col("_local"), col("_pos"))
+        .agg((sum(col("_val").cast("decimal(38,15)")).cast("double") /
+          count(lit(1)).cast("double")).as("_m"))
+        .groupBy(col("_coarse"), col("_local"))
+        .agg(array_sort(collect_list(struct(col("_pos"), col("_m"))))
+          .getField("_m").as("_cv2"))
+      localCents = localCents.join(sums, Seq("_coarse", "_local"), "left")
+        .select(col("_coarse"), col("_local"),
+          coalesce(col("_cv2"), col("_cv")).as("_cv")) // empty local keeps previous
+        .localCheckpoint()
+    }
+
+    localCents.select(
+      (col("_coarse").cast("long") * perCluster + col("_local")).as("cent_id"),
+      col("_cv").as("centroid"))
+  }
+
   /** Symmetric per-vector int8 quantization — the memory-scale path
     * for a 100 TB vector corpus: 4× smaller than float32, and the
     * quantized dot product runs on integers. scale = max|x| / 127;

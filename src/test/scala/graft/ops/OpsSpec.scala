@@ -448,6 +448,32 @@ class OpsSpec extends AnyFunSuite {
     assert(fps.values.forall(s => s.nonEmpty && s.forall(_.length == 15)))
   }
 
+  test("hierarchical IVF trainer: deterministic, consumable by ivfTopK, base-equivalent for small k") {
+    val vecs = (0L until 120L).map { i =>
+      (i, Array.tabulate(8)(d => math.cos(i * 0.61 + d * 0.83)))
+    }.toDF("vec_id", "embedding")
+    val c1 = Similarity.trainIvfCentroidsHierarchical(vecs, "vec_id", "embedding",
+      k = 12, branch = 4, iters = 2)
+    val c2 = Similarity.trainIvfCentroidsHierarchical(vecs, "vec_id", "embedding",
+      k = 12, branch = 4, iters = 2)
+    val r1 = c1.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val r2 = c2.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(r1 == r2)                         // bit-identical re-run
+    assert(r1.nonEmpty && r1.size <= 12)
+    assert(r1.keys.forall(id => id >= 0 && id < 12))
+    // the codebook drives ivfTopK unchanged
+    val cents = c1.select($"cent_id".as("vec_id"), $"centroid".as("embedding"))
+    val res = Similarity.ivfTopK(vecs, vecs.where($"vec_id" < 2), cents,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    assert(res.count() > 0)
+    // k <= branch falls back to the base trainer exactly
+    val small = Similarity.trainIvfCentroidsHierarchical(vecs, "vec_id", "embedding",
+      k = 3, branch = 4, iters = 2).collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val base = Similarity.trainIvfCentroids(vecs, "vec_id", "embedding", k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(small == base)
+  }
+
   test("multi-probe LSH recall dominates single-bucket recall") {
     val vecs = (0L until 200L).map { i =>
       (i, Array.tabulate(16)(d => math.sin(i * 0.37 + d * 1.3)))
