@@ -197,6 +197,22 @@ object DuckSqlShim {
             }
           case "columns" if nextSignificant(sql, i) == '(' =>
             fail("COLUMNS(...)", "list the wanted columns explicitly")
+          case "string_agg" if nextSignificant(sql, i) == '(' =>
+            // ordered form: string_agg(x, d ORDER BY y) has the ORDER
+            // BY inside the argument list — Spark spells it
+            // listagg(x, d) WITHIN GROUP (ORDER BY y). The unordered
+            // form passes through (DuckFunctions aliases it).
+            while (i < n && sql.charAt(i).isWhitespace) i += 1
+            val end   = closeDelim(sql, i, '(', ')')
+            val inner = sql.substring(i + 1, end - 1)
+            val ob    = findTopLevelWord(inner, 0, Set("order"))
+            if (ob < 0) out.append(word).append('(').append(rewriteTokens(inner)).append(')')
+            else {
+              val args = inner.substring(0, ob).trim.stripSuffix(",").trim
+              out.append("listagg(").append(rewriteTokens(args))
+                .append(") WITHIN GROUP (").append(rewriteTokens(inner.substring(ob))).append(')')
+            }
+            i = end
           case _ => out.append(word)
         }
       } else {

@@ -92,6 +92,22 @@ class DuckSqlShimSpec extends AnyFunSuite {
     assert(rw("SELECT exclude, columns FROM t") == "SELECT exclude, columns FROM t")
   }
 
+  test("ordered string_agg becomes listagg WITHIN GROUP") {
+    assert(rw("SELECT string_agg(x, ',' ORDER BY y) FROM t GROUP BY g") ==
+      "SELECT listagg(x, ',') WITHIN GROUP (ORDER BY y) FROM t GROUP BY g")
+    // unordered form passes through (the DuckFunctions alias handles it)
+    assert(rw("SELECT string_agg(x, '-') FROM t") == "SELECT string_agg(x, '-') FROM t")
+    // end-to-end
+    graft.functions.DuckFunctions.register(spark)
+    import spark.implicits._
+    Seq((1L, "b"), (1L, "a"), (2L, "c")).toDF("g", "x")
+      .createOrReplaceTempView("shim_agg_t")
+    val rows = spark.sql(rw(
+      "SELECT g, string_agg(x, ',' ORDER BY x) AS s FROM shim_agg_t GROUP BY g ORDER BY g"))
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a,b"), (2L, "c")))
+  }
+
   test("* EXCLUDE runs end-to-end on a live session") {
     import spark.implicits._
     Seq((1L, "x", 2.0)).toDF("id", "name", "v").createOrReplaceTempView("shim_excl_t")
