@@ -24,7 +24,11 @@ object Bench {
     // the min reflects the query's actual cost — declared in the JSON
     // ("runs"/"agg") so the measurement is transparent
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated name filter for iterating on one query
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val dt = (0 until runs).map { _ =>
         val t0 = System.nanoTime()
         // noop sink, not count(): count() lets the optimizer prune

@@ -90,32 +90,33 @@ object AnalysisQueries {
     val distDeg = f"${distance / 111320.0}%.6f"
     val preFlt =
       s"""ABS(a.centroid_lon - b.centroid_lon) < 0.2
-         |  AND ABS(a.centroid_lat - b.centroid_lat) < 0.2""".stripMargin
-    // grid-expand the A side (R8) so DISTINCT b.* is untouched by the
-    // 9-cell duplication (exactly one grid copy matches per pair)
-    val grid = s"WITH ${GridJoin.gridCte("ga", s"`$tableA`")}"
-    val keys = GridJoin.probeKeys("a", "b.centroid_lon", "b.centroid_lat")
-    mode match {
-      case "intersect" => Some(
-        s"""$grid
-           |SELECT DISTINCT $bCols
-           |FROM ga a
-           |JOIN `$tableB` b
-           |  ON $keys
-           |  AND $preFlt
-           |  AND st_intersects(a.geometry, b.geometry)
-           |LIMIT $limit""".stripMargin)
-      case "within" => Some(
-        s"""$grid
-           |SELECT DISTINCT $bCols
-           |FROM ga a
-           |JOIN `$tableB` b
-           |  ON $keys
-           |  AND $preFlt
-           |  AND st_distance(a.geometry, b.geometry) < $distDeg
-           |LIMIT $limit""".stripMargin)
-      case _ => None
+         |    AND ABS(a.centroid_lat - b.centroid_lat) < 0.2""".stripMargin
+    // Grid-expand the MATCHED side (R8) — typically the smaller
+    // annotation layer — so the analyzed side A is never multiplied,
+    // and DISTINCT over b's own columns BEFORE computing geojson:
+    // st_asgeojson is a deterministic function of b.geometry, so
+    // DISTINCT(b.*, f(b)) ≡ DISTINCT(b.*) then project f — identical
+    // to the reference's JOIN + DISTINCT (analysisQueries.js:43-56)
+    // without materializing a GeoJSON string per joined pair (pair
+    // count >> matched-row count). One hash join + one DISTINCT
+    // exchange over matched b rows is the whole plan.
+    val grid = s"WITH ${GridJoin.gridCte("gb", s"`$tableB`")}"
+    val keys = GridJoin.probeKeys("b", "a.centroid_lon", "a.centroid_lat")
+    val geoPred = mode match {
+      case "intersect" => "st_intersects(a.geometry, b.geometry)"
+      case "within"    => s"st_distance(a.geometry, b.geometry) < $distDeg"
+      case _           => return None
     }
+    Some(
+      s"""$grid
+         |SELECT t.*, st_asgeojson(t.geometry) AS geojson FROM (
+         |  SELECT DISTINCT b.* EXCEPT (_gx, _gy)
+         |  FROM gb b
+         |  JOIN `$tableA` a
+         |    ON $keys
+         |    AND $preFlt
+         |    AND $geoPred) t
+         |LIMIT $limit""".stripMargin)
   }
 
   /** Intersection-geometry overlap query (AnalysisPanel.jsx:40-60;

@@ -540,6 +540,41 @@ object OpsQueries {
              |WHERE len(list_intersect(a.fps, b.fps)) > 0
              |ORDER BY fp_jaccard DESC, id_a, id_b LIMIT 50""".stripMargin)),
 
+    // end-to-end winnow dedup: pair generation (above) COMPOSED with
+    // the drop-apply half — every id_b of a >=0.5 fp-jaccard pair is
+    // anti-joined out of the corpus (broadcast drop set: the corpus
+    // itself never shuffles).
+    Q("dedup_drop_winnow",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        Dedup.dropPairedDuplicates(s.table("documents"), "doc_id",
+            Dedup.winnowPairs(s.table("documents"), "doc_id", "text",
+              blockCols = Seq("lang", "source"), threshold = 0.5))
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang, source,
+             |         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nrm
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, lang, source,
+             |    [substr(md5(substr(nrm, i, 8)), 1, 15) for i in generate_series(1, GREATEST(len(nrm) - 7, 1))] AS hs
+             |  FROM d),
+             |wn AS (
+             |  SELECT doc_id, lang, source,
+             |    list_distinct([list_aggregate(hs[j:j+3], 'min') for j in generate_series(1, GREATEST(len(hs) - 3, 1))]) AS fps
+             |  FROM g),
+             |drops AS (
+             |  SELECT DISTINCT b.doc_id AS id_b
+             |  FROM wn a JOIN wn b
+             |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.fps, b.fps)) AS DOUBLE) /
+             |        CAST(len(list_distinct(list_concat(a.fps, b.fps))) AS DOUBLE) >= 0.5)
+             |SELECT doc_id, lang, source FROM documents
+             |WHERE doc_id NOT IN (SELECT id_b FROM drops)
+             |ORDER BY doc_id""".stripMargin)),
+
     // deterministic hash-based stratified sampling: en halved, de kept
     // whole, everything else quartered — md5-threshold keep decision
     // is engine-portable by construction.
