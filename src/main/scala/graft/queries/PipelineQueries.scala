@@ -260,8 +260,12 @@ object PipelineQueries {
         st.set("pipelineSearch", "bar") // upsert
         st.delete("pipelineLimit")
         st.set("viewportCap", "3000")
+        st.sync() // one debounced checkpoint for the whole burst
+        // fresh instance = read back through the parquet file, so the
+        // oracle row proves the disk round-trip, not just the map
+        val st2 = new graft.session.SessionState(s, tmp)
         import s.implicits._
-        st.all.toSeq.toDF("key", "val").orderBy("key")
+        st2.all.toSeq.toDF("key", "val").orderBy("key")
       },
       Some("""SELECT * FROM (VALUES ('pipelineSearch', 'bar'), ('viewportCap', '3000'))
              |AS t(key, val) ORDER BY key""".stripMargin)),

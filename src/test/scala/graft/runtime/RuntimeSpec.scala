@@ -32,11 +32,26 @@ class RuntimeSpec extends AnyFunSuite {
     st.delete("pipeline")
     assert(st.get("pipeline").isEmpty)
 
+    st.sync() // flush the debounced buffer before handing the dir over
     val st2 = new SessionState(spark, dir) // fresh load from disk
     assert(st2.get("pipelineSearch").contains("bar"))
     // corrupt entries skipped by parsed load
     val parsed = st2.loadParsed { v => if (v.contains("{{{")) throw new Exception("bad") else v }
     assert(!parsed.contains("bad") && parsed.contains("pipelineSearch"))
+  }
+
+  test("session state debounces: burst of sets → one deferred flush, sync forces it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_db").toString
+    val st = new SessionState(spark, dir)
+    (1 to 5).foreach(i => st.set(s"k$i", s"v$i"))
+    // nothing on disk yet — mutations buffer for the debounce window
+    assert(new SessionState(spark, dir).all.isEmpty)
+    st.sync()
+    assert(new SessionState(spark, dir).all.size == 5)
+    // the deferred flush also lands on its own after the window
+    st.set("late", "x")
+    Thread.sleep(SessionState.DebounceMs + 300)
+    assert(new SessionState(spark, dir).all.size == 6)
   }
 
   test("load history appends with timestamps") {
