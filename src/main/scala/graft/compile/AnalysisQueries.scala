@@ -85,7 +85,8 @@ object AnalysisQueries {
     * analysisQueries.js:43-56).
     */
   def buildMatchedBQuery(mode: String, tableA: String, tableB: String,
-                         distance: Double, limit: Int = 2000): Option[String] = {
+                         distance: Double, limit: Int = 2000,
+                         orderBy: Option[String] = None): Option[String] = {
     val bCols = "b.*, st_asgeojson(b.geometry) AS geojson"
     val distDeg = f"${distance / 111320.0}%.6f"
     val preFlt =
@@ -107,6 +108,10 @@ object AnalysisQueries {
       case "within"    => s"st_distance(a.geometry, b.geometry) < $distDeg"
       case _           => return None
     }
+    // With orderBy set the cap truncates deterministically and Spark
+    // plans ORDER BY+LIMIT as one TakeOrderedAndProject (partial
+    // top-k, no single-partition exchange + sort stages).
+    val tail = orderBy.map(c => s"ORDER BY t.`$c`\n").getOrElse("")
     Some(
       s"""$grid
          |SELECT t.*, st_asgeojson(t.geometry) AS geojson FROM (
@@ -116,7 +121,7 @@ object AnalysisQueries {
          |    ON $keys
          |    AND $preFlt
          |    AND $geoPred) t
-         |LIMIT $limit""".stripMargin)
+         |${tail}LIMIT $limit""".stripMargin)
   }
 
   /** Intersection-geometry overlap query (AnalysisPanel.jsx:40-60;

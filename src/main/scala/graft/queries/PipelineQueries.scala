@@ -238,8 +238,9 @@ object PipelineQueries {
     Q("analysis_matched_b",
       (s, dir) => {
         GeoViews.register(s, dir)
-        val sql = AnalysisQueries.buildMatchedBQuery("intersect", "geo_places", "geo_buildings", 100.0, 50000).get
-        s.sql(sql).selectExpr("id", "display_name", "centroid_lon", "centroid_lat").orderBy("id")
+        val sql = AnalysisQueries.buildMatchedBQuery("intersect", "geo_places", "geo_buildings", 100.0, 50000,
+          orderBy = Some("id")).get
+        s.sql(sql).selectExpr("id", "display_name", "centroid_lon", "centroid_lat")
       },
       Some(s"WITH ${GeoViews.oraclePlaces},\n${GeoViews.oracleBuildings}\n" +
         """SELECT DISTINCT b.id, b.display_name, b.centroid_lon, b.centroid_lat

@@ -61,6 +61,11 @@ class AnalysisQueriesSpec extends AnyFunSuite {
     val w = buildMatchedBQuery("within", "places_place", "buildings_building", 100)
     assert(w.exists(_.contains("st_distance")))
     assert(buildMatchedBQuery("exclude", "places_place", "buildings_building", 100).isEmpty)
+    // unordered cap by default; opt-in deterministic order sits before
+    // the LIMIT so Spark plans it as one TakeOrderedAndProject
+    assert(i.exists(!_.contains("ORDER BY")))
+    val o = buildMatchedBQuery("intersect", "places_place", "buildings_building", 100, 2000, Some("id"))
+    assert(o.exists(_.contains("ORDER BY t.`id`\nLIMIT 2000")))
   }
 
   test("intersection geometry query is capped and wraps st_intersection") {
