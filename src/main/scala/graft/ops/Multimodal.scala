@@ -330,6 +330,89 @@ object Multimodal {
       decodeMjpegFrames(content, maxFrames).flatMap(decodeImage(_))
   }
 
+  /** REAL animated-GIF decoder, also JDK-only: the GIF `ImageReader`
+    * yields one image per LZW-compressed frame, each of which may be a
+    * partial patch at an (x, y) offset of the logical screen; frames
+    * are composited onto a persistent canvas (do-not-dispose
+    * semantics, the overwhelmingly common case for web GIFs) so the
+    * pipeline sees full frames, not patches.
+    */
+  object GifDecoder extends VideoDecoder {
+    def formats: Set[String] = Set("gif")
+
+    def decodeFrames(content: Array[Byte], maxFrames: Int): Seq[java.awt.image.BufferedImage] = {
+      if (content == null || content.length < 6 ||
+        new String(content, 0, 4, "ISO-8859-1") != "GIF8") return Nil
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return Nil
+        val reader = readers.next()
+        reader.setInput(iis, false)
+        try {
+          val n = math.min(reader.getNumImages(true), maxFrames)
+          var canvas: java.awt.image.BufferedImage = null
+          (0 until n).flatMap { i =>
+            try {
+              val patch = reader.read(i)
+              val (x, y) = frameOffset(reader, i)
+              if (canvas == null) {
+                val (w, h) = logicalScreen(reader)
+                  .getOrElse((x + patch.getWidth, y + patch.getHeight))
+                canvas = new java.awt.image.BufferedImage(
+                  math.max(w, x + patch.getWidth), math.max(h, y + patch.getHeight),
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+              }
+              val g = canvas.createGraphics()
+              g.drawImage(patch, x, y, null)
+              g.dispose()
+              // snapshot — the canvas keeps accumulating later patches
+              val snap = new java.awt.image.BufferedImage(
+                canvas.getWidth, canvas.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val sg = snap.createGraphics()
+              sg.drawImage(canvas, 0, 0, null)
+              sg.dispose()
+              Some(snap)
+            } catch { case _: Exception => None }
+          }
+        } finally reader.dispose()
+      } catch { case _: Exception => Nil }
+      finally iis.close()
+    }
+
+    /** ImageDescriptor (x, y) of frame `i` from the per-frame GIF
+      * metadata tree; (0, 0) when absent.
+      */
+    private def frameOffset(reader: javax.imageio.ImageReader, i: Int): (Int, Int) =
+      try {
+        val tree = reader.getImageMetadata(i)
+          .getAsTree("javax_imageio_gif_image_1.0").asInstanceOf[org.w3c.dom.Element]
+        val nodes = tree.getElementsByTagName("ImageDescriptor")
+        if (nodes.getLength == 0) (0, 0)
+        else {
+          val d = nodes.item(0).asInstanceOf[org.w3c.dom.Element]
+          (d.getAttribute("imageLeftPosition").toInt, d.getAttribute("imageTopPosition").toInt)
+        }
+      } catch { case _: Exception => (0, 0) }
+
+    /** LogicalScreenDescriptor (width, height) from the stream
+      * metadata; None when the writer omitted it.
+      */
+    private def logicalScreen(reader: javax.imageio.ImageReader): Option[(Int, Int)] =
+      try {
+        val tree = reader.getStreamMetadata
+          .getAsTree("javax_imageio_gif_stream_1.0").asInstanceOf[org.w3c.dom.Element]
+        val nodes = tree.getElementsByTagName("LogicalScreenDescriptor")
+        if (nodes.getLength == 0) None
+        else {
+          val d = nodes.item(0).asInstanceOf[org.w3c.dom.Element]
+          Some((d.getAttribute("logicalScreenWidth").toInt,
+            d.getAttribute("logicalScreenHeight").toInt))
+        }
+      } catch { case _: Exception => None }
+  }
+
   /** Frame sampling with REAL decoders: rows dispatch to the first
     * decoder claiming their `meta.format` (falling back to trying each
     * in order when the format is unknown); every `everyN`-th decoded
@@ -338,7 +421,7 @@ object Multimodal {
     * byte-slice stand-in) for opaque formats.
     */
   def sampleFramesDecoded(media: DataFrame, everyN: Int = 10,
-                          decoders: Seq[VideoDecoder] = Seq(MjpegDecoder)): DataFrame = {
+                          decoders: Seq[VideoDecoder] = Seq(MjpegDecoder, GifDecoder)): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),

@@ -387,6 +387,68 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.forall(_.getAs[Array[Byte]]("frame_bytes").length <= 4))
   }
 
+  test("real video codec: animated-GIF frame extraction with patch compositing") {
+    def gray(w: Int, h: Int, v: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      img
+    }
+    // animated GIF via the JDK's own sequence writer: full first frame,
+    // then a half-size patch at offset (8, 4) — the decoder must
+    // composite it onto the first frame, not emit the bare patch
+    def animatedGif(first: java.awt.image.BufferedImage,
+                    patch: java.awt.image.BufferedImage, px: Int, py: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      def meta(img: java.awt.image.BufferedImage, x: Int, y: Int) = {
+        val p = writer.getDefaultWriteParam
+        val m = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), p)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val tree = m.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
+        val d = tree.getElementsByTagName("ImageDescriptor").item(0)
+          .asInstanceOf[org.w3c.dom.Element]
+        d.setAttribute("imageLeftPosition", x.toString)
+        d.setAttribute("imageTopPosition", y.toString)
+        m.setFromTree(fmt, tree)
+        m
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(first, null, meta(first, 0, 0)), null)
+      writer.writeToSequence(new javax.imageio.IIOImage(patch, null, meta(patch, px, py)), null)
+      writer.endWriteSequence()
+      ios.close()
+      bos.toByteArray
+    }
+    val bytes = animatedGif(gray(16, 8, 100), gray(8, 4, 200), 8, 4)
+    val frames = Multimodal.GifDecoder.decodeFrames(bytes, maxFrames = 256)
+    assert(frames.length == 2)
+    assert(frames.forall(f => f.getWidth == 16 && f.getHeight == 8))
+    assert((frames(0).getRGB(0, 0) & 0xff) == 100)
+    // frame 1 = frame 0 with the 200-gray patch composited at (8, 4)
+    assert((frames(1).getRGB(0, 0) & 0xff) == 100)
+    assert((frames(1).getRGB(10, 5) & 0xff) == 200)
+    assert(Multimodal.GifDecoder.decodeFrames("not a gif".getBytes("UTF-8"), 4).isEmpty)
+
+    // and through the Spark pipeline, dispatched on meta.format
+    val rows = Seq(Row(1L, bytes, Row("gif", 16, 8, 2)),
+      Row(2L, "garbage".getBytes("UTF-8"), Row("gif", 0, 0, 1)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
+      Multimodal.mediaSchema)
+    val out = Multimodal.sampleFramesDecoded(df, everyN = 1).collect().sortBy(_.getInt(1))
+    assert(out.length == 2 && out.forall(_.getAs[Long]("media_id") == 1L))
+    assert(out.forall(r => r.getAs[Int]("frame_width") == 16 && r.getAs[Int]("frame_height") == 8))
+    // mean luma rises when the brighter patch lands (GIF is lossless on
+    // exact grays: 100 -> (100*128 + 200*32)/128... composited region is
+    // 8x4 of 16x8 = 1/4 of the pixels)
+    val lumas = out.map(_.getAs[Double]("frame_mean_luma"))
+    assert(math.abs(lumas(0) - 100.0) < 1.0)
+    assert(math.abs(lumas(1) - 125.0) < 1.0)
+  }
+
   test("video decoder seam: a plugged compressed-format decoder drives the same pipeline") {
     // toy compressed format standing in for an H.264 binding:
     // "RAWV" magic, u8 width, u8 height, then per-frame gray planes
