@@ -1,0 +1,104 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Local scale-up synthesizer: unions N key-offset copies of every
+  * base table from a source scale-factor dir into a larger one, for
+  * proving the engine's plans and runtimes scale ~linearly without a
+  * cluster (`runMain graft.tools.ScaleUp <src> <dst> [copies]`).
+  *
+  * Copy `c` offsets every join-key column by `c × stride` (strides
+  * chosen above the largest key, per int width), so each copy is a
+  * self-contained replica: FK relationships, group cardinalities and
+  * per-key densities all scale ×N while per-group work stays constant.
+  *
+  * Two content columns get a per-copy deterministic rewrite so that
+  * similarity structure also stays per-copy (naive duplication would
+  * make every document a 10-way exact duplicate and every embedding a
+  * 10-way cosine-1 twin — quadratic pair blowup that says nothing
+  * about the plans):
+  *   - documents.text: per-copy letter substitution (translate with a
+  *     rotated common-letter alphabet) — length and within-copy dup
+  *     structure preserved, shingles disjoint across copies;
+  *   - embeddings.embedding: small per-copy angular perturbation.
+  *
+  * Geometry caveat, documented in SCALE.md: geo layers derive their
+  * coordinates from keys mod small constants, so all copies share one
+  * spatial extent — density, and therefore spatial-join PAIR counts,
+  * grow ×N² by construction. Time-per-output-pair is the linearity
+  * metric for those queries.
+  */
+object ScaleUp {
+
+  private val Key32: Map[String, Seq[String]] = Map(
+    "region"   -> Seq("r_regionkey"),
+    "nation"   -> Seq("n_nationkey", "n_regionkey"),
+    "customer" -> Seq("c_nationkey"),
+    "supplier" -> Seq("s_nationkey"))
+
+  private val Key64: Map[String, Seq[String]] = Map(
+    "customer"   -> Seq("c_custkey"),
+    "supplier"   -> Seq("s_suppkey"),
+    "part"       -> Seq("p_partkey"),
+    "orders"     -> Seq("o_orderkey", "o_custkey"),
+    "lineitem"   -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events"     -> Seq("event_id", "user_id"),
+    "documents"  -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  private val Stride32 = 1000000L
+  private val Stride64 = 100000000L
+
+  /** Common letters whose per-copy rotation rewrites document text. */
+  private val SubAlpha = "etaoinshrdlu"
+
+  private def copyOf(df: DataFrame, table: String, c: Int): DataFrame = {
+    var out = df
+    Key32.getOrElse(table, Nil).foreach { k =>
+      out = out.withColumn(k, (col(k) + lit(c * Stride32)).cast("int"))
+    }
+    Key64.getOrElse(table, Nil).foreach { k =>
+      out = out.withColumn(k, col(k) + lit(c * Stride64))
+    }
+    if (table == "documents" && c > 0) {
+      val to = SubAlpha.drop(c % SubAlpha.length) + SubAlpha.take(c % SubAlpha.length)
+      out = out.withColumn("text", translate(col("text"), SubAlpha, to))
+    }
+    if (table == "embeddings" && c > 0)
+      out = out.withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          (x + lit(0.31 * c) * cos(i.cast("double") * 1.7 + lit(c.toDouble)))
+            .cast("float")))
+    out
+  }
+
+  def scaleTable(df: DataFrame, table: String, copies: Int): DataFrame =
+    (0 until copies).map(copyOf(df, table, _)).reduce(_ unionAll _)
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst) = args.take(2)
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is TIMESTAMP(NANOS): copy it through as raw int64
+      // nanos (registerAll handles either representation)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    graft.core.Tables.all.foreach { t =>
+      val in = graft.core.Tables.path(src, t)
+      if (new java.io.File(in).exists()) {
+        val scaled = scaleTable(spark.read.parquet(in), t, copies)
+        scaled.write.mode("overwrite").parquet(graft.core.Tables.path(dst, t))
+        println(s"[scaleup] $t -> ${copies}x")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -16,7 +16,9 @@ class QueriesSmokeSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
 
-  private val dir = "/root/testdata/sf0.001"
+  // SPARK_GRAFT_SMOKE_DIR overrides for scale runs (e.g. the sf1 dir
+  // synthesized by tools/ScaleUp) — gates must hold at every SF
+  private val dir = sys.env.getOrElse("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
