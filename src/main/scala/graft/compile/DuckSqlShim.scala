@@ -15,7 +15,9 @@ package graft.compile
   *  - `"quoted identifiers"`        → `` `backticks` ``
   *  - `arr[i]` 1-based subscripts   → `try_element_at(arr, i)`
   *    (1-based and NULL on out-of-range in both engines, ANSI or not)
-  *  - `arr[a:b]` inclusive slices   → `slice(arr, a, b-a+1)`
+  *  - `arr[a:b[:step]]` slices      → `list_slice(arr, a, b[, step])`
+  *    (omitted bounds → 1 / -1 = list boundary; DuckFunctions
+  *    supplies the DuckDB clamp/negative-index/step semantics)
   *  - bare `[...]` list literals    → `array(...)`
   *  - top-level `QUALIFY cond`      → subquery wrap with outer WHERE
   *    (alias-referencing conditions; inline-OVER conditions raise)
@@ -158,11 +160,25 @@ object DuckSqlShim {
           val colon = topLevelColon(innerRaw)
           val start = operandStart(out)
           if (colon >= 0) {
-            val lo = rewrite(innerRaw.substring(0, colon)).trim
-            val hi = rewrite(innerRaw.substring(colon + 1)).trim
-            out.insert(start, "slice(")
-            out.append(", ").append(lo).append(", (").append(hi)
-              .append(") - (").append(lo).append(") + 1)")
+            // list_slice (DuckFunctions) carries the full DuckDB slice
+            // conventions — inclusive end, negatives, clamping, step —
+            // which plain slice(arr, a, b-a+1) gets wrong for
+            // mixed-sign bounds. Omitted bounds ([a:], [:b]) mean the
+            // list boundary, spelled 1 / -1 (first / last inclusive)
+            val rest = innerRaw.substring(colon + 1)
+            val c2   = topLevelColon(rest)
+            val (hiRaw, stepRaw) =
+              if (c2 >= 0) (rest.substring(0, c2), Some(rest.substring(c2 + 1)))
+              else (rest, None)
+            def bound(s: String, boundary: String): String = {
+              val r = rewrite(s).trim
+              if (r.isEmpty) boundary else r
+            }
+            out.insert(start, "list_slice(")
+            out.append(", ").append(bound(innerRaw.substring(0, colon), "1"))
+              .append(", ").append(bound(hiRaw, "-1"))
+            stepRaw.foreach(s => out.append(", ").append(rewrite(s).trim))
+            out.append(')')
           } else {
             out.insert(start, "try_element_at(")
             out.append(", ").append(rewrite(innerRaw).trim).append(')')

@@ -66,6 +66,66 @@ object DuckFunctions {
         newChildren: IndexedSeq[Expression]): Expression = copy(child = newChildren.head)
   }
 
+  /** DuckDB `list_slice(l, begin, end[, step])` / `l[begin:end]` slice
+    * conventions (verified against DuckDB 1.0), which differ from
+    * Spark's `slice(l, start, length)` on every axis: 1-based
+    * INCLUSIVE end, negative indices count from the end (-1 = last),
+    * and out-of-range bounds clamp instead of erroring. `begin > end`
+    * yields an empty list, as does a begin past the end. A NULL list,
+    * bound or step yields NULL. The optional `step` keeps every
+    * step-th element of the slice (`[4,5,6][1:3:2]` = `[4,6]`);
+    * step 0 raises, negative steps yield an empty list. (The shim
+    * encodes omitted bracket bounds `[a:]`/`[:b]` as `-1`/`1`, which
+    * is how DuckDB's list-boundary behavior lands here.)
+    *
+    * Composed from codegen'd builtins (Size/Slice/ArrayFilter) — the
+    * bound arithmetic is folded when the bounds are literals.
+    */
+  case class DuckListSlice(children: Seq[Expression]) extends RuntimeReplaceable {
+    require(children.length == 3 || children.length == 4,
+      s"list_slice expects 3 or 4 arguments, got ${children.length}")
+    override lazy val replacement: Expression = {
+      val Seq(l, b, e) = children.take(3)
+      val one          = Literal(1L)
+      val n            = Cast(new Size(l), LongType)
+      // normalize to clamped 1-based positions; arithmetic in BIGINT so
+      // user-supplied 64-bit bounds can't overflow before the clamp.
+      // NULL bounds propagate through the arithmetic into Slice — but
+      // Least/Greatest skip NULLs, so clamp via CASE instead
+      val bL = Cast(b, LongType)
+      val b1 = If(LessThan(bL, Literal(0L)), Add(Add(n, bL), one), bL)
+      val b2 = If(LessThan(b1, one), one, b1)
+      val bb = If(GreaterThan(b2, Add(n, one)), Add(n, one), b2)
+      val eL = Cast(e, LongType)
+      val e1 = If(LessThan(eL, Literal(0L)), Add(Add(n, eL), one), eL)
+      val ee = If(GreaterThan(e1, n), n, e1)
+      val lenRaw = Subtract(Add(ee, one), bb)
+      val len    = If(LessThan(lenRaw, Literal(0L)), Literal(0L), lenRaw)
+      val sliced: Expression =
+        Slice(l, Cast(bb, IntegerType), Cast(len, IntegerType))
+      children.lift(3) match {
+        case None                                             => sliced
+        case Some(Literal(s: Number, _)) if s.longValue == 1L => sliced
+        case Some(step) =>
+          val ArrayType(et, cn) = l.dataType: @unchecked
+          val x  = NamedLambdaVariable("x", et, cn)
+          val ix = NamedLambdaVariable("i", IntegerType, nullable = false)
+          val keep = LambdaFunction(
+            EqualTo(Pmod(Cast(ix, LongType), Cast(step, LongType)), Literal(0L)),
+            Seq(x, ix))
+          val stepL = Cast(step, LongType)
+          CaseWhen(Seq(
+            IsNull(stepL) -> Literal(null, l.dataType),
+            EqualTo(stepL, Literal(0L)) ->
+              Cast(new RaiseError(Literal("list_slice: step cannot be zero")), l.dataType),
+            LessThan(stepL, Literal(0L)) -> Slice(l, Literal(1), Literal(0))),
+            Some(ArrayFilter(sliced, keep)))
+      }
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+  }
+
   /** DuckDB name → Spark builtin resolving identically (same argument
     * order and semantics); registered by builder lookup so they stay
     * in lock-step with the session's builtin implementations.
@@ -138,11 +198,14 @@ object DuckFunctions {
     reg.createOrReplaceTempFunction("list_position", positionOrNull, "built-in")
     reg.createOrReplaceTempFunction("list_indexof", positionOrNull, "built-in")
     // list_prepend(element, list) — Spark's array_prepend takes the
-    // list FIRST. (list_slice is intentionally absent: DuckDB's is
-    // inclusive-END, Spark's slice takes a LENGTH — the shim's [a:b]
-    // rewrite covers the syntax form with correct arithmetic.)
+    // list FIRST.
     reg.createOrReplaceTempFunction("list_prepend",
       es => ArrayPrepend(es(1), es(0)), "built-in")
+    // list_slice carries DuckDB's full slice conventions (inclusive
+    // end, negatives, NULL boundaries, clamping, step) — the shim's
+    // [a:b] rewrite targets this same expression
+    reg.createOrReplaceTempFunction("list_slice", es => DuckListSlice(es), "built-in")
+    reg.createOrReplaceTempFunction("array_slice", es => DuckListSlice(es), "built-in")
     reg.createOrReplaceTempFunction("epoch_us",
       es => UnixMicros(Cast(es.head, TimestampType)), "built-in")
     reg.createOrReplaceTempFunction("epoch_ms",

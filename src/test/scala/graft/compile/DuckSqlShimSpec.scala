@@ -47,8 +47,46 @@ class DuckSqlShimSpec extends AnyFunSuite {
     assert(rw("SELECT t.arr[i + 1]") == "SELECT try_element_at(t.arr, i + 1)")
   }
 
-  test("slices become slice() with inclusive bounds") {
-    assert(rw("SELECT arr[2:4]") == "SELECT slice(arr, 2, (4) - (2) + 1)")
+  test("slices become list_slice() with DuckDB conventions") {
+    assert(rw("SELECT arr[2:4]") == "SELECT list_slice(arr, 2, 4)")
+    assert(rw("SELECT arr[2:]") == "SELECT list_slice(arr, 2, -1)")
+    assert(rw("SELECT arr[:3]") == "SELECT list_slice(arr, 1, 3)")
+    assert(rw("SELECT arr[1:8:2]") == "SELECT list_slice(arr, 1, 8, 2)")
+    assert(rw("SELECT arr[i + 1:-1]") == "SELECT list_slice(arr, i + 1, -1)")
+  }
+
+  // every expectation below was verified verbatim against DuckDB 1.0
+  test("list_slice executes with DuckDB semantics: inclusive end, negatives, clamp, NULLs, step") {
+    graft.functions.DuckFunctions.register(spark)
+    def ints(sql: String): Seq[Int] = {
+      val r = spark.sql(rw(sql)).head()
+      if (r.isNullAt(0)) null else r.getSeq[Int](0)
+    }
+    assert(ints("SELECT list_slice([1,2,3,4,5], 2, 4)") == Seq(2, 3, 4))
+    assert(ints("SELECT list_slice([1,2,3,4,5], -2, -1)") == Seq(4, 5))
+    assert(ints("SELECT list_slice([1,2,3,4,5], 2, -2)") == Seq(2, 3, 4))
+    assert(ints("SELECT list_slice([1,2,3,4,5], 0, 2)") == Seq(1, 2))   // 0 clamps to 1
+    assert(ints("SELECT list_slice([1,2,3,4,5], -10, 2)") == Seq(1, 2)) // deep negative clamps to 1
+    assert(ints("SELECT list_slice([1,2,3,4,5], 4, 99)") == Seq(4, 5))  // end clamps to len
+    assert(ints("SELECT list_slice([1,2,3,4,5], 7, 9)") == Seq())       // begin past end → empty
+    assert(ints("SELECT list_slice([1,2,3,4,5], 4, 2)") == Seq())       // begin > end → empty
+    assert(ints("SELECT list_slice([1,2,3,4,5], 1, -10)") == Seq())     // end before begin → empty
+    assert(ints("SELECT list_slice([1,2,3,4,5], NULL, 2)") == null)     // NULL bound → NULL
+    assert(ints("SELECT list_slice([1,2,3,4,5], 3, NULL)") == null)
+    assert(ints("SELECT list_slice([1,2,3], 1, 3, NULL)") == null)      // NULL step → NULL
+    assert(ints("SELECT list_slice([1,2,3,4,5,6,7,8], 1, 8, 3)") == Seq(1, 4, 7))
+    assert(ints("SELECT list_slice([1,2,3], 1, 3, -1)") == Seq())       // negative step → empty
+    assert(ints("SELECT list_slice(CAST(NULL AS ARRAY<INT>), 1, 2)") == null)
+    assert(ints("SELECT array_slice([1,2,3], 2, 3)") == Seq(2, 3))
+    // bracket forms route through the same expression; omitted bounds
+    // are the list boundary
+    assert(ints("SELECT ([1,2,3,4,5])[2:-2]") == Seq(2, 3, 4))
+    assert(ints("SELECT ([1,2,3,4,5])[3:]") == Seq(3, 4, 5))
+    assert(ints("SELECT ([1,2,3,4,5])[:3]") == Seq(1, 2, 3))
+    assert(ints("SELECT ([1,2,3,4,5])[-2:]") == Seq(4, 5))
+    assert(ints("SELECT ([1,2,3,4,5,6,7,8])[1:8:3]") == Seq(1, 4, 7))
+    val err = intercept[Exception](spark.sql(rw("SELECT list_slice([1,2,3], 1, 3, 0)")).head())
+    assert(err.getMessage.toLowerCase.contains("step"))
   }
 
   test("bare list literals become array()") {
@@ -126,7 +164,8 @@ class DuckSqlShimSpec extends AnyFunSuite {
       "SELECT x::BIGINT, a // b, arr[1], [1,2,3], \"my col\" FROM t",
       "SELECT \"weird::name\", \"a[1]b\" FROM \"my // table\"",
       "SELECT split(s, ',')[2]::INT AS v, 'lit::[1]//' FROM t",
-      "SELECT f(x, y)::DECIMAL(10,2), arr[2:4] FROM t")
+      "SELECT f(x, y)::DECIMAL(10,2), arr[2:4] FROM t",
+      "SELECT arr[2:], arr[:3], arr[1:8:2] FROM t")
     inputs.foreach { in =>
       val once = rw(in)
       assert(rw(once) == once, s"not stable for: $in ->\n  $once\n  ${rw(once)}")
