@@ -47,11 +47,14 @@ object DuckSqlShim {
 
   /** Top-level `QUALIFY cond` → subquery wrap:
     * `SELECT * FROM (<select sans qualify/tail>) __qualify_sub WHERE
-    * cond <order/limit tail>`. Covers the common form where the
-    * condition references select-list aliases (`QUALIFY rn = 1`);
-    * conditions with an inline `OVER(...)` window — which an outer
-    * WHERE can't host — and QUALIFY nested in subqueries/CTEs fall
-    * through to the explicit error in the token pass.
+    * cond <order/limit tail>`. Covers the form where the condition
+    * references select-list aliases (`QUALIFY rn = 1`) directly; a
+    * condition with inline `OVER(...)` windows — which an outer WHERE
+    * can't host — gets each window expression hoisted into the inner
+    * select list as a `__qwN` alias (dropped again via `* EXCLUDE`),
+    * with the condition filtering on the alias. QUALIFY nested in
+    * subqueries/CTEs, on a DISTINCT select, or using a named window
+    * (`OVER w`) falls through to the explicit error in the token pass.
     */
   private def rewriteQualify(sql: String): String = {
     val qStart = findTopLevelWord(sql, 0, Set("qualify"))
@@ -65,15 +68,94 @@ object DuckSqlShim {
     var tailStart = findTopLevelWord(sql, condStart, Set("order", "limit", "offset"))
     if (tailStart < 0) tailStart = sql.length
     val cond = sql.substring(condStart, tailStart).trim
-    if (cond.isEmpty || cond.toLowerCase.matches("(?s).*\\bover\\s*\\(.*")) return sql
+    if (cond.isEmpty) return sql
     val firstWord = cond.takeWhile(c => c.isLetterOrDigit || c == '_').toLowerCase
     val clauseKeywords = Set("from", "where", "group", "having", "window", "union",
       "intersect", "except", "join", "on", "and", "or", "as", "asc", "desc", "by")
-    val condStartsOk = cond.head.isLetter || cond.head == '_' || cond.head == '('
+    val condStartsOk = cond.head.isLetterOrDigit || cond.head == '_' || cond.head == '('
     if (!condStartsOk || clauseKeywords.contains(firstWord)) return sql
-    val inner = sql.substring(0, qStart).trim
-    val tail  = sql.substring(tailStart)
-    s"SELECT * FROM (\n$inner\n) __qualify_sub WHERE $cond $tail".trim
+    val tail = sql.substring(tailStart)
+    extractWindows(cond) match {
+      case None => sql // token pass raises with porting guidance
+      case Some((_, Seq())) =>
+        val inner = sql.substring(0, qStart).trim
+        s"SELECT * FROM (\n$inner\n) __qualify_sub WHERE $cond $tail".trim
+      case Some((newCond, windows)) =>
+        // hoisting select-list additions onto DISTINCT would change
+        // which rows are distinct — bail to the explicit error
+        if (sql.substring(0, fromPos).trim.toLowerCase.startsWith("select distinct"))
+          return sql
+        val aliased = windows.zipWithIndex
+          .map { case (w, ix) => s"$w AS __qw$ix" }.mkString(", ")
+        val names = windows.indices.map(ix => s"__qw$ix").mkString(", ")
+        val inner = sql.substring(0, fromPos).trim + s", $aliased\n" +
+          sql.substring(fromPos, qStart).trim
+        // EXCLUDE (not EXCEPT): this output feeds the token pass, which
+        // owns the star-modifier spelling
+        s"SELECT * EXCLUDE ($names) FROM (\n$inner\n) __qualify_sub WHERE $newCond $tail".trim
+    }
+  }
+
+  /** Replace each maximal inline window expression `fn(args) OVER
+    * (spec)` in `cond` with a `__qwN` placeholder; returns the
+    * rewritten condition plus the extracted expressions in placeholder
+    * order, or None when an `OVER` is present but not in that exact
+    * shape (named window `OVER w`, or not attached to a call) — the
+    * caller then falls through to the explicit error.
+    */
+  private def extractWindows(cond: String): Option[(String, Seq[String])] = {
+    var cur   = cond
+    val exprs = scala.collection.mutable.ArrayBuffer[String]()
+    while (exprs.length < 32) {
+      val oPos = findTopLevelWord(cur, 0, Set("over"))
+      if (oPos < 0) {
+        // an OVER below paren depth 0 (e.g. `(rn() OVER (...)) = 1`)
+        // is out of this rewrite's reach — keep the explicit error
+        // rather than emitting a window inside an outer WHERE
+        return if (cur.toLowerCase.matches("(?s).*\\bover\\s*\\(.*")) None
+        else Some((cur, exprs.toSeq))
+      }
+      // single-quoted regions must not participate in paren matching
+      val mask = new Array[Boolean](cur.length)
+      var p = 0
+      while (p < cur.length) {
+        if (cur.charAt(p) == '\'') {
+          val e = closeString(cur, p)
+          var q = p; while (q < e && q < cur.length) { mask(q) = true; q += 1 }
+          p = e
+        } else p += 1
+      }
+      var j = oPos + "over".length
+      while (j < cur.length && cur.charAt(j).isWhitespace) j += 1
+      if (j >= cur.length || cur.charAt(j) != '(') return None // named window
+      val overEnd = closeDelim(cur, j, '(', ')')
+      var k = oPos - 1
+      while (k >= 0 && cur.charAt(k).isWhitespace) k -= 1
+      if (k < 0 || cur.charAt(k) != ')') return None // OVER without a call
+      var depth = 0
+      var m     = k
+      var open  = -1
+      while (m >= 0 && open < 0) {
+        val c = cur.charAt(m)
+        if (!mask(m)) {
+          if (c == ')') depth += 1
+          else if (c == '(') { depth -= 1; if (depth == 0) open = m }
+        }
+        m -= 1
+      }
+      if (open < 0) return None
+      var idStart = open
+      while (idStart > 0 && cur.charAt(idStart - 1).isWhitespace) idStart -= 1
+      val idEnd = idStart
+      while (idStart > 0 && {
+        val c = cur.charAt(idStart - 1)
+        c.isLetterOrDigit || c == '_' || c == '.'
+      }) idStart -= 1
+      if (idStart == idEnd) return None // parenthesized expr, not a call
+      exprs += cur.substring(idStart, overEnd)
+      cur = cur.substring(0, idStart) + s"__qw${exprs.length - 1}" + cur.substring(overEnd)
+    }
+    None
   }
 
   /** Index of the first depth-0 occurrence of any of `words` (matched
@@ -195,9 +277,11 @@ object DuckSqlShim {
         val word = sql.substring(s, i)
         word.toLowerCase match {
           case "qualify" =>
-            // the pre-pass wraps every rewritable form; reaching here
-            // means an inline-window condition or a nested QUALIFY
-            fail("QUALIFY with an inline window (or nested in a subquery)",
+            // the pre-pass wraps every rewritable form (including
+            // inline windows, hoisted as __qwN aliases); reaching here
+            // means a nested QUALIFY, a DISTINCT select, a named
+            // window (OVER w) or a window buried below paren depth 0
+            fail("QUALIFY in a form the shim can't wrap (nested subquery/CTE, DISTINCT, named or parenthesized window)",
               "alias the window expression in the select list and QUALIFY the alias, " +
                 "or wrap the query in a subquery with WHERE")
           case "exclude" if prevSignificant(out) == '*' =>

@@ -105,7 +105,7 @@ class DuckSqlShimSpec extends AnyFunSuite {
     assert(rw("SELECT 'it''s'") == "SELECT 'it''s'")
   }
 
-  test("QUALIFY on an alias wraps into a subquery; inline windows raise") {
+  test("QUALIFY on an alias wraps into a subquery; inline windows hoist as __qwN") {
     assert(rw("SELECT a, rn FROM t QUALIFY rn = 1") ==
       "SELECT * FROM (\nSELECT a, rn FROM t\n) __qualify_sub WHERE rn = 1")
     assert(rw("SELECT a, rn FROM t QUALIFY rn <= 2 ORDER BY a LIMIT 5") ==
@@ -113,13 +113,40 @@ class DuckSqlShimSpec extends AnyFunSuite {
     // dialect rewrites still apply to both halves
     assert(rw("SELECT a, rn FROM t QUALIFY rn::INT = 1") ==
       "SELECT * FROM (\nSELECT a, rn FROM t\n) __qualify_sub WHERE CAST(rn AS INT) = 1")
+    // inline window: hoisted into the inner select list, filtered via
+    // the alias, dropped by the star-modifier
+    assert(rw("SELECT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1") ==
+      "SELECT * EXCEPT (__qw0) FROM (\nSELECT a, row_number() OVER (ORDER BY a) AS __qw0\nFROM t\n) __qualify_sub WHERE __qw0 = 1")
+    // forms the rewrite can't hold still raise with guidance
     val e1 = intercept[IllegalArgumentException](
-      rw("SELECT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1"))
+      rw("SELECT a FROM t QUALIFY rank() OVER w = 1")) // named window
     assert(e1.getMessage.contains("sql-dialect"))
+    intercept[IllegalArgumentException](
+      rw("SELECT a FROM t QUALIFY (row_number() OVER (ORDER BY a)) = 1")) // parenthesized
+    intercept[IllegalArgumentException](
+      rw("SELECT DISTINCT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1"))
     // a column merely NAMED qualify is left alone (no FROM-after, or
     // clause-keyword condition)
     intercept[IllegalArgumentException](rw("SELECT qualify FROM t"))
     intercept[IllegalArgumentException](rw("SELECT a FROM t WHERE qualify = 1")) // ambiguous → raise
+  }
+
+  // expected rows verified verbatim against DuckDB 1.0
+  test("QUALIFY with inline windows runs end-to-end with DuckDB semantics") {
+    graft.functions.DuckFunctions.register(spark)
+    import spark.implicits._
+    Seq((1, 10.0), (1, 20.0), (2, 5.0), (2, 7.0), (1, 15.0))
+      .toDF("k", "v").createOrReplaceTempView("shim_qw_t")
+    def run(sql: String): Seq[(Int, Double)] =
+      spark.sql(rw(sql)).collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(run("SELECT k, v FROM shim_qw_t QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC) = 1 ORDER BY k") ==
+      Seq((1, 20.0), (2, 7.0)))
+    // window referencing base columns, comparison against a column
+    assert(run("SELECT k, v FROM shim_qw_t QUALIFY v > avg(v) OVER (PARTITION BY k) ORDER BY k, v") ==
+      Seq((1, 20.0), (2, 7.0)))
+    // two windows in one condition
+    assert(run("SELECT k, v FROM shim_qw_t QUALIFY row_number() OVER (PARTITION BY k ORDER BY v) = 1 AND rank() OVER (ORDER BY v) <= 3 ORDER BY k") ==
+      Seq((1, 10.0), (2, 5.0)))
   }
 
   test("* EXCLUDE becomes Spark's * EXCEPT; COLUMNS raises") {
