@@ -252,14 +252,25 @@ object DuckSqlShim {
             val (hiRaw, stepRaw) =
               if (c2 >= 0) (rest.substring(0, c2), Some(rest.substring(c2 + 1)))
               else (rest, None)
-            def bound(s: String, boundary: String): String = {
+            // an omitted bound means the boundary the walk STARTS or
+            // ENDS at — which flips when a (possibly non-literal)
+            // step is negative, e.g. DuckDB `l[:2:-1]` walks from the
+            // LAST element down to 2
+            val stepTxt = stepRaw.map(s => rewrite(s).trim)
+            def bound(s: String, fwd: String, rev: String): String = {
               val r = rewrite(s).trim
-              if (r.isEmpty) boundary else r
+              if (r.nonEmpty) r
+              else stepTxt match {
+                case None => fwd
+                case Some(st) =>
+                  if (st.matches("-?\\d+")) { if (st.startsWith("-")) rev else fwd }
+                  else s"CASE WHEN ($st) < 0 THEN $rev ELSE $fwd END"
+              }
             }
             out.insert(start, "list_slice(")
-            out.append(", ").append(bound(innerRaw.substring(0, colon), "1"))
-              .append(", ").append(bound(hiRaw, "-1"))
-            stepRaw.foreach(s => out.append(", ").append(rewrite(s).trim))
+            out.append(", ").append(bound(innerRaw.substring(0, colon), "1", "-1"))
+              .append(", ").append(bound(hiRaw, "-1", "1"))
+            stepTxt.foreach(s => out.append(", ").append(s))
             out.append(')')
           } else {
             out.insert(start, "try_element_at(")

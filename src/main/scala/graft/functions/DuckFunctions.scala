@@ -74,7 +74,8 @@ object DuckFunctions {
     * yields an empty list, as does a begin past the end. A NULL list,
     * bound or step yields NULL. The optional `step` keeps every
     * step-th element of the slice (`[4,5,6][1:3:2]` = `[4,6]`);
-    * step 0 raises, negative steps yield an empty list. (The shim
+    * step 0 raises, a negative step walks from begin DOWN to end
+    * (`[1..5][5:1:-2]` = `[5,3,1]`). (The shim
     * encodes omitted bracket bounds `[a:]`/`[:b]` as `-1`/`1`, which
     * is how DuckDB's list-boundary behavior lands here.)
     *
@@ -108,18 +109,35 @@ object DuckFunctions {
         case Some(Literal(s: Number, _)) if s.longValue == 1L => sliced
         case Some(step) =>
           val ArrayType(et, cn) = l.dataType: @unchecked
-          val x  = NamedLambdaVariable("x", et, cn)
-          val ix = NamedLambdaVariable("i", IntegerType, nullable = false)
-          val keep = LambdaFunction(
-            EqualTo(Pmod(Cast(ix, LongType), Cast(step, LongType)), Literal(0L)),
-            Seq(x, ix))
           val stepL = Cast(step, LongType)
+          def everyNth(src: Expression, s: Expression): Expression = {
+            val x  = NamedLambdaVariable("x", et, cn)
+            val ix = NamedLambdaVariable("i", IntegerType, nullable = false)
+            ArrayFilter(src, LambdaFunction(
+              EqualTo(Pmod(Cast(ix, LongType), s), Literal(0L)), Seq(x, ix)))
+          }
+          // negative step walks from begin DOWN to end — and its
+          // clamps are asymmetric vs the positive direction (probed
+          // against DuckDB 1.0: begin clamps high to n but NOT low to
+          // 1, end clamps low to 1 but NOT high to n; a bound outside
+          // the walk yields empty). Realized as every-|step|-th
+          // element of the REVERSED forward slice [end, begin].
+          val bbN   = If(GreaterThan(b1, n), n, b1)
+          val eeN   = If(LessThan(e1, one), one, e1)
+          val lenN  = Subtract(Add(bbN, one), eeN)
+          val lenNc = If(LessThan(lenN, Literal(0L)), Literal(0L), lenN)
+          // start arg is irrelevant when len=0 but must not overflow
+          // the Int cast for huge user bounds
+          val startN = If(GreaterThan(eeN, n), Add(n, one), eeN)
+          val revWalk = everyNth(
+            Reverse(Slice(l, Cast(startN, IntegerType), Cast(lenNc, IntegerType))),
+            Subtract(Literal(0L), stepL))
           CaseWhen(Seq(
             IsNull(stepL) -> Literal(null, l.dataType),
             EqualTo(stepL, Literal(0L)) ->
               Cast(new RaiseError(Literal("list_slice: step cannot be zero")), l.dataType),
-            LessThan(stepL, Literal(0L)) -> Slice(l, Literal(1), Literal(0))),
-            Some(ArrayFilter(sliced, keep)))
+            LessThan(stepL, Literal(0L)) -> revWalk),
+            Some(everyNth(sliced, stepL)))
       }
     }
     override protected def withNewChildrenInternal(

@@ -17,12 +17,14 @@ object CoverageQueries {
   val duckOverrideText: String =
     """SELECT doc_id,
       |       (doc_id // 100)::BIGINT AS bucket,
-      |       len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS n_toks,
-      |       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')[1] AS first_tok,
-      |       array_to_string(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')[2:4], '|') AS toks_2_4,
-      |       array_to_string(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')[-2:], '|') AS last_2,
-      |       array_to_string(list_slice(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''), 1, 9, 3), '|') AS every_3rd
-      |FROM documents
+      |       len(toks)::BIGINT AS n_toks,
+      |       toks[1] AS first_tok,
+      |       array_to_string(toks[2:4], '|') AS toks_2_4,
+      |       array_to_string(toks[-2:], '|') AS last_2,
+      |       array_to_string(list_slice(toks, 1, 9, 3), '|') AS every_3rd
+      |FROM (SELECT doc_id,
+      |        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+      |      FROM documents) d
       |ORDER BY doc_id
       |LIMIT 200""".stripMargin
 

@@ -75,7 +75,10 @@ class DuckSqlShimSpec extends AnyFunSuite {
     assert(ints("SELECT list_slice([1,2,3,4,5], 3, NULL)") == null)
     assert(ints("SELECT list_slice([1,2,3], 1, 3, NULL)") == null)      // NULL step → NULL
     assert(ints("SELECT list_slice([1,2,3,4,5,6,7,8], 1, 8, 3)") == Seq(1, 4, 7))
-    assert(ints("SELECT list_slice([1,2,3], 1, 3, -1)") == Seq())       // negative step → empty
+    assert(ints("SELECT list_slice([1,2,3], 1, 3, -1)") == Seq())       // begin below end with negative step → empty
+    assert(ints("SELECT list_slice([1,2,3,4,5], 5, 1, -2)") == Seq(5, 3, 1)) // negative step walks down
+    assert(ints("SELECT ([1,2,3,4,5])[:2:-1]") == Seq(5, 4, 3, 2))      // omitted begin + negative step = from last
+    assert(ints("SELECT ([1,2,3,4,5])[:2:2]") == Seq(1))
     assert(ints("SELECT list_slice(CAST(NULL AS ARRAY<INT>), 1, 2)") == null)
     assert(ints("SELECT array_slice([1,2,3], 2, 3)") == Seq(2, 3))
     // bracket forms route through the same expression; omitted bounds
