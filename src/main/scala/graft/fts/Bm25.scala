@@ -78,4 +78,15 @@ object Bm25 {
       try searchTable(spark, t, query, limit).collect().toSeq
       catch { case _: Exception => Seq.empty }
     }
+
+  /** Single-plan form of the multi-table fan-out: the per-table
+    * two-tier searches union into one DataFrame (schemas are
+    * identical by construction). Use `searchAll` when the reference's
+    * per-table failure isolation matters; this form keeps the fan-out
+    * inside one Catalyst plan — per-table top-k then a ≤
+    * tables×limit-row union, no driver-side row traffic.
+    */
+  def searchAllDf(spark: SparkSession, tables: Seq[String], query: String,
+                  limit: Int = 10): DataFrame =
+    tables.map(t => searchTable(spark, t, query, limit)).reduce(_.unionByName(_))
 }

@@ -64,24 +64,26 @@ object PipelineQueries {
       "_f0, CAST(_f1 AS VARCHAR) AS _f1, CAST(_f2 AS VARCHAR) AS _f2, CAST(_f3 AS VARCHAR) AS _f3, " +
       "CAST(_f4 AS VARCHAR) AS _f4, CAST(_f5 AS VARCHAR) AS _f5, _source"
 
-  /** BM25 index CTEs over geo_places' search_name, mirroring
-    * FtsIndex.build + Bm25.scoreSql arithmetic exactly.
+  /** BM25 index CTEs over a table's search_name, mirroring
+    * FtsIndex.build + Bm25.scoreSql arithmetic exactly; `p` prefixes
+    * the CTE names so several tables' indexes coexist in one WITH.
     */
-  private def oracleBm25(termListSql: String): String =
-    s"""fts_terms AS (
+  private def oracleBm25(termListSql: String, table: String = "geo_places",
+                         p: String = "fts"): String =
+    s"""${p}_terms AS (
        |  SELECT id, t.term
-       |  FROM geo_places, unnest(string_split_regex(lower(search_name), '[^a-z0-9]+')) AS t(term)
+       |  FROM $table, unnest(string_split_regex(lower(search_name), '[^a-z0-9]+')) AS t(term)
        |  WHERE t.term <> ''),
-       |fts_tf AS (SELECT id, term, COUNT(*) AS tf FROM fts_terms GROUP BY id, term),
-       |fts_doclen AS (SELECT id, COUNT(*) AS doclen FROM fts_terms GROUP BY id),
-       |fts_df AS (SELECT term, COUNT(*) AS df FROM fts_tf GROUP BY term),
-       |fts_stats AS (SELECT COUNT(*) AS ndocs, CAST(SUM(doclen) AS DOUBLE)/COUNT(*) AS avgdl FROM fts_doclen),
-       |fts_scores AS (
+       |${p}_tf AS (SELECT id, term, COUNT(*) AS tf FROM ${p}_terms GROUP BY id, term),
+       |${p}_doclen AS (SELECT id, COUNT(*) AS doclen FROM ${p}_terms GROUP BY id),
+       |${p}_df AS (SELECT term, COUNT(*) AS df FROM ${p}_tf GROUP BY term),
+       |${p}_stats AS (SELECT COUNT(*) AS ndocs, CAST(SUM(doclen) AS DOUBLE)/COUNT(*) AS avgdl FROM ${p}_doclen),
+       |${p}_scores AS (
        |  SELECT id, SUM(
        |    ln(CAST(1.0 AS DOUBLE) + ((ndocs - df) + CAST(0.5 AS DOUBLE))/(df + CAST(0.5 AS DOUBLE)))
        |    * tf * CAST(2.2 AS DOUBLE) /
        |    (tf + CAST(1.2 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * doclen / avgdl))) AS _score
-       |  FROM fts_tf JOIN fts_doclen USING (id) JOIN fts_df USING (term) CROSS JOIN fts_stats
+       |  FROM ${p}_tf JOIN ${p}_doclen USING (id) JOIN ${p}_df USING (term) CROSS JOIN ${p}_stats
        |  WHERE term IN ($termListSql)
        |  GROUP BY id)""".stripMargin
 
@@ -189,6 +191,34 @@ object PipelineQueries {
           |  ROUND(s._score, 6) AS _score, 'geo_places' AS source_table
           |FROM geo_places p JOIN fts_scores s ON p.id = s.id
           |ORDER BY p.id""".stripMargin)),
+
+    // §2.9 F5: multi-table search fan-out as ONE plan — per-table BM25
+    // indexes, per-table scoring, unioned with source_table tags
+    // (fts.js:70-114's loop, minus the driver-side isolation that
+    // searchAll keeps for the degradation contract).
+    Q("fts_search_multi",
+      (s, dir) => {
+        GeoViews.register(s, dir)
+        FtsIndex.ensure(s, "geo_places")
+        FtsIndex.ensure(s, "geo_buildings")
+        graft.fts.Bm25.searchAllDf(
+            s, Seq("geo_places", "geo_buildings"), "building customer", limit = 100000)
+          .selectExpr("id", "display_name", "centroid_lon", "centroid_lat",
+            "ROUND(_score, 6) AS _score", "source_table")
+          .orderBy("source_table", "id")
+      },
+      Some(s"WITH ${GeoViews.oraclePlaces},\n${GeoViews.oracleBuildings},\n" +
+        s"${oracleBm25("'building', 'customer'", "geo_places", "pf")},\n" +
+        s"${oracleBm25("'building', 'customer'", "geo_buildings", "bf")}\n" +
+        """SELECT * FROM (
+          |  SELECT p.id, p.display_name, p.centroid_lon, p.centroid_lat,
+          |    ROUND(s._score, 6) AS _score, 'geo_places' AS source_table
+          |  FROM geo_places p JOIN pf_scores s ON p.id = s.id
+          |  UNION ALL
+          |  SELECT b.id, b.display_name, b.centroid_lon, b.centroid_lat,
+          |    ROUND(s._score, 6) AS _score, 'geo_buildings' AS source_table
+          |  FROM geo_buildings b JOIN bf_scores s ON b.id = s.id)
+          |ORDER BY source_table, id""".stripMargin)),
 
     // §3.3 analysis: show-union with _source tags + NULL padding.
     Q("analysis_show_union",
