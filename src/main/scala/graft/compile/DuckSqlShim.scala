@@ -13,8 +13,9 @@ package graft.compile
   *  - `expr::TYPE` casts            → `CAST(expr AS TYPE)`
   *  - `a // b` integer division     → `a div b`
   *  - `"quoted identifiers"`        → `` `backticks` ``
-  *  - `arr[i]` 1-based subscripts   → `try_element_at(arr, i)`
-  *    (1-based and NULL on out-of-range in both engines, ANSI or not)
+  *  - `arr[i]` 1-based subscripts   → `list_extract(arr, i)`
+  *    (DuckFunctions: 1-based, NULL on out-of-range INCLUDING index
+  *    0, which Spark's own try_element_at rejects)
   *  - `arr[a:b[:step]]` slices      → `list_slice(arr, a, b[, step])`
   *    (omitted bounds → 1 / -1 = list boundary; DuckFunctions
   *    supplies the DuckDB clamp/negative-index/step semantics)
@@ -158,6 +159,34 @@ object DuckSqlShim {
     None
   }
 
+  /** DuckDB type names Spark's parser rejects or misreads, mapped to
+    * their Spark equivalents — applied to bare (unparameterized) cast
+    * targets only; `VARCHAR(10)` etc. pass through. HUGEINT and the
+    * unsigned widths map to the narrowest Spark type that holds their
+    * full range.
+    */
+  private val CastTypes: Map[String, String] = Map(
+    "varchar"  -> "STRING", "text" -> "STRING", "char" -> "STRING",
+    "bpchar"   -> "STRING",
+    "int1"     -> "TINYINT", "int2" -> "SMALLINT", "int4" -> "INT",
+    "signed"   -> "INT", "int8" -> "BIGINT",
+    "float4"   -> "FLOAT", "float8" -> "DOUBLE", "real" -> "FLOAT",
+    "hugeint"  -> "DECIMAL(38,0)",
+    "utinyint" -> "SMALLINT", "usmallint" -> "INT",
+    "uinteger" -> "BIGINT", "ubigint" -> "DECIMAL(20,0)",
+    "blob"     -> "BINARY", "bytea" -> "BINARY",
+    "logical"  -> "BOOLEAN", "bool" -> "BOOLEAN")
+
+  private def castType(t: String): String =
+    CastTypes.getOrElse(t.toLowerCase, t)
+
+  /** Spark integer cast targets whose CAST truncates where DuckDB
+    * rounds; DECIMAL targets are excluded because Spark's decimal
+    * cast already rounds half-up like DuckDB's.
+    */
+  private val IntCastTargets =
+    Set("tinyint", "smallint", "int", "integer", "bigint")
+
   /** Index of the first depth-0 occurrence of any of `words` (matched
     * as whole identifiers, case-insensitive, outside strings/quotes/
     * comments), or -1.
@@ -225,10 +254,19 @@ object DuckSqlShim {
         var typ = sql.substring(tStart, i)
         if (i < n && sql.charAt(i) == '(') {
           val e = closeDelim(sql, i, '(', ')'); typ += sql.substring(i, e); i = e
-        }
+        } else typ = castType(typ)
         val start = operandStart(out)
-        out.insert(start, "CAST(")
-        out.append(" AS ").append(typ).append(')')
+        // DuckDB casts numerics to integer types by ROUNDING half away
+        // from zero (2.5::INT = 3, -2.5::INT = -3, '42.7'::INT = 43);
+        // Spark CAST truncates — wrap integer-target casts in ROUND
+        // (identity on already-integral operands)
+        if (IntCastTargets.contains(typ.toLowerCase)) {
+          out.insert(start, "CAST(ROUND(")
+          out.append(") AS ").append(typ).append(')')
+        } else {
+          out.insert(start, "CAST(")
+          out.append(" AS ").append(typ).append(')')
+        }
       } else if (c == '[') {
         val end      = closeDelim(sql, i, '[', ']')
         val innerRaw = sql.substring(i + 1, end - 1)
@@ -273,7 +311,7 @@ object DuckSqlShim {
             stepTxt.foreach(s => out.append(", ").append(s))
             out.append(')')
           } else {
-            out.insert(start, "try_element_at(")
+            out.insert(start, "list_extract(")
             out.append(", ").append(rewrite(innerRaw).trim).append(')')
           }
         } else {
@@ -306,6 +344,15 @@ object DuckSqlShim {
               if (i == s2) fail("* EXCLUDE <non-identifier>", "list the wanted columns explicitly")
               out.append(" (").append(sql.substring(s2, i)).append(')')
             }
+          case "varchar" | "hugeint" | "bpchar" | "bytea" | "int1" | "int2" |
+               "int4" | "int8" | "float4" | "float8" | "utinyint" | "usmallint" |
+               "uinteger" | "ubigint" if nextSignificant(sql, i) != '(' =>
+            // longhand CAST(x AS VARCHAR)/HUGEINT/... — these tokens
+            // are Spark-invalid as bare types and implausible as
+            // identifiers, so map them anywhere they appear unsized;
+            // ambiguous names (text, real, char, blob) are mapped only
+            // on the :: path
+            out.append(castType(word))
           case "columns" if nextSignificant(sql, i) == '(' =>
             fail("COLUMNS(...)", "list the wanted columns explicitly")
           case "string_agg" if nextSignificant(sql, i) == '(' =>

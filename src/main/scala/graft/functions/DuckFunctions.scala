@@ -144,6 +144,28 @@ object DuckFunctions {
         newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
   }
 
+  /** DuckDB `l[i]` subscript: 1-based, negative from the end, and NULL
+    * for ANY out-of-range index INCLUDING 0 — where Spark's
+    * try_element_at still raises INVALID_INDEX_OF_ZERO. A zero index
+    * is detoured to Int.MaxValue (an always-out-of-range position) so
+    * nothing ever evaluates element_at(·, 0), keeping the expression
+    * safe under constant folding too.
+    */
+  case class DuckElementAt(left: Expression, right: Expression) extends RuntimeReplaceable {
+    override lazy val replacement: Expression = left.dataType match {
+      case _: ArrayType =>
+        val idx = If(EqualTo(Cast(right, LongType), Literal(0L)),
+          Literal(Int.MaxValue), Cast(right, IntegerType))
+        new ElementAt(left, idx, None, false)
+      case _ => // map subscript: keys aren't positions, pass through
+        new ElementAt(left, right, None, false)
+    }
+    override def children: Seq[Expression] = Seq(left, right)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(left = newChildren(0), right = newChildren(1))
+  }
+
   /** DuckDB name → Spark builtin resolving identically (same argument
     * order and semantics); registered by builder lookup so they stay
     * in lock-step with the session's builtin implementations.
@@ -204,17 +226,21 @@ object DuckFunctions {
         }
       }, "built-in")
     // array_to_string(arr, delim) — Spark's concat_ws takes the
-    // delimiter FIRST
+    // delimiter FIRST; and DuckDB (string_agg-based) yields NULL for
+    // an empty or all-NULL list where concat_ws yields '' (fixture-
+    // caught: [''] must stay '', so the emptiness test is on the
+    // NULL-compacted list, not the joined text)
     reg.createOrReplaceTempFunction("array_to_string",
-      es => ConcatWs(Seq(es(1), es(0))), "built-in")
-    // list_position returns NULL when absent (Spark's array_position
-    // returns 0)
-    def positionOrNull(es: Seq[Expression]): Expression = {
-      val pos = ArrayPosition(es(0), es(1))
-      If(EqualTo(pos, Literal(0L)), Literal(null, LongType), pos)
-    }
-    reg.createOrReplaceTempFunction("list_position", positionOrNull, "built-in")
-    reg.createOrReplaceTempFunction("list_indexof", positionOrNull, "built-in")
+      es => If(EqualTo(new Size(ArrayCompact(es(0))), Literal(0)),
+        Literal(null, StringType), ConcatWs(Seq(es(1), es(0)))), "built-in")
+    // list_position: 0 when absent, NULL only for a NULL search
+    // element — DuckDB 1.0 (the oracle engine) matches Spark's
+    // array_position exactly (fixture-caught; docs describe the older
+    // NULL-when-absent behavior)
+    reg.createOrReplaceTempFunction("list_position",
+      es => ArrayPosition(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("list_indexof",
+      es => ArrayPosition(es(0), es(1)), "built-in")
     // list_prepend(element, list) — Spark's array_prepend takes the
     // list FIRST.
     reg.createOrReplaceTempFunction("list_prepend",
@@ -224,6 +250,12 @@ object DuckFunctions {
     // [a:b] rewrite targets this same expression
     reg.createOrReplaceTempFunction("list_slice", es => DuckListSlice(es), "built-in")
     reg.createOrReplaceTempFunction("array_slice", es => DuckListSlice(es), "built-in")
+    // the shim's [i] subscript rewrite targets this (zero-index-safe
+    // try_element_at)
+    reg.createOrReplaceTempFunction("list_extract",
+      es => DuckElementAt(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("array_extract",
+      es => DuckElementAt(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("epoch_us",
       es => UnixMicros(Cast(es.head, TimestampType)), "built-in")
     reg.createOrReplaceTempFunction("epoch_ms",

@@ -21,12 +21,18 @@ class DuckSqlShimSpec extends AnyFunSuite {
   // ── text rewrites ──────────────────────────────────────────────────
 
   test("`::` cast on identifiers, numbers, calls and parens") {
-    assert(rw("SELECT x::BIGINT") == "SELECT CAST(x AS BIGINT)")
-    assert(rw("SELECT 1.5::INT") == "SELECT CAST(1.5 AS INT)")
+    // integer targets gain ROUND: DuckDB's numeric→integer cast
+    // rounds half away from zero where Spark's CAST truncates
+    assert(rw("SELECT x::BIGINT") == "SELECT CAST(ROUND(x) AS BIGINT)")
+    assert(rw("SELECT 1.5::INT") == "SELECT CAST(ROUND(1.5) AS INT)")
     assert(rw("SELECT a.b::DOUBLE FROM t") == "SELECT CAST(a.b AS DOUBLE) FROM t")
     assert(rw("SELECT f(x, y)::DECIMAL(10,2)") == "SELECT CAST(f(x, y) AS DECIMAL(10,2))")
-    assert(rw("SELECT (a + b)::BIGINT") == "SELECT CAST((a + b) AS BIGINT)")
-    assert(rw("SELECT '42'::INT") == "SELECT CAST('42' AS INT)")
+    assert(rw("SELECT (a + b)::BIGINT") == "SELECT CAST(ROUND((a + b)) AS BIGINT)")
+    assert(rw("SELECT '42'::INT") == "SELECT CAST(ROUND('42') AS INT)")
+    // DuckDB-only type names map to Spark equivalents
+    assert(rw("SELECT x::VARCHAR") == "SELECT CAST(x AS STRING)")
+    assert(rw("SELECT x::HUGEINT") == "SELECT CAST(x AS DECIMAL(38,0))")
+    assert(rw("SELECT CAST(x AS VARCHAR)") == "SELECT CAST(x AS STRING)")
   }
 
   test("`//` integer division becomes div") {
@@ -40,11 +46,11 @@ class DuckSqlShimSpec extends AnyFunSuite {
       "SELECT `my col` FROM `my table`")
   }
 
-  test("subscripts become try_element_at (1-based, NULL out of range)") {
-    assert(rw("SELECT arr[1]") == "SELECT try_element_at(arr, 1)")
+  test("subscripts become list_extract (1-based, NULL out of range incl. 0)") {
+    assert(rw("SELECT arr[1]") == "SELECT list_extract(arr, 1)")
     assert(rw("SELECT split(s, ',')[2] FROM t") ==
-      "SELECT try_element_at(split(s, ','), 2) FROM t")
-    assert(rw("SELECT t.arr[i + 1]") == "SELECT try_element_at(t.arr, i + 1)")
+      "SELECT list_extract(split(s, ','), 2) FROM t")
+    assert(rw("SELECT t.arr[i + 1]") == "SELECT list_extract(t.arr, i + 1)")
   }
 
   test("slices become list_slice() with DuckDB conventions") {
@@ -115,7 +121,7 @@ class DuckSqlShimSpec extends AnyFunSuite {
       "SELECT * FROM (\nSELECT a, rn FROM t\n) __qualify_sub WHERE rn <= 2 ORDER BY a LIMIT 5")
     // dialect rewrites still apply to both halves
     assert(rw("SELECT a, rn FROM t QUALIFY rn::INT = 1") ==
-      "SELECT * FROM (\nSELECT a, rn FROM t\n) __qualify_sub WHERE CAST(rn AS INT) = 1")
+      "SELECT * FROM (\nSELECT a, rn FROM t\n) __qualify_sub WHERE CAST(ROUND(rn) AS INT) = 1")
     // inline window: hoisted into the inner select list, filtered via
     // the alias, dropped by the star-modifier
     assert(rw("SELECT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1") ==
@@ -275,15 +281,18 @@ class DuckSqlShimSpec extends AnyFunSuite {
     assert(r.getAs[Int]("m2") == 4 && r.getAs[Int]("m3") == 5)
     assert(r.getAs[String]("s") == "1-2-3")
     assert(r.getAs[Long]("p") == 2L)
-    assert(r.isNullAt(r.fieldIndex("p0"))) // DuckDB: NULL when absent
+    assert(r.getAs[Long]("p0") == 0L) // DuckDB 1.0: 0 when absent (fixture-verified)
     assert(r.getSeq[Int](r.fieldIndex("ap")) == Seq(1, 2, 3))
     assert(r.getSeq[Int](r.fieldIndex("pp")) == Seq(0, 1, 2))
     assert(r.getSeq[Int](r.fieldIndex("rv")) == Seq(3, 2, 1))
   }
 
-  test("try_element_at preserves DuckDB NULL-on-out-of-range") {
-    val v = spark.sql(rw("SELECT [1,2][5] AS v")).head()
+  test("subscripts preserve DuckDB NULL-on-out-of-range, including index 0") {
+    graft.functions.DuckFunctions.register(spark)
+    val v = spark.sql(rw("SELECT [1,2][5] AS v, [1,2][0] AS z, [1,2][-1] AS m")).head()
     assert(v.isNullAt(0))
+    assert(v.isNullAt(1)) // Spark's try_element_at raises on 0; ours must not
+    assert(v.getInt(2) == 2)
   }
 
   test("PipelineSession accepts a duckdb-dialect override") {
