@@ -222,8 +222,15 @@ object DuckSqlShim {
     while (i < n) {
       val c = sql.charAt(i)
       if (c == '\'') {
+        // DuckDB string literals are standard SQL: backslashes are
+        // ordinary characters ('\d' is 2 chars). Spark's default
+        // parser treats backslash as an escape, so double each one;
+        // '' quote-doubling is shared syntax and passes through. (This
+        // is the one non-idempotent rewrite — re-shimming ALREADY
+        // Spark-dialect text with backslash literals would double
+        // them again.)
         val end = closeString(sql, i)
-        out.append(sql.substring(i, end)); i = end
+        out.append(sql.substring(i, end).replace("\\", "\\\\")); i = end
       } else if (c == '"') {
         val end  = closeQuoted(sql, i)
         val name = sql.substring(i + 1, end - 1).replace("\"\"", "\"").replace("`", "``")
@@ -371,6 +378,41 @@ object DuckSqlShim {
                 .append(") WITHIN GROUP (").append(rewriteTokens(inner.substring(ob))).append(')')
             }
             i = end
+          case "log" if nextSignificant(sql, i) == '(' =>
+            // DuckDB's 1-arg log() is log BASE 10; Spark's is natural
+            // log. The 2-arg log(base, x) form agrees.
+            while (i < n && sql.charAt(i).isWhitespace) i += 1
+            val end   = closeDelim(sql, i, '(', ')')
+            val inner = sql.substring(i + 1, end - 1)
+            val name  = if (topLevelCommas(inner) == 0) "log10" else "log"
+            out.append(name).append('(').append(rewriteTokens(inner)).append(')')
+            i = end
+          case "regexp_extract" if nextSignificant(sql, i) == '(' =>
+            // DuckDB's default group is 0 (whole match); Spark's is 1
+            while (i < n && sql.charAt(i).isWhitespace) i += 1
+            val end   = closeDelim(sql, i, '(', ')')
+            val inner = sql.substring(i + 1, end - 1)
+            out.append(word).append('(').append(rewriteTokens(inner))
+            if (topLevelCommas(inner) == 1) out.append(", 0")
+            out.append(')')
+            i = end
+          case "regexp_replace" if nextSignificant(sql, i) == '(' =>
+            // DuckDB replaces the FIRST match unless the 'g' flag is
+            // present; Spark's regexp_replace is always global — route
+            // to the registered DuckDB-semantics expression
+            out.append("duck_regexp_replace")
+          case "datediff" | "date_diff" if nextSignificant(sql, i) == '(' =>
+            // Spark's parser claims these names as timestampdiff
+            // syntax (unquoted unit, full-period counting); DuckDB's
+            // 3-arg form counts part-boundary crossings — route to
+            // duck_datediff. The 2-arg form is Spark's own.
+            while (i < n && sql.charAt(i).isWhitespace) i += 1
+            val end   = closeDelim(sql, i, '(', ')')
+            val inner = sql.substring(i + 1, end - 1)
+            if (topLevelCommas(inner) == 2)
+              out.append("duck_datediff(").append(rewriteTokens(inner)).append(')')
+            else out.append(word).append('(').append(rewriteTokens(inner)).append(')')
+            i = end
           case _ => out.append(word)
         }
       } else {
@@ -447,6 +489,25 @@ object DuckSqlShim {
       j += 1
     }
     -1
+  }
+
+  /** Count of depth-0 commas in an argument list (parens, brackets and
+    * strings respected) — distinguishes call arities for arg-count-
+    * sensitive rewrites.
+    */
+  private def topLevelCommas(s: String): Int = {
+    var depth = 0
+    var count = 0
+    var j     = 0
+    while (j < s.length) {
+      val c = s.charAt(j)
+      if (c == '\'') j = closeString(s, j) - 1
+      else if (c == '(' || c == '[') depth += 1
+      else if (c == ')' || c == ']') depth -= 1
+      else if (c == ',' && depth == 0) count += 1
+      j += 1
+    }
+    count
   }
 
   private def prevSignificant(out: StringBuilder): Char = {

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types._
 
@@ -14,7 +15,9 @@ import org.apache.spark.sql.types._
   * registered here as session functions resolving to the native
   * Catalyst expressions Spark already codegens — aliases where a
   * builtin matches 1:1, thin expression compositions where it doesn't.
-  * No UDFs anywhere; everything stays inside whole-stage codegen.
+  * No UDFs anywhere; everything stays inside whole-stage codegen
+  * except [[DuckRegexpReplace]] (CodegenFallback, dialect-surface
+  * only — never in an engine-emitted plan).
   */
 object DuckFunctions {
 
@@ -166,6 +169,69 @@ object DuckFunctions {
       copy(left = newChildren(0), right = newChildren(1))
   }
 
+  /** DuckDB `regexp_replace(s, pattern, replacement[, flags])`:
+    * replaces the FIRST match unless flags contain 'g'; supports
+    * 'i' (case-insensitive), 's' (dot matches newline), 'm'
+    * (multiline); replacement backreferences are `\1`-style (converted
+    * to Java's `$1`). Not a hot-path expression — the shim routes
+    * dialect text here; Spark-dialect regexp_replace is untouched.
+    */
+  case class DuckRegexpReplace(children: Seq[Expression])
+      extends Expression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    require(children.length == 3 || children.length == 4,
+      s"regexp_replace expects 3 or 4 arguments, got ${children.length}")
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "duck_regexp_replace"
+
+    @transient private var cachedKey: (String, String) = _
+    @transient private var cachedPattern: java.util.regex.Pattern = _
+
+    private def compiled(re: String, flags: String): java.util.regex.Pattern = {
+      if (cachedKey != (re, flags)) {
+        var f = 0
+        if (flags.contains('i')) f |= java.util.regex.Pattern.CASE_INSENSITIVE |
+          java.util.regex.Pattern.UNICODE_CASE
+        if (flags.contains('s')) f |= java.util.regex.Pattern.DOTALL
+        if (flags.contains('m')) f |= java.util.regex.Pattern.MULTILINE
+        cachedPattern = java.util.regex.Pattern.compile(re, f)
+        cachedKey = (re, flags)
+      }
+      cachedPattern
+    }
+
+    /** `\1` backreferences → `$1`; literal `$`/stray `\` escaped for
+      * Java's replacement syntax.
+      */
+    private def javaRepl(r: String): String = {
+      val b = new StringBuilder
+      var i = 0
+      while (i < r.length) {
+        val c = r.charAt(i)
+        if (c == '\\' && i + 1 < r.length && r.charAt(i + 1).isDigit) {
+          b.append('$').append(r.charAt(i + 1)); i += 2
+        } else if (c == '\\' && i + 1 < r.length && r.charAt(i + 1) == '\\') {
+          b.append("\\\\"); i += 2
+        } else if (c == '$') { b.append("\\$"); i += 1 }
+        else { b.append(c); i += 1 }
+      }
+      b.toString
+    }
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val vals = children.map(_.eval(input))
+      if (vals.exists(_ == null)) return null
+      val Seq(s, re, repl) = vals.take(3).map(_.asInstanceOf[UTF8String].toString)
+      val flags = if (vals.length == 4) vals(3).asInstanceOf[UTF8String].toString else ""
+      val m = compiled(re, flags).matcher(s)
+      val out = if (flags.contains('g')) m.replaceAll(javaRepl(repl))
+      else m.replaceFirst(javaRepl(repl))
+      UTF8String.fromString(out)
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+  }
+
   /** DuckDB name → Spark builtin resolving identically (same argument
     * order and semantics); registered by builder lookup so they stay
     * in lock-step with the session's builtin implementations.
@@ -182,6 +248,7 @@ object DuckFunctions {
     "list_value"         -> "array",
     "list_append"        -> "array_append", // both (list, element)
     "list_reverse"       -> "reverse",
+    "list_sort"          -> "array_sort",   // both ASC NULLS LAST
     "string_split_regex" -> "split",
     "str_split_regex"    -> "split",
     "generate_series"    -> "sequence", // both ends inclusive in both engines
@@ -267,5 +334,98 @@ object DuckFunctions {
         if (es.length == 1) MicrosToTimestamp(es.head)
         else MakeTimestamp(es(0), es(1), es(2), es(3), es(4), es(5)),
       "built-in")
+    // list_reverse_sort: DESC NULLS LAST in both engines via sort_array
+    reg.createOrReplaceTempFunction("list_reverse_sort",
+      es => SortArray(es.head, Literal(false)), "built-in")
+    // concat skips NULL arguments in DuckDB ('a'||NULL is NULL, but
+    // concat('a', NULL, 'b') = 'ab'); string arguments only
+    reg.createOrReplaceTempFunction("concat",
+      es => ConcatWs(Literal("") +: es.map(e => Cast(e, StringType))), "built-in")
+    // substr(s, 0, n): DuckDB clamps Postgres-style (the window starts
+    // before the string, so one fewer char arrives); Spark treats 0 as
+    // 1. Negative starts (count from end) already agree.
+    def duckSubstr(es: Seq[Expression]): Expression =
+      if (es.length == 2) Substring(es(0), es(1), Literal(Int.MaxValue))
+      else If(EqualTo(Cast(es(1), LongType), Literal(0L)),
+        Substring(es(0), Literal(1),
+          Greatest(Seq(Subtract(Cast(es(2), IntegerType), Literal(1)), Literal(0)))),
+        Substring(es(0), es(1), es(2)))
+    reg.createOrReplaceTempFunction("substr", duckSubstr, "built-in")
+    reg.createOrReplaceTempFunction("substring", duckSubstr, "built-in")
+    // left/right with negative n drop |n| chars from the other end in
+    // DuckDB; Spark returns ''
+    reg.createOrReplaceTempFunction("left",
+      es => If(GreaterThanOrEqual(Cast(es(1), IntegerType), Literal(0)),
+        Substring(es(0), Literal(1), Cast(es(1), IntegerType)),
+        Substring(es(0), Literal(1),
+          Greatest(Seq(Add(Length(es(0)), Cast(es(1), IntegerType)), Literal(0))))),
+      "built-in")
+    reg.createOrReplaceTempFunction("right",
+      es => {
+        val k = Cast(es(1), IntegerType)
+        CaseWhen(Seq(
+          (EqualTo(k, Literal(0)), Literal("")),
+          // positive: Spark's negative-start substring clamps to the
+          // string head, so right(s, k > len) is the whole string
+          (GreaterThan(k, Literal(0)),
+            Substring(es(0), Subtract(Literal(0), k), Literal(Int.MaxValue)))),
+          // negative: drop the first |k| chars
+          Some(Substring(es(0), Subtract(Literal(1), k), Literal(Int.MaxValue))))
+      }, "built-in")
+    // date_trunc collapses to DATE for day-or-coarser parts in DuckDB
+    // (year/quarter/month/week/day → DATE; hour and finer → TIMESTAMP)
+    val dateParts = Set("year", "quarter", "month", "week", "day",
+      "decade", "century", "millennium")
+    reg.createOrReplaceTempFunction("date_trunc",
+      es => {
+        val t = TruncTimestamp(es(0), Cast(es(1), TimestampType))
+        es(0) match {
+          case Literal(p, StringType) if p != null && dateParts(p.toString.toLowerCase) =>
+            Cast(t, DateType)
+          case _ => t
+        }
+      }, "built-in")
+    // datediff(part, start, end): DuckDB counts PART BOUNDARIES crossed
+    // (datediff('month', Jan 31, Feb 1) = 1), not full periods like
+    // Spark's timestampdiff — realized as exact boundary arithmetic
+    def boundaryDiff(es: Seq[Expression]): Expression = {
+      if (es.length == 2) // Spark's own 2-arg datediff(end, start)
+        return DateDiff(Cast(es(0), DateType), Cast(es(1), DateType))
+      val part = es(0) match {
+        case Literal(p, StringType) if p != null => p.toString.toLowerCase
+        case other =>
+          throw new IllegalArgumentException(
+            s"datediff expects a literal part name, got $other")
+      }
+      val (s, e) = (es(1), es(2))
+      def ym(x: Expression) =
+        Add(Multiply(Cast(Year(Cast(x, DateType)), LongType), Literal(12L)),
+          Cast(Month(Cast(x, DateType)), LongType))
+      def usDiv(x: Expression, unitUs: Long) =
+        IntegralDivide(UnixMicros(Cast(x, TimestampType)), Literal(unitUs))
+      part match {
+        case "year"  => Cast(Subtract(Year(Cast(e, DateType)), Year(Cast(s, DateType))), LongType)
+        case "month" => Subtract(ym(e), ym(s))
+        case "day"   => Cast(DateDiff(Cast(e, DateType), Cast(s, DateType)), LongType)
+        case "week"  => IntegralDivide(Cast(DateDiff(
+          TruncDate(Cast(e, DateType), Literal("week")),
+          TruncDate(Cast(s, DateType), Literal("week"))), LongType), Literal(7L))
+        case "hour"   => Subtract(usDiv(e, 3600000000L), usDiv(s, 3600000000L))
+        case "minute" => Subtract(usDiv(e, 60000000L), usDiv(s, 60000000L))
+        case "second" => Subtract(usDiv(e, 1000000L), usDiv(s, 1000000L))
+        case other =>
+          throw new IllegalArgumentException(
+            s"datediff part '$other' not supported; use year/month/week/day/hour/minute/second")
+      }
+    }
+    // Spark's parser intercepts datediff/date_diff as timestampdiff
+    // syntax (unquoted unit) before function resolution, so the duck
+    // forms can only arrive under a fresh name — the shim renames
+    // 3-arg datediff/date_diff calls to duck_datediff
+    reg.createOrReplaceTempFunction("duck_datediff", boundaryDiff, "built-in")
+    // DuckDB regexp_replace is FIRST-match unless the 'g' flag is
+    // given; Spark's is always global — the shim renames to this
+    reg.createOrReplaceTempFunction("duck_regexp_replace",
+      es => DuckRegexpReplace(es), "built-in")
   }
 }

@@ -37,35 +37,56 @@ class DuckFnFixtureSpec extends AnyFunSuite {
         if (r.isNullAt(4)) null else r.getString(4),
         if (r.isNullAt(5)) null else r.getBoolean(5),
         r.getBoolean(6)))
-    assert(cases.length == 721)
+    assert(cases.length == 910)
     val failures = scala.collection.mutable.ArrayBuffer[String]()
+    // cast in-dialect so INT/BIGINT width differences don't trip the
+    // typed getters; the cast is value-preserving for every case
+    def castOf(c: Case): String = c.typ match {
+      case "long" => "BIGINT"; case "double" => "DOUBLE"
+      case "bool" => "BOOLEAN"; case _ => "VARCHAR"
+    }
+    def check(c: Case, row: org.apache.spark.sql.Row, i: Int): Unit = {
+      val ok =
+        if (c.isNull) row.isNullAt(i)
+        else if (row.isNullAt(i)) false
+        else c.typ match {
+          case "long"   => row.getLong(i) == c.eL
+          case "double" =>
+            // 2-ULP tolerance: libm transcendentals (log2 etc.) differ
+            // in the last bit between the engines; arithmetic stays
+            // bit-exact
+            val got = row.getDouble(i)
+            got == c.eD || math.abs(got - c.eD) <= 2 * math.ulp(c.eD.doubleValue)
+          case "bool"   => row.getBoolean(i) == c.eB
+          case _        => row.getString(i) == c.eS
+        }
+      if (!ok) {
+        val got = if (row.isNullAt(i)) "NULL" else row.get(i).toString
+        val want = if (c.isNull) "NULL"
+          else Seq(c.eL, c.eD, c.eS, c.eB).find(_ != null).map(_.toString).getOrElse("?")
+        failures += s"${c.sql} -> got $got, duckdb says $want"
+      }
+    }
+    def runOne(c: Case): Unit =
+      try {
+        val row = spark.sql(graft.compile.DuckSqlShim.rewrite(
+          s"SELECT (${c.sql})::${castOf(c)} AS c0")).head()
+        check(c, row, 0)
+      } catch {
+        case e: Exception =>
+          failures += s"${c.sql} -> THREW ${e.getMessage.linesIterator.next()}"
+      }
     cases.grouped(40).foreach { batch =>
-      // cast in-dialect so INT/BIGINT width differences don't trip the
-      // typed getters; the cast is value-preserving for every case
       val sel = batch.zipWithIndex.map { case (c, i) =>
-        val t = c.typ match {
-          case "long" => "BIGINT"; case "double" => "DOUBLE"
-          case "bool" => "BOOLEAN"; case _ => "VARCHAR"
-        }
-        s"(${c.sql})::$t AS c$i"
+        s"(${c.sql})::${castOf(c)} AS c$i"
       }.mkString(", ")
-      val row = spark.sql(graft.compile.DuckSqlShim.rewrite(s"SELECT $sel")).head()
-      batch.zipWithIndex.foreach { case (c, i) =>
-        val ok =
-          if (c.isNull) row.isNullAt(i)
-          else if (row.isNullAt(i)) false
-          else c.typ match {
-            case "long"   => row.getLong(i) == c.eL
-            case "double" => row.getDouble(i) == c.eD
-            case "bool"   => row.getBoolean(i) == c.eB
-            case _        => row.getString(i) == c.eS
-          }
-        if (!ok) {
-          val got = if (row.isNullAt(i)) "NULL" else row.get(i).toString
-          val want = if (c.isNull) "NULL"
-            else Seq(c.eL, c.eD, c.eS, c.eB).find(_ != null).map(_.toString).getOrElse("?")
-          failures += s"${c.sql} -> got $got, duckdb says $want"
-        }
+      try {
+        val row = spark.sql(graft.compile.DuckSqlShim.rewrite(s"SELECT $sel")).head()
+        batch.zipWithIndex.foreach { case (c, i) => check(c, row, i) }
+      } catch {
+        // a throwing case poisons its whole batch — isolate per case so
+        // every divergence is still reported
+        case _: Exception => batch.foreach(runOne)
       }
     }
     assert(failures.isEmpty,

@@ -84,6 +84,81 @@ def cases():
     # ordered string_agg over a VALUES relation (deterministic)
     yield ("(SELECT string_agg(w, '-' ORDER BY k) FROM (VALUES (2, 'b'), "
            "(1, 'a'), (3, 'c')) v(k, w))", "str")
+    # regexp family (DuckDB regexp_extract defaults to group 0 = whole
+    # match; backslash classes stay verbatim in literals). A group
+    # index beyond the pattern's group count returns '' in DuckDB but
+    # raises in Spark — documented delta, not generated.
+    for s, re_ in [("abc123def", "[0-9]+"), ("a-b-c", "(\\w)-(\\w)"),
+                   ("nomatch", "[0-9]+"), ("x42y7", "([0-9]+)y([0-9]+)"),
+                   ("tab\tsep", "\\s"), ("d1g2", "\\d")]:
+        yield f"regexp_extract({slit(s)}, {slit(re_)})", "str"
+        if "(" in re_:
+            yield f"regexp_extract({slit(s)}, {slit(re_)}, 1)", "str"
+            yield f"regexp_extract({slit(s)}, {slit(re_)}, 2)", "str"
+        yield f"regexp_replace({slit(s)}, {slit(re_)}, '_')", "str"
+        yield f"regexp_matches({slit(s)}, {slit(re_)})", "bool"
+    # math: log family (DuckDB log() is log10!), floor/ceil, pow, round(n)
+    for v in [1, 2, 10, 100, 0.5, 2.718281828459045]:
+        yield f"log({v})", "double"
+        yield f"ln({v})", "double"
+        yield f"log2({v})", "double"
+        yield f"log10({v})", "double"
+    for v in ["2.5", "-2.5", "7.3", "-7.3"]:
+        yield f"floor({v})", "double"
+        yield f"ceil({v})", "double"
+        yield f"round({v})", "double"
+        yield f"round({v} * 10, -1)", "double"
+    for a, b in [(2, 10), (3, 4), (9, 0.5)]:
+        yield f"pow({a}, {b})", "double"
+        yield f"sqrt({a})", "double"
+    for a, b in [(7, 3), (-7, 3), (7, -3), (-7, -3)]:
+        yield f"{a} % {b}", "long"
+        yield f"mod({a}, {b})", "long"
+        yield f"sign({a})", "double"
+    # string surface: substr/left/right with negatives, pads, trims, ||
+    for s in ["hello world", "ab", ""]:
+        for a, b in [(1, 4), (3, 100), (-3, 2), (0, 2), (2, 0)]:
+            yield f"substr({slit(s)}, {a}, {b})", "str"
+            yield f"substr({slit(s)}, {a})", "str"
+        for k in [0, 1, 3, -2]:
+            yield f"left({slit(s)}, {k})", "str"
+            yield f"right({slit(s)}, {k})", "str"
+        yield f"lpad({slit(s)}, 6, '*')", "str"
+        yield f"rpad({slit(s)}, 6, '*')", "str"
+        yield f"trim({slit(' ' + s + ' ')})", "str"
+        yield f"reverse({slit(s)})", "str"
+        yield f"repeat({slit(s)}, 2)", "str"
+        yield f"{slit(s)} || 'Z'", "str"
+    yield "NULL || 'Z'", "str"
+    yield "concat('a', NULL, 'b')", "str"
+    # list_sort NULL placement + interior access
+    yield "list_extract(list_sort([3, NULL, 1]), 1)", "long"
+    yield "list_extract(list_sort([3, NULL, 1]), 3)", "long"
+    yield "array_to_string(list_sort([5, 1, 4]), ',')", "str"
+    yield "array_to_string(list_reverse_sort([5, 1, 4]), ',')", "str"
+    # date/time: trunc + part over literals (rendered engine-neutrally;
+    # DuckDB date_trunc returns DATE for day-or-coarser parts)
+    for part in ["year", "quarter", "month", "week", "day", "hour", "minute"]:
+        yield (f"(date_trunc({slit(part)}, TIMESTAMP '2024-03-15 13:45:57'))::VARCHAR",
+               "str")
+    for part in ["year", "month", "day", "hour"]:
+        yield f"date_part({slit(part)}, TIMESTAMP '2024-03-15 13:45:57')", "long"
+    yield "(DATE '2024-03-15' + 40)::VARCHAR", "str"
+    yield "(CAST('2024-03-15' AS DATE))::VARCHAR", "str"
+    # datediff counts part-boundary crossings in DuckDB
+    for part, a, b in [
+            ("day", "DATE '2024-01-01'", "DATE '2024-03-15'"),
+            ("day", "DATE '2024-03-15'", "DATE '2024-01-01'"),
+            ("month", "DATE '2024-01-31'", "DATE '2024-02-01'"),
+            ("month", "DATE '2024-01-15'", "DATE '2024-03-10'"),
+            ("year", "DATE '2023-12-31'", "DATE '2024-01-01'"),
+            ("week", "DATE '2024-03-11'", "DATE '2024-03-25'"),
+            ("week", "DATE '2024-03-10'", "DATE '2024-03-11'"),
+            ("hour", "TIMESTAMP '2024-01-01 10:59:00'", "TIMESTAMP '2024-01-01 11:01:00'"),
+            ("minute", "TIMESTAMP '2024-01-01 10:59:58'", "TIMESTAMP '2024-01-01 11:00:02'"),
+            ("second", "TIMESTAMP '2024-01-01 10:59:58.9'", "TIMESTAMP '2024-01-01 10:59:59.1'")]:
+        yield f"datediff({slit(part)}, {a}, {b})", "long"
+        yield f"date_diff({slit(part)}, {a}, {b})", "long"
 
 
 rows, seen = [], set()
