@@ -255,7 +255,15 @@ object DuckFunctions {
     "unnest"             -> "explode",
     "strpos"             -> "instr",    // both (string, needle), 1-based, 0 = absent
     "regexp_matches"     -> "rlike",    // partial-match boolean in both
-    "string_agg"         -> "listagg"   // unordered form only (no ORDER BY in args)
+    "string_agg"         -> "listagg",  // unordered form only (no ORDER BY in args)
+    // aggregates (same-name bool_and/bool_or/count_if/mode/median/
+    // bit_* already resolve identically)
+    "quantile_cont"      -> "percentile", // both exact + interpolating
+    "arg_max"            -> "max_by",     // both (returned, ordering)
+    "arg_min"            -> "min_by",
+    "argmax"             -> "max_by",
+    "argmin"             -> "min_by",
+    "favg"               -> "avg"         // Kahan avg; same value
   )
 
   /** Register the DuckDB-name surface on `spark`'s session function

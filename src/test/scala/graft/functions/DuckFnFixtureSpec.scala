@@ -37,7 +37,7 @@ class DuckFnFixtureSpec extends AnyFunSuite {
         if (r.isNullAt(4)) null else r.getString(4),
         if (r.isNullAt(5)) null else r.getBoolean(5),
         r.getBoolean(6)))
-    assert(cases.length == 910)
+    assert(cases.length == 934)
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     // cast in-dialect so INT/BIGINT width differences don't trip the
     // typed getters; the cast is value-preserving for every case
@@ -52,11 +52,13 @@ class DuckFnFixtureSpec extends AnyFunSuite {
         else c.typ match {
           case "long"   => row.getLong(i) == c.eL
           case "double" =>
-            // 2-ULP tolerance: libm transcendentals (log2 etc.) differ
-            // in the last bit between the engines; arithmetic stays
-            // bit-exact
-            val got = row.getDouble(i)
-            got == c.eD || math.abs(got - c.eD) <= 2 * math.ulp(c.eD.doubleValue)
+            // relative 1e-12: libm transcendentals differ in the last
+            // bit and corr/covar use different accumulation orders
+            // (Welford vs naive, ~3 ULP); any SEMANTIC divergence
+            // (e.g. log10 vs ln) is orders of magnitude larger
+            val got  = row.getDouble(i)
+            val want = c.eD.doubleValue
+            got == want || math.abs(got - want) <= 1e-12 * math.max(1.0, math.abs(want))
           case "bool"   => row.getBoolean(i) == c.eB
           case _        => row.getString(i) == c.eS
         }

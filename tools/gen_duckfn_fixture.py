@@ -84,6 +84,23 @@ def cases():
     # ordered string_agg over a VALUES relation (deterministic)
     yield ("(SELECT string_agg(w, '-' ORDER BY k) FROM (VALUES (2, 'b'), "
            "(1, 'a'), (3, 'c')) v(k, w))", "str")
+    # aggregate surface over a fixed relation (doubles avoid DuckDB's
+    # decimal-median lower-middle quirk; mode has a unique winner)
+    vals = "(VALUES (1, 10.0::DOUBLE), (2, 20.0::DOUBLE), (3, 35.0::DOUBLE), (4, 5.0::DOUBLE), (5, 20.0::DOUBLE)) v(k, x)"
+    for agg, typ in [
+            ("median(x)", "double"), ("quantile_cont(x, 0.25)", "double"),
+            ("quantile_cont(x, 0.9)", "double"),
+            ("arg_max(k, x)", "long"), ("arg_min(k, x)", "long"),
+            ("argmax(k, x)", "long"), ("argmin(k, x)", "long"),
+            ("bool_and(x > 1)", "bool"), ("bool_or(x > 30)", "bool"),
+            ("count_if(x > 10)", "long"), ("mode(x)", "double"),
+            ("favg(x)", "double"), ("avg(x)", "double"),
+            ("bit_and(k)", "long"), ("bit_or(k)", "long"), ("bit_xor(k)", "long"),
+            ("stddev_pop(x)", "double"), ("var_samp(x)", "double"),
+            ("corr(k, x)", "double"), ("covar_pop(k, x)", "double"),
+            ("sum(x)", "double"), ("min(x)", "double"), ("max(x)", "double"),
+            ("count(DISTINCT x)", "long")]:
+        yield f"(SELECT {agg} FROM {vals})", typ
     # regexp family (DuckDB regexp_extract defaults to group 0 = whole
     # match; backslash classes stay verbatim in literals). A group
     # index beyond the pattern's group count returns '' in DuckDB but
