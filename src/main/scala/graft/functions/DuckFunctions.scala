@@ -435,5 +435,68 @@ object DuckFunctions {
     // given; Spark's is always global — the shim renames to this
     reg.createOrReplaceTempFunction("duck_regexp_replace",
       es => DuckRegexpReplace(es), "built-in")
+    // strftime(ts, '%Y-%m-%d') / strptime(s, fmt): the C-style format
+    // codes translate to DateTimeFormatter patterns (literal text
+    // quoted); format must be a literal. Spark has neither name.
+    def fmtOf(e: Expression, fn: String): String = e match {
+      case Literal(f, StringType) if f != null => strftimeToJava(f.toString)
+      case other =>
+        throw new IllegalArgumentException(s"$fn expects a literal format string, got $other")
+    }
+    reg.createOrReplaceTempFunction("strftime",
+      es => new DateFormatClass(Cast(es(0), TimestampType),
+        Literal(fmtOf(es(1), "strftime"))), "built-in")
+    reg.createOrReplaceTempFunction("strptime",
+      es => new ParseToTimestamp(es(0), Literal(fmtOf(es(1), "strptime"))), "built-in")
+  }
+
+  /** C-style strftime codes → java.time.format.DateTimeFormatter
+    * patterns, with literal runs quoted (letters would otherwise be
+    * pattern codes). Unsupported codes raise rather than silently
+    * formatting wrong.
+    */
+  private val StrftimeCodes: Map[Char, String] = Map(
+    'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
+    'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss",
+    'f' -> "SSSSSS", 'g' -> "SSS", 'j' -> "DDD",
+    'a' -> "EEE", 'A' -> "EEEE", 'b' -> "MMM", 'B' -> "MMMM",
+    'p' -> "a")
+  private val StrftimeNoPad: Map[Char, String] = Map(
+    'd' -> "d", 'm' -> "M", 'H' -> "H", 'I' -> "h", 'M' -> "m",
+    'S' -> "s", 'j' -> "D")
+
+  private[functions] def strftimeToJava(fmt: String): String = {
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    def flush(): Unit = if (lit.nonEmpty) {
+      out.append('\'').append(lit.toString.replace("'", "''")).append('\'')
+      lit.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        val (code, noPad, adv) =
+          if (fmt.charAt(i + 1) == '-' && i + 2 < fmt.length)
+            (fmt.charAt(i + 2), true, 3)
+          else (fmt.charAt(i + 1), false, 2)
+        if (code == '%') { lit.append('%'); i += 2 }
+        else {
+          val pat =
+            if (noPad) StrftimeNoPad.get(code)
+            else StrftimeCodes.get(code)
+          pat match {
+            case Some(p) => flush(); out.append(p); i += adv
+            case None =>
+              throw new IllegalArgumentException(
+                s"strftime code %${if (noPad) "-" else ""}$code is not supported " +
+                  "(supported: %Y %y %m %d %H %I %M %S %f %g %j %a %A %b %B %p, " +
+                  "%-padded variants, %%)")
+          }
+        }
+      } else { lit.append(c); i += 1 }
+    }
+    flush()
+    out.toString
   }
 }

@@ -162,6 +162,14 @@ def cases():
         yield f"date_part({slit(part)}, TIMESTAMP '2024-03-15 13:45:57')", "long"
     yield "(DATE '2024-03-15' + 40)::VARCHAR", "str"
     yield "(CAST('2024-03-15' AS DATE))::VARCHAR", "str"
+    # strftime/strptime C-style format codes
+    ts = "TIMESTAMP '2024-03-05 09:07:03.123456'"
+    for f in ["%Y-%m-%d %H:%M:%S", "%a %A %b %B", "%y %j %I %p",
+              "%d/%m/%Y 100%% T", "%-d.%-m.%Y", "%H:%M:%S.%g", "at %H oclock"]:
+        yield f"strftime({ts}, {slit(f)})", "str"
+    yield "strftime(DATE '2024-03-05', '%Y.%m')", "str"
+    yield "epoch_us(strptime('2024-03-05 09:07', '%Y-%m-%d %H:%M'))", "long"
+    yield "epoch_us(strptime('05/03/2024', '%d/%m/%Y'))", "long"
     # datediff counts part-boundary crossings in DuckDB
     for part, a, b in [
             ("day", "DATE '2024-01-01'", "DATE '2024-03-15'"),
