@@ -162,6 +162,41 @@ def cases():
         yield f"date_part({slit(part)}, TIMESTAMP '2024-03-15 13:45:57')", "long"
     yield "(DATE '2024-03-15' + 40)::VARCHAR", "str"
     yield "(CAST('2024-03-15' AS DATE))::VARCHAR", "str"
+    # window functions: per-row results folded into one ordered string
+    # so each case stays a scalar; ROUND(...,4) keeps double rendering
+    # engine-neutral
+    wvals = "(VALUES (1, 10.0::DOUBLE), (2, 20.0::DOUBLE), (3, 35.0::DOUBLE), (4, 5.0::DOUBLE), (5, 20.0::DOUBLE), (6, 20.0::DOUBLE)) v(k, x)"
+    for wf in ["row_number() OVER (ORDER BY x, k)",
+               "rank() OVER (ORDER BY x)",
+               "dense_rank() OVER (ORDER BY x)",
+               "ntile(2) OVER (ORDER BY x, k)",
+               "ntile(4) OVER (ORDER BY x, k)",
+               "ROUND(percent_rank() OVER (ORDER BY x), 4)",
+               "ROUND(cume_dist() OVER (ORDER BY x), 4)",
+               "lag(k) OVER (ORDER BY k)",
+               "lag(k, 2, -1) OVER (ORDER BY k)",
+               "lead(k) OVER (ORDER BY k)",
+               "lead(k, 1, 0) OVER (ORDER BY k)",
+               "first_value(k) OVER (ORDER BY x, k)",
+               "last_value(k) OVER (ORDER BY x, k)",  # default frame = to CURRENT ROW
+               "nth_value(k, 2) OVER (ORDER BY x, k)",
+               "ROUND(sum(x) OVER (ORDER BY k), 4)",  # running sum
+               "ROUND(avg(x) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND CURRENT ROW), 4)",
+               "count(*) OVER (ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+               "ROUND(sum(x) OVER (), 4)"]:
+        yield (f"(SELECT string_agg(vv, ',' ORDER BY k) FROM "
+               f"(SELECT k, ({wf})::VARCHAR AS vv FROM {wvals}) w)", "str")
+    # interval arithmetic (rendered engine-neutrally)
+    for e in ["TIMESTAMP '2024-03-05 09:07:03' + INTERVAL '1 day'",
+              "TIMESTAMP '2024-03-05 09:07:03' - INTERVAL '90 minutes'",
+              "TIMESTAMP '2024-01-31 00:00:00' + INTERVAL '1 month'",
+              # DATE + INTERVAL promotes to TIMESTAMP in DuckDB but stays
+              # DATE in Spark (same value — documented type delta), so
+              # normalize through a TIMESTAMP cast
+              "CAST(DATE '2024-01-31' + INTERVAL 1 MONTH AS TIMESTAMP)",
+              "CAST(DATE '2023-02-28' + INTERVAL '1 year' AS TIMESTAMP)",
+              "TIMESTAMP '2024-03-05 09:07:03' + INTERVAL '2 hours 30 minutes'"]:
+        yield f"({e})::VARCHAR", "str"
     # strftime/strptime C-style format codes
     ts = "TIMESTAMP '2024-03-05 09:07:03.123456'"
     for f in ["%Y-%m-%d %H:%M:%S", "%a %A %b %B", "%y %j %I %p",
