@@ -396,6 +396,21 @@ object DuckSqlShim {
             if (topLevelCommas(inner) == 1) out.append(", 0")
             out.append(')')
             i = end
+          case "struct_pack" if nextSignificant(sql, i) == '(' =>
+            // struct_pack(a := 1, b := x) → named_struct('a', 1, 'b', x)
+            while (i < n && sql.charAt(i).isWhitespace) i += 1
+            val end   = closeDelim(sql, i, '(', ')')
+            val inner = sql.substring(i + 1, end - 1)
+            val parts = splitTopLevel(inner).map { seg =>
+              val assign = seg.indexOf(":=")
+              if (assign < 0)
+                fail("struct_pack without name := value arguments",
+                  "use named_struct('name', value, ...) directly")
+              val nm = seg.substring(0, assign).trim
+              s"'$nm', ${rewriteTokens(seg.substring(assign + 2).trim)}"
+            }
+            out.append("named_struct(").append(parts.mkString(", ")).append(')')
+            i = end
           case "regexp_replace" if nextSignificant(sql, i) == '(' =>
             // DuckDB replaces the FIRST match unless the 'g' flag is
             // present; Spark's regexp_replace is always global — route
@@ -508,6 +523,26 @@ object DuckSqlShim {
       j += 1
     }
     count
+  }
+
+  /** Split an argument list on depth-0 commas (parens, brackets and
+    * strings respected).
+    */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0
+    var start = 0
+    var j     = 0
+    while (j < s.length) {
+      val c = s.charAt(j)
+      if (c == '\'') j = closeString(s, j) - 1
+      else if (c == '(' || c == '[') depth += 1
+      else if (c == ')' || c == ']') depth -= 1
+      else if (c == ',' && depth == 0) { parts += s.substring(start, j); start = j + 1 }
+      j += 1
+    }
+    parts += s.substring(start)
+    parts.toSeq
   }
 
   private def prevSignificant(out: StringBuilder): Char = {

@@ -232,6 +232,64 @@ object DuckFunctions {
         newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
   }
 
+  /** Jaro(-Winkler) string similarity, matching DuckDB's
+    * jaro_winkler_similarity / jaro_similarity (standard parameters:
+    * scaling 0.1, max prefix 4, no boost threshold). CodegenFallback —
+    * dialect/fuzzy-match surface, not an engine hot path.
+    */
+  case class JaroWinkler(left: Expression, right: Expression, winkler: Boolean = true)
+      extends BinaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String =
+      if (winkler) "jaro_winkler_similarity" else "jaro_similarity"
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[UTF8String].toString
+      val b = r.asInstanceOf[UTF8String].toString
+      if (a.isEmpty && b.isEmpty) return 1.0
+      if (a.isEmpty || b.isEmpty) return 0.0
+      val window = math.max(math.max(a.length, b.length) / 2 - 1, 0)
+      val aMatch = new Array[Boolean](a.length)
+      val bMatch = new Array[Boolean](b.length)
+      var matches = 0
+      var i = 0
+      while (i < a.length) {
+        val lo = math.max(0, i - window)
+        val hi = math.min(b.length - 1, i + window)
+        var j = lo
+        var found = false
+        while (j <= hi && !found) {
+          if (!bMatch(j) && a.charAt(i) == b.charAt(j)) {
+            aMatch(i) = true; bMatch(j) = true; matches += 1; found = true
+          }
+          j += 1
+        }
+        i += 1
+      }
+      if (matches == 0) return 0.0
+      var transpositions = 0
+      var k = 0
+      i = 0
+      while (i < a.length) {
+        if (aMatch(i)) {
+          while (!bMatch(k)) k += 1
+          if (a.charAt(i) != b.charAt(k)) transpositions += 1
+          k += 1
+        }
+        i += 1
+      }
+      val m = matches.toDouble
+      val jaro = (m / a.length + m / b.length + (m - transpositions / 2.0) / m) / 3.0
+      if (!winkler) return jaro
+      var prefix = 0
+      while (prefix < math.min(4, math.min(a.length, b.length)) &&
+        a.charAt(prefix) == b.charAt(prefix)) prefix += 1
+      jaro + prefix * 0.1 * (1.0 - jaro)
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** DuckDB name → Spark builtin resolving identically (same argument
     * order and semantics); registered by builder lookup so they stay
     * in lock-step with the session's builtin implementations.
@@ -448,6 +506,38 @@ object DuckFunctions {
         Literal(fmtOf(es(1), "strftime"))), "built-in")
     reg.createOrReplaceTempFunction("strptime",
       es => new ParseToTimestamp(es(0), Literal(fmtOf(es(1), "strptime"))), "built-in")
+    // string-distance family (Spark has only levenshtein of these).
+    // jaccard is CHARACTER-set based in DuckDB; hamming counts
+    // differing positions of equal-length strings.
+    def chars(e: Expression): Expression =
+      ArrayDistinct(new StringSplit(Cast(e, StringType), Literal("")))
+    reg.createOrReplaceTempFunction("jaccard",
+      es => Divide(
+        Cast(new Size(ArrayIntersect(chars(es(0)), chars(es(1)))), DoubleType),
+        Cast(new Size(ArrayDistinct(Concat(Seq(chars(es(0)), chars(es(1)))))), DoubleType)),
+      "built-in")
+    def hamming(es: Seq[Expression]): Expression = {
+      val x = NamedLambdaVariable("x", StringType, nullable = true)
+      val y = NamedLambdaVariable("y", StringType, nullable = true)
+      val diff = ZipWith(
+        new StringSplit(Cast(es(0), StringType), Literal("")),
+        new StringSplit(Cast(es(1), StringType), Literal("")),
+        LambdaFunction(If(EqualTo(x, y), Literal(0L), Literal(1L)), Seq(x, y)))
+      If(EqualTo(Length(es(0)), Length(es(1))), DuckListSum(diff),
+        Cast(new RaiseError(Literal("hamming: strings must be of equal length")), LongType))
+    }
+    reg.createOrReplaceTempFunction("hamming", hamming, "built-in")
+    reg.createOrReplaceTempFunction("mismatches", hamming, "built-in")
+    reg.createOrReplaceTempFunction("jaro_winkler_similarity",
+      es => JaroWinkler(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("jaro_similarity",
+      es => JaroWinkler(es(0), es(1), winkler = false), "built-in")
+    // struct surface: struct_pack's := args are rewritten by the shim
+    // to named_struct; struct_extract is the analyzer's generic
+    // field extractor (name-based)
+    reg.createOrReplaceTempFunction("struct_extract",
+      es => org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es(0), es(1)),
+      "built-in")
   }
 
   /** C-style strftime codes → java.time.format.DateTimeFormatter

@@ -148,6 +148,21 @@ def cases():
         yield f"{slit(s)} || 'Z'", "str"
     yield "NULL || 'Z'", "str"
     yield "concat('a', NULL, 'b')", "str"
+    # string distance family (jaccard is character-set based)
+    for a, b in [("kitten", "sitting"), ("duck", "luck"), ("abc", "abc"),
+                 ("ab", "cd"), ("martha", "marhta"), ("dwayne", "duane")]:
+        yield f"levenshtein({slit(a)}, {slit(b)})", "long"
+        yield f"jaccard({slit(a)}, {slit(b)})", "double"
+        yield f"jaro_similarity({slit(a)}, {slit(b)})", "double"
+        yield f"jaro_winkler_similarity({slit(a)}, {slit(b)})", "double"
+        if len(a) == len(b):
+            yield f"hamming({slit(a)}, {slit(b)})", "long"
+            yield f"mismatches({slit(a)}, {slit(b)})", "long"
+    # struct construction + field access
+    yield "struct_pack(a := 1, b := 'x').b", "str"
+    yield "struct_pack(a := 1 + 2, b := upper('x')).a", "long"
+    yield "struct_extract(struct_pack(a := 41), 'a')", "long"
+    yield "struct_pack(outer_f := struct_pack(inner_f := 7)).outer_f.inner_f", "long"
     # list_sort NULL placement + interior access
     yield "list_extract(list_sort([3, NULL, 1]), 1)", "long"
     yield "list_extract(list_sort([3, NULL, 1]), 3)", "long"
