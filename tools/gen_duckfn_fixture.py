@@ -148,6 +148,19 @@ def cases():
         yield f"{slit(s)} || 'Z'", "str"
     yield "NULL || 'Z'", "str"
     yield "concat('a', NULL, 'b')", "str"
+    # NULL-handling edges that AGREE between the engines (division by
+    # zero does NOT: DuckDB → NULL, Spark ANSI → raises; documented)
+    yield "greatest(1, NULL, 3)", "long"
+    yield "least(1, NULL, 3)", "long"
+    yield "greatest(CAST(NULL AS INT), NULL)", "long"
+    yield "try_cast('x' AS INT)", "long"
+    yield "try_cast('42' AS INT)", "long"
+    yield "nullif(2, 2)", "long"
+    yield "nullif(3, 2)", "long"
+    yield "coalesce(NULL, 5)", "long"
+    yield "2 IS DISTINCT FROM NULL", "bool"
+    yield "NULL IS NOT DISTINCT FROM NULL", "bool"
+    yield "ifnull(NULL, 7)", "long"
     # string distance family (jaccard is character-set based)
     for a, b in [("kitten", "sitting"), ("duck", "luck"), ("abc", "abc"),
                  ("ab", "cd"), ("martha", "marhta"), ("dwayne", "duane")]:
