@@ -317,4 +317,32 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Fuzzy entity resolution over a NAME column: blocked Jaro-Winkler
+    * pairs. Candidates come from an equi-join on a cheap blocking key
+    * (lowercased `blockLen`-char prefix by default) so there is no
+    * all-pairs path; within a block, non-identical names scoring
+    * `>= threshold` pair up. `sim` is rounded to 6 digits for
+    * engine-portable comparison.
+    *
+    * Scale notes: the prefix key is corpus-dependent — for skewed
+    * prefixes (corporate naming like "ACME ...") swap in a better key
+    * (phonetic code, sorted-token prefix) or compose with
+    * [[Salting.saltedEquiJoin]]; the JaroWinkler kernel is a native
+    * expression (one JVM call per candidate pair, no UDF).
+    */
+  def fuzzyNamePairs(df: DataFrame, idCol: String, nameCol: String,
+                     threshold: Double = 0.9, blockLen: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val blk = substring(lower(col(nameCol)), 1, blockLen)
+    val a = df.select(col(idCol).as("id_a"), col(nameCol).as("_name_a"), blk.as("_blk"))
+    val b = df.select(col(idCol).as("id_b"), col(nameCol).as("_name_b"), blk.as("_blk_b"))
+    val sim = ColumnBridge.column(graft.functions.DuckFunctions.JaroWinkler(
+      ColumnBridge.expression(col("_name_a")), ColumnBridge.expression(col("_name_b"))))
+    a.join(b, col("_blk") === col("_blk_b") &&
+        col("id_a") < col("id_b") && col("_name_a") =!= col("_name_b"))
+      .withColumn("sim", round(sim, 6))
+      .where(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
 }

@@ -308,6 +308,26 @@ object OpsQueries {
               |WHERE ${oracleCosine("a.embedding", "b.embedding")} >= 0.3
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Fuzzy entity resolution: blocked Jaro-Winkler name pairs
+    // (Dedup.fuzzyNamePairs). The threshold applies to the 6-digit
+    // ROUNDED score on both sides so borderline pairs can't disagree
+    // between the engines.
+    Q("dedup_fuzzy_names",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        Dedup.fuzzyNamePairs(s.table("part"), "p_partkey", "p_name",
+            threshold = 0.9, blockLen = 2)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+              |  ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
+              |FROM part a JOIN part b
+              |  ON substr(lower(a.p_name), 1, 2) = substr(lower(b.p_name), 1, 2)
+              | AND a.p_partkey < b.p_partkey
+              |WHERE a.p_name <> b.p_name
+              |  AND ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9
+              |ORDER BY id_a, id_b""".stripMargin)),
+
     // ── similarity search ──────────────────────────────────────────
 
     Q("ann_bruteforce_topk",
