@@ -234,57 +234,26 @@ object DuckFunctions {
 
   /** Jaro(-Winkler) string similarity, matching DuckDB's
     * jaro_winkler_similarity / jaro_similarity (standard parameters:
-    * scaling 0.1, max prefix 4, no boost threshold). CodegenFallback —
-    * dialect/fuzzy-match surface, not an engine hot path.
+    * scaling 0.1, max prefix 4, no boost threshold). Carries real
+    * `doGenCode` (static call into [[StringKernels]]) so a blocked
+    * fuzzy join stays one whole-stage-codegen span — this IS a hot
+    * path under Dedup.fuzzyNamePairs.
     */
   case class JaroWinkler(left: Expression, right: Expression, winkler: Boolean = true)
-      extends BinaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+      extends BinaryExpression {
+    override def nullIntolerant: Boolean = true
     override def dataType: DataType = DoubleType
     override def prettyName: String =
       if (winkler) "jaro_winkler_similarity" else "jaro_similarity"
-    override protected def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[UTF8String].toString
-      val b = r.asInstanceOf[UTF8String].toString
-      if (a.isEmpty && b.isEmpty) return 1.0
-      if (a.isEmpty || b.isEmpty) return 0.0
-      val window = math.max(math.max(a.length, b.length) / 2 - 1, 0)
-      val aMatch = new Array[Boolean](a.length)
-      val bMatch = new Array[Boolean](b.length)
-      var matches = 0
-      var i = 0
-      while (i < a.length) {
-        val lo = math.max(0, i - window)
-        val hi = math.min(b.length - 1, i + window)
-        var j = lo
-        var found = false
-        while (j <= hi && !found) {
-          if (!bMatch(j) && a.charAt(i) == b.charAt(j)) {
-            aMatch(i) = true; bMatch(j) = true; matches += 1; found = true
-          }
-          j += 1
-        }
-        i += 1
-      }
-      if (matches == 0) return 0.0
-      var transpositions = 0
-      var k = 0
-      i = 0
-      while (i < a.length) {
-        if (aMatch(i)) {
-          while (!bMatch(k)) k += 1
-          if (a.charAt(i) != b.charAt(k)) transpositions += 1
-          k += 1
-        }
-        i += 1
-      }
-      val m = matches.toDouble
-      val jaro = (m / a.length + m / b.length + (m - transpositions / 2.0) / m) / 3.0
-      if (!winkler) return jaro
-      var prefix = 0
-      while (prefix < math.min(4, math.min(a.length, b.length)) &&
-        a.charAt(prefix) == b.charAt(prefix)) prefix += 1
-      jaro + prefix * 0.1 * (1.0 - jaro)
-    }
+    override protected def nullSafeEval(l: Any, r: Any): Any =
+      StringKernels.jaroWinkler(
+        l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String], winkler)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.StringKernels.jaroWinkler($a, $b, $winkler)")
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)

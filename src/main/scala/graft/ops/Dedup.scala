@@ -335,14 +335,35 @@ object Dedup {
                      threshold: Double = 0.9, blockLen: Int = 2): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     val blk = substring(lower(col(nameCol)), 1, blockLen)
+    // pair generation happens on the PROBE side of the broadcast join,
+    // so its parallelism must not be the input's file layout: a small
+    // single-file table would otherwise put every candidate pair in
+    // one task (quadratic work, constant parallelism). Hash-spread the
+    // probe rows first — the shuffle is linear in input rows and
+    // negligible next to the pairwise stage it parallelizes.
+    // explicit partition count: AQE's size-based coalescing would fold
+    // a byte-tiny shuffle back to one partition, resurrecting the
+    // serial pairwise stage
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val a = df.select(col(idCol).as("id_a"), col(nameCol).as("_name_a"), blk.as("_blk"))
+      .repartition(parallelism, col("id_a"))
     val b = df.select(col(idCol).as("id_b"), col(nameCol).as("_name_b"), blk.as("_blk_b"))
-    val sim = ColumnBridge.column(graft.functions.DuckFunctions.JaroWinkler(
+    def sim = ColumnBridge.column(graft.functions.DuckFunctions.JaroWinkler(
       ColumnBridge.expression(col("_name_a")), ColumnBridge.expression(col("_name_b"))))
-    a.join(b, col("_blk") === col("_blk_b") &&
-        col("id_a") < col("id_b") && col("_name_a") =!= col("_name_b"))
+    // the similarity threshold lives IN the join condition: the
+    // codegen'd broadcast join then emits only surviving pairs instead
+    // of materializing every blocked candidate row (candidate count is
+    // quadratic in block size; survivor count isn't). Cheap predicates
+    // sit first so codegen short-circuits before the kernel runs. The
+    // filter compares the RAW score against the half-up inclusion
+    // boundary of the 6-digit-rounded contract (round(x,6) >= t ⟺
+    // x >= t - 5e-7) — Spark's ROUND codegen allocates BigDecimals,
+    // which must not run per candidate; the rounded score is computed
+    // only for survivors in the output projection.
+    a.join(broadcast(b), col("_blk") === col("_blk_b") &&
+        col("id_a") < col("id_b") && col("_name_a") =!= col("_name_b") &&
+        sim >= threshold - 5e-7)
       .withColumn("sim", round(sim, 6))
-      .where(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
 }
