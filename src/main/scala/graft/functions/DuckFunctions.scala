@@ -285,6 +285,14 @@ object DuckFunctions {
     "string_agg"         -> "listagg",  // unordered form only (no ORDER BY in args)
     // aggregates (same-name bool_and/bool_or/count_if/mode/median/
     // bit_* already resolve identically)
+    // hashing / encoding (md5, hex, bin, ascii, chr, printf resolve
+    // identically by name; DuckDB's 64-bit hash() is engine-specific
+    // and intentionally NOT aliased)
+    "unicode"            -> "ascii",
+    "ord"                -> "ascii",
+    "to_hex"             -> "hex",
+    "to_base64"          -> "base64",
+    "from_base64"        -> "unbase64",
     "quantile_cont"      -> "percentile", // both exact + interpolating
     "arg_max"            -> "max_by",     // both (returned, ordering)
     "arg_min"            -> "min_by",
@@ -352,6 +360,9 @@ object DuckFunctions {
     // [a:b] rewrite targets this same expression
     reg.createOrReplaceTempFunction("list_slice", es => DuckListSlice(es), "built-in")
     reg.createOrReplaceTempFunction("array_slice", es => DuckListSlice(es), "built-in")
+    // sha256(x) — Spark spells it sha2(x, 256)
+    reg.createOrReplaceTempFunction("sha256",
+      es => Sha2(es.head, Literal(256)), "built-in")
     // the shim's [i] subscript rewrite targets this (zero-index-safe
     // try_element_at)
     reg.createOrReplaceTempFunction("list_extract",

@@ -148,6 +148,22 @@ def cases():
         yield f"{slit(s)} || 'Z'", "str"
     yield "NULL || 'Z'", "str"
     yield "concat('a', NULL, 'b')", "str"
+    # hashing / encoding (DuckDB's 64-bit hash() is engine-specific —
+    # excluded by design)
+    for w in ["abc", "Hello World", ""]:
+        yield f"md5({slit(w)})", "str"
+        yield f"sha256({slit(w)})", "str"
+        yield f"hex({slit(w)})", "str"
+    yield "ascii('A')", "long"
+    yield "unicode('A')", "long"
+    yield "ord('Z')", "long"
+    yield "chr(66)", "str"
+    yield "to_hex(255)", "str"
+    yield "hex(255)", "str"
+    yield "bin(5)", "str"
+    yield "to_base64('abc'::BLOB)", "str"
+    yield "hex(from_base64('YWJj'))", "str"
+    yield "printf('%d-%s', 7, 'x')", "str"
     # NULL-handling edges that AGREE between the engines (division by
     # zero does NOT: DuckDB → NULL, Spark ANSI → raises; documented)
     yield "greatest(1, NULL, 3)", "long"
