@@ -98,6 +98,22 @@ class DuckSqlShimSpec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("step"))
   }
 
+  test("arity-sensitive function rewrites: log, regexp_extract, regexp_replace, datediff, struct_pack") {
+    assert(rw("SELECT log(x)") == "SELECT log10(x)")              // 1-arg log is log10
+    assert(rw("SELECT log(2, x)") == "SELECT log(2, x)")          // 2-arg agrees
+    assert(rw("SELECT regexp_extract(s, 'p')") == "SELECT regexp_extract(s, 'p', 0)")
+    assert(rw("SELECT regexp_extract(s, 'p', 1)") == "SELECT regexp_extract(s, 'p', 1)")
+    assert(rw("SELECT regexp_replace(s, 'p', 'r')") == "SELECT duck_regexp_replace(s, 'p', 'r')")
+    assert(rw("SELECT datediff('day', a, b)") == "SELECT duck_datediff('day', a, b)")
+    assert(rw("SELECT date_diff('month', a, b)") == "SELECT duck_datediff('month', a, b)")
+    assert(rw("SELECT datediff(a, b)") == "SELECT datediff(a, b)") // Spark's own 2-arg form
+    assert(rw("SELECT struct_pack(a := 1, b := f(x, 2)).a") ==
+      "SELECT named_struct('a', 1, 'b', f(x, 2)).a")
+    // string literals keep their backslashes verbatim (DuckDB has no
+    // escape processing; Spark's parser does, so they double)
+    assert(rw("SELECT regexp_extract(s, '\\d+')") == "SELECT regexp_extract(s, '\\\\d+', 0)")
+  }
+
   test("bare list literals become array()") {
     assert(rw("SELECT [1, 2, 3]") == "SELECT array(1, 2, 3)")
     assert(rw("SELECT f([1,2], x)") == "SELECT f(array(1,2), x)")
