@@ -188,6 +188,12 @@ object Similarity {
       .select(col("_v")).collect()
       .map(_.getSeq[Double](0).toArray).toIndexedSeq
 
+    // empty corpus → empty codebook (not a zero-arg greatest() crash)
+    if (cents.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Seq[Double])].toDF("cent_id", "centroid")
+    }
+
     for (_ <- 0 until iters) {
       val scored = cents.zipWithIndex.map { case (cv, ci) =>
         struct(cosine(col("_v"), array(cv.toSeq.map(lit): _*)).as("c"), lit(ci).as("ci"))
