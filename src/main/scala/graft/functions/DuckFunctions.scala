@@ -232,6 +232,32 @@ object DuckFunctions {
         newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
   }
 
+  /** Codegen'd binary call into a [[StringKernels]] byte kernel
+    * (jaccard / hamming / levenshtein).
+    */
+  case class StringKernelCall(left: Expression, right: Expression,
+                              fn: String, dt: DataType) extends BinaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = dt
+    override def prettyName: String = fn
+    override protected def nullSafeEval(l: Any, r: Any): Any = fn match {
+      case "jaccard" =>
+        StringKernels.jaccard(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+      case "hamming" =>
+        StringKernels.hamming(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+      case _ =>
+        StringKernels.levenshtein(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.StringKernels.$fn($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Jaro(-Winkler) string similarity, matching DuckDB's
     * jaro_winkler_similarity / jaro_similarity (standard parameters:
     * scaling 0.1, max prefix 4, no boost threshold). Carries real
@@ -486,28 +512,22 @@ object DuckFunctions {
         Literal(fmtOf(es(1), "strftime"))), "built-in")
     reg.createOrReplaceTempFunction("strptime",
       es => new ParseToTimestamp(es(0), Literal(fmtOf(es(1), "strptime"))), "built-in")
-    // string-distance family (Spark has only levenshtein of these).
-    // jaccard is CHARACTER-set based in DuckDB; hamming counts
-    // differing positions of equal-length strings.
-    def chars(e: Expression): Expression =
-      ArrayDistinct(new StringSplit(Cast(e, StringType), Literal("")))
+    // string-distance family — ALL byte-oriented in DuckDB (its
+    // levenshtein('café','cafe') is 2; hamming compares byte
+    // positions; jaccard is a byte-set measure), so all four route to
+    // StringKernels byte kernels. levenshtein SHADOWS Spark's builtin,
+    // which counts characters — the session-wide DuckDB-compatibility
+    // contract, same as the concat/substr/left/right shadows.
     reg.createOrReplaceTempFunction("jaccard",
-      es => Divide(
-        Cast(new Size(ArrayIntersect(chars(es(0)), chars(es(1)))), DoubleType),
-        Cast(new Size(ArrayDistinct(Concat(Seq(chars(es(0)), chars(es(1)))))), DoubleType)),
-      "built-in")
-    def hamming(es: Seq[Expression]): Expression = {
-      val x = NamedLambdaVariable("x", StringType, nullable = true)
-      val y = NamedLambdaVariable("y", StringType, nullable = true)
-      val diff = ZipWith(
-        new StringSplit(Cast(es(0), StringType), Literal("")),
-        new StringSplit(Cast(es(1), StringType), Literal("")),
-        LambdaFunction(If(EqualTo(x, y), Literal(0L), Literal(1L)), Seq(x, y)))
-      If(EqualTo(Length(es(0)), Length(es(1))), DuckListSum(diff),
-        Cast(new RaiseError(Literal("hamming: strings must be of equal length")), LongType))
-    }
-    reg.createOrReplaceTempFunction("hamming", hamming, "built-in")
-    reg.createOrReplaceTempFunction("mismatches", hamming, "built-in")
+      es => StringKernelCall(es(0), es(1), "jaccard", DoubleType), "built-in")
+    reg.createOrReplaceTempFunction("hamming",
+      es => StringKernelCall(es(0), es(1), "hamming", LongType), "built-in")
+    reg.createOrReplaceTempFunction("mismatches",
+      es => StringKernelCall(es(0), es(1), "hamming", LongType), "built-in")
+    reg.createOrReplaceTempFunction("levenshtein",
+      es => StringKernelCall(es(0), es(1), "levenshtein", IntegerType), "built-in")
+    reg.createOrReplaceTempFunction("editdist3",
+      es => StringKernelCall(es(0), es(1), "levenshtein", IntegerType), "built-in")
     reg.createOrReplaceTempFunction("jaro_winkler_similarity",
       es => JaroWinkler(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("jaro_similarity",

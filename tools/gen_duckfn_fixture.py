@@ -177,14 +177,18 @@ def cases():
     yield "2 IS DISTINCT FROM NULL", "bool"
     yield "NULL IS NOT DISTINCT FROM NULL", "bool"
     yield "ifnull(NULL, 7)", "long"
-    # string distance family (jaccard is character-set based)
+    # string distance family — ALL byte-oriented in DuckDB, so
+    # multibyte inputs are first-class cases ('café' vs 'cafe' has
+    # levenshtein 2, not 1)
     for a, b in [("kitten", "sitting"), ("duck", "luck"), ("abc", "abc"),
-                 ("ab", "cd"), ("martha", "marhta"), ("dwayne", "duane")]:
+                 ("ab", "cd"), ("martha", "marhta"), ("dwayne", "duane"),
+                 ("café", "cafe"), ("naïve", "naive"), ("日本語", "日本誤"),
+                 ("éé", "ee"), ("ab", "é")]:
         yield f"levenshtein({slit(a)}, {slit(b)})", "long"
         yield f"jaccard({slit(a)}, {slit(b)})", "double"
         yield f"jaro_similarity({slit(a)}, {slit(b)})", "double"
         yield f"jaro_winkler_similarity({slit(a)}, {slit(b)})", "double"
-        if len(a) == len(b):
+        if len(a.encode()) == len(b.encode()):  # hamming wants equal BYTES
             yield f"hamming({slit(a)}, {slit(b)})", "long"
             yield f"mismatches({slit(a)}, {slit(b)})", "long"
     # struct construction + field access
