@@ -262,6 +262,11 @@ object DuckSqlShim {
         if (i < n && sql.charAt(i) == '(') {
           val e = closeDelim(sql, i, '(', ')'); typ += sql.substring(i, e); i = e
         } else typ = castType(typ)
+        // DuckDB's list-type suffix: `INT[]` → `ARRAY<INT>` (nested
+        // `[][]` wraps again); fixed-size `INT[3]` is not mapped
+        while (i + 1 < n && sql.charAt(i) == '[' && sql.charAt(i + 1) == ']') {
+          typ = s"ARRAY<$typ>"; i += 2
+        }
         val start = operandStart(out)
         // DuckDB casts numerics to integer types by ROUNDING half away
         // from zero (2.5::INT = 3, -2.5::INT = -3, '42.7'::INT = 43);

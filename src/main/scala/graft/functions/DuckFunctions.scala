@@ -389,6 +389,43 @@ object DuckFunctions {
     // sha256(x) — Spark spells it sha2(x, 256)
     reg.createOrReplaceTempFunction("sha256",
       es => Sha2(es.head, Literal(256)), "built-in")
+    // list_unique = COUNT of distinct non-NULL elements (not the
+    // deduplicated list); list_has_any/_all with DuckDB's empty-list
+    // conventions (any([])=false, all([])=true, NULLs ignored);
+    // list_any_value = first non-NULL element
+    reg.createOrReplaceTempFunction("list_unique",
+      es => Cast(new Size(ArrayDistinct(ArrayCompact(es.head))), LongType), "built-in")
+    reg.createOrReplaceTempFunction("list_has_any",
+      es => ArraysOverlap(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("list_has_all",
+      es => EqualTo(new Size(ArrayExcept(ArrayCompact(es(1)), es(0))), Literal(0)),
+      "built-in")
+    reg.createOrReplaceTempFunction("list_any_value",
+      es => DuckElementAt(ArrayCompact(es.head), Literal(1)), "built-in")
+    // range(a, b[, step]): EXCLUSIVE end, direction honored, empty on
+    // a wrong-direction bound (where Spark's sequence would raise)
+    reg.createOrReplaceTempFunction("range",
+      es => {
+        def empty(of: Expression) =
+          Slice(Sequence(of, of, Some(Literal(1L)), None), Literal(1), Literal(0))
+        val a = Cast(es(0), LongType)
+        val b = Cast(es(1), LongType)
+        if (es.length == 2)
+          If(LessThanOrEqual(b, a), empty(a),
+            Sequence(a, Subtract(b, Literal(1L)), Some(Literal(1L)), None))
+        else {
+          val s = Cast(es(2), LongType)
+          CaseWhen(Seq(
+            EqualTo(s, Literal(0L)) ->
+              Cast(new RaiseError(Literal("range: step cannot be zero")),
+                ArrayType(LongType)),
+            And(GreaterThan(s, Literal(0L)), GreaterThan(b, a)) ->
+              Sequence(a, Subtract(b, Literal(1L)), Some(s), None),
+            And(LessThan(s, Literal(0L)), LessThan(b, a)) ->
+              Sequence(a, Add(b, Literal(1L)), Some(s), None)),
+            Some(empty(a)))
+        }
+      }, "built-in")
     // the shim's [i] subscript rewrite targets this (zero-index-safe
     // try_element_at)
     reg.createOrReplaceTempFunction("list_extract",

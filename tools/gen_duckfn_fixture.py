@@ -196,6 +196,22 @@ def cases():
     yield "struct_pack(a := 1 + 2, b := upper('x')).a", "long"
     yield "struct_extract(struct_pack(a := 41), 'a')", "long"
     yield "struct_pack(outer_f := struct_pack(inner_f := 7)).outer_f.inner_f", "long"
+    # list predicates / range / flatten
+    yield "list_unique([1,2,2,NULL,3])", "long"
+    yield "list_unique([]::INT[])", "long"
+    yield "list_has_any([1,2],[2,3])", "bool"
+    yield "list_has_any([1,2],[5])", "bool"
+    yield "list_has_any([1,2],[]::INT[])", "bool"
+    yield "list_has_all([1,2,3],[2,3])", "bool"
+    yield "list_has_all([1,2],[2,5])", "bool"
+    yield "list_has_all([1,2],[]::INT[])", "bool"
+    yield "list_any_value([NULL, 3, 4])", "long"
+    yield "array_to_string(range(1,5), ',')", "str"
+    yield "array_to_string(range(5,1), ',')", "str"
+    yield "array_to_string(range(0,10,3), ',')", "str"
+    yield "array_to_string(range(5,1,-2), ',')", "str"
+    yield "array_to_string(range(1,5,-1), ',')", "str"
+    yield "array_to_string(flatten([[1,2],[3]]), ',')", "str"
     # list_sort NULL placement + interior access
     yield "list_extract(list_sort([3, NULL, 1]), 1)", "long"
     yield "list_extract(list_sort([3, NULL, 1]), 3)", "long"
