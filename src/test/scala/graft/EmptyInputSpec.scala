@@ -23,24 +23,34 @@ class EmptyInputSpec extends AnyFunSuite {
     s
   }
 
-  /** Zero-row parquet copies with the exact on-disk schemas (events.ts
-    * stays the raw int64 nanos the reader contract expects).
+  /** Parquet copies truncated to `rows` with the exact on-disk schemas
+    * (events.ts stays the raw int64 nanos the reader contract
+    * expects).
     */
-  lazy val emptyDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+  private def truncatedDir(rows: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_rows$rows").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.core.Tables.all.foreach { t =>
       val src = s"/root/testdata/sf0.001/$t.parquet"
       if (new java.io.File(src).exists())
-        spark.read.parquet(src).limit(0)
+        spark.read.parquet(src).limit(rows)
           .coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
     dir
   }
 
+  lazy val emptyDir: String  = truncatedDir(0)
+  lazy val singleDir: String = truncatedDir(1)
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name tolerates empty inputs") {
       val n = fn(spark, emptyDir).count()
+      assert(n >= 0)
+    }
+    // one row exercises a different edge class: windows over a single
+    // row, trainers with k > n, self-joins with zero candidate pairs
+    test(s"$name tolerates single-row inputs") {
+      val n = fn(spark, singleDir).count()
       assert(n >= 0)
     }
   }
