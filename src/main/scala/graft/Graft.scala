@@ -148,6 +148,15 @@ final class Graft(val spark: SparkSession, stateDir: String) {
       graft.ops.Dedup.winnowPairs(df, idCol, textCol, blockCols, threshold = threshold)
         .withColumnRenamed("fp_jaccard", "jaccard"))
 
+  /** Fuzzy entity resolution: blocked Jaro-Winkler pairs of
+    * NON-identical names scoring at least `threshold` (byte-oriented,
+    * DuckDB-score-identical kernel; prefix blocking, no all-pairs
+    * path).
+    */
+  def dedupFuzzy(df: DataFrame, idCol: String, nameCol: String,
+                 threshold: Double = 0.9, blockLen: Int = 2): DataFrame =
+    graft.ops.Dedup.fuzzyNamePairs(df, idCol, nameCol, threshold, blockLen)
+
   /** Exact cosine top-k neighbors (broadcast query set × corpus scan). */
   def annTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int = 10): DataFrame =
