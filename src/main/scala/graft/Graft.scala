@@ -151,11 +151,13 @@ final class Graft(val spark: SparkSession, stateDir: String) {
   /** Fuzzy entity resolution: blocked Jaro-Winkler pairs of
     * NON-identical names scoring at least `threshold` (byte-oriented,
     * DuckDB-score-identical kernel; prefix blocking, no all-pairs
-    * path).
+    * path, no broadcast). `saltFactor > 1` splits a skewed block key
+    * (e.g. a dominant corporate prefix) that many ways.
     */
   def dedupFuzzy(df: DataFrame, idCol: String, nameCol: String,
-                 threshold: Double = 0.9, blockLen: Int = 2): DataFrame =
-    graft.ops.Dedup.fuzzyNamePairs(df, idCol, nameCol, threshold, blockLen)
+                 threshold: Double = 0.9, blockLen: Int = 2,
+                 saltFactor: Int = 1): DataFrame =
+    graft.ops.Dedup.fuzzyNamePairs(df, idCol, nameCol, threshold, blockLen, saltFactor)
 
   /** Exact cosine top-k neighbors (broadcast query set × corpus scan). */
   def annTopK(corpus: DataFrame, queries: DataFrame,

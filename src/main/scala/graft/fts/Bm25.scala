@@ -87,6 +87,9 @@ object Bm25 {
     * tables×limit-row union, no driver-side row traffic.
     */
   def searchAllDf(spark: SparkSession, tables: Seq[String], query: String,
-                  limit: Int = 10): DataFrame =
+                  limit: Int = 10): DataFrame = {
+    require(tables.nonEmpty,
+      "searchAllDf needs at least one table (reduce over an empty fan-out)")
     tables.map(t => searchTable(spark, t, query, limit)).reduce(_.unionByName(_))
+  }
 }

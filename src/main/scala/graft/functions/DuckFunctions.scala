@@ -260,7 +260,7 @@ object DuckFunctions {
 
   /** Jaro(-Winkler) string similarity, matching DuckDB's
     * jaro_winkler_similarity / jaro_similarity (standard parameters:
-    * scaling 0.1, max prefix 4, no boost threshold). Carries real
+    * scaling 0.1, max prefix 4, boost only when jaro > 0.7). Carries real
     * `doGenCode` (static call into [[StringKernels]]) so a blocked
     * fuzzy join stays one whole-stage-codegen span — this IS a hot
     * path under Dedup.fuzzyNamePairs.
@@ -395,22 +395,28 @@ object DuckFunctions {
     // list_any_value = first non-NULL element
     reg.createOrReplaceTempFunction("list_unique",
       es => Cast(new Size(ArrayDistinct(ArrayCompact(es.head))), LongType), "built-in")
+    // compact both sides first: Spark's ArraysOverlap returns NULL
+    // (not false) when either list holds a NULL element and no
+    // non-null overlap exists; DuckDB ignores NULL elements outright
+    // (list_has_any([1,NULL],[2]) = false). NULL *arguments* still
+    // propagate NULL through ArrayCompact, matching DuckDB.
     reg.createOrReplaceTempFunction("list_has_any",
-      es => ArraysOverlap(es(0), es(1)), "built-in")
+      es => ArraysOverlap(ArrayCompact(es(0)), ArrayCompact(es(1))), "built-in")
     reg.createOrReplaceTempFunction("list_has_all",
       es => EqualTo(new Size(ArrayExcept(ArrayCompact(es(1)), es(0))), Literal(0)),
       "built-in")
     reg.createOrReplaceTempFunction("list_any_value",
       es => DuckElementAt(ArrayCompact(es.head), Literal(1)), "built-in")
-    // range(a, b[, step]): EXCLUSIVE end, direction honored, empty on
-    // a wrong-direction bound (where Spark's sequence would raise)
+    // range([a,] b[, step]): EXCLUSIVE end, direction honored, empty on
+    // a wrong-direction bound (where Spark's sequence would raise);
+    // the 1-arg form is range(0, n)
     reg.createOrReplaceTempFunction("range",
       es => {
         def empty(of: Expression) =
           Slice(Sequence(of, of, Some(Literal(1L)), None), Literal(1), Literal(0))
-        val a = Cast(es(0), LongType)
-        val b = Cast(es(1), LongType)
-        if (es.length == 2)
+        val a = if (es.length == 1) Literal(0L) else Cast(es(0), LongType)
+        val b = Cast(if (es.length == 1) es(0) else es(1), LongType)
+        if (es.length <= 2)
           If(LessThanOrEqual(b, a), empty(a),
             Sequence(a, Subtract(b, Literal(1L)), Some(Literal(1L)), None))
         else {
@@ -482,13 +488,23 @@ object DuckFunctions {
           Some(Substring(es(0), Subtract(Literal(1), k), Literal(Int.MaxValue))))
       }, "built-in")
     // date_trunc collapses to DATE for day-or-coarser parts in DuckDB
-    // (year/quarter/month/week/day → DATE; hour and finer → TIMESTAMP)
-    val dateParts = Set("year", "quarter", "month", "week", "day",
-      "decade", "century", "millennium")
+    // (year/quarter/month/week/day → DATE; hour and finer → TIMESTAMP).
+    // decade/century/millennium are realized as year arithmetic —
+    // Spark's TruncTimestamp has no such units (it would yield NULL) —
+    // with DuckDB's simple floor convention (century of 2026 → 2000,
+    // not the calendrical 2001; verified against DuckDB 1.0).
+    val dateParts = Set("year", "quarter", "month", "week", "day")
+    val coarseYears = Map("decade" -> 10, "century" -> 100, "millennium" -> 1000)
     reg.createOrReplaceTempFunction("date_trunc",
       es => {
         val t = TruncTimestamp(es(0), Cast(es(1), TimestampType))
         es(0) match {
+          case Literal(p, StringType) if p != null &&
+              coarseYears.contains(p.toString.toLowerCase) =>
+            val n  = coarseYears(p.toString.toLowerCase)
+            val yr = Year(Cast(es(1), DateType))
+            // Pmod (not %) keeps the floor semantics for BC years
+            MakeDate(Subtract(yr, Pmod(yr, Literal(n))), Literal(1), Literal(1))
           case Literal(p, StringType) if p != null && dateParts(p.toString.toLowerCase) =>
             Cast(t, DateType)
           case _ => t

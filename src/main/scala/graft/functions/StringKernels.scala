@@ -34,8 +34,11 @@ object StringKernels {
   }
 
   /** Jaro(-Winkler) similarity with DuckDB's parameters (scaling 0.1,
-    * max prefix 4, no boost threshold) — byte-for-byte the same scores
-    * as DuckDB 1.0.
+    * max prefix 4, prefix boost applied only when jaro > 0.7 — the
+    * rapidfuzz boost threshold DuckDB 1.0 vendors) — byte-for-byte the
+    * same scores as DuckDB 1.0. Golden-fixture cases cover both sides
+    * of the 0.7 gate (e.g. 'duck'/'delta' = jaro 0.4833 un-boosted
+    * despite the shared prefix).
     */
   def jaroWinkler(l: UTF8String, r: UTF8String, winkler: Boolean): Double = {
     val n = l.numBytes()
@@ -73,7 +76,10 @@ object StringKernels {
     }
     val mm   = matches.toDouble
     val jaro = (mm / n + mm / m + (mm - transpositions / 2.0) / mm) / 3.0
-    if (!winkler) return jaro
+    // rapidfuzz (vendored by DuckDB) gates the Winkler boost on
+    // jaro > 0.7; below it the plain Jaro score is returned even when
+    // a prefix is shared
+    if (!winkler || jaro <= 0.7) return jaro
     var prefix = 0
     val pMax   = math.min(4, math.min(n, m))
     while (prefix < pMax && l.getByte(prefix) == r.getByte(prefix)) prefix += 1

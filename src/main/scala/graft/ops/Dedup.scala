@@ -325,34 +325,38 @@ object Dedup {
     * `>= threshold` pair up. `sim` is rounded to 6 digits for
     * engine-portable comparison.
     *
-    * Scale notes: the prefix key is corpus-dependent — for skewed
-    * prefixes (corporate naming like "ACME ...") swap in a better key
-    * (phonetic code, sorted-token prefix) or compose with
-    * [[Salting.saltedEquiJoin]]; the JaroWinkler kernel is a native
-    * expression (one JVM call per candidate pair, no UDF).
+    * Scale notes: no broadcast and no replication on the default path
+    * — both sides hash-partition on the block key, so pair generation
+    * is a plain co-partitioned equi-join that holds at any corpus size
+    * (AQE still converts to broadcast at runtime when one side turns
+    * out small). The prefix key is corpus-dependent: for skewed
+    * prefixes (corporate naming like "ACME ...") pass `saltFactor > 1`
+    * — the hot block then splits into `saltFactor` independent streams
+    * via [[Salting.saltedEquiJoin]] (small-side rows ×saltFactor extra
+    * shuffle volume buys a saltFactor-way split of the hottest
+    * reducer) — or swap in a better key (phonetic code, sorted-token
+    * prefix). The JaroWinkler kernel is a native expression (one JVM
+    * call per candidate pair, no UDF).
     */
   def fuzzyNamePairs(df: DataFrame, idCol: String, nameCol: String,
-                     threshold: Double = 0.9, blockLen: Int = 2): DataFrame = {
+                     threshold: Double = 0.9, blockLen: Int = 2,
+                     saltFactor: Int = 1): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     val blk = substring(lower(col(nameCol)), 1, blockLen)
-    // pair generation happens on the PROBE side of the broadcast join,
-    // so its parallelism must not be the input's file layout: a small
-    // single-file table would otherwise put every candidate pair in
-    // one task (quadratic work, constant parallelism). Hash-spread the
-    // probe rows first — the shuffle is linear in input rows and
-    // negligible next to the pairwise stage it parallelizes.
-    // explicit partition count: AQE's size-based coalescing would fold
-    // a byte-tiny shuffle back to one partition, resurrecting the
-    // serial pairwise stage
+    // explicit partition count on the block key: the join reuses this
+    // layout (no extra exchange), and the explicit count keeps AQE's
+    // size-based coalescing from folding a byte-tiny shuffle back to
+    // one partition — the pairwise stage is CPU-quadratic in block
+    // size, invisible to AQE's bytes heuristic.
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val a = df.select(col(idCol).as("id_a"), col(nameCol).as("_name_a"), blk.as("_blk"))
-      .repartition(parallelism, col("id_a"))
-    val b = df.select(col(idCol).as("id_b"), col(nameCol).as("_name_b"), blk.as("_blk_b"))
+      .repartition(parallelism, col("_blk"))
     def sim = ColumnBridge.column(graft.functions.DuckFunctions.JaroWinkler(
       ColumnBridge.expression(col("_name_a")), ColumnBridge.expression(col("_name_b"))))
-    // the similarity threshold lives IN the join condition: the
-    // codegen'd broadcast join then emits only surviving pairs instead
-    // of materializing every blocked candidate row (candidate count is
+    // the similarity threshold lives IN the join condition (Catalyst
+    // pushes the post-join filter there on the salted path too): the
+    // codegen'd join then emits only surviving pairs instead of
+    // materializing every blocked candidate row (candidate count is
     // quadratic in block size; survivor count isn't). Cheap predicates
     // sit first so codegen short-circuits before the kernel runs. The
     // filter compares the RAW score against the half-up inclusion
@@ -360,10 +364,22 @@ object Dedup {
     // x >= t - 5e-7) — Spark's ROUND codegen allocates BigDecimals,
     // which must not run per candidate; the rounded score is computed
     // only for survivors in the output projection.
-    a.join(broadcast(b), col("_blk") === col("_blk_b") &&
-        col("id_a") < col("id_b") && col("_name_a") =!= col("_name_b") &&
-        sim >= threshold - 5e-7)
-      .withColumn("sim", round(sim, 6))
-      .select("id_a", "id_b", "sim")
+    val survive = col("id_a") < col("id_b") &&
+      col("_name_a") =!= col("_name_b") && sim >= threshold - 5e-7
+    val pairs =
+      if (saltFactor > 1) {
+        // hot-prefix path: per-row salt on the big side, saltFactor
+        // replicas of the small side — each hot block key becomes
+        // saltFactor independently-shuffled streams, bounding the
+        // per-task pairwise load (row-identical to the unsalted join)
+        val b = df.select(col(idCol).as("id_b"), col(nameCol).as("_name_b"),
+          blk.as("_blk"))
+        Salting.saltedEquiJoin(a, b, Seq("_blk"), saltFactor).where(survive)
+      } else {
+        val b = df.select(col(idCol).as("id_b"), col(nameCol).as("_name_b"),
+          blk.as("_blk_b")).repartition(parallelism, col("_blk_b"))
+        a.join(b, col("_blk") === col("_blk_b") && survive)
+      }
+    pairs.withColumn("sim", round(sim, 6)).select("id_a", "id_b", "sim")
   }
 }

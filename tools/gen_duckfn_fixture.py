@@ -180,10 +180,15 @@ def cases():
     # string distance family — ALL byte-oriented in DuckDB, so
     # multibyte inputs are first-class cases ('café' vs 'cafe' has
     # levenshtein 2, not 1)
+    # the last row of pairs sits in the Winkler boost-gate gap: shared
+    # prefix but jaro <= 0.7, where rapidfuzz (and so DuckDB) skips the
+    # boost entirely — jaro_winkler == jaro there
     for a, b in [("kitten", "sitting"), ("duck", "luck"), ("abc", "abc"),
                  ("ab", "cd"), ("martha", "marhta"), ("dwayne", "duane"),
                  ("café", "cafe"), ("naïve", "naive"), ("日本語", "日本誤"),
-                 ("éé", "ee"), ("ab", "é")]:
+                 ("éé", "ee"), ("ab", "é"),
+                 ("duck", "delta"), ("spark", "spoon"), ("abcdef", "abxyzq"),
+                 ("prefix", "przzzz"), ("aaab", "aabbbb")]:
         yield f"levenshtein({slit(a)}, {slit(b)})", "long"
         yield f"jaccard({slit(a)}, {slit(b)})", "double"
         yield f"jaro_similarity({slit(a)}, {slit(b)})", "double"
@@ -202,10 +207,19 @@ def cases():
     yield "list_has_any([1,2],[2,3])", "bool"
     yield "list_has_any([1,2],[5])", "bool"
     yield "list_has_any([1,2],[]::INT[])", "bool"
+    # NULL elements are ignored (false, not NULL, when no non-null
+    # overlap exists); NULL *arguments* still give NULL
+    yield "list_has_any([1,NULL],[2])", "bool"
+    yield "list_has_any([1,NULL],[1])", "bool"
+    yield "list_has_any([NULL],[NULL])", "bool"
+    yield "list_has_any(NULL::INT[],[1])", "bool"
     yield "list_has_all([1,2,3],[2,3])", "bool"
     yield "list_has_all([1,2],[2,5])", "bool"
     yield "list_has_all([1,2],[]::INT[])", "bool"
     yield "list_any_value([NULL, 3, 4])", "long"
+    yield "array_to_string(range(3), ',')", "str"
+    yield "array_to_string(range(0), ',')", "str"
+    yield "array_to_string(range(-2), ',')", "str"
     yield "array_to_string(range(1,5), ',')", "str"
     yield "array_to_string(range(5,1), ',')", "str"
     yield "array_to_string(range(0,10,3), ',')", "str"
@@ -219,9 +233,15 @@ def cases():
     yield "array_to_string(list_reverse_sort([5, 1, 4]), ',')", "str"
     # date/time: trunc + part over literals (rendered engine-neutrally;
     # DuckDB date_trunc returns DATE for day-or-coarser parts)
-    for part in ["year", "quarter", "month", "week", "day", "hour", "minute"]:
+    for part in ["year", "quarter", "month", "week", "day", "hour", "minute",
+                 "decade", "century", "millennium"]:
         yield (f"(date_trunc({slit(part)}, TIMESTAMP '2024-03-15 13:45:57'))::VARCHAR",
                "str")
+    # coarse parts have DuckDB's simple floor convention (century of
+    # 2000 → 2000, not the calendrical 2001)
+    for part, d in [("decade", "1905-03-02"), ("century", "2000-05-05"),
+                    ("millennium", "1999-12-31")]:
+        yield f"(date_trunc({slit(part)}, DATE {slit(d)}))::VARCHAR", "str"
     for part in ["year", "month", "day", "hour"]:
         yield f"date_part({slit(part)}, TIMESTAMP '2024-03-15 13:45:57')", "long"
     yield "(DATE '2024-03-15' + 40)::VARCHAR", "str"
