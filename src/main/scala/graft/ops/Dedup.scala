@@ -343,14 +343,19 @@ object Dedup {
                      saltFactor: Int = 1): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     val blk = substring(lower(col(nameCol)), 1, blockLen)
-    // explicit partition count on the block key: the join reuses this
-    // layout (no extra exchange), and the explicit count keeps AQE's
-    // size-based coalescing from folding a byte-tiny shuffle back to
-    // one partition — the pairwise stage is CPU-quadratic in block
-    // size, invisible to AQE's bytes heuristic.
+    // hash-spread the probe rows by ID (NOT by block key — block
+    // sizes are skewed, ID hashing is uniform): when AQE converts the
+    // join to broadcast (small B), its local shuffle read reuses this
+    // even layout for the CPU-quadratic pairwise stage, so pair
+    // generation never inherits a small table's file layout or the
+    // block-key skew. When B is too big to broadcast, the join's own
+    // block-key exchanges take over (plain co-partitioned equi-join,
+    // AQE skew-split eligible). Explicit partition count: AQE's
+    // size-based coalescing would fold a byte-tiny shuffle back to
+    // one partition, resurrecting the serial pairwise stage.
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val a = df.select(col(idCol).as("id_a"), col(nameCol).as("_name_a"), blk.as("_blk"))
-      .repartition(parallelism, col("_blk"))
+      .repartition(parallelism, col("id_a"))
     def sim = ColumnBridge.column(graft.functions.DuckFunctions.JaroWinkler(
       ColumnBridge.expression(col("_name_a")), ColumnBridge.expression(col("_name_b"))))
     // the similarity threshold lives IN the join condition (Catalyst
@@ -377,7 +382,7 @@ object Dedup {
         Salting.saltedEquiJoin(a, b, Seq("_blk"), saltFactor).where(survive)
       } else {
         val b = df.select(col(idCol).as("id_b"), col(nameCol).as("_name_b"),
-          blk.as("_blk_b")).repartition(parallelism, col("_blk_b"))
+          blk.as("_blk_b"))
         a.join(b, col("_blk") === col("_blk_b") && survive)
       }
     pairs.withColumn("sim", round(sim, 6)).select("id_a", "id_b", "sim")
