@@ -93,7 +93,10 @@ final class Graft(val spark: SparkSession, stateDir: String) {
     */
   def duckSql(text: String): DataFrame = {
     graft.functions.DuckFunctions.register(spark)
-    spark.sql(graft.compile.DuckSqlShim.rewrite(text))
+    // schema access enables the COLUMNS('regex') select-list expansion
+    val resolve = (t: String) =>
+      scala.util.Try(spark.table(t).columns.toSeq).toOption
+    spark.sql(graft.compile.DuckSqlShim.rewrite(text, resolve))
   }
 
   /** SQL with Arrow results: the reference surfaces query results as

@@ -23,8 +23,13 @@ package graft.compile
   *  - top-level `QUALIFY cond`      → subquery wrap with outer WHERE
   *    (alias-referencing conditions; inline-OVER conditions raise)
   *  - `* EXCLUDE cols`              → `* EXCEPT (cols)` (Spark 4)
-  *  - `COLUMNS(...)` has no mechanical equivalent → raises with a
-  *    pointer to the doc.
+  *  - `COLUMNS('regex')` / `COLUMNS(*)` in the top-level SELECT list →
+  *    expanded against the FROM table's schema when the caller supplies
+  *    a resolver ([[graft.Graft.duckSql]] does); each select item
+  *    containing the call is replicated per matching column, aliased
+  *    to the source column name — DuckDB's own expansion rule. Forms
+  *    with no resolvable single-table FROM, lambda/EXCLUDE arguments,
+  *    or an explicit alias raise with a pointer to the doc.
   *
   * The rewriter is a single-pass tokenizer (string literals, quoted
   * identifiers and comments pass through untouched), not a SQL parser:
@@ -45,6 +50,132 @@ object DuckSqlShim {
     "returning", "array")
 
   def rewrite(sql: String): String = rewriteTokens(rewriteQualify(sql))
+
+  /** Rewrite with schema access: `resolveTable(name)` returns the
+    * column names of a catalog table/view, enabling the
+    * `COLUMNS('regex')` select-list expansion (which needs the FROM
+    * table's schema at rewrite time). Everything else is identical to
+    * the 1-arg form.
+    */
+  def rewrite(sql: String, resolveTable: String => Option[Seq[String]]): String =
+    rewriteTokens(rewriteQualify(expandColumns(sql, resolveTable)))
+
+  /** DuckDB star-expression expansion for the common SELECT-list form:
+    * `SELECT ... fn(COLUMNS('regex')) ... FROM tbl` replicates each
+    * item containing the call once per schema column whose name the
+    * (unanchored, RE2-style) regex matches, substituting the column
+    * and aliasing the item to it — verified against DuckDB 1.0:
+    * `min(COLUMNS('^a')) + 1` over (aa, ab, ba) yields
+    * `min(aa) + 1 AS aa, min(ab) + 1 AS ab`. `COLUMNS(*)` expands to
+    * all columns. Anything beyond this form (no single resolvable
+    * FROM table, lambda / EXCLUDE-modified argument, explicit alias —
+    * DuckDB itself emits degenerate duplicate names there, no regex
+    * match — a binder error in DuckDB too) falls through so the token
+    * pass raises with porting guidance.
+    */
+  private def expandColumns(sql: String, resolve: String => Option[Seq[String]]): String = {
+    if (findWord(sql, 0, Set("columns"), topLevelOnly = false) < 0) return sql
+    val selPos  = findTopLevelWord(sql, 0, Set("select"))
+    val fromPos = findTopLevelWord(sql, 0, Set("from"))
+    if (selPos < 0 || fromPos < 0 || fromPos < selPos) return sql
+
+    // FROM must be a single resolvable table/view (optionally aliased):
+    // the clause text up to the next top-level clause keyword or
+    // statement end, with no join/comma/subquery
+    val clauseEndKw = findTopLevelWord(sql, fromPos + 4, Set(
+      "where", "group", "having", "window", "qualify", "order", "limit",
+      "offset", "union", "intersect", "except"))
+    val fromClause = sql.substring(fromPos + 4,
+      if (clauseEndKw < 0) sql.length else clauseEndKw).trim
+    if (fromClause.isEmpty || fromClause.contains('(') || topLevelCommas(fromClause) > 0)
+      return sql
+    val fromWords = fromClause.split("\\s+").toSeq
+    val lower = fromWords.map(_.toLowerCase)
+    if (lower.exists(Set("join", "cross", "natural", "lateral", "inner",
+        "left", "right", "full", "outer", "on", "using")) || fromWords.length > 3 ||
+        (fromWords.length == 3 && lower(1) != "as"))
+      return sql
+    val tableName = fromWords.head.replace("\"", "")
+    val cols = resolve(tableName) match {
+      case Some(cs) => cs
+      case None     => return sql
+    }
+
+    // select-list span (skip a leading DISTINCT/ALL keyword)
+    var listStart = selPos + "select".length
+    while (listStart < fromPos && sql.charAt(listStart).isWhitespace) listStart += 1
+    val firstKw = sql.substring(listStart,
+      math.min(fromPos, listStart + 9)).toLowerCase
+    if (firstKw.startsWith("distinct")) listStart += "distinct".length
+    else if (firstKw.startsWith("all") &&
+      !(listStart + 3 < fromPos && (sql.charAt(listStart + 3).isLetterOrDigit ||
+        sql.charAt(listStart + 3) == '_'))) listStart += "all".length
+
+    val items = splitTopLevel(sql.substring(listStart, fromPos))
+    val expanded = items.flatMap { item =>
+      val cPos = findWord(item, 0, Set("columns"), topLevelOnly = false)
+      if (cPos < 0) Seq(item.trim)
+      else {
+        val argOpen = item.indexOf('(', cPos)
+        if (argOpen < 0 || item.substring(cPos + 7, argOpen).exists(!_.isWhitespace))
+          return sql
+        if (findWord(item, argOpen, Set("columns"), topLevelOnly = false) >= 0)
+          fail("multiple COLUMNS(...) in one select item",
+            "expand the column list by hand")
+        if (findTopLevelWord(item, 0, Set("as")) >= 0)
+          fail("COLUMNS(...) with an explicit alias",
+            "drop the alias; each expanded column is named after its source column")
+        val argClose = closeDelim(item, argOpen, '(', ')')
+        val arg = item.substring(argOpen + 1, argClose - 1).trim
+        val matched =
+          if (arg == "*") cols
+          else if (arg.length >= 2 && arg.head == '\'' && closeString(arg, 0) == arg.length) {
+            val regex = arg.substring(1, arg.length - 1).replace("''", "'")
+            val p = java.util.regex.Pattern.compile(regex)
+            cols.filter(c => p.matcher(c).find())
+          } else fail("COLUMNS(...) with a non-literal argument (lambda, EXCLUDE, expression)",
+            "list the wanted columns explicitly")
+        if (matched.isEmpty)
+          fail(s"COLUMNS($arg) matching no columns of '$tableName'",
+            "check the regex (DuckDB raises a binder error here too)")
+        matched.map { c =>
+          val q = "\"" + c.replace("\"", "\"\"") + "\""
+          (item.substring(0, cPos) + q + item.substring(argClose)).trim + s" AS $q"
+        }
+      }
+    }
+    sql.substring(0, listStart).stripTrailing() + " " + expanded.mkString(", ") +
+      "\n" + sql.substring(fromPos)
+  }
+
+  /** [[findTopLevelWord]] generalized: `topLevelOnly = false` finds
+    * the word at any paren depth (still outside strings, quotes and
+    * comments).
+    */
+  private def findWord(sql: String, from: Int, words: Set[String],
+                       topLevelOnly: Boolean): Int = {
+    var i = from
+    var depth = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') i = closeString(sql, i)
+      else if (c == '"') i = closeQuoted(sql, i)
+      else if (c == '`') { var j = i + 1; while (j < sql.length && sql.charAt(j) != '`') j += 1; i = j + 1 }
+      else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        val e = sql.indexOf('\n', i); i = if (e < 0) sql.length else e
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        val e = sql.indexOf("*/", i); i = if (e < 0) sql.length else e + 2
+      } else if (c == '(' || c == '[') { depth += 1; i += 1 }
+      else if (c == ')' || c == ']') { depth -= 1; i += 1 }
+      else if (c.isLetter || c == '_') {
+        val s = i
+        while (i < sql.length && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
+        if ((!topLevelOnly || depth == 0) && words.contains(sql.substring(s, i).toLowerCase))
+          return s
+      } else i += 1
+    }
+    -1
+  }
 
   /** Top-level `QUALIFY cond` → subquery wrap:
     * `SELECT * FROM (<select sans qualify/tail>) __qualify_sub WHERE

@@ -28,6 +28,16 @@ object CoverageQueries {
       |ORDER BY doc_id
       |LIMIT 200""".stripMargin
 
+  /** DuckDB star-expression text for `shim_columns` — COLUMNS('regex')
+    * expansion, which needs the FROM table's schema at rewrite time.
+    */
+  val duckColumnsText: String =
+    """SELECT l_returnflag,
+      |       min(COLUMNS('^l_(quantity|extendedprice|discount)'))
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // S2: schema peek — footer-only read drives the adaptive
@@ -134,5 +144,18 @@ object CoverageQueries {
         s.sql(graft.compile.DuckSqlShim.rewrite(CoverageQueries.duckOverrideText))
       },
       Some(duckOverrideText)),
+
+    // COLUMNS('regex') star expression, proven end-to-end the same
+    // way: DuckDB binds the regex against the table natively; the
+    // Spark side expands it at rewrite time via the schema resolver
+    // (min() replicates per matching column, outputs named after the
+    // source columns — both engines' rule).
+    Q("shim_columns",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val resolve = (t: String) => scala.util.Try(s.table(t).columns.toSeq).toOption
+        s.sql(graft.compile.DuckSqlShim.rewrite(CoverageQueries.duckColumnsText, resolve))
+      },
+      Some(duckColumnsText)),
   )
 }

@@ -182,6 +182,49 @@ class DuckSqlShimSpec extends AnyFunSuite {
     assert(rw("SELECT exclude, columns FROM t") == "SELECT exclude, columns FROM t")
   }
 
+  test("COLUMNS('regex') expands against the FROM table's schema") {
+    val resolve: String => Option[Seq[String]] = {
+      case "t" => Some(Seq("aa", "ab", "ba", "s"))
+      case _   => None
+    }
+    def rwc(s: String) = DuckSqlShim.rewrite(s, resolve)
+    // bare form: unanchored regex, DuckDB-verified ('a' matches ba too)
+    assert(rwc("SELECT COLUMNS('^a') FROM t") == "SELECT `aa` AS `aa`, `ab` AS `ab`\nFROM t")
+    assert(rwc("SELECT COLUMNS('a') FROM t") ==
+      "SELECT `aa` AS `aa`, `ab` AS `ab`, `ba` AS `ba`\nFROM t")
+    // whole-item replication, DuckDB-verified: min(COLUMNS('^a')) + 1
+    // over (aa, ab, ba) -> per-column min(c) + 1 AS c
+    assert(rwc("SELECT min(COLUMNS('^a')) + 1 FROM t WHERE aa > 0") ==
+      "SELECT min(`aa`) + 1 AS `aa`, min(`ab`) + 1 AS `ab`\nFROM t WHERE aa > 0")
+    // COLUMNS(*) = all columns; mixed with plain items; alias survives
+    assert(rwc("SELECT s, COLUMNS('^b') FROM t GROUP BY s") ==
+      "SELECT s, `ba` AS `ba`\nFROM t GROUP BY s")
+    assert(rwc("SELECT COLUMNS(*) FROM t") ==
+      "SELECT `aa` AS `aa`, `ab` AS `ab`, `ba` AS `ba`, `s` AS `s`\nFROM t")
+    // out-of-form cases keep the guided error
+    intercept[IllegalArgumentException](rwc("SELECT COLUMNS('zzz') FROM t"))       // no match
+    intercept[IllegalArgumentException](rwc("SELECT COLUMNS('^a') AS z FROM t"))  // alias
+    intercept[IllegalArgumentException](rwc("SELECT COLUMNS(c -> c LIKE 'a%') FROM t"))
+    intercept[IllegalArgumentException](rwc("SELECT COLUMNS('^a') FROM t JOIN u ON 1=1"))
+    intercept[IllegalArgumentException](rwc("SELECT COLUMNS('^a') FROM unknown_tbl"))
+    // resolver-less rewrite keeps the original behavior
+    intercept[IllegalArgumentException](rw("SELECT COLUMNS('^a') FROM t"))
+  }
+
+  test("COLUMNS expansion runs end-to-end on a live session") {
+    import spark.implicits._
+    Seq((1L, 2L, 3L, "x"), (4L, 5L, 6L, "y")).toDF("aa", "ab", "ba", "s")
+      .createOrReplaceTempView("shim_cols_t")
+    val resolve = (t: String) =>
+      scala.util.Try(spark.table(t).columns.toSeq).toOption
+    val rows = spark.sql(DuckSqlShim.rewrite(
+      "SELECT min(COLUMNS('^a')) + 1 FROM shim_cols_t", resolve)).collect()
+    assert(rows.head.toSeq == Seq(2L, 3L))
+    assert(spark.sql(DuckSqlShim.rewrite(
+      "SELECT COLUMNS('a') FROM shim_cols_t ORDER BY aa", resolve)).columns.toSeq ==
+      Seq("aa", "ab", "ba"))
+  }
+
   test("ordered string_agg becomes listagg WITHIN GROUP") {
     assert(rw("SELECT string_agg(x, ',' ORDER BY y) FROM t GROUP BY g") ==
       "SELECT listagg(x, ',') WITHIN GROUP (ORDER BY y) FROM t GROUP BY g")
