@@ -216,6 +216,14 @@ def cases():
     yield "list_has_all([1,2,3],[2,3])", "bool"
     yield "list_has_all([1,2],[2,5])", "bool"
     yield "list_has_all([1,2],[]::INT[])", "bool"
+    yield "list_has_all([1,NULL],[1])", "bool"
+    yield "list_has_all([1],[1,NULL])", "bool"
+    yield "list_has_all([1],[NULL])", "bool"
+    yield "list_has_all([NULL],[NULL])", "bool"
+    yield "list_has_all(NULL::INT[],[1])", "bool"
+    yield "list_unique([NULL])", "long"
+    yield "list_any_value([]::INT[])", "long"
+    yield "list_indexof([NULL,3],3)", "long"
     yield "list_any_value([NULL, 3, 4])", "long"
     yield "array_to_string(range(3), ',')", "str"
     yield "array_to_string(range(0), ',')", "str"
