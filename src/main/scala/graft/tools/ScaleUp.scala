@@ -13,14 +13,17 @@ import org.apache.spark.sql.functions._
   * self-contained replica: FK relationships, group cardinalities and
   * per-key densities all scale ×N while per-group work stays constant.
   *
-  * Two content columns get a per-copy deterministic rewrite so that
+  * Three content columns get a per-copy deterministic rewrite so that
   * similarity structure also stays per-copy (naive duplication would
-  * make every document a 10-way exact duplicate and every embedding a
-  * 10-way cosine-1 twin — quadratic pair blowup that says nothing
-  * about the plans):
+  * make every document a 10-way exact duplicate, every embedding a
+  * 10-way cosine-1 twin and every part name a 10-way Jaro-Winkler-1
+  * twin — quadratic pair blowup that says nothing about the plans):
   *   - documents.text: per-copy letter substitution (translate with a
   *     rotated common-letter alphabet) — length and within-copy dup
   *     structure preserved, shingles disjoint across copies;
+  *   - part.p_name: the same substitution — within-copy fuzzy
+  *     near-pairs preserved bijectively, cross-copy pairs scored far
+  *     below any useful threshold;
   *   - embeddings.embedding: small per-copy angular perturbation.
   *
   * Geometry caveat, documented in SCALE.md: geo layers derive their
@@ -61,9 +64,10 @@ object ScaleUp {
     Key64.getOrElse(table, Nil).foreach { k =>
       out = out.withColumn(k, col(k) + lit(c * Stride64))
     }
-    if (table == "documents" && c > 0) {
+    if ((table == "documents" || table == "part") && c > 0) {
       val to = SubAlpha.drop(c % SubAlpha.length) + SubAlpha.take(c % SubAlpha.length)
-      out = out.withColumn("text", translate(col("text"), SubAlpha, to))
+      val target = if (table == "documents") "text" else "p_name"
+      out = out.withColumn(target, translate(col(target), SubAlpha, to))
     }
     if (table == "embeddings" && c > 0)
       out = out.withColumn("embedding",
