@@ -20,8 +20,9 @@ package graft.compile
   *    (omitted bounds → 1 / -1 = list boundary; DuckFunctions
   *    supplies the DuckDB clamp/negative-index/step semantics)
   *  - bare `[...]` list literals    → `array(...)`
-  *  - top-level `QUALIFY cond`      → subquery wrap with outer WHERE
-  *    (alias-referencing conditions; inline-OVER conditions raise)
+  *  - `QUALIFY cond` (any nesting)  → subquery wrap with outer WHERE,
+  *    applied per subquery level innermost-first (alias-referencing
+  *    conditions directly; inline-OVER conditions hoisted)
   *  - `* EXCLUDE cols`              → `* EXCEPT (cols)` (Spark 4)
   *  - `COLUMNS('regex')` / `COLUMNS(*)` in the top-level SELECT list →
   *    expanded against the FROM table's schema when the caller supplies
@@ -49,7 +50,38 @@ object DuckSqlShim {
     "values", "exists", "any", "some", "interval", "using", "with", "return",
     "returning", "array")
 
-  def rewrite(sql: String): String = rewriteTokens(rewriteQualify(sql))
+  def rewrite(sql: String): String = rewriteTokens(rewriteQualifyDeep(sql))
+
+  /** [[rewriteQualify]] applied at every subquery nesting level,
+    * innermost first: each balanced `(...)` group's content is
+    * rewritten recursively (a CTE body or derived table containing
+    * QUALIFY gets its own subquery wrap in place), then the top level
+    * itself. Groups that aren't SELECTs pass through [[rewriteQualify]]
+    * unchanged, so function argument lists are untouched.
+    */
+  private def rewriteQualifyDeep(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') { val e = closeString(sql, i); out.append(sql.substring(i, e)); i = e }
+      else if (c == '"') { val e = closeQuoted(sql, i); out.append(sql.substring(i, e)); i = e }
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        val e = sql.indexOf('\n', i); val stop = if (e < 0) n else e + 1
+        out.append(sql.substring(i, stop)); i = stop
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        val e = sql.indexOf("*/", i); val stop = if (e < 0) n else e + 2
+        out.append(sql.substring(i, stop)); i = stop
+      } else if (c == '(') {
+        val e = closeDelim(sql, i, '(', ')') // index just past ')'
+        out.append('(').append(rewriteQualifyDeep(sql.substring(i + 1, e - 1)))
+          .append(')')
+        i = e
+      } else { out.append(c); i += 1 }
+    }
+    rewriteQualify(out.toString)
+  }
 
   /** Rewrite with schema access: `resolveTable(name)` returns the
     * column names of a catalog table/view, enabling the
@@ -58,7 +90,7 @@ object DuckSqlShim {
     * the 1-arg form.
     */
   def rewrite(sql: String, resolveTable: String => Option[Seq[String]]): String =
-    rewriteTokens(rewriteQualify(expandColumns(sql, resolveTable)))
+    rewriteTokens(rewriteQualifyDeep(expandColumns(sql, resolveTable)))
 
   /** DuckDB star-expression expansion for the common SELECT-list form:
     * `SELECT ... fn(COLUMNS('regex')) ... FROM tbl` replicates each
@@ -184,9 +216,10 @@ object DuckSqlShim {
     * condition with inline `OVER(...)` windows — which an outer WHERE
     * can't host — gets each window expression hoisted into the inner
     * select list as a `__qwN` alias (dropped again via `* EXCLUDE`),
-    * with the condition filtering on the alias. QUALIFY nested in
-    * subqueries/CTEs, on a DISTINCT select, or using a named window
-    * (`OVER w`) falls through to the explicit error in the token pass.
+    * with the condition filtering on the alias. Subquery/CTE nesting
+    * is handled by [[rewriteQualifyDeep]] calling this per level;
+    * QUALIFY on a DISTINCT select or using a named window (`OVER w`)
+    * falls through to the explicit error in the token pass.
     */
   private def rewriteQualify(sql: String): String = {
     val qStart = findTopLevelWord(sql, 0, Set("qualify"))
@@ -469,11 +502,12 @@ object DuckSqlShim {
         val word = sql.substring(s, i)
         word.toLowerCase match {
           case "qualify" =>
-            // the pre-pass wraps every rewritable form (including
-            // inline windows, hoisted as __qwN aliases); reaching here
-            // means a nested QUALIFY, a DISTINCT select, a named
-            // window (OVER w) or a window buried below paren depth 0
-            fail("QUALIFY in a form the shim can't wrap (nested subquery/CTE, DISTINCT, named or parenthesized window)",
+            // the pre-pass wraps every rewritable form at every
+            // nesting level (including inline windows, hoisted as
+            // __qwN aliases); reaching here means a DISTINCT select,
+            // a named window (OVER w) or a window buried below the
+            // condition's paren depth 0
+            fail("QUALIFY in a form the shim can't wrap (DISTINCT select, named or parenthesized window)",
               "alias the window expression in the select list and QUALIFY the alias, " +
                 "or wrap the query in a subquery with WHERE")
           case "exclude" if prevSignificant(out) == '*' =>

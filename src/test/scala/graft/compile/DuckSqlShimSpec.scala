@@ -254,6 +254,40 @@ class DuckSqlShimSpec extends AnyFunSuite {
     assert(top.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 20.0), (2L, 5.0)))
   }
 
+  test("QUALIFY inside CTEs and derived tables wraps per nesting level") {
+    // CTE body with alias-referencing QUALIFY
+    val cte = rw(
+      """WITH w AS (SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+        |FROM t QUALIFY rn = 1) SELECT k, v FROM w ORDER BY k""".stripMargin)
+    assert(cte.contains("__qualify_sub WHERE rn = 1"))
+    assert(!cte.toLowerCase.contains("qualify "))
+    // derived table with an inline-OVER QUALIFY (window hoisted)
+    val derived = rw(
+      """SELECT k, v FROM (SELECT k, v FROM t
+        |QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC) = 1) s
+        |ORDER BY k""".stripMargin)
+    assert(derived.contains("__qw0"))
+    assert(!derived.toLowerCase.replace("__qualify_sub", "").contains("qualify"))
+    // end-to-end, DuckDB-verified expected rows (both forms)
+    import spark.implicits._
+    Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("k", "v")
+      .createOrReplaceTempView("shim_qn_t")
+    val got = spark.sql(rw(
+      """WITH w AS (SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+        |FROM shim_qn_t QUALIFY rn = 1) SELECT k, v FROM w ORDER BY k""".stripMargin))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 20.0), (2L, 5.0)))
+    val got2 = spark.sql(rw(
+      """SELECT k, v FROM (SELECT k, v FROM shim_qn_t
+        |QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC) = 1) s
+        |ORDER BY k""".stripMargin))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got2 == Seq((1L, 20.0), (2L, 5.0)))
+    // a named window still raises with guidance
+    intercept[IllegalArgumentException](rw(
+      "SELECT k FROM (SELECT k FROM t WINDOW z AS (ORDER BY k) QUALIFY rank() OVER z = 1) s"))
+  }
+
   test("rewrite is stable on its own output, including quoted names with operators") {
     val inputs = Seq(
       "SELECT x::BIGINT, a // b, arr[1], [1,2,3], \"my col\" FROM t",
