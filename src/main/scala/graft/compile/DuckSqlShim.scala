@@ -99,14 +99,21 @@ object DuckSqlShim {
     * and aliasing the item to it — verified against DuckDB 1.0:
     * `min(COLUMNS('^a')) + 1` over (aa, ab, ba) yields
     * `min(aa) + 1 AS aa, min(ab) + 1 AS ab`. `COLUMNS(*)` expands to
-    * all columns. Anything beyond this form (no single resolvable
-    * FROM table, lambda / EXCLUDE-modified argument, explicit alias —
-    * DuckDB itself emits degenerate duplicate names there, no regex
-    * match — a binder error in DuckDB too) falls through so the token
-    * pass raises with porting guidance.
+    * all columns. The same pass expands the `* REPLACE` star-modifier
+    * (`SELECT * [EXCLUDE ...] REPLACE (expr AS col, ...) FROM tbl` →
+    * the full column list with the named positions computed, DuckDB's
+    * rule — see [[parseStarReplace]]). Anything beyond these forms (no
+    * single resolvable FROM table, lambda / EXCLUDE-modified COLUMNS
+    * argument, explicit alias — DuckDB itself emits degenerate
+    * duplicate names there, no regex match — a binder error in DuckDB
+    * too) falls through so the token pass raises with porting
+    * guidance.
     */
   private def expandColumns(sql: String, resolve: String => Option[Seq[String]]): String = {
-    if (findWord(sql, 0, Set("columns"), topLevelOnly = false) < 0) return sql
+    val hasColumns = findWord(sql, 0, Set("columns"), topLevelOnly = false) >= 0
+    val hasReplace = sql.indexOf('*') >= 0 &&
+      findWord(sql, 0, Set("replace"), topLevelOnly = false) >= 0
+    if (!hasColumns && !hasReplace) return sql
     val selPos  = findTopLevelWord(sql, 0, Set("select"))
     val fromPos = findTopLevelWord(sql, 0, Set("from"))
     if (selPos < 0 || fromPos < 0 || fromPos < selPos) return sql
@@ -143,10 +150,28 @@ object DuckSqlShim {
       !(listStart + 3 < fromPos && (sql.charAt(listStart + 3).isLetterOrDigit ||
         sql.charAt(listStart + 3) == '_'))) listStart += "all".length
 
+    def quoted(c: String) = "\"" + c.replace("\"", "\"\"") + "\""
+
     val items = splitTopLevel(sql.substring(listStart, fromPos))
     val expanded = items.flatMap { item =>
+      val starReplace = parseStarReplace(item)
       val cPos = findWord(item, 0, Set("columns"), topLevelOnly = false)
-      if (cPos < 0) Seq(item.trim)
+      if (starReplace.isDefined) {
+        val (excluded, repl) = starReplace.get
+        repl.foreach { case (n, _) =>
+          if (!cols.exists(_.equalsIgnoreCase(n)))
+            fail(s"* REPLACE column '$n' not in '$tableName'",
+              "check the column name (DuckDB raises a binder error here too)")
+        }
+        val exSet  = excluded.map(_.toLowerCase).toSet
+        val byName = repl.map { case (n, e) => n.toLowerCase -> e }.toMap
+        cols.filterNot(c => exSet(c.toLowerCase)).map { c =>
+          byName.get(c.toLowerCase) match {
+            case Some(e) => s"$e AS ${quoted(c)}"
+            case None    => quoted(c)
+          }
+        }
+      } else if (cPos < 0) Seq(item.trim)
       else {
         val argOpen = item.indexOf('(', cPos)
         if (argOpen < 0 || item.substring(cPos + 7, argOpen).exists(!_.isWhitespace))
@@ -171,13 +196,71 @@ object DuckSqlShim {
           fail(s"COLUMNS($arg) matching no columns of '$tableName'",
             "check the regex (DuckDB raises a binder error here too)")
         matched.map { c =>
-          val q = "\"" + c.replace("\"", "\"\"") + "\""
+          val q = quoted(c)
           (item.substring(0, cPos) + q + item.substring(argClose)).trim + s" AS $q"
         }
       }
     }
     sql.substring(0, listStart).stripTrailing() + " " + expanded.mkString(", ") +
       "\n" + sql.substring(fromPos)
+  }
+
+  /** Parse a select item of the form
+    * `[qual.]* [EXCLUDE (cols)|EXCLUDE col] REPLACE (expr AS col, ...)`
+    * → Some(excluded names, (name, expr) replacements); None when the
+    * item isn't that shape (plain `*`, `* EXCLUDE` without REPLACE and
+    * the string function `replace(s, a, b)` all pass through).
+    * DuckDB-verified: output keeps every column's name and position,
+    * replaced ones computed; EXCLUDE composes.
+    */
+  private def parseStarReplace(item: String): Option[(Seq[String], Seq[(String, String)])] = {
+    val t = item.trim
+    val starIdx = t.indexOf('*')
+    if (starIdx < 0) return None
+    val pre = t.substring(0, starIdx).trim
+    if (pre.nonEmpty && !(pre.endsWith(".") &&
+        pre.dropRight(1).trim.forall(ch => ch.isLetterOrDigit || ch == '_')))
+      return None
+    var i = starIdx + 1
+    def skipWs(): Unit = while (i < t.length && t.charAt(i).isWhitespace) i += 1
+    def word(): String = {
+      val s = i
+      while (i < t.length && (t.charAt(i).isLetterOrDigit || t.charAt(i) == '_')) i += 1
+      t.substring(s, i)
+    }
+    skipWs()
+    var excluded = Seq.empty[String]
+    var w = word()
+    if (w.equalsIgnoreCase("exclude")) {
+      skipWs()
+      if (i < t.length && t.charAt(i) == '(') {
+        val e = closeDelim(t, i, '(', ')')
+        excluded = splitTopLevel(t.substring(i + 1, e - 1)).map(_.trim.replace("\"", ""))
+        i = e
+      } else excluded = Seq(word().trim)
+      skipWs(); w = word()
+    }
+    if (!w.equalsIgnoreCase("replace")) return None
+    skipWs()
+    if (i >= t.length || t.charAt(i) != '(') return None
+    val e = closeDelim(t, i, '(', ')')
+    val args = splitTopLevel(t.substring(i + 1, e - 1))
+    i = e; skipWs()
+    if (i != t.length)
+      fail("* REPLACE (...) followed by trailing tokens",
+        "REPLACE must end the star expression")
+    val repl = args.map { a =>
+      // the LAST top-level AS separates expr from target name (inner
+      // `CAST(x AS INT)` sits below paren depth 0 and is skipped)
+      var p = findTopLevelWord(a, 0, Set("as"))
+      var last = -1
+      while (p >= 0) { last = p; p = findTopLevelWord(a, p + 2, Set("as")) }
+      if (last < 0)
+        fail("* REPLACE entry without AS",
+          "each entry must be `expr AS column_name`")
+      (a.substring(last + 2).trim.replace("\"", ""), a.substring(0, last).trim)
+    }
+    Some((excluded, repl))
   }
 
   /** [[findTopLevelWord]] generalized: `topLevelOnly = false` finds
@@ -532,6 +615,12 @@ object DuckSqlShim {
             out.append(castType(word))
           case "columns" if nextSignificant(sql, i) == '(' =>
             fail("COLUMNS(...)", "list the wanted columns explicitly")
+          case "replace" if prevSignificant(out) == '*' &&
+              nextSignificant(sql, i) == '(' =>
+            // the star-modifier form reaching the token pass means no
+            // schema resolver was supplied (Graft.duckSql supplies one)
+            fail("* REPLACE (...) without schema access",
+              "use Graft.duckSql / rewrite(sql, resolveTable), or list the columns explicitly")
           case "string_agg" if nextSignificant(sql, i) == '(' =>
             // ordered form: string_agg(x, d ORDER BY y) has the ORDER
             // BY inside the argument list — Spark spells it

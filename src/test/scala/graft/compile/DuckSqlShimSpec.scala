@@ -211,6 +211,41 @@ class DuckSqlShimSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](rw("SELECT COLUMNS('^a') FROM t"))
   }
 
+  test("* REPLACE expands against the FROM table's schema") {
+    val resolve: String => Option[Seq[String]] = {
+      case "t" => Some(Seq("aa", "ab", "ba", "s"))
+      case _   => None
+    }
+    def rwc(s: String) = DuckSqlShim.rewrite(s, resolve)
+    // DuckDB-verified: all columns in order, named position computed
+    assert(rwc("SELECT * REPLACE (aa + 10 AS aa) FROM t") ==
+      "SELECT aa + 10 AS `aa`, `ab`, `ba`, `s`\nFROM t")
+    assert(rwc("SELECT * REPLACE (aa + 10 AS aa, upper(s) AS s) FROM t") ==
+      "SELECT aa + 10 AS `aa`, `ab`, `ba`, upper(s) AS `s`\nFROM t")
+    // composes with EXCLUDE; qualified star; CAST's inner AS untouched
+    assert(rwc("SELECT * EXCLUDE (ba) REPLACE (aa + 10 AS aa) FROM t") ==
+      "SELECT aa + 10 AS `aa`, `ab`, `s`\nFROM t")
+    assert(rwc("SELECT t.* REPLACE (CAST(aa AS INT) AS aa) FROM t") ==
+      "SELECT CAST(aa AS INT) AS `aa`, `ab`, `ba`, `s`\nFROM t")
+    // plain * and * EXCLUDE without REPLACE keep the EXCEPT rewrite;
+    // the string function replace() is untouched
+    assert(rwc("SELECT * EXCLUDE (ba) FROM t") == "SELECT * EXCEPT (ba) FROM t")
+    assert(rwc("SELECT replace(s, 'a', 'b') FROM t") ==
+      "SELECT replace(s, 'a', 'b') FROM t")
+    // guided errors: unknown column; no resolver
+    intercept[IllegalArgumentException](rwc("SELECT * REPLACE (aa + 1 AS zz) FROM t"))
+    intercept[IllegalArgumentException](rw("SELECT * REPLACE (aa + 1 AS aa) FROM t"))
+    // end-to-end
+    import spark.implicits._
+    Seq((1L, 2L, 3L, "x")).toDF("aa", "ab", "ba", "s")
+      .createOrReplaceTempView("shim_repl_t")
+    val live = (t: String) => scala.util.Try(spark.table(t).columns.toSeq).toOption
+    val row = spark.sql(DuckSqlShim.rewrite(
+      "SELECT * EXCLUDE (ba) REPLACE (aa + 10 AS aa, upper(s) AS s) FROM shim_repl_t",
+      live)).collect().head
+    assert(row.toSeq == Seq(11L, 2L, "X"))
+  }
+
   test("COLUMNS expansion runs end-to-end on a live session") {
     import spark.implicits._
     Seq((1L, 2L, 3L, "x"), (4L, 5L, 6L, "y")).toDF("aa", "ab", "ba", "s")
