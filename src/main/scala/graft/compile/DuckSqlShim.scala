@@ -20,6 +20,14 @@ package graft.compile
   *    (omitted bounds → 1 / -1 = list boundary; DuckFunctions
   *    supplies the DuckDB clamp/negative-index/step semantics)
   *  - bare `[...]` list literals    → `array(...)`
+  *  - `{'k': v, ...}` struct literals → `named_struct('k', v, ...)`
+  *    (bare/quoted keys normalized; `.field` access is shared syntax)
+  *  - `MAP {k: v, ...}` map literals  → `map(k, v, ...)` (expression
+  *    keys allowed, as DuckDB's)
+  *  - `expr['name']` string subscripts → `struct_extract(expr, 'name')`
+  *    (a string subscript can only target a struct or map — on a MAP
+  *    the Spark result is the bare value where DuckDB 1.0 wraps it in
+  *    a list; documented delta)
   *  - `QUALIFY cond` (any nesting)  → subquery wrap with outer WHERE,
   *    applied per subquery level innermost-first (alias-referencing
   *    conditions directly; inline-OVER conditions hoisted)
@@ -280,8 +288,8 @@ object DuckSqlShim {
         val e = sql.indexOf('\n', i); i = if (e < 0) sql.length else e
       } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
         val e = sql.indexOf("*/", i); i = if (e < 0) sql.length else e + 2
-      } else if (c == '(' || c == '[') { depth += 1; i += 1 }
-      else if (c == ')' || c == ']') { depth -= 1; i += 1 }
+      } else if (c == '(' || c == '[' || c == '{') { depth += 1; i += 1 }
+      else if (c == ')' || c == ']' || c == '}') { depth -= 1; i += 1 }
       else if (c.isLetter || c == '_') {
         val s = i
         while (i < sql.length && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
@@ -450,8 +458,8 @@ object DuckSqlShim {
         val e = sql.indexOf('\n', i); i = if (e < 0) sql.length else e
       } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
         val e = sql.indexOf("*/", i); i = if (e < 0) sql.length else e + 2
-      } else if (c == '(' || c == '[') { depth += 1; i += 1 }
-      else if (c == ')' || c == ']') { depth -= 1; i += 1 }
+      } else if (c == '(' || c == '[' || c == '{') { depth += 1; i += 1 }
+      else if (c == ')' || c == ']' || c == '}') { depth -= 1; i += 1 }
       else if (c.isLetter || c == '_') {
         val s = i
         while (i < sql.length && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
@@ -570,13 +578,65 @@ object DuckSqlShim {
             stepTxt.foreach(s => out.append(", ").append(s))
             out.append(')')
           } else {
-            out.insert(start, "list_extract(")
-            out.append(", ").append(rewrite(innerRaw).trim).append(')')
+            val lit = innerRaw.trim
+            // a string subscript can only target a struct (field
+            // extract) or a map: route literal ones to struct_extract
+            // (UnresolvedExtractValue — resolves per operand type);
+            // DuckDB 1.0's MAP['k'] wraps the value in a list, Spark
+            // yields the bare value (documented delta)
+            if (lit.length >= 2 && lit.head == '\'' && closeString(lit, 0) == lit.length) {
+              out.insert(start, "struct_extract(")
+              out.append(", ").append(lit.replace("\\", "\\\\")).append(')')
+            } else {
+              out.insert(start, "list_extract(")
+              out.append(", ").append(rewrite(innerRaw).trim).append(')')
+            }
           }
         } else {
           // Postgres-style ARRAY[...] sugar: drop the keyword
-          if (word.equalsIgnoreCase("array")) out.setLength(out.length - word.length)
+          if (word.equalsIgnoreCase("array")) dropTrailingWord(out, word)
           out.append("array(").append(rewrite(innerRaw)).append(')')
+        }
+        i = end
+      } else if (c == '{') {
+        // DuckDB struct literal `{'k': v, ...}` → named_struct; the
+        // `MAP {k: v, ...}` prefix form → map(k, v, ...). Spark has no
+        // brace syntax, so a bare `{` is unambiguous.
+        val end   = closeDelim(sql, i, '{', '}')
+        val inner = sql.substring(i + 1, end - 1)
+        val word  = trailingWord(out)
+        val isMap = word.equalsIgnoreCase("map")
+        if (isMap) dropTrailingWord(out, word)
+        if (inner.trim.isEmpty) {
+          if (isMap) out.append("map()")
+          else fail("an empty struct literal {}",
+            "DuckDB itself rejects {}; supply at least one entry")
+        } else {
+          val entries = splitTopLevel(inner).map { seg =>
+            val colon = topLevelColon(seg)
+            if (colon < 0)
+              fail("a struct/map literal entry without ':'",
+                "entries are 'name': value (struct) or key: value (MAP)")
+            val keyRaw = seg.substring(0, colon).trim
+            val value  = rewriteTokens(seg.substring(colon + 1)).trim
+            val key =
+              if (isMap) rewriteTokens(keyRaw) // expression keys, as DuckDB's
+              else if (keyRaw.length >= 2 && keyRaw.head == '\'' &&
+                closeString(keyRaw, 0) == keyRaw.length)
+                keyRaw.replace("\\", "\\\\")
+              else if (keyRaw.length >= 2 && keyRaw.head == '"' &&
+                closeQuoted(keyRaw, 0) == keyRaw.length)
+                "'" + keyRaw.substring(1, keyRaw.length - 1)
+                  .replace("\"\"", "\"").replace("'", "''").replace("\\", "\\\\") + "'"
+              else if (keyRaw.nonEmpty && !keyRaw.head.isDigit &&
+                keyRaw.forall(ch => ch.isLetterOrDigit || ch == '_'))
+                "'" + keyRaw + "'"
+              else fail("a struct literal key that isn't a name",
+                "struct keys are 'name' or bare identifiers; use MAP {...} for expression keys")
+            s"$key, $value"
+          }
+          out.append(if (isMap) "map(" else "named_struct(")
+            .append(entries.mkString(", ")).append(')')
         }
         i = end
       } else if (c.isLetter || c == '_') {
@@ -751,8 +811,8 @@ object DuckSqlShim {
     while (j < s.length) {
       val c = s.charAt(j)
       if (c == '\'') j = closeString(s, j) - 1
-      else if (c == '(') depthP += 1
-      else if (c == ')') depthP -= 1
+      else if (c == '(' || c == '{') depthP += 1
+      else if (c == ')' || c == '}') depthP -= 1
       else if (c == '[') depthB += 1
       else if (c == ']') depthB -= 1
       else if (c == ':' && depthP == 0 && depthB == 0) {
@@ -776,8 +836,8 @@ object DuckSqlShim {
     while (j < s.length) {
       val c = s.charAt(j)
       if (c == '\'') j = closeString(s, j) - 1
-      else if (c == '(' || c == '[') depth += 1
-      else if (c == ')' || c == ']') depth -= 1
+      else if (c == '(' || c == '[' || c == '{') depth += 1
+      else if (c == ')' || c == ']' || c == '}') depth -= 1
       else if (c == ',' && depth == 0) count += 1
       j += 1
     }
@@ -795,8 +855,8 @@ object DuckSqlShim {
     while (j < s.length) {
       val c = s.charAt(j)
       if (c == '\'') j = closeString(s, j) - 1
-      else if (c == '(' || c == '[') depth += 1
-      else if (c == ')' || c == ']') depth -= 1
+      else if (c == '(' || c == '[' || c == '{') depth += 1
+      else if (c == ')' || c == ']' || c == '}') depth -= 1
       else if (c == ',' && depth == 0) { parts += s.substring(start, j); start = j + 1 }
       j += 1
     }
@@ -814,6 +874,16 @@ object DuckSqlShim {
     var j = i
     while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
     if (j < sql.length) sql.charAt(j) else ' '
+  }
+
+  /** Remove `word` (plus any whitespace after it) from the end of the
+    * emitted text — the caller consumed it as a prefix keyword
+    * (`ARRAY [...]`, `MAP {...}`).
+    */
+  private def dropTrailingWord(out: StringBuilder, word: String): Unit = {
+    var end = out.length
+    while (end > 0 && out.charAt(end - 1).isWhitespace) end -= 1
+    out.setLength(end - word.length)
   }
 
   /** The identifier word the emitted text ends with (empty when it
@@ -863,12 +933,16 @@ object DuckSqlShim {
     }
 
     var start = atomStart(end)
-    // absorb function-name prefixes: `split(...)` / `arr[...]` chains
+    // absorb function-name prefixes (`split(...)` / `arr[...]` chains)
+    // and field access on a group result (`f(...).l` — the identifier
+    // walk stops at the `)`, leaving start on the `.`)
     var done = false
     while (!done && start > 0) {
       val c  = out.charAt(start)
       val pc = out.charAt(start - 1)
       if ((c == '(' || c == '[') && (pc.isLetterOrDigit || pc == '_' || pc == '`'))
+        start = atomStart(start - 1)
+      else if (c == '.' && (pc == ')' || pc == ']' || pc == '`'))
         start = atomStart(start - 1)
       else done = true
     }

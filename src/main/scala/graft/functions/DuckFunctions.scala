@@ -591,6 +591,32 @@ object DuckFunctions {
     reg.createOrReplaceTempFunction("struct_extract",
       es => org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(es(0), es(1)),
       "built-in")
+    // DuckDB's map accessors (map-only there) return the value wrapped
+    // in a LIST — [v] on a hit, [] on a miss (fixture-verified); Spark's
+    // own element_at yields the bare value, so both names shadow to a
+    // type-dispatching replacement (array operands keep Spark ElementAt
+    // — the engine's own canonical projections use element_at(arr, 1)).
+    reg.createOrReplaceTempFunction("map_extract", es => DuckMapExtract(es), "built-in")
+    reg.createOrReplaceTempFunction("element_at", es => DuckMapExtract(es), "built-in")
+  }
+
+  /** DuckDB `map_extract`/`element_at`: the value under the key wrapped
+    * in a LIST — `[v]` on a hit, `[]` on a miss. A NULL stored under an
+    * existing key still yields `[NULL]`, hence the key-containment test
+    * rather than a NULL-check on the lookup. Non-map operands fall back
+    * to Spark's own ElementAt (array indexing — used by the engine's
+    * canonical projections, and not a DuckDB form, so no conflict).
+    */
+  case class DuckMapExtract(children: Seq[Expression]) extends RuntimeReplaceable {
+    override lazy val replacement: Expression = children.head.dataType match {
+      case _: MapType =>
+        val hit = CreateArray(Seq(GetMapValue(children(0), children(1))))
+        If(ArrayContains(MapKeys(children(0)), children(1)),
+          hit, Slice(hit, Literal(1), Literal(0)))
+      case _ => ElementAt(children(0), children(1))
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
   }
 
   /** C-style strftime codes → java.time.format.DateTimeFormatter

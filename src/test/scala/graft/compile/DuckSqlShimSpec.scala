@@ -122,6 +122,43 @@ class DuckSqlShimSpec extends AnyFunSuite {
     assert(rw("SELECT [[1],[2]]") == "SELECT array(array(1),array(2))")
   }
 
+  test("struct and MAP literals become named_struct / map") {
+    assert(rw("SELECT {'a': 1, 'b': 'x'}") == "SELECT named_struct('a', 1, 'b', 'x')")
+    assert(rw("SELECT {a: 1}") == "SELECT named_struct('a', 1)")        // bare keys allowed
+    assert(rw("SELECT {\"a b\": 1}") == "SELECT named_struct('a b', 1)") // quoted keys
+    assert(rw("SELECT {'a': {'b': 2}}.a.b") ==
+      "SELECT named_struct('a', named_struct('b', 2)).a.b")
+    assert(rw("SELECT {'a': [1,2]}") == "SELECT named_struct('a', array(1,2))")
+    // values recurse through the full token pass
+    assert(rw("SELECT {'a': x::BIGINT}") ==
+      "SELECT named_struct('a', CAST(ROUND(x) AS BIGINT))")
+    // MAP literals take expression keys, as DuckDB's
+    assert(rw("SELECT MAP {'k1': 10, 'k2': 20}") == "SELECT map('k1', 10, 'k2', 20)")
+    assert(rw("SELECT MAP {1+1: upper('x')}") == "SELECT map(1+1, upper('x'))")
+    assert(rw("SELECT MAP {}") == "SELECT map()")
+    // spaced prefix keywords (MAP {...} / ARRAY [...])
+    assert(rw("SELECT MAP  {'k': 1}") == "SELECT map('k', 1)")
+    assert(rw("SELECT ARRAY [1,2]") == "SELECT array(1,2)")
+    // a bare key that collides with a clause keyword must not be
+    // mistaken for one by the QUALIFY/COLUMNS scans
+    assert(rw("SELECT {from: 1}.from AS f FROM t") ==
+      "SELECT named_struct('from', 1).from AS f FROM t")
+    intercept[IllegalArgumentException](rw("SELECT {}")) // DuckDB rejects it too
+  }
+
+  test("string subscripts become struct_extract") {
+    assert(rw("SELECT s['name']") == "SELECT struct_extract(s, 'name')")
+    assert(rw("SELECT ({'a': 1})['a']") ==
+      "SELECT struct_extract((named_struct('a', 1)), 'a')")
+    assert(rw("SELECT arr[1]") == "SELECT list_extract(arr, 1)") // ints stay list_extract
+    // subscript after field access on a group result: the operand is
+    // the whole `call().field` chain, not just `.field`
+    assert(rw("SELECT struct_pack(l := [1,2]).l[2]") ==
+      "SELECT list_extract(named_struct('l', array(1,2)).l, 2)")
+    assert(rw("SELECT {'l': [1,2,3]}.l[2]") ==
+      "SELECT list_extract(named_struct('l', array(1,2,3)).l, 2)")
+  }
+
   test("strings and comments pass through untouched") {
     assert(rw("SELECT 'a::b // c [1]' AS s") == "SELECT 'a::b // c [1]' AS s")
     assert(rw("SELECT x -- cast::later [1]\nFROM t") ==
@@ -363,6 +400,28 @@ class DuckSqlShimSpec extends AnyFunSuite {
     val r2 = rows(1)
     assert(r2.getAs[Long]("n_toks") == 2L)
     assert(r2.getAs[String]("first_tok") == "hello")
+  }
+
+  test("struct/MAP literals and map accessors run end-to-end") {
+    graft.functions.DuckFunctions.register(spark)
+    val r = spark.sql(rw(
+      """SELECT {'a': {'b': 2}}.a.b AS nested,
+        |  ({'first': 3, 'second': 4})['second'] AS by_key,
+        |  {x: 9}.x AS bare,
+        |  cardinality(MAP {'a': 1, 'b': 2}) AS card,
+        |  map_extract(MAP {'k': 7}, 'k')[1] AS hit,
+        |  len(element_at(MAP {'k': 7}, 'missing')) AS miss_len,
+        |  element_at(array(5, 6), 1) AS arr_el
+        |""".stripMargin)).head()
+    assert(r.getAs[Int]("nested") == 2)
+    assert(r.getAs[Int]("by_key") == 4)
+    assert(r.getAs[Int]("bare") == 9)
+    assert(r.getAs[Int]("card") == 2)
+    assert(r.getAs[Int]("hit") == 7)       // DuckDB: map accessors wrap in a list
+    assert(r.getAs[Long]("miss_len") == 0L) // missing key -> empty list, not [NULL]
+    // the shadow must keep Spark's array indexing intact — the engine's
+    // canonical projections (ThemeMeta) emit element_at(arr, 1)
+    assert(r.getAs[Int]("arr_el") == 5)
   }
 
   test("epoch_us / 1-arg make_timestamp round-trip; 6-arg form still works") {

@@ -313,8 +313,33 @@ def cases():
         yield f"date_diff({slit(part)}, {a}, {b})", "long"
 
 
+def struct_map_cases():
+    # struct / MAP literals (shim: named_struct / map) — exercised via
+    # scalar extraction because struct/map VARCHAR rendering differs
+    # between the engines
+    yield "({'a': 1, 'b': 7}).b", "long"
+    yield "{'a': 1+1}.a", "long"
+    yield "({'a': {'b': 2}}).a.b", "long"
+    yield "({'a': 5})['a']", "long"
+    yield "({x: 9}).x", "long"
+    yield "struct_extract({'s': 'hi'}, 's')", "str"
+    yield "({\"a b\": 3})['a b']", "long"
+    yield "{'l': [10,20,30]}.l[2]", "long"
+    yield "struct_pack(l := [1,2]).l[2]", "long"
+    yield "len({'s': 'hi'}.s)", "long"
+    # map accessors return LIST-wrapped values in DuckDB ([v] / [])
+    yield "cardinality(MAP {'a': 1, 'b': 2})", "long"
+    yield "cardinality(MAP {})", "long"
+    yield "array_to_string(map_keys(MAP {'a': 1, 'b': 2}), ',')", "str"
+    yield "array_to_string(map_values(MAP {'a': 3, 'b': 4}), ',')", "str"
+    yield "map_extract(MAP {'k': 7}, 'k')[1]", "long"
+    yield "len(map_extract(MAP {'k': 7}, 'nope'))", "long"
+    yield "len(element_at(MAP {'k': 7}, 'k'))", "long"
+
+
 rows, seen = [], set()
-for expr, typ in cases():
+import itertools
+for expr, typ in itertools.chain(cases(), struct_map_cases()):
     if expr in seen:
         continue
     seen.add(expr)
