@@ -697,6 +697,80 @@ object DuckSqlShim {
                 .append(") WITHIN GROUP (").append(rewriteTokens(inner.substring(ob))).append(')')
             }
             i = end
+          case "list" | "array_agg" if nextSignificant(sql, i) == '(' =>
+            // ordered in-args form: list(x ORDER BY k [DESC] [NULLS
+            // FIRST], ...) → sort a collect_list of (keys, value)
+            // structs with an explicit comparator (DuckDB defaults
+            // NULLS LAST in both directions), then unwrap. The struct
+            // wrapper also preserves NULL values of x — DuckDB's list
+            // keeps them. The unordered form passes through
+            // (DuckFunctions registers the same struct trick).
+            while (i < n && sql.charAt(i).isWhitespace) i += 1
+            val end   = closeDelim(sql, i, '(', ')')
+            val inner = sql.substring(i + 1, end - 1)
+            val ob    = orderByPos(inner)
+            if (ob < 0) out.append(word).append('(').append(rewriteTokens(inner)).append(')')
+            else {
+              val value = inner.substring(0, ob).trim
+              if (value.isEmpty || topLevelCommas(value) > 0)
+                fail(s"$word(... ORDER BY ...) without exactly one value expression",
+                  "the ordered rewrite takes one value; expand by hand otherwise")
+              out.append(orderedCollect(rewriteTokens(value).trim,
+                parseOrderKeys(inner.substring(ob))))
+            }
+            i = end
+          case "first" | "last" if nextSignificant(sql, i) == '(' =>
+            // first(x ORDER BY k) is the arg-min of k (NULL keys sort
+            // last in DuckDB, min_by skips them — same winner); DESC
+            // and last() swap to max_by. Without ORDER BY both engines
+            // take an arbitrary row — pass through.
+            while (i < n && sql.charAt(i).isWhitespace) i += 1
+            val end   = closeDelim(sql, i, '(', ')')
+            val inner = sql.substring(i + 1, end - 1)
+            val ob    = orderByPos(inner)
+            if (ob < 0) out.append(word).append('(').append(rewriteTokens(inner)).append(')')
+            else {
+              val value = inner.substring(0, ob).trim
+              val keys  = parseOrderKeys(inner.substring(ob))
+              if (value.isEmpty || topLevelCommas(value) > 0 || keys.length != 1)
+                fail(s"$word(... ORDER BY ...) beyond one value and one key",
+                  "use min_by/max_by directly, or a window rewrite")
+              val k = keys.head
+              if (k.nullsFirst)
+                fail(s"$word(... ORDER BY ... NULLS FIRST)",
+                  "min_by/max_by skip NULL ordering keys; rewrite by hand")
+              val minSide = word.equalsIgnoreCase("first") != k.desc
+              out.append(if (minSide) "min_by(" else "max_by(")
+                .append(rewriteTokens(value).trim).append(", ")
+                .append(rewriteTokens(k.expr).trim).append(')')
+            }
+            i = end
+          case "format" if nextSignificant(sql, i) == '(' =>
+            // DuckDB's fmt-style format('{} and {}', ...) → printf
+            // with %-codes; NULL on any NULL argument (java.util.
+            // Formatter would print "null"), hence the guard
+            while (i < n && sql.charAt(i).isWhitespace) i += 1
+            val end   = closeDelim(sql, i, '(', ')')
+            val inner = sql.substring(i + 1, end - 1)
+            val parts = splitTopLevel(inner).map(_.trim)
+            val fmt   = parts.head
+            if (!(fmt.length >= 2 && fmt.head == '\'' && closeString(fmt, 0) == fmt.length))
+              fail("format() with a non-literal format string",
+                "port to printf with %-style codes")
+            val (raw, doubleArgs) = fmtToPrintf(fmt.substring(1, fmt.length - 1))
+            val translated = raw.replace("\\", "\\\\")
+            // java's %f rejects DECIMAL (fmt accepts any numeric) —
+            // cast the arguments an f-conversion consumes
+            val args = parts.tail.map(a => rewriteTokens(a).trim).zipWithIndex.map {
+              case (a, ix) => if (doubleArgs(ix)) s"CAST($a AS DOUBLE)" else a
+            }
+            if (args.isEmpty) out.append(s"printf('$translated')")
+            else {
+              val guard = args.map(a => s"($a) IS NULL").mkString(" OR ")
+              out.append(s"(CASE WHEN $guard THEN CAST(NULL AS STRING) " +
+                s"ELSE printf('$translated', ${args.mkString(", ")}) END)")
+            }
+            i = end
           case "log" if nextSignificant(sql, i) == '(' =>
             // DuckDB's 1-arg log() is log BASE 10; Spark's is natural
             // log. The 2-arg log(base, x) form agrees.
@@ -754,6 +828,128 @@ object DuckSqlShim {
       }
     }
     out.toString
+  }
+
+  /** Position of a top-level in-args `ORDER BY` (the word ORDER with
+    * BY as the immediately following word), or -1.
+    */
+  private def orderByPos(s: String): Int = {
+    val p = findTopLevelWord(s, 0, Set("order"))
+    if (p < 0) -1
+    else {
+      val after = p + "order".length
+      val b = findTopLevelWord(s, after, Set("by"))
+      if (b >= 0 && s.substring(after, b).forall(_.isWhitespace)) p else -1
+    }
+  }
+
+  private case class OrderKey(expr: String, desc: Boolean, nullsFirst: Boolean)
+
+  /** Parse `ORDER BY k1 [ASC|DESC] [NULLS FIRST|LAST], k2 ...` into
+    * raw-text keys with their direction and null placement (DuckDB
+    * defaults: ASC, NULLS LAST in both directions).
+    */
+  private def parseOrderKeys(spec: String): Seq[OrderKey] = {
+    val byPos = findTopLevelWord(spec, 0, Set("by"))
+    val NullsRe = "(?is)^(.*?)\\s+nulls\\s+(first|last)\\s*$".r
+    val DirRe   = "(?is)^(.*?)\\s+(asc|desc)\\s*$".r
+    splitTopLevel(spec.substring(byPos + 2)).map { seg0 =>
+      var seg        = seg0.trim
+      var nullsFirst = false
+      seg match {
+        case NullsRe(rest, dir) =>
+          nullsFirst = dir.equalsIgnoreCase("first"); seg = rest.trim
+        case _ =>
+      }
+      var desc = false
+      seg match {
+        case DirRe(rest, d) => desc = d.equalsIgnoreCase("desc"); seg = rest.trim
+        case _ =>
+      }
+      if (seg.isEmpty) fail("an empty ORDER BY key", "check the ordered-aggregate syntax")
+      OrderKey(seg, desc, nullsFirst)
+    }
+  }
+
+  /** The ordered-collect composition: collect `(keys..., value)`
+    * structs, sort with an explicit multi-key comparator, unwrap the
+    * value. The struct wrapper keeps NULL values (collect_list drops
+    * bare NULLs; DuckDB's list does not).
+    */
+  private def orderedCollect(value: String, keys: Seq[OrderKey]): String = {
+    val fields = keys.zipWithIndex.map { case (k, ix) =>
+      s"'__o$ix', ${rewriteTokens(k.expr).trim}"
+    } :+ s"'__v', $value"
+    s"transform(array_sort(collect_list(named_struct(${fields.mkString(", ")})), " +
+      s"(__l, __r) -> ${cmpText(keys)}), __s -> __s.__v)"
+  }
+
+  /** Nested-CASE comparator over the `__oN` struct fields, encoding
+    * per-key direction and null placement.
+    */
+  private def cmpText(keys: Seq[OrderKey]): String = {
+    def arm(ix: Int): String =
+      if (ix == keys.length) "0"
+      else {
+        val k = keys(ix)
+        val l = s"__l.__o$ix"
+        val r = s"__r.__o$ix"
+        val (lt, gt) = if (k.desc) ("1", "-1") else ("-1", "1")
+        val (ln, rn) = if (k.nullsFirst) ("-1", "1") else ("1", "-1")
+        s"CASE WHEN $l IS NULL AND $r IS NULL THEN ${arm(ix + 1)} " +
+          s"WHEN $l IS NULL THEN $ln WHEN $r IS NULL THEN $rn " +
+          s"WHEN $l < $r THEN $lt WHEN $l > $r THEN $gt ELSE ${arm(ix + 1)} END"
+      }
+    arm(0)
+  }
+
+  /** DuckDB/fmt `{}`-style format string → java.util.Formatter codes:
+    * `{}` → %s, `{N}` → %N+1$s, `{[N]:[width][.prec][d|s|f]}` maps
+    * positionally; `{{`/`}}` unescape, bare `%` doubles. Anything
+    * fancier raises with porting guidance.
+    */
+  private def fmtToPrintf(f: String): (String, Set[Int]) = {
+    val out = new StringBuilder
+    val SpecRe = "^(\\d+)?(\\.\\d+)?([dsf])?$".r
+    val doubleArgs = scala.collection.mutable.Set[Int]()
+    var auto = 0
+    var i = 0
+    while (i < f.length) {
+      val c = f.charAt(i)
+      if (c == '{') {
+        if (i + 1 < f.length && f.charAt(i + 1) == '{') { out.append('{'); i += 2 }
+        else {
+          val e = f.indexOf('}', i)
+          if (e < 0) fail("format() with an unterminated '{'", "check the format string")
+          val body = f.substring(i + 1, e)
+          val (posPart, specPart) = body.indexOf(':') match {
+            case -1 => (body, "")
+            case p  => (body.substring(0, p), body.substring(p + 1))
+          }
+          if (!posPart.forall(_.isDigit))
+            fail(s"format() placeholder '{$body}'",
+              "only {}, {N} and {[N]:[width][.prec][dsf]} translate; port to printf")
+          val argIx = if (posPart.isEmpty) { val a = auto; auto += 1; a }
+                      else posPart.toInt
+          val pos = if (posPart.isEmpty) "" else s"${posPart.toInt + 1}$$"
+          specPart match {
+            case SpecRe(w, p2, t) =>
+              val conv = Option(t).getOrElse("s")
+              if (conv == "f") doubleArgs += argIx
+              out.append('%').append(pos).append(Option(w).getOrElse(""))
+                .append(Option(p2).getOrElse("")).append(conv)
+            case _ =>
+              fail(s"format() spec '{$body}'",
+                "only {}, {N} and {[N]:[width][.prec][dsf]} translate; port to printf")
+          }
+          i = e + 1
+        }
+      } else if (c == '}' && i + 1 < f.length && f.charAt(i + 1) == '}') {
+        out.append('}'); i += 2
+      } else if (c == '%') { out.append("%%"); i += 1 }
+      else { out.append(c); i += 1 }
+    }
+    (out.toString, doubleArgs.toSet)
   }
 
   private def fail(construct: String, hint: String): Nothing =

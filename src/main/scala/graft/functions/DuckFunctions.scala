@@ -598,6 +598,39 @@ object DuckFunctions {
     // — the engine's own canonical projections use element_at(arr, 1)).
     reg.createOrReplaceTempFunction("map_extract", es => DuckMapExtract(es), "built-in")
     reg.createOrReplaceTempFunction("element_at", es => DuckMapExtract(es), "built-in")
+    // product: DOUBLE multiply-fold skipping NULLs (all-NULL -> NULL),
+    // fixture-verified incl. the signed-zero case product(2,-3,0) = -0.0
+    reg.createOrReplaceTempFunction("product", es => DuckProduct(es.head), "built-in")
+    // quantile_disc / quantile (same function in DuckDB): the ELEMENT at
+    // 1-based index max(ceil(q*n), 1) of the sorted non-NULL values —
+    // verified at the 0.33/0.34 boundary for n=3. Composed over a
+    // sorted collect_list: the group's values must sit in one buffer by
+    // definition of an exact discrete quantile (DuckDB holds them in
+    // memory too); identical agg subtrees dedup in physical planning.
+    def quantileDisc(es: Seq[Expression]): Expression = {
+      val sorted = new SortArray(
+        aggregate.CollectList(es(0)).toAggregateExpression(), Literal(true))
+      val idx = Greatest(Seq(
+        Ceil(Multiply(Cast(es(1), DoubleType), Cast(Size(sorted), DoubleType))),
+        Literal(1L)))
+      DuckElementAt(sorted, idx)
+    }
+    reg.createOrReplaceTempFunction("quantile_disc", quantileDisc, "built-in")
+    reg.createOrReplaceTempFunction("quantile", quantileDisc, "built-in")
+    // list / array_agg: DuckDB keeps NULL elements where collect_list
+    // drops them — collect the value wrapped in a (never-NULL) struct
+    // and unwrap, mirroring the parser's `s -> s.v` lambda shape. The
+    // ordered in-args form is rewritten by the shim over the same
+    // struct trick.
+    // field extraction over the array of structs (GetArrayStructFields)
+    // — no lambda, so it resolves in any context
+    def duckListAgg(es: Seq[Expression]): Expression =
+      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+        aggregate.CollectList(
+          CreateNamedStruct(Seq(Literal("v"), es.head))).toAggregateExpression(),
+        Literal("v"))
+    reg.createOrReplaceTempFunction("list", duckListAgg, "built-in")
+    reg.createOrReplaceTempFunction("array_agg", duckListAgg, "built-in")
   }
 
   /** DuckDB `map_extract`/`element_at`: the value under the key wrapped
@@ -617,6 +650,33 @@ object DuckFunctions {
     }
     override protected def withNewChildrenInternal(
         newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+  }
+
+  /** DuckDB `product(x)`: DOUBLE multiply-fold over the group, NULLs
+    * skipped, all-NULL/empty group → NULL. A declarative aggregate —
+    * codegen'd update/merge, partial-aggregation (map-side combine)
+    * for free, so a 100 TB group-by products without a shuffle of raw
+    * rows.
+    */
+  case class DuckProduct(child: Expression)
+      extends aggregate.DeclarativeAggregate
+      with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+    private lazy val prod = AttributeReference("prod", DoubleType)()
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(prod)
+    override lazy val initialValues: Seq[Expression] =
+      Seq(Literal.create(null, DoubleType))
+    override lazy val updateExpressions: Seq[Expression] = {
+      val x = Cast(child, DoubleType)
+      Seq(If(IsNull(x), prod, If(IsNull(prod), x, Multiply(prod, x))))
+    }
+    override lazy val mergeExpressions: Seq[Expression] = Seq(
+      If(IsNull(prod.right), prod.left,
+        If(IsNull(prod.left), prod.right, Multiply(prod.left, prod.right))))
+    override lazy val evaluateExpression: Expression = prod
+    override protected def withNewChildInternal(newChild: Expression): DuckProduct =
+      copy(child = newChild)
   }
 
   /** C-style strftime codes → java.time.format.DateTimeFormatter

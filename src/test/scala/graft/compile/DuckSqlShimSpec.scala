@@ -424,6 +424,88 @@ class DuckSqlShimSpec extends AnyFunSuite {
     assert(r.getAs[Int]("arr_el") == 5)
   }
 
+  test("ordered list/array_agg/first/last and fmt-style format() rewrite and execute") {
+    graft.functions.DuckFunctions.register(spark)
+    // text: first/last map to min_by/max_by; DESC swaps
+    assert(rw("SELECT first(x ORDER BY y)") == "SELECT min_by(x, y)")
+    assert(rw("SELECT first(x ORDER BY y DESC)") == "SELECT max_by(x, y)")
+    assert(rw("SELECT last(x ORDER BY y)") == "SELECT max_by(x, y)")
+    assert(rw("SELECT last(x ORDER BY y DESC)") == "SELECT min_by(x, y)")
+    assert(rw("SELECT first(x)") == "SELECT first(x)") // unordered passes through
+    intercept[IllegalArgumentException](rw("SELECT first(x ORDER BY y NULLS FIRST)"))
+    // execution against DuckDB-verified expectations
+    import spark.implicits._
+    Seq((1, Option(3), "c"), (2, Option.empty[Int], "a"), (3, Option(1), "b"))
+      .toDF("x", "y", "z").createOrReplaceTempView("ord_t")
+    val r = spark.sql(rw(
+      """SELECT list(x ORDER BY y) AS asc_l,
+        |  list(x ORDER BY y DESC) AS desc_l,
+        |  list(x ORDER BY y DESC NULLS FIRST) AS nf_l,
+        |  list(x ORDER BY y, z DESC) AS multi_l,
+        |  array_agg(z ORDER BY x DESC) AS za,
+        |  first(x ORDER BY y) AS f,
+        |  last(x ORDER BY y DESC) AS lst
+        |FROM ord_t""".stripMargin)).head()
+    // DuckDB: NULLS LAST in both directions by default
+    assert(r.getSeq[Int](0) == Seq(3, 1, 2))
+    assert(r.getSeq[Int](1) == Seq(1, 3, 2))
+    assert(r.getSeq[Int](2) == Seq(2, 1, 3))
+    assert(r.getSeq[Int](3) == Seq(3, 1, 2))
+    assert(r.getSeq[String](4) == Seq("b", "a", "c"))
+    assert(r.getInt(5) == 3)
+    assert(r.getInt(6) == 3)
+    // list keeps NULL values (collect_list would drop them)
+    val withNull = spark.sql(rw(
+      "SELECT list(y ORDER BY x) AS l FROM ord_t")).head().getSeq[Any](0)
+    assert(withNull == Seq(3, null, 1))
+    // format(): {} / {N} / specs; NULL argument -> NULL result
+    val f = spark.sql(rw(
+      """SELECT format('{} and {}', 1, 'x') AS a,
+        |  format('{0}-{1}-{0}', 'a', 'b') AS b,
+        |  format('100%: {:d}!', 42) AS c,
+        |  format('{{}} literal {:.2f}', 3.14159) AS d,
+        |  format('{}', NULL) AS e
+        |""".stripMargin)).head()
+    assert(f.getString(0) == "1 and x")
+    assert(f.getString(1) == "a-b-a")
+    assert(f.getString(2) == "100%: 42!")
+    assert(f.getString(3) == "{} literal 3.14")
+    assert(f.isNullAt(4))
+    intercept[IllegalArgumentException](rw("SELECT format(fmt_col, 1)"))
+  }
+
+  test("product and quantile_disc aggregates match DuckDB") {
+    graft.functions.DuckFunctions.register(spark)
+    import spark.implicits._
+    Seq(2, 3, 4).toDF("x").createOrReplaceTempView("pq_t")
+    val p = spark.sql("SELECT product(x) AS p FROM pq_t").head().getDouble(0)
+    assert(p == 24.0)
+    // NULLs skipped; all-NULL -> NULL; signed zero multiplies through
+    Seq(Option(2), None, Option(4)).toDF("x").createOrReplaceTempView("pq_n")
+    assert(spark.sql("SELECT product(x) FROM pq_n").head().getDouble(0) == 8.0)
+    Seq(Option.empty[Int]).toDF("x").createOrReplaceTempView("pq_all_null")
+    assert(spark.sql("SELECT product(x) FROM pq_all_null").head().isNullAt(0))
+    Seq(2, -3, 0).toDF("x").createOrReplaceTempView("pq_z")
+    assert(spark.sql("SELECT product(x) FROM pq_z").head().getDouble(0)
+      .compareTo(-0.0) == 0)
+    // quantile_disc: element at max(ceil(q*n), 1), verified at the
+    // 0.33/0.34 boundary for n=3 against DuckDB 1.0
+    Seq(10, 20, 30).toDF("x").createOrReplaceTempView("q_t")
+    def qd(q: String): Int =
+      spark.sql(s"SELECT quantile_disc(x, $q) FROM q_t").head().getInt(0)
+    assert(qd("0.33") == 10)
+    assert(qd("0.34") == 20)
+    assert(qd("0.0") == 10)
+    assert(qd("1.0") == 30)
+    assert(qd("1.0/3") == 10) // expression q
+    // grouped + string-typed input through the quantile alias
+    Seq(("a", 1), ("a", 2), ("a", 3), ("b", 5)).toDF("g", "x")
+      .createOrReplaceTempView("q_g")
+    val rows = spark.sql(
+      "SELECT g, quantile(x, 0.5) AS m FROM q_g GROUP BY g ORDER BY g").collect()
+    assert(rows.map(_.getInt(1)).toSeq == Seq(2, 5))
+  }
+
   test("epoch_us / 1-arg make_timestamp round-trip; 6-arg form still works") {
     graft.functions.DuckFunctions.register(spark)
     val us = spark.sql("SELECT epoch_us(make_timestamp(1700000000000000)) AS us")

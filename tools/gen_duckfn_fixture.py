@@ -335,6 +335,42 @@ def struct_map_cases():
     yield "map_extract(MAP {'k': 7}, 'k')[1]", "long"
     yield "len(map_extract(MAP {'k': 7}, 'nope'))", "long"
     yield "len(element_at(MAP {'k': 7}, 'k'))", "long"
+    # product / quantile_disc aggregates
+    yield "(SELECT product(x) FROM (VALUES (2),(3),(4)) t(x))", "double"
+    yield "(SELECT product(x) FROM (VALUES (2),(NULL),(4)) t(x))", "double"
+    yield "(SELECT product(x) FROM (VALUES (CAST(NULL AS INT))) t(x))", "double"
+    yield "(SELECT product(x) FROM (VALUES (2.5),(4.0)) t(x))", "double"
+    yield "(SELECT quantile_disc(x, 0.25) FROM (VALUES (1),(2),(3),(4)) t(x))", "long"
+    yield "(SELECT quantile_disc(x, 0.33) FROM (VALUES (10),(20),(30)) t(x))", "long"
+    yield "(SELECT quantile_disc(x, 0.34) FROM (VALUES (10),(20),(30)) t(x))", "long"
+    yield "(SELECT quantile_disc(x, 0.5) FROM (VALUES (1),(2),(3),(NULL)) t(x))", "long"
+    yield "(SELECT quantile(x, 0.5) FROM (VALUES ('b'),('a'),('c')) t(x))", "str"
+    yield "(SELECT quantile_disc(x, 1.0/3) FROM (VALUES (10),(20),(30)) t(x))", "long"
+    # in-args ordered aggregates (list keeps NULL values; NULLS LAST
+    # default in both directions)
+    yield ("(SELECT array_to_string(list(x ORDER BY y), ',') "
+           "FROM (VALUES (1,3),(2,1),(3,2)) t(x,y))"), "str"
+    yield ("(SELECT array_to_string(list(x ORDER BY y DESC), ',') "
+           "FROM (VALUES (1,NULL),(2,2),(3,1)) t(x,y))"), "str"
+    yield ("(SELECT array_to_string(list(x ORDER BY y DESC NULLS FIRST), ',') "
+           "FROM (VALUES (1,NULL),(2,2),(3,1)) t(x,y))"), "str"
+    yield ("(SELECT array_to_string(list(x ORDER BY y, z DESC), ',') "
+           "FROM (VALUES (1,1,1),(2,1,2),(3,0,9)) t(x,y,z))"), "str"
+    yield ("(SELECT array_to_string(array_agg(x ORDER BY x DESC), ',') "
+           "FROM (VALUES (1),(3),(2)) t(x))"), "str"
+    yield "(SELECT len(list(x)) FROM (VALUES (CAST(NULL AS INT)),(2)) t(x))", "long"
+    yield "(SELECT first(x ORDER BY y) FROM (VALUES (9,CAST(NULL AS INT)),(2,1)) t(x,y))", "long"
+    yield "(SELECT first(x ORDER BY y DESC) FROM (VALUES (1,3),(2,1)) t(x,y))", "long"
+    yield "(SELECT last(x ORDER BY y DESC) FROM (VALUES (1,3),(2,1)) t(x,y))", "long"
+    # fmt-style format() -> printf
+    yield "format('{} and {}', 1, 'x')", "str"
+    yield "format('{0}-{1}-{0}', 'a', 'b')", "str"
+    yield "format('100%: {:d}!', 42)", "str"
+    yield "format('{{}} literal {:.2f}', 3.14159)", "str"
+    yield "format('{:5d}|', 42)", "str"
+    yield "format('{:8.3f}|', 2.5)", "str"
+    yield "format('{:s}|', 'hi')", "str"
+    yield "format('{}', NULL)", "str"
 
 
 rows, seen = [], set()
