@@ -38,6 +38,27 @@ object CoverageQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** DuckDB-dialect text for `shim_ordered_aggs` — the ordered-
+    * aggregate / product / quantile_disc / format / struct-literal
+    * surface, one text for both engines. Composite ORDER BY keys keep
+    * first/last deterministic (l_linenumber repeats within an order in
+    * the synthetic data, so a bare key would leave ties to engine
+    * whim); product stays exact because line numbers are small ints.
+    */
+  val duckOrderedAggText: String =
+    """SELECT l_orderkey,
+      |       product(l_linenumber) AS prod_ln,
+      |       quantile_disc(l_quantity, 0.5) AS med_qty,
+      |       array_to_string(list(l_linenumber ORDER BY l_linenumber DESC), ',') AS ln_desc,
+      |       first(l_suppkey ORDER BY l_partkey * 1000000 + l_suppkey) AS first_sup,
+      |       last(l_suppkey ORDER BY l_partkey * 1000000 + l_suppkey) AS last_sup,
+      |       format('{}:{:d}', l_orderkey, len(list(l_linenumber))) AS tag,
+      |       {'k': min(l_suppkey)}.k AS k_echo
+      |FROM lineitem
+      |GROUP BY l_orderkey
+      |ORDER BY l_orderkey
+      |LIMIT 100""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // S2: schema peek — footer-only read drives the adaptive
@@ -157,5 +178,17 @@ object CoverageQueries {
         s.sql(graft.compile.DuckSqlShim.rewrite(CoverageQueries.duckColumnsText, resolve))
       },
       Some(duckColumnsText)),
+
+    // Ordered-aggregate surface, proven end-to-end the same way: ONE
+    // DuckDB-dialect text exercises in-args ORDER BY on list(),
+    // first/last -> min_by/max_by, the native product aggregate,
+    // quantile_disc's sorted-element composition, fmt-style format()
+    // -> printf, and a struct brace literal.
+    Q("shim_ordered_aggs",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(graft.compile.DuckSqlShim.rewrite(CoverageQueries.duckOrderedAggText))
+      },
+      Some(duckOrderedAggText)),
   )
 }
