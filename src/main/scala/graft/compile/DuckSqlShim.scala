@@ -307,10 +307,11 @@ object DuckSqlShim {
     * condition with inline `OVER(...)` windows — which an outer WHERE
     * can't host — gets each window expression hoisted into the inner
     * select list as a `__qwN` alias (dropped again via `* EXCLUDE`),
-    * with the condition filtering on the alias. Subquery/CTE nesting
-    * is handled by [[rewriteQualifyDeep]] calling this per level;
-    * QUALIFY on a DISTINCT select or using a named window (`OVER w`)
-    * falls through to the explicit error in the token pass.
+    * with the condition filtering on the alias (named `OVER w` windows
+    * hoist too — the inner select keeps the WINDOW clause). Subquery/
+    * CTE nesting is handled by [[rewriteQualifyDeep]] calling this per
+    * level; QUALIFY on a DISTINCT select falls through to the explicit
+    * error in the token pass.
     */
   private def rewriteQualify(sql: String): String = {
     val qStart = findTopLevelWord(sql, 0, Set("qualify"))
@@ -352,12 +353,13 @@ object DuckSqlShim {
     }
   }
 
-  /** Replace each maximal inline window expression `fn(args) OVER
-    * (spec)` in `cond` with a `__qwN` placeholder; returns the
-    * rewritten condition plus the extracted expressions in placeholder
-    * order, or None when an `OVER` is present but not in that exact
-    * shape (named window `OVER w`, or not attached to a call) — the
-    * caller then falls through to the explicit error.
+  /** Replace each maximal window expression `fn(args) OVER (spec)` or
+    * `fn(args) OVER w` in `cond` with a `__qwN` placeholder; returns
+    * the rewritten condition plus the extracted expressions in
+    * placeholder order, or None when an `OVER` is present but not in
+    * those shapes (not attached to a call, or parenthesized below the
+    * condition's depth 0) — the caller then falls through to the
+    * explicit error.
     */
   private def extractWindows(cond: String): Option[(String, Seq[String])] = {
     var cur   = cond
@@ -368,7 +370,7 @@ object DuckSqlShim {
         // an OVER below paren depth 0 (e.g. `(rn() OVER (...)) = 1`)
         // is out of this rewrite's reach — keep the explicit error
         // rather than emitting a window inside an outer WHERE
-        return if (cur.toLowerCase.matches("(?s).*\\bover\\s*\\(.*")) None
+        return if (cur.toLowerCase.matches("(?s).*\\bover\\s*[(a-z_].*")) None
         else Some((cur, exprs.toSeq))
       }
       // single-quoted regions must not participate in paren matching
@@ -383,8 +385,17 @@ object DuckSqlShim {
       }
       var j = oPos + "over".length
       while (j < cur.length && cur.charAt(j).isWhitespace) j += 1
-      if (j >= cur.length || cur.charAt(j) != '(') return None // named window
-      val overEnd = closeDelim(cur, j, '(', ')')
+      // `OVER (spec)` inline, or `OVER w` naming a WINDOW-clause
+      // definition — the hoisted select item keeps the reference and
+      // the inner select keeps the clause (Spark supports both)
+      val overEnd =
+        if (j < cur.length && cur.charAt(j) == '(') closeDelim(cur, j, '(', ')')
+        else if (j < cur.length && (cur.charAt(j).isLetter || cur.charAt(j) == '_')) {
+          var k2 = j
+          while (k2 < cur.length &&
+            (cur.charAt(k2).isLetterOrDigit || cur.charAt(k2) == '_')) k2 += 1
+          k2
+        } else return None
       var k = oPos - 1
       while (k >= 0 && cur.charAt(k).isWhitespace) k -= 1
       if (k < 0 || cur.charAt(k) != ')') return None // OVER without a call
@@ -646,11 +657,11 @@ object DuckSqlShim {
         word.toLowerCase match {
           case "qualify" =>
             // the pre-pass wraps every rewritable form at every
-            // nesting level (including inline windows, hoisted as
-            // __qwN aliases); reaching here means a DISTINCT select,
-            // a named window (OVER w) or a window buried below the
+            // nesting level (including inline and WINDOW-clause-named
+            // windows, hoisted as __qwN aliases); reaching here means
+            // a DISTINCT select or a window buried below the
             // condition's paren depth 0
-            fail("QUALIFY in a form the shim can't wrap (DISTINCT select, named or parenthesized window)",
+            fail("QUALIFY in a form the shim can't wrap (DISTINCT select, or a parenthesized window expression)",
               "alias the window expression in the select list and QUALIFY the alias, " +
                 "or wrap the query in a subquery with WHERE")
           case "exclude" if prevSignificant(out) == '*' =>

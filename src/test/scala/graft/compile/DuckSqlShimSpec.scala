@@ -179,10 +179,11 @@ class DuckSqlShimSpec extends AnyFunSuite {
     // the alias, dropped by the star-modifier
     assert(rw("SELECT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1") ==
       "SELECT * EXCEPT (__qw0) FROM (\nSELECT a, row_number() OVER (ORDER BY a) AS __qw0\nFROM t\n) __qualify_sub WHERE __qw0 = 1")
+    // a named window hoists like an inline one (the WINDOW clause, if
+    // any, stays in the inner select)
+    assert(rw("SELECT a FROM t QUALIFY rank() OVER w = 1")
+      .contains("rank() OVER w AS __qw0"))
     // forms the rewrite can't hold still raise with guidance
-    val e1 = intercept[IllegalArgumentException](
-      rw("SELECT a FROM t QUALIFY rank() OVER w = 1")) // named window
-    assert(e1.getMessage.contains("sql-dialect"))
     intercept[IllegalArgumentException](
       rw("SELECT a FROM t QUALIFY (row_number() OVER (ORDER BY a)) = 1")) // parenthesized
     intercept[IllegalArgumentException](
@@ -326,6 +327,26 @@ class DuckSqlShimSpec extends AnyFunSuite {
     assert(top.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 20.0), (2L, 5.0)))
   }
 
+  test("QUALIFY with a named window hoists; inner select keeps the WINDOW clause") {
+    graft.functions.DuckFunctions.register(spark)
+    import spark.implicits._
+    Seq((1, "a"), (2, "a"), (3, "b")).toDF("k", "v").createOrReplaceTempView("qw_t")
+    // DuckDB-verified: rows (1,'a') and (3,'b')
+    val rows = spark.sql(rw(
+      """SELECT k, v FROM qw_t
+        |WINDOW w AS (PARTITION BY v ORDER BY k)
+        |QUALIFY row_number() OVER w = 1 ORDER BY k""".stripMargin)).collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a"), (3, "b")))
+    // the hoisted text keeps the OVER w reference inside the subquery
+    val t = rw("SELECT x FROM t WINDOW w AS (ORDER BY x) QUALIFY row_number() OVER w <= 2")
+    assert(t.contains("row_number() OVER w AS __qw0"))
+    assert(t.contains("WINDOW w AS (ORDER BY x)"))
+    assert(t.contains("WHERE __qw0 <= 2"))
+    // a parenthesized window expression still raises with guidance
+    intercept[IllegalArgumentException](
+      rw("SELECT x FROM t QUALIFY (row_number() OVER w) = 1"))
+  }
+
   test("QUALIFY inside CTEs and derived tables wraps per nesting level") {
     // CTE body with alias-referencing QUALIFY
     val cte = rw(
@@ -355,9 +376,12 @@ class DuckSqlShimSpec extends AnyFunSuite {
         |ORDER BY k""".stripMargin))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got2 == Seq((1L, 20.0), (2L, 5.0)))
-    // a named window still raises with guidance
-    intercept[IllegalArgumentException](rw(
-      "SELECT k FROM (SELECT k FROM t WINDOW z AS (ORDER BY k) QUALIFY rank() OVER z = 1) s"))
+    // a named window inside a derived table hoists per level, keeping
+    // the WINDOW clause with its select
+    val nested = rw(
+      "SELECT k FROM (SELECT k FROM t WINDOW z AS (ORDER BY k) QUALIFY rank() OVER z = 1) s")
+    assert(nested.contains("rank() OVER z AS __qw0"))
+    assert(nested.contains("WINDOW z AS (ORDER BY k)"))
   }
 
   test("rewrite is stable on its own output, including quoted names with operators") {

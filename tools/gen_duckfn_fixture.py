@@ -362,6 +362,10 @@ def struct_map_cases():
     yield "(SELECT first(x ORDER BY y) FROM (VALUES (9,CAST(NULL AS INT)),(2,1)) t(x,y))", "long"
     yield "(SELECT first(x ORDER BY y DESC) FROM (VALUES (1,3),(2,1)) t(x,y))", "long"
     yield "(SELECT last(x ORDER BY y DESC) FROM (VALUES (1,3),(2,1)) t(x,y))", "long"
+    # QUALIFY with a WINDOW-clause-named window
+    yield ("(SELECT array_to_string(list(x ORDER BY x), ',') FROM "
+           "(SELECT k AS x FROM (VALUES (3),(1),(2)) v(k) "
+           "WINDOW w AS (ORDER BY k) QUALIFY row_number() OVER w <= 2) s)"), "str"
     # fmt-style format() -> printf
     yield "format('{} and {}', 1, 'x')", "str"
     yield "format('{0}-{1}-{0}', 'a', 'b')", "str"
