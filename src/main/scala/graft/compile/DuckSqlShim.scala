@@ -551,8 +551,10 @@ object DuckSqlShim {
         val word     = trailingWord(out)
         val subscript = {
           val p = prevSignificant(out)
-          (p.isLetterOrDigit || p == '_' || p == ')' || p == ']' || p == '`') &&
-            !NonOperandKeywords.contains(word.toLowerCase)
+          // a closing string quote counts: 'abcdef'[2] is a CHARACTER
+          // subscript in DuckDB
+          (p.isLetterOrDigit || p == '_' || p == ')' || p == ']' || p == '`' ||
+            p == '\'') && !NonOperandKeywords.contains(word.toLowerCase)
         }
         if (subscript) {
           val colon = topLevelColon(innerRaw)
@@ -800,20 +802,29 @@ object DuckSqlShim {
             if (topLevelCommas(inner) == 1) out.append(", 0")
             out.append(')')
             i = end
-          case "struct_pack" if nextSignificant(sql, i) == '(' =>
-            // struct_pack(a := 1, b := x) → named_struct('a', 1, 'b', x)
+          case "struct_pack" | "struct_insert" if nextSignificant(sql, i) == '(' =>
+            // struct_pack(a := 1, b := x) → named_struct('a', 1, 'b', x);
+            // struct_insert(s, b := x) keeps its name (registered as an
+            // UpdateFields fold) with the := pairs flattened to
+            // ('b', x) argument pairs
             while (i < n && sql.charAt(i).isWhitespace) i += 1
-            val end   = closeDelim(sql, i, '(', ')')
-            val inner = sql.substring(i + 1, end - 1)
-            val parts = splitTopLevel(inner).map { seg =>
+            val end      = closeDelim(sql, i, '(', ')')
+            val inner    = sql.substring(i + 1, end - 1)
+            val isInsert = word.equalsIgnoreCase("struct_insert")
+            val segs     = splitTopLevel(inner)
+            val pairSegs = if (isInsert) segs.drop(1) else segs
+            val parts = pairSegs.map { seg =>
               val assign = seg.indexOf(":=")
               if (assign < 0)
-                fail("struct_pack without name := value arguments",
+                fail(s"$word without name := value arguments",
                   "use named_struct('name', value, ...) directly")
               val nm = seg.substring(0, assign).trim
               s"'$nm', ${rewriteTokens(seg.substring(assign + 2).trim)}"
             }
-            out.append("named_struct(").append(parts.mkString(", ")).append(')')
+            if (isInsert)
+              out.append("struct_insert(").append(rewriteTokens(segs.head).trim)
+                .append(", ").append(parts.mkString(", ")).append(')')
+            else out.append("named_struct(").append(parts.mkString(", ")).append(')')
             i = end
           case "regexp_replace" if nextSignificant(sql, i) == '(' =>
             // DuckDB replaces the FIRST match unless the 'g' flag is

@@ -88,7 +88,34 @@ object DuckFunctions {
   case class DuckListSlice(children: Seq[Expression]) extends RuntimeReplaceable {
     require(children.length == 3 || children.length == 4,
       s"list_slice expects 3 or 4 arguments, got ${children.length}")
-    override lazy val replacement: Expression = {
+    override lazy val replacement: Expression =
+      if (children.head.dataType == StringType) stringSlice
+      else arraySlice
+
+    /** DuckDB's array_slice also runs on STRINGS: character-based,
+      * same 1-based/negative/clamp conventions, inclusive end. Steps
+      * on strings are unimplemented in DuckDB 1.0 too.
+      */
+    private lazy val stringSlice: Expression = {
+      val Seq(l, b, e) = children.take(3)
+      if (children.length == 4)
+        throw new IllegalArgumentException(
+          "list_slice: a step is not supported for strings (DuckDB raises here too)")
+      val one = Literal(1L)
+      val n   = Cast(Length(l), LongType)
+      val bL  = Cast(b, LongType)
+      val b1  = If(LessThan(bL, Literal(0L)), Add(Add(n, bL), one), bL)
+      val b2  = If(LessThan(b1, one), one, b1)
+      val bb  = If(GreaterThan(b2, Add(n, one)), Add(n, one), b2)
+      val eL  = Cast(e, LongType)
+      val e1  = If(LessThan(eL, Literal(0L)), Add(Add(n, eL), one), eL)
+      val ee  = If(GreaterThan(e1, n), n, e1)
+      val lenRaw = Subtract(Add(ee, one), bb)
+      val len    = If(LessThan(lenRaw, Literal(0L)), Literal(0L), lenRaw)
+      Substring(l, Cast(bb, IntegerType), Cast(len, IntegerType))
+    }
+
+    private lazy val arraySlice: Expression = {
       val Seq(l, b, e) = children.take(3)
       val one          = Literal(1L)
       val n            = Cast(new Size(l), LongType)
@@ -160,6 +187,17 @@ object DuckFunctions {
         val idx = If(EqualTo(Cast(right, LongType), Literal(0L)),
           Literal(Int.MaxValue), Cast(right, IntegerType))
         new ElementAt(left, idx, None, false)
+      case StringType =>
+        // DuckDB string subscript: ONE CHARACTER, 1-based, negative
+        // from the end, '' (not NULL) for 0 or out of range. The
+        // range guard also keeps the Int cast safe under ANSI for
+        // absurd 64-bit indices.
+        val iL = Cast(right, LongType)
+        val n  = Cast(Length(left), LongType)
+        If(Or(Or(EqualTo(iL, Literal(0L)), GreaterThan(iL, n)),
+            LessThan(iL, Subtract(Literal(0L), n))),
+          Literal(""),
+          Substring(left, Cast(iL, IntegerType), Literal(1)))
       case _ => // map subscript: keys aren't positions, pass through
         new ElementAt(left, right, None, false)
     }
@@ -631,6 +669,22 @@ object DuckFunctions {
         Literal("v"))
     reg.createOrReplaceTempFunction("list", duckListAgg, "built-in")
     reg.createOrReplaceTempFunction("array_agg", duckListAgg, "built-in")
+    // struct_insert(s, 'name', value, ...) — the shim flattens the
+    // := pairs; folds to UpdateFields. Delta: an existing name is
+    // REPLACED here where DuckDB raises a binder error.
+    reg.createOrReplaceTempFunction("struct_insert",
+      es => {
+        if (es.length < 3 || es.length % 2 == 0)
+          throw new IllegalArgumentException(
+            "struct_insert expects (struct, 'name', value, ...)")
+        es.drop(1).grouped(2).foldLeft(es.head) {
+          case (acc, Seq(Literal(nm, StringType), v)) if nm != null =>
+            UpdateFields(acc, nm.toString, v)
+          case _ =>
+            throw new IllegalArgumentException(
+              "struct_insert field names must be string literals")
+        }
+      }, "built-in")
   }
 
   /** DuckDB `map_extract`/`element_at`: the value under the key wrapped

@@ -362,6 +362,24 @@ def struct_map_cases():
     yield "(SELECT first(x ORDER BY y) FROM (VALUES (9,CAST(NULL AS INT)),(2,1)) t(x,y))", "long"
     yield "(SELECT first(x ORDER BY y DESC) FROM (VALUES (1,3),(2,1)) t(x,y))", "long"
     yield "(SELECT last(x ORDER BY y DESC) FROM (VALUES (1,3),(2,1)) t(x,y))", "long"
+    # struct_insert (appended fields)
+    yield "struct_insert({'a': 1}, b := 7).b", "long"
+    yield "struct_insert({'a': 1}, b := 7, c := 'x').a", "long"
+    yield "struct_insert({'a': 1}, b := 7, c := 'x').c", "str"
+    # character-based string subscripts and slices ('' for 0/OOR)
+    yield "'abcdef'[2]", "str"
+    yield "'abcdef'[-1]", "str"
+    yield "'abcdef'[0]", "str"
+    yield "'abcdef'[99]", "str"
+    yield "'abcdef'[-99]", "str"
+    yield "'abcdef'[2:4]", "str"
+    yield "'abcdef'[:3]", "str"
+    yield "'abcdef'[-3:]", "str"
+    yield "'abcdef'[4:2]", "str"
+    yield "array_slice('abcdef', 2, 4)", "str"
+    yield "array_slice('abcdef', -3, -1)", "str"
+    yield "list_slice('caférs', 2, 4)", "str"
+    yield "'caférs'[4]", "str"
     # QUALIFY with a WINDOW-clause-named window
     yield ("(SELECT array_to_string(list(x ORDER BY x), ',') FROM "
            "(SELECT k AS x FROM (VALUES (3),(1),(2)) v(k) "
