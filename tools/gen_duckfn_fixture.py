@@ -395,9 +395,30 @@ def struct_map_cases():
     yield "format('{}', NULL)", "str"
 
 
+def string_slice_sweep():
+    # systematic boundary sweep for CHARACTER-based string subscripts
+    # and slices (mirrors the list_slice sweep's bound grid; includes
+    # a multibyte string so char-vs-byte divergence can't hide)
+    bounds = [None, -7, -5, -2, -1, 0, 1, 2, 4, 5, 6, 9]
+    for s in ["", "x", "abcde", "café"]:
+        lit_s = "'" + s + "'"
+        for i in range(-7, 8):
+            yield f"{lit_s}[{i}]", "str"
+        for b in bounds:
+            for e in bounds:
+                bs = "" if b is None else str(b)
+                es = "" if e is None else str(e)
+                yield f"{lit_s}[{bs}:{es}]", "str"
+                if b is not None and e is not None:
+                    yield f"list_slice({lit_s}, {b}, {e})", "str"
+    yield "list_slice('abcde', NULL, 2)", "str"
+    yield "list_slice('abcde', 1, NULL)", "str"
+
+
 rows, seen = [], set()
 import itertools
-for expr, typ in itertools.chain(cases(), struct_map_cases()):
+for expr, typ in itertools.chain(cases(), struct_map_cases(),
+                                 string_slice_sweep()):
     if expr in seen:
         continue
     seen.add(expr)
