@@ -198,7 +198,30 @@ object DuckSqlShim {
             val regex = arg.substring(1, arg.length - 1).replace("''", "'")
             val p = java.util.regex.Pattern.compile(regex)
             cols.filter(c => p.matcher(c).find())
-          } else fail("COLUMNS(...) with a non-literal argument (lambda, EXCLUDE, expression)",
+          } else if (arg.startsWith("*")) {
+            // `COLUMNS(* EXCLUDE (a, b))` / `COLUMNS(* EXCLUDE a)`
+            val rest = arg.substring(1).trim
+            val kwEnd = rest.indexWhere(ch => !(ch.isLetter || ch == '_'))
+            val kw = if (kwEnd < 0) rest else rest.substring(0, kwEnd)
+            if (!kw.equalsIgnoreCase("exclude"))
+              fail(s"COLUMNS(* $kw ...)", "only * EXCLUDE (cols) is supported inside COLUMNS")
+            val tail = rest.substring(kw.length).trim
+            val excluded =
+              if (tail.startsWith("(") && closeDelim(tail, 0, '(', ')') == tail.length)
+                splitTopLevel(tail.substring(1, tail.length - 1))
+                  .map(_.trim.replace("\"", ""))
+              else if (tail.nonEmpty &&
+                tail.forall(ch => ch.isLetterOrDigit || ch == '_')) Seq(tail)
+              else fail("COLUMNS(* EXCLUDE ...) with an unparseable exclusion list",
+                "use EXCLUDE (col, ...)")
+            excluded.foreach { ex =>
+              if (!cols.exists(_.equalsIgnoreCase(ex)))
+                fail(s"COLUMNS(* EXCLUDE ...) name '$ex' not in '$tableName'",
+                  "check the column name (DuckDB raises a binder error here too)")
+            }
+            val exSet = excluded.map(_.toLowerCase).toSet
+            cols.filterNot(c => exSet(c.toLowerCase))
+          } else fail("COLUMNS(...) with a non-literal argument (lambda, expression)",
             "list the wanted columns explicitly")
         if (matched.isEmpty)
           fail(s"COLUMNS($arg) matching no columns of '$tableName'",
@@ -719,9 +742,19 @@ object DuckSqlShim {
             // keeps them. The unordered form passes through
             // (DuckFunctions registers the same struct trick).
             while (i < n && sql.charAt(i).isWhitespace) i += 1
-            val end   = closeDelim(sql, i, '(', ')')
-            val inner = sql.substring(i + 1, end - 1)
-            val ob    = orderByPos(inner)
+            val end      = closeDelim(sql, i, '(', ')')
+            val innerAll = sql.substring(i + 1, end - 1)
+            // DISTINCT dedups keeping first occurrence — array_distinct
+            // over the NULL-keeping collect does the same (and keeps
+            // the sort of an ordered form, since duplicates are
+            // adjacent after sorting)
+            val dTrim    = innerAll.trim
+            val distinct = dTrim.length > 8 &&
+              dTrim.substring(0, 8).equalsIgnoreCase("distinct") &&
+              !(dTrim.charAt(8).isLetterOrDigit || dTrim.charAt(8) == '_')
+            val inner    = if (distinct) dTrim.substring(8) else innerAll
+            val ob       = orderByPos(inner)
+            if (distinct) out.append("array_distinct(")
             if (ob < 0) out.append(word).append('(').append(rewriteTokens(inner)).append(')')
             else {
               val value = inner.substring(0, ob).trim
@@ -731,6 +764,7 @@ object DuckSqlShim {
               out.append(orderedCollect(rewriteTokens(value).trim,
                 parseOrderKeys(inner.substring(ob))))
             }
+            if (distinct) out.append(')')
             i = end
           case "first" | "last" if nextSignificant(sql, i) == '(' =>
             // first(x ORDER BY k) is the arg-min of k (NULL keys sort
@@ -784,6 +818,76 @@ object DuckSqlShim {
                 s"ELSE printf('$translated', ${args.mkString(", ")}) END)")
             }
             i = end
+          case "using" if {
+            var j = i
+            while (j < n && sql.charAt(j).isWhitespace) j += 1
+            var k = j
+            while (k < n && sql.charAt(k).isLetter) k += 1
+            sql.substring(j, k).equalsIgnoreCase("sample")
+          } =>
+            // USING SAMPLE n [ROWS] / n% / n PERCENT [(method[, seed])]
+            // / method(n[%]) → TABLESAMPLE (n ROWS|PERCENT). The
+            // sampling METHOD is engine-specific and dropped (both
+            // engines' samples are nondeterministic); a seed raises —
+            // Spark SQL TABLESAMPLE can't honor it. JOIN ... USING
+            // (cols) doesn't match the SAMPLE lookahead.
+            while (i < n && sql.charAt(i).isWhitespace) i += 1
+            i += "sample".length
+            while (i < n && sql.charAt(i).isWhitespace) i += 1
+            var num  = ""
+            var unit = "ROWS"
+            if (i < n && sql.charAt(i).isDigit) {
+              val s0 = i
+              while (i < n && (sql.charAt(i).isDigit || sql.charAt(i) == '.')) i += 1
+              num = sql.substring(s0, i)
+              var j2 = i
+              while (j2 < n && sql.charAt(j2).isWhitespace) j2 += 1
+              if (j2 < n && sql.charAt(j2) == '%') { unit = "PERCENT"; i = j2 + 1 }
+              else {
+                var k2 = j2
+                while (k2 < n && sql.charAt(k2).isLetter) k2 += 1
+                sql.substring(j2, k2).toLowerCase match {
+                  case "percent" => unit = "PERCENT"; i = k2
+                  case "rows"    => unit = "ROWS"; i = k2
+                  case _         =>
+                }
+              }
+              var j3 = i
+              while (j3 < n && sql.charAt(j3).isWhitespace) j3 += 1
+              if (j3 < n && sql.charAt(j3) == '(') {
+                val e2 = closeDelim(sql, j3, '(', ')')
+                if (topLevelCommas(sql.substring(j3 + 1, e2 - 1)) > 0)
+                  fail("USING SAMPLE with a seed",
+                    "Spark TABLESAMPLE has no seed syntax; use DataFrame.sample(seed) or drop it")
+                i = e2
+              }
+            } else {
+              // method-style: reservoir(10%) / bernoulli(20)
+              val s0 = i
+              while (i < n && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
+              if (i == s0 || nextSignificant(sql, i) != '(')
+                fail("USING SAMPLE without a recognizable size",
+                  "use n, n%, n PERCENT, n ROWS or method(n[%])")
+              while (i < n && sql.charAt(i).isWhitespace) i += 1
+              val e2   = closeDelim(sql, i, '(', ')')
+              val spec = sql.substring(i + 1, e2 - 1).trim
+              if (topLevelCommas(spec) > 0)
+                fail("USING SAMPLE with a seed",
+                  "Spark TABLESAMPLE has no seed syntax; use DataFrame.sample(seed) or drop it")
+              var p = 0
+              while (p < spec.length && (spec.charAt(p).isDigit || spec.charAt(p) == '.')) p += 1
+              if (p == 0)
+                fail(s"USING SAMPLE size '$spec'",
+                  "expected a number (rows) or percentage")
+              num = spec.substring(0, p)
+              val rest = spec.substring(p).trim
+              if (rest == "%" || rest.equalsIgnoreCase("percent")) unit = "PERCENT"
+              else if (rest.nonEmpty && !rest.equalsIgnoreCase("rows"))
+                fail(s"USING SAMPLE size '$spec'",
+                  "expected n, n% or n PERCENT inside method(...)")
+              i = e2
+            }
+            out.append("TABLESAMPLE (").append(num).append(' ').append(unit).append(')')
           case "log" if nextSignificant(sql, i) == '(' =>
             // DuckDB's 1-arg log() is log BASE 10; Spark's is natural
             // log. The 2-arg log(base, x) form agrees.

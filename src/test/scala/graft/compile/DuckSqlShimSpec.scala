@@ -239,6 +239,12 @@ class DuckSqlShimSpec extends AnyFunSuite {
       "SELECT s, `ba` AS `ba`\nFROM t GROUP BY s")
     assert(rwc("SELECT COLUMNS(*) FROM t") ==
       "SELECT `aa` AS `aa`, `ab` AS `ab`, `ba` AS `ba`, `s` AS `s`\nFROM t")
+    // * EXCLUDE inside COLUMNS (DuckDB-verified column order/set)
+    assert(rwc("SELECT min(COLUMNS(* EXCLUDE (ba, s))) FROM t") ==
+      "SELECT min(`aa`) AS `aa`, min(`ab`) AS `ab`\nFROM t")
+    assert(rwc("SELECT COLUMNS(* EXCLUDE s) FROM t") ==
+      "SELECT `aa` AS `aa`, `ab` AS `ab`, `ba` AS `ba`\nFROM t")
+    intercept[IllegalArgumentException](rwc("SELECT COLUMNS(* EXCLUDE (zz)) FROM t"))
     // out-of-form cases keep the guided error
     intercept[IllegalArgumentException](rwc("SELECT COLUMNS('zzz') FROM t"))       // no match
     intercept[IllegalArgumentException](rwc("SELECT COLUMNS('^a') AS z FROM t"))  // alias
@@ -496,6 +502,41 @@ class DuckSqlShimSpec extends AnyFunSuite {
     assert(f.getString(3) == "{} literal 3.14")
     assert(f.isNullAt(4))
     intercept[IllegalArgumentException](rw("SELECT format(fmt_col, 1)"))
+  }
+
+  test("USING SAMPLE becomes TABLESAMPLE; DISTINCT list forms dedup") {
+    graft.functions.DuckFunctions.register(spark)
+    assert(rw("SELECT * FROM t USING SAMPLE 10") ==
+      "SELECT * FROM t TABLESAMPLE (10 ROWS)")
+    assert(rw("SELECT * FROM t USING SAMPLE 10%") ==
+      "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
+    assert(rw("SELECT * FROM t USING SAMPLE 10 PERCENT (bernoulli)") ==
+      "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
+    assert(rw("SELECT * FROM t USING SAMPLE reservoir(5%)") ==
+      "SELECT * FROM t TABLESAMPLE (5 PERCENT)")
+    assert(rw("SELECT * FROM t USING SAMPLE 20 ROWS WHERE x > 0") ==
+      "SELECT * FROM t TABLESAMPLE (20 ROWS) WHERE x > 0")
+    // JOIN ... USING (cols) is untouched; seeds raise (not portable)
+    assert(rw("SELECT a FROM t JOIN u USING (id)") ==
+      "SELECT a FROM t JOIN u USING (id)")
+    intercept[IllegalArgumentException](
+      rw("SELECT * FROM t USING SAMPLE 10% (bernoulli, 42)"))
+    // sampled scan executes (row count bounded, exact count is random)
+    import spark.implicits._
+    (1 to 100).toDF("x").createOrReplaceTempView("samp_t")
+    val c = spark.sql(rw("SELECT count(*) AS c FROM samp_t USING SAMPLE 10"))
+      .head().getLong(0)
+    assert(c == 10L)
+    // DISTINCT inside list/array_agg: dedup keeping DuckDB semantics
+    // (NULL kept; ordered form dedups after the sort)
+    val dl = spark.sql(rw(
+      "SELECT array_to_string(list(DISTINCT x ORDER BY x), ',') AS d " +
+        "FROM (VALUES (2),(1),(2)) t(x)")).head().getString(0)
+    assert(dl == "1,2")
+    val dn = spark.sql(rw(
+      "SELECT len(list(DISTINCT x)) AS n FROM (VALUES (2),(1),(2),(NULL)) t(x)"))
+      .head().getLong(0)
+    assert(dn == 3L)
   }
 
   test("product and quantile_disc aggregates match DuckDB") {

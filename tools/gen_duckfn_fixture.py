@@ -384,6 +384,11 @@ def struct_map_cases():
     yield ("(SELECT array_to_string(list(x ORDER BY x), ',') FROM "
            "(SELECT k AS x FROM (VALUES (3),(1),(2)) v(k) "
            "WINDOW w AS (ORDER BY k) QUALIFY row_number() OVER w <= 2) s)"), "str"
+    # DISTINCT list forms (dedup keeps NULL; ordered form sorts first)
+    yield ("(SELECT array_to_string(list(DISTINCT x ORDER BY x), ',') "
+           "FROM (VALUES (2),(1),(2)) t(x))"), "str"
+    yield ("(SELECT len(list(DISTINCT x)) "
+           "FROM (VALUES (2),(1),(2),(CAST(NULL AS INT))) t(x))"), "long"
     # fmt-style format() -> printf
     yield "format('{} and {}', 1, 'x')", "str"
     yield "format('{0}-{1}-{0}', 'a', 'b')", "str"
