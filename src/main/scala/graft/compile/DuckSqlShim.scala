@@ -775,8 +775,13 @@ object DuckSqlShim {
             val end   = closeDelim(sql, i, '(', ')')
             val inner = sql.substring(i + 1, end - 1)
             val ob    = orderByPos(inner)
-            if (ob < 0) out.append(word).append('(').append(rewriteTokens(inner)).append(')')
-            else {
+            if (ob < 0) {
+              // DuckDB's window first/last also take in-args
+              // IGNORE/RESPECT NULLS
+              val (args, suffix) = splitNullsMode(inner)
+              out.append(word).append('(').append(rewriteTokens(args)).append(')')
+                .append(suffix)
+            } else {
               val value = inner.substring(0, ob).trim
               val keys  = parseOrderKeys(inner.substring(ob))
               if (value.isEmpty || topLevelCommas(value) > 0 || keys.length != 1)
@@ -791,6 +796,17 @@ object DuckSqlShim {
                 .append(rewriteTokens(value).trim).append(", ")
                 .append(rewriteTokens(k.expr).trim).append(')')
             }
+            i = end
+          case "lag" | "lead" | "first_value" | "last_value" | "nth_value"
+              if nextSignificant(sql, i) == '(' =>
+            // DuckDB puts IGNORE/RESPECT NULLS inside the argument
+            // list; Spark wants it after the call
+            while (i < n && sql.charAt(i).isWhitespace) i += 1
+            val end   = closeDelim(sql, i, '(', ')')
+            val inner = sql.substring(i + 1, end - 1)
+            val (args, suffix) = splitNullsMode(inner)
+            out.append(word).append('(').append(rewriteTokens(args)).append(')')
+              .append(suffix)
             i = end
           case "format" if nextSignificant(sql, i) == '(' =>
             // DuckDB's fmt-style format('{} and {}', ...) → printf
@@ -954,6 +970,18 @@ object DuckSqlShim {
       }
     }
     out.toString
+  }
+
+  /** Split a trailing in-args `IGNORE NULLS` / `RESPECT NULLS` off an
+    * argument list: returns (args without it, " IGNORE NULLS"-style
+    * postfix or "").
+    */
+  private def splitNullsMode(inner: String): (String, String) = {
+    val NullsRe = "(?is)^(.*?)\\s+(ignore|respect)\\s+nulls\\s*$".r
+    inner match {
+      case NullsRe(rest, mode) => (rest, s" ${mode.toUpperCase} NULLS")
+      case _                   => (inner, "")
+    }
   }
 
   /** Position of a top-level in-args `ORDER BY` (the word ORDER with

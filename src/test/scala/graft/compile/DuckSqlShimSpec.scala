@@ -463,6 +463,15 @@ class DuckSqlShimSpec extends AnyFunSuite {
     assert(rw("SELECT last(x ORDER BY y DESC)") == "SELECT min_by(x, y)")
     assert(rw("SELECT first(x)") == "SELECT first(x)") // unordered passes through
     intercept[IllegalArgumentException](rw("SELECT first(x ORDER BY y NULLS FIRST)"))
+    // in-args IGNORE/RESPECT NULLS moves after the call (Spark syntax)
+    assert(rw("SELECT lag(x IGNORE NULLS) OVER (ORDER BY k)") ==
+      "SELECT lag(x) IGNORE NULLS OVER (ORDER BY k)")
+    assert(rw("SELECT last_value(x RESPECT NULLS) OVER (ORDER BY k)") ==
+      "SELECT last_value(x) RESPECT NULLS OVER (ORDER BY k)")
+    assert(rw("SELECT first(x IGNORE NULLS) OVER (ORDER BY k)") ==
+      "SELECT first(x) IGNORE NULLS OVER (ORDER BY k)")
+    assert(rw("SELECT lead(x, 2 IGNORE NULLS) OVER (ORDER BY k)") ==
+      "SELECT lead(x, 2) IGNORE NULLS OVER (ORDER BY k)")
     // execution against DuckDB-verified expectations
     import spark.implicits._
     Seq((1, Option(3), "c"), (2, Option.empty[Int], "a"), (3, Option(1), "b"))

@@ -384,6 +384,13 @@ def struct_map_cases():
     yield ("(SELECT array_to_string(list(x ORDER BY x), ',') FROM "
            "(SELECT k AS x FROM (VALUES (3),(1),(2)) v(k) "
            "WINDOW w AS (ORDER BY k) QUALIFY row_number() OVER w <= 2) s)"), "str"
+    # in-args IGNORE NULLS on window functions (shim moves it postfix)
+    yield ("(SELECT string_agg(coalesce(v::VARCHAR, '-'), ',' ORDER BY k) FROM "
+           "(SELECT k, lag(x IGNORE NULLS) OVER (ORDER BY k) AS v FROM "
+           "(VALUES (1,10),(2,CAST(NULL AS INT)),(3,30),(4,40)) t(k,x)) s)"), "str"
+    yield ("(SELECT string_agg(v::VARCHAR, ',' ORDER BY k) FROM "
+           "(SELECT k, last_value(x IGNORE NULLS) OVER (ORDER BY k) AS v FROM "
+           "(VALUES (1,10),(2,CAST(NULL AS INT)),(3,30)) t(k,x)) s)"), "str"
     # DISTINCT list forms (dedup keeps NULL; ordered form sorts first)
     yield ("(SELECT array_to_string(list(DISTINCT x ORDER BY x), ',') "
            "FROM (VALUES (2),(1),(2)) t(x))"), "str"
