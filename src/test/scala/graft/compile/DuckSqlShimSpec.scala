@@ -548,6 +548,42 @@ class DuckSqlShimSpec extends AnyFunSuite {
     assert(dn == 3L)
   }
 
+  test("ordered-collect comparator agrees with a reference sort across key combos") {
+    graft.functions.DuckFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def cmpOpt(a: Option[Int], b: Option[Int], desc: Boolean, nullsFirst: Boolean): Int =
+      (a, b) match {
+        case (None, None)       => 0
+        case (None, _)          => if (nullsFirst) -1 else 1
+        case (_, None)          => if (nullsFirst) 1 else -1
+        case (Some(x), Some(y)) => if (desc) y.compare(x) else x.compare(y)
+      }
+    for (trial <- 1 to 10) {
+      val n = 1 + rnd.nextInt(25)
+      // v is unique so the final tiebreak key makes the expected order total
+      val rows = (0 until n).map { ix =>
+        (if (rnd.nextInt(4) == 0) Option.empty[Int] else Some(rnd.nextInt(5)),
+         if (rnd.nextInt(4) == 0) Option.empty[Int] else Some(rnd.nextInt(4)),
+         ix)
+      }
+      val desc1 = rnd.nextBoolean(); val nf1 = rnd.nextBoolean()
+      val desc2 = rnd.nextBoolean()
+      rows.toDF("k1", "k2", "v").createOrReplaceTempView("oc_t")
+      val spec = s"k1 ${if (desc1) "DESC" else "ASC"} " +
+        s"${if (nf1) "NULLS FIRST" else "NULLS LAST"}, " +
+        s"k2 ${if (desc2) "DESC" else "ASC"}, v"
+      val got = spark.sql(rw(s"SELECT list(v ORDER BY $spec) AS l FROM oc_t"))
+        .head().getSeq[Int](0)
+      val expected = rows.sortWith { (a, b) =>
+        val c1 = cmpOpt(a._1, b._1, desc1, nf1)
+        val c2 = if (c1 != 0) c1 else cmpOpt(a._2, b._2, desc2, nullsFirst = false)
+        (if (c2 != 0) c2 else a._3.compare(b._3)) < 0
+      }.map(_._3)
+      assert(got == expected, s"trial $trial: ORDER BY $spec over $rows")
+    }
+  }
+
   test("product and quantile_disc aggregates match DuckDB") {
     graft.functions.DuckFunctions.register(spark)
     import spark.implicits._
