@@ -361,18 +361,29 @@ object DuckSqlShim {
         val inner = sql.substring(0, qStart).trim
         s"SELECT * FROM (\n$inner\n) __qualify_sub WHERE $cond $tail".trim
       case Some((newCond, windows)) =>
-        // hoisting select-list additions onto DISTINCT would change
-        // which rows are distinct — bail to the explicit error
-        if (sql.substring(0, fromPos).trim.toLowerCase.startsWith("select distinct"))
-          return sql
+        val selPrefix = sql.substring(0, fromPos)
+        val prefixLow = selPrefix.trim.toLowerCase
+        // DISTINCT ON has its own projection semantics — bail to the
+        // explicit error rather than guessing
+        if (prefixLow.startsWith("select distinct on")) return sql
+        val isDistinct = prefixLow.startsWith("select distinct")
+        // windows must see PRE-distinct rows (DuckDB-verified), so
+        // DISTINCT moves to the OUTER projection: compute + filter
+        // inside, dedup the final projection outside
+        val innerSel =
+          if (isDistinct) {
+            val p = selPrefix.toLowerCase.indexOf("distinct")
+            selPrefix.substring(0, p) + selPrefix.substring(p + "distinct".length)
+          } else selPrefix
         val aliased = windows.zipWithIndex
           .map { case (w, ix) => s"$w AS __qw$ix" }.mkString(", ")
         val names = windows.indices.map(ix => s"__qw$ix").mkString(", ")
-        val inner = sql.substring(0, fromPos).trim + s", $aliased\n" +
+        val inner = innerSel.trim + s", $aliased\n" +
           sql.substring(fromPos, qStart).trim
         // EXCLUDE (not EXCEPT): this output feeds the token pass, which
         // owns the star-modifier spelling
-        s"SELECT * EXCLUDE ($names) FROM (\n$inner\n) __qualify_sub WHERE $newCond $tail".trim
+        val head = if (isDistinct) "SELECT DISTINCT" else "SELECT"
+        s"$head * EXCLUDE ($names) FROM (\n$inner\n) __qualify_sub WHERE $newCond $tail".trim
     }
   }
 
@@ -682,11 +693,11 @@ object DuckSqlShim {
         word.toLowerCase match {
           case "qualify" =>
             // the pre-pass wraps every rewritable form at every
-            // nesting level (including inline and WINDOW-clause-named
-            // windows, hoisted as __qwN aliases); reaching here means
-            // a DISTINCT select or a window buried below the
-            // condition's paren depth 0
-            fail("QUALIFY in a form the shim can't wrap (DISTINCT select, or a parenthesized window expression)",
+            // nesting level (inline and WINDOW-clause-named windows
+            // hoisted as __qwN aliases, DISTINCT lifted to the outer
+            // projection); reaching here means DISTINCT ON or a window
+            // buried below the condition's paren depth 0
+            fail("QUALIFY in a form the shim can't wrap (DISTINCT ON, or a parenthesized window expression)",
               "alias the window expression in the select list and QUALIFY the alias, " +
                 "or wrap the query in a subquery with WHERE")
           case "exclude" if prevSignificant(out) == '*' =>

@@ -186,8 +186,10 @@ class DuckSqlShimSpec extends AnyFunSuite {
     // forms the rewrite can't hold still raise with guidance
     intercept[IllegalArgumentException](
       rw("SELECT a FROM t QUALIFY (row_number() OVER (ORDER BY a)) = 1")) // parenthesized
-    intercept[IllegalArgumentException](
-      rw("SELECT DISTINCT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1"))
+    // DISTINCT lifts to the outer projection (windows see pre-distinct
+    // rows — DuckDB-verified)
+    assert(rw("SELECT DISTINCT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1")
+      .startsWith("SELECT DISTINCT * EXCEPT (__qw0) FROM ("))
     // a column merely NAMED qualify is left alone (no FROM-after, or
     // clause-keyword condition)
     intercept[IllegalArgumentException](rw("SELECT qualify FROM t"))

@@ -384,6 +384,13 @@ def struct_map_cases():
     yield ("(SELECT array_to_string(list(x ORDER BY x), ',') FROM "
            "(SELECT k AS x FROM (VALUES (3),(1),(2)) v(k) "
            "WINDOW w AS (ORDER BY k) QUALIFY row_number() OVER w <= 2) s)"), "str"
+    # QUALIFY on a DISTINCT select (windows see pre-distinct rows)
+    yield ("(SELECT string_agg(v, ',' ORDER BY v) FROM "
+           "(SELECT DISTINCT v FROM (VALUES (1,'a'),(2,'a'),(3,'b')) t(k,v) "
+           "QUALIFY row_number() OVER (ORDER BY k) <= 2) s)"), "str"
+    yield ("(SELECT string_agg(v, ',' ORDER BY v) FROM "
+           "(SELECT DISTINCT v FROM (VALUES (1,'a'),(2,'a'),(3,'b'),(4,'b')) t(k,v) "
+           "QUALIFY row_number() OVER (PARTITION BY v ORDER BY k) = 1) s)"), "str"
     # in-args IGNORE NULLS on window functions (shim moves it postfix)
     yield ("(SELECT string_agg(coalesce(v::VARCHAR, '-'), ',' ORDER BY k) FROM "
            "(SELECT k, lag(x IGNORE NULLS) OVER (ORDER BY k) AS v FROM "
