@@ -88,7 +88,64 @@ object DuckSqlShim {
         i = e
       } else { out.append(c); i += 1 }
     }
-    rewriteQualify(out.toString)
+    rewriteDistinctOn(rewriteQualify(out.toString))
+  }
+
+  /** Word-boundary-safe select-head classification: a column named
+    * `distinctive_col` or `on_col` must not look like the modifier.
+    */
+  private def isDistinctOnHead(prefix: String): Boolean =
+    prefix.trim.matches("(?is)^select\\s+distinct\\s+on\\s*\\(.*")
+
+  private def isDistinctHead(prefix: String): Boolean =
+    prefix.trim.matches("(?is)^select\\s+distinct([^\\w].*)?$")
+
+  /** `SELECT DISTINCT ON (keys) items FROM ... [ORDER BY o] [tail]` →
+    * the row_number-over-partition idiom (Spark has no DISTINCT ON):
+    * rank rows per key by the query's ORDER BY (the clause that
+    * decides WHICH row survives — DuckDB-verified; without one the
+    * pick is arbitrary, so the keys themselves serve), keep rank 1,
+    * re-apply the outer tail. Applied per nesting level by
+    * [[rewriteQualifyDeep]]. Select-list stars compose via
+    * `* EXCLUDE (__don)`; combined DISTINCT ON + QUALIFY raises.
+    */
+  private def rewriteDistinctOn(sql: String): String = {
+    val sel = findTopLevelWord(sql, 0, Set("select"))
+    if (sel < 0) return sql
+    var i = sel + "select".length
+    while (i < sql.length && sql.charAt(i).isWhitespace) i += 1
+    if (!sql.regionMatches(true, i, "distinct", 0, 8)) return sql
+    var j = i + 8
+    while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+    if (!(sql.regionMatches(true, j, "on", 0, 2) &&
+        (j + 2 >= sql.length || !(sql.charAt(j + 2).isLetterOrDigit || sql.charAt(j + 2) == '_'))))
+      return sql
+    j += 2
+    while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+    if (j >= sql.length || sql.charAt(j) != '(') return sql
+    if (findTopLevelWord(sql, 0, Set("qualify")) >= 0)
+      fail("DISTINCT ON combined with QUALIFY",
+        "split into a subquery, or rewrite the DISTINCT ON as row_number() = 1 by hand")
+    val keysEnd = closeDelim(sql, j, '(', ')')
+    val keys    = sql.substring(j + 1, keysEnd - 1).trim
+    val fromPos = findTopLevelWord(sql, keysEnd, Set("from"))
+    if (fromPos < 0) return sql
+    val items0 = sql.substring(keysEnd, fromPos).trim
+    val items  = if (items0 == "*") "* EXCLUDE (__don)" else items0
+    var tailStart = findTopLevelWord(sql, fromPos, Set("order", "limit", "offset"))
+    if (tailStart < 0) tailStart = sql.length
+    val body = sql.substring(fromPos, tailStart)
+    val tail = sql.substring(tailStart)
+    val obKeys =
+      if (tail.trim.toLowerCase.startsWith("order")) {
+        val byPos  = findTopLevelWord(tail, 0, Set("by"))
+        val obEnd0 = findTopLevelWord(tail, byPos, Set("limit", "offset"))
+        val obEnd  = if (obEnd0 < 0) tail.length else obEnd0
+        tail.substring(byPos + 2, obEnd).trim
+      } else keys
+    sql.substring(0, sel) +
+      s"SELECT $items FROM (\nSELECT *, row_number() OVER (PARTITION BY $keys " +
+      s"ORDER BY $obKeys) AS __don\n${body.trim}\n) __distinct_on WHERE __don = 1 $tail".trim
   }
 
   /** Rewrite with schema access: `resolveTable(name)` returns the
@@ -355,18 +412,17 @@ object DuckSqlShim {
     val condStartsOk = cond.head.isLetterOrDigit || cond.head == '_' || cond.head == '('
     if (!condStartsOk || clauseKeywords.contains(firstWord)) return sql
     val tail = sql.substring(tailStart)
+    // combined DISTINCT ON + QUALIFY: leave intact for
+    // rewriteDistinctOn's guided error
+    if (isDistinctOnHead(sql.substring(0, fromPos))) return sql
     extractWindows(cond) match {
       case None => sql // token pass raises with porting guidance
       case Some((_, Seq())) =>
         val inner = sql.substring(0, qStart).trim
         s"SELECT * FROM (\n$inner\n) __qualify_sub WHERE $cond $tail".trim
       case Some((newCond, windows)) =>
-        val selPrefix = sql.substring(0, fromPos)
-        val prefixLow = selPrefix.trim.toLowerCase
-        // DISTINCT ON has its own projection semantics — bail to the
-        // explicit error rather than guessing
-        if (prefixLow.startsWith("select distinct on")) return sql
-        val isDistinct = prefixLow.startsWith("select distinct")
+        val selPrefix  = sql.substring(0, fromPos)
+        val isDistinct = isDistinctHead(selPrefix)
         // windows must see PRE-distinct rows (DuckDB-verified), so
         // DISTINCT moves to the OUTER projection: compute + filter
         // inside, dedup the final projection outside

@@ -550,6 +550,30 @@ class DuckSqlShimSpec extends AnyFunSuite {
     assert(dn == 3L)
   }
 
+  test("DISTINCT ON rewrites to the row_number idiom") {
+    import spark.implicits._
+    Seq((1, "a"), (2, "a"), (3, "b")).toDF("k", "v").createOrReplaceTempView("don_t")
+    // DuckDB-verified expectations
+    val r1 = spark.sql(rw("SELECT DISTINCT ON (v) k FROM don_t ORDER BY v, k DESC"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(r1 == Seq(2, 3))
+    val r2 = spark.sql(rw("SELECT DISTINCT ON (v) * FROM don_t ORDER BY v, k DESC"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(r2 == Seq((2, "a"), (3, "b")))
+    val r3 = spark.sql(rw(
+      "SELECT DISTINCT ON (v) k+10 AS kk FROM don_t ORDER BY v, k DESC LIMIT 1"))
+      .head().getInt(0)
+    assert(r3 == 12)
+    // without ORDER BY the surviving row is arbitrary — count only
+    assert(spark.sql(rw("SELECT DISTINCT ON (v) k FROM don_t")).count() == 2)
+    // combined with QUALIFY raises with guidance
+    intercept[IllegalArgumentException](rw(
+      "SELECT DISTINCT ON (v) k FROM don_t QUALIFY row_number() OVER (ORDER BY k) = 1"))
+    // plain DISTINCT and innocent column names are untouched
+    assert(rw("SELECT DISTINCT only_col FROM t") == "SELECT DISTINCT only_col FROM t")
+    assert(rw("SELECT distinctive_col FROM t") == "SELECT distinctive_col FROM t")
+  }
+
   test("ordered-collect comparator agrees with a reference sort across key combos") {
     graft.functions.DuckFunctions.register(spark)
     import spark.implicits._

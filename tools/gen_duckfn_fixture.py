@@ -384,6 +384,13 @@ def struct_map_cases():
     yield ("(SELECT array_to_string(list(x ORDER BY x), ',') FROM "
            "(SELECT k AS x FROM (VALUES (3),(1),(2)) v(k) "
            "WINDOW w AS (ORDER BY k) QUALIFY row_number() OVER w <= 2) s)"), "str"
+    # DISTINCT ON -> row_number idiom (ORDER BY picks the survivor)
+    yield ("(SELECT string_agg(k::VARCHAR, ',' ORDER BY k) FROM "
+           "(SELECT DISTINCT ON (v) k FROM (VALUES (1,'a'),(2,'a'),(3,'b')) t(k,v) "
+           "ORDER BY v, k DESC) s)"), "str"
+    yield ("(SELECT string_agg(k::VARCHAR, ',' ORDER BY k) FROM "
+           "(SELECT DISTINCT ON (v) k FROM (VALUES (1,'a'),(2,'a'),(3,'b'),(4,'b')) t(k,v) "
+           "ORDER BY v, k) s)"), "str"
     # QUALIFY on a DISTINCT select (windows see pre-distinct rows)
     yield ("(SELECT string_agg(v, ',' ORDER BY v) FROM "
            "(SELECT DISTINCT v FROM (VALUES (1,'a'),(2,'a'),(3,'b')) t(k,v) "
