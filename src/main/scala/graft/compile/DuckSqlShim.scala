@@ -210,7 +210,11 @@ object DuckSqlShim {
     while (listStart < fromPos && sql.charAt(listStart).isWhitespace) listStart += 1
     val firstKw = sql.substring(listStart,
       math.min(fromPos, listStart + 9)).toLowerCase
-    if (firstKw.startsWith("distinct")) listStart += "distinct".length
+    // word-boundary safe: a first column named distinctive_col / all_x
+    // is not the keyword
+    if (firstKw.startsWith("distinct") &&
+      !(listStart + 8 < fromPos && (sql.charAt(listStart + 8).isLetterOrDigit ||
+        sql.charAt(listStart + 8) == '_'))) listStart += "distinct".length
     else if (firstKw.startsWith("all") &&
       !(listStart + 3 < fromPos && (sql.charAt(listStart + 3).isLetterOrDigit ||
         sql.charAt(listStart + 3) == '_'))) listStart += "all".length
@@ -1000,18 +1004,24 @@ object DuckSqlShim {
             val isInsert = word.equalsIgnoreCase("struct_insert")
             val segs     = splitTopLevel(inner)
             val pairSegs = if (isInsert) segs.drop(1) else segs
-            val parts = pairSegs.map { seg =>
-              val assign = seg.indexOf(":=")
-              if (assign < 0)
-                fail(s"$word without name := value arguments",
-                  "use named_struct('name', value, ...) directly")
-              val nm = seg.substring(0, assign).trim
-              s"'$nm', ${rewriteTokens(seg.substring(assign + 2).trim)}"
+            if (isInsert && !pairSegs.exists(_.contains(":="))) {
+              // already the flattened ('name', value) form — our own
+              // output on a re-run; pass through for stability
+              out.append(word).append('(').append(rewriteTokens(inner)).append(')')
+            } else {
+              val parts = pairSegs.map { seg =>
+                val assign = seg.indexOf(":=")
+                if (assign < 0)
+                  fail(s"$word without name := value arguments",
+                    "use named_struct('name', value, ...) directly")
+                val nm = seg.substring(0, assign).trim
+                s"'$nm', ${rewriteTokens(seg.substring(assign + 2).trim)}"
+              }
+              if (isInsert)
+                out.append("struct_insert(").append(rewriteTokens(segs.head).trim)
+                  .append(", ").append(parts.mkString(", ")).append(')')
+              else out.append("named_struct(").append(parts.mkString(", ")).append(')')
             }
-            if (isInsert)
-              out.append("struct_insert(").append(rewriteTokens(segs.head).trim)
-                .append(", ").append(parts.mkString(", ")).append(')')
-            else out.append("named_struct(").append(parts.mkString(", ")).append(')')
             i = end
           case "regexp_replace" if nextSignificant(sql, i) == '(' =>
             // DuckDB replaces the FIRST match unless the 'g' flag is

@@ -398,7 +398,16 @@ class DuckSqlShimSpec extends AnyFunSuite {
       "SELECT \"weird::name\", \"a[1]b\" FROM \"my // table\"",
       "SELECT split(s, ',')[2]::INT AS v, 'lit::[1]//' FROM t",
       "SELECT f(x, y)::DECIMAL(10,2), arr[2:4] FROM t",
-      "SELECT arr[2:], arr[:3], arr[1:8:2] FROM t")
+      "SELECT arr[2:], arr[:3], arr[1:8:2] FROM t",
+      // round-6 forms: brace literals, map accessors, sampling, ordered
+      // aggregates, fmt format, window nulls-mode, DISTINCT ON
+      "SELECT {'a': 1, 'b': [1,2]}.a, MAP {'k': 1}, struct_insert(s, b := 2) FROM t",
+      "SELECT * FROM t USING SAMPLE 10%",
+      "SELECT list(x ORDER BY y DESC), first(x ORDER BY y) FROM t",
+      "SELECT format('{} {:d}', a, b) FROM t",
+      "SELECT lag(x IGNORE NULLS) OVER (ORDER BY k) FROM t",
+      "SELECT DISTINCT ON (v) k FROM t ORDER BY v, k DESC",
+      "SELECT 'abcdef'[2], 'abcdef'[2:4] FROM t")
     inputs.foreach { in =>
       val once = rw(in)
       assert(rw(once) == once, s"not stable for: $in ->\n  $once\n  ${rw(once)}")
