@@ -700,11 +700,55 @@ object DuckSqlShim {
             }
           }
         } else {
-          // Postgres-style ARRAY[...] sugar: drop the keyword
-          if (word.equalsIgnoreCase("array")) dropTrailingWord(out, word)
-          out.append("array(").append(rewrite(innerRaw)).append(')')
+          val forPos = findTopLevelWord(innerRaw, 0, Set("for"))
+          if (forPos >= 0) {
+            // list comprehension [expr FOR v IN list [IF cond]] →
+            // transform(filter(list, v -> cond), v -> expr)
+            val expr  = innerRaw.substring(0, forPos)
+            val rest  = innerRaw.substring(forPos + 3)
+            val inPos = findTopLevelWord(rest, 0, Set("in"))
+            if (inPos < 0)
+              fail("a list comprehension without IN",
+                "the form is [expr FOR v IN list [IF cond]]")
+            val v = rest.substring(0, inPos).trim
+            if (v.isEmpty || v.head.isDigit ||
+              !v.forall(ch => ch.isLetterOrDigit || ch == '_'))
+              fail("a list comprehension with a non-identifier variable",
+                "the form is [expr FOR v IN list [IF cond]]")
+            val rest2 = rest.substring(inPos + 2)
+            val ifPos = findTopLevelWord(rest2, 0, Set("if"))
+            val (lstTxt, condTxt) =
+              if (ifPos < 0) (rest2, None)
+              else (rest2.substring(0, ifPos), Some(rest2.substring(ifPos + 2)))
+            val lst = rewriteTokens(lstTxt).trim
+            val src = condTxt match {
+              case Some(ct) => s"filter($lst, $v -> ${rewriteTokens(ct).trim})"
+              case None     => lst
+            }
+            if (word.equalsIgnoreCase("array")) dropTrailingWord(out, word)
+            out.append(s"transform($src, $v -> ${rewriteTokens(expr).trim})")
+          } else {
+            // Postgres-style ARRAY[...] sugar: drop the keyword
+            if (word.equalsIgnoreCase("array")) dropTrailingWord(out, word)
+            out.append("array(").append(rewrite(innerRaw)).append(')')
+          }
         }
         i = end
+      } else if (c == '^' || (c == '*' && i + 1 < n && sql.charAt(i + 1) == '*' &&
+          prevSignificant(out) != '(' && prevSignificant(out) != ',')) {
+        // DuckDB's `^` and `**` are POWER (left-assoc, tighter than
+        // `*`, looser than unary minus); Spark's `^` is bitwise XOR —
+        // a silent wrong answer without the rewrite (use xor(a, b),
+        // registered, for bitwise)
+        val opLen = if (c == '^') 1 else 2
+        val rEnd  = scanAtom(sql, i + opLen)
+        val start = powerOperandStart(out)
+        out.insert(start, "power(")
+        while (out.nonEmpty && out.charAt(out.length - 1).isWhitespace)
+          out.setLength(out.length - 1)
+        out.append(", ").append(rewriteTokens(sql.substring(i + opLen, rEnd)).trim)
+          .append(')')
+        i = rEnd
       } else if (c == '{') {
         // DuckDB struct literal `{'k': v, ...}` → named_struct; the
         // `MAP {k: v, ...}` prefix form → map(k, v, ...). Spark has no
@@ -1040,6 +1084,29 @@ object DuckSqlShim {
               out.append("duck_datediff(").append(rewriteTokens(inner)).append(')')
             else out.append(word).append('(').append(rewriteTokens(inner)).append(')')
             i = end
+          case "similar" if {
+            var j = i
+            while (j < n && sql.charAt(j).isWhitespace) j += 1
+            var k = j
+            while (k < n && sql.charAt(k).isLetter) k += 1
+            sql.substring(j, k).equalsIgnoreCase("to")
+          } =>
+            // `x [NOT] SIMILAR TO p` — full-match regex in DuckDB
+            // (≡ regexp_full_match); Spark has no SIMILAR TO
+            while (i < n && sql.charAt(i).isWhitespace) i += 1
+            i += 2 // consume TO
+            val rEnd     = scanAtom(sql, i)
+            val rightTxt = rewriteTokens(sql.substring(i, rEnd)).trim
+            val negWord  = trailingWord(out)
+            val negated  = negWord.equalsIgnoreCase("not")
+            if (negated) dropTrailingWord(out, negWord)
+            val start = operandStart(out)
+            out.insert(start,
+              if (negated) "NOT regexp_full_match(" else "regexp_full_match(")
+            while (out.nonEmpty && out.charAt(out.length - 1).isWhitespace)
+              out.setLength(out.length - 1)
+            out.append(", ").append(rightTxt).append(')')
+            i = rEnd
           case _ => out.append(word)
         }
       } else {
@@ -1047,6 +1114,69 @@ object DuckSqlShim {
       }
     }
     out.toString
+  }
+
+  /** End index (exclusive) of the atom starting at `from` (whitespace
+    * skipped): optional unary sign, then a string literal, paren
+    * group, number, or identifier chain with an optional call-argument
+    * group. Used to capture the RIGHT operand of infix rewrites
+    * (`^` power, `SIMILAR TO`).
+    */
+  private def scanAtom(sql: String, from: Int): Int = {
+    val n = sql.length
+    var p = from
+    while (p < n && sql.charAt(p).isWhitespace) p += 1
+    if (p < n && (sql.charAt(p) == '-' || sql.charAt(p) == '+')) p += 1
+    while (p < n && sql.charAt(p).isWhitespace) p += 1
+    if (p >= n) fail("an infix operator at end of input", "check the expression")
+    val c0 = sql.charAt(p)
+    if (c0 == '\'') closeString(sql, p)
+    else if (c0 == '(') closeDelim(sql, p, '(', ')')
+    else if (c0.isDigit || c0 == '.') {
+      while (p < n && (sql.charAt(p).isLetterOrDigit || sql.charAt(p) == '.')) p += 1
+      p
+    } else if (c0.isLetter || c0 == '_' || c0 == '"' || c0 == '`') {
+      if (c0 == '"') p = closeQuoted(sql, p)
+      else if (c0 == '`') { p += 1; while (p < n && sql.charAt(p) != '`') p += 1; p += 1 }
+      else while (p < n && (sql.charAt(p).isLetterOrDigit || sql.charAt(p) == '_' ||
+        sql.charAt(p) == '.')) p += 1
+      if (p < n && sql.charAt(p) == '(') closeDelim(sql, p, '(', ')') else p
+    } else fail(s"an infix operator followed by '$c0'", "check the expression")
+  }
+
+  /** Start of the LEFT operand for the power rewrite: [[operandStart]]
+    * extended to absorb a UNARY sign — DuckDB's unary minus binds
+    * tighter than `^` (`-2 ^ 2` = 4), unlike the `::` cast (which
+    * binds tighter than the sign), so only the power path wants this.
+    */
+  private def powerOperandStart(out: StringBuilder): Int = {
+    val start = operandStart(out)
+    var k = start - 1
+    while (k >= 0 && out.charAt(k).isWhitespace) k -= 1
+    if (k >= 0 && (out.charAt(k) == '-' || out.charAt(k) == '+')) {
+      var j = k - 1
+      while (j >= 0 && out.charAt(j).isWhitespace) j -= 1
+      val unary =
+        if (j < 0) true
+        else {
+          val pc = out.charAt(j)
+          if (pc.isLetterOrDigit || pc == '_') {
+            // a word before the sign: unary after keywords (SELECT -2),
+            // binary after identifiers/numbers (x - 2)
+            NonOperandKeywords.contains(trailingWordAt(out, j + 1).toLowerCase)
+          } else pc != ')' && pc != ']' && pc != '\'' && pc != '`' && pc != '"'
+        }
+      if (unary) k else start
+    } else start
+  }
+
+  /** [[trailingWord]] at an arbitrary end position. */
+  private def trailingWordAt(out: StringBuilder, end0: Int): String = {
+    var end = end0
+    while (end > 0 && out.charAt(end - 1).isWhitespace) end -= 1
+    var j = end - 1
+    while (j >= 0 && (out.charAt(j).isLetterOrDigit || out.charAt(j) == '_')) j -= 1
+    out.substring(j + 1, end)
   }
 
   /** Split a trailing in-args `IGNORE NULLS` / `RESPECT NULLS` off an

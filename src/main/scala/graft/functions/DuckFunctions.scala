@@ -669,6 +669,16 @@ object DuckFunctions {
         Literal("v"))
     reg.createOrReplaceTempFunction("list", duckListAgg, "built-in")
     reg.createOrReplaceTempFunction("array_agg", duckListAgg, "built-in")
+    // regexp_full_match (also the SIMILAR TO rewrite target): DuckDB
+    // anchors the whole string; RLike is partial-match, so wrap the
+    // pattern in ^(?: )$
+    reg.createOrReplaceTempFunction("regexp_full_match",
+      es => RLike(es(0), Concat(Seq(Literal("^(?:"), es(1), Literal(")$")))),
+      "built-in")
+    // scalar xor — DuckDB's `^` operator is POWER (the shim rewrites
+    // it), so bitwise xor needs the function name
+    reg.createOrReplaceTempFunction("xor",
+      es => BitwiseXor(es(0), es(1)), "built-in")
     // struct_insert(s, 'name', value, ...) — the shim flattens the
     // := pairs; folds to UpdateFields. Delta: an existing name is
     // REPLACED here where DuckDB raises a binder error.

@@ -559,6 +559,39 @@ class DuckSqlShimSpec extends AnyFunSuite {
     assert(dn == 3L)
   }
 
+  test("power operator, list comprehensions, SIMILAR TO") {
+    graft.functions.DuckFunctions.register(spark)
+    // ^ / ** are POWER in DuckDB (Spark ^ is XOR — silent wrong answer)
+    assert(rw("SELECT 2 ^ 3") == "SELECT power(2, 3)")
+    assert(rw("SELECT 2 ** 3") == "SELECT power(2, 3)")
+    assert(rw("SELECT 2 ^ 3 ^ 2") == "SELECT power(power(2, 3), 2)") // left-assoc
+    assert(rw("SELECT -2 ^ 2") == "SELECT power(-2, 2)")   // unary minus binds tighter
+    assert(rw("SELECT x - 2 ^ 2") == "SELECT x - power(2, 2)") // binary minus does not
+    assert(rw("SELECT 3 + 2 ^ 2 * 2") == "SELECT 3 + power(2, 2) * 2") // tighter than *
+    assert(rw("SELECT f(x, 1) ^ 2") == "SELECT power(f(x, 1), 2)")
+    // comprehensions
+    assert(rw("SELECT [x * 2 FOR x IN [1,2,3]]") ==
+      "SELECT transform(array(1,2,3), x -> x * 2)")
+    assert(rw("SELECT [x FOR x IN l IF x > 0]") ==
+      "SELECT transform(filter(l, x -> x > 0), x -> x)")
+    // SIMILAR TO is a full-match regex
+    assert(rw("SELECT s SIMILAR TO 'ab.'") == "SELECT regexp_full_match(s, 'ab.')")
+    assert(rw("SELECT s NOT SIMILAR TO 'ab.'") ==
+      "SELECT NOT regexp_full_match(s, 'ab.')")
+    // execution (DuckDB-verified values)
+    val r = spark.sql(rw(
+      """SELECT 2 ^ 3 AS p, -2 ^ 2 AS up, 2 ^ -1 AS inv,
+        |  array_to_string([x FOR x IN [1,2,3,4] IF x % 2 = 0], ',') AS comp,
+        |  'abc' SIMILAR TO 'ab.' AS m1, 'abc' SIMILAR TO 'ab' AS m2,
+        |  xor(5, 3) AS x""".stripMargin)).head()
+    assert(r.getDouble(0) == 8.0)
+    assert(r.getDouble(1) == 4.0)
+    assert(r.getDouble(2) == 0.5)
+    assert(r.getString(3) == "2,4")
+    assert(r.getBoolean(4) && !r.getBoolean(5))
+    assert(r.getInt(6) == 6)
+  }
+
   test("DISTINCT ON rewrites to the row_number idiom") {
     import spark.implicits._
     Seq((1, "a"), (2, "a"), (3, "b")).toDF("k", "v").createOrReplaceTempView("don_t")

@@ -362,6 +362,23 @@ def struct_map_cases():
     yield "(SELECT first(x ORDER BY y) FROM (VALUES (9,CAST(NULL AS INT)),(2,1)) t(x,y))", "long"
     yield "(SELECT first(x ORDER BY y DESC) FROM (VALUES (1,3),(2,1)) t(x,y))", "long"
     yield "(SELECT last(x ORDER BY y DESC) FROM (VALUES (1,3),(2,1)) t(x,y))", "long"
+    # power operator (^ and ** = power in DuckDB), comprehensions,
+    # SIMILAR TO (full-match), scalar xor
+    yield "2 ^ 3", "double"
+    yield "2 ** 3", "double"
+    yield "2 ^ 3 ^ 2", "double"
+    yield "-2 ^ 2", "double"
+    yield "2 ^ -1", "double"
+    yield "3 + 2 ^ 2 * 2", "double"
+    yield "1.5 ^ 2", "double"
+    yield "array_to_string([x * 2 FOR x IN [1,2,3]], ',')", "str"
+    yield "array_to_string([upper(x) FOR x IN ['a','b']], ',')", "str"
+    yield "array_to_string([x FOR x IN [1,2,3,4] IF x % 2 = 0], ',')", "str"
+    yield "'abc' SIMILAR TO 'ab.'", "bool"
+    yield "'abc' SIMILAR TO 'ab'", "bool"
+    yield "'abc' NOT SIMILAR TO 'ab'", "bool"
+    yield "regexp_full_match('abc', 'a.*')", "bool"
+    yield "xor(5, 3)", "long"
     # struct_insert (appended fields)
     yield "struct_insert({'a': 1}, b := 7).b", "long"
     yield "struct_insert({'a': 1}, b := 7, c := 'x').a", "long"
