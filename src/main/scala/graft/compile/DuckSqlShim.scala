@@ -923,6 +923,42 @@ object DuckSqlShim {
             out.append(word).append('(').append(rewriteTokens(args)).append(')')
               .append(suffix)
             i = end
+          case "extract" if nextSignificant(sql, i) == '(' =>
+            // extract(part FROM x) → duck_datepart('part', x): Spark's
+            // second is fractional, its dow is 1-based, and it rejects
+            // isodow/epoch/micro/millisecond/century/decade/millennium
+            // outright — the registered expression carries DuckDB's
+            // values for every part
+            while (i < n && sql.charAt(i).isWhitespace) i += 1
+            val end   = closeDelim(sql, i, '(', ')')
+            val inner = sql.substring(i + 1, end - 1)
+            val fp    = findTopLevelWord(inner, 0, Set("from"))
+            if (fp < 0) out.append(word).append('(').append(rewriteTokens(inner)).append(')')
+            else {
+              val part = inner.substring(0, fp).trim.replace("'", "")
+              if (part.isEmpty || !part.forall(ch => ch.isLetterOrDigit || ch == '_'))
+                fail(s"extract with part '$part'", "use a plain part name")
+              out.append(s"duck_datepart('${part.toLowerCase}', ")
+                .append(rewriteTokens(inner.substring(fp + 4)).trim).append(')')
+            }
+            i = end
+          case "date_part" | "datepart" if nextSignificant(sql, i) == '(' =>
+            // 2-arg literal-part form → duck_datepart (Spark's own
+            // date_part has the same value divergences as extract);
+            // the list-of-parts form returns a struct — manual port
+            while (i < n && sql.charAt(i).isWhitespace) i += 1
+            val end   = closeDelim(sql, i, '(', ')')
+            val inner = sql.substring(i + 1, end - 1)
+            val parts = splitTopLevel(inner).map(_.trim)
+            val isLit = parts.length == 2 && parts.head.length >= 2 &&
+              parts.head.head == '\'' &&
+              closeString(parts.head, 0) == parts.head.length
+            if (!isLit)
+              fail(s"$word without a literal part name",
+                "the list-of-parts struct form needs a manual port")
+            out.append("duck_datepart(").append(parts.head.toLowerCase)
+              .append(", ").append(rewriteTokens(parts(1)).trim).append(')')
+            i = end
           case "format" if nextSignificant(sql, i) == '(' =>
             // DuckDB's fmt-style format('{} and {}', ...) → printf
             // with %-codes; NULL on any NULL argument (java.util.

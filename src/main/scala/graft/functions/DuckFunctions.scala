@@ -669,6 +669,28 @@ object DuckFunctions {
         Literal("v"))
     reg.createOrReplaceTempFunction("list", duckListAgg, "built-in")
     reg.createOrReplaceTempFunction("array_agg", duckListAgg, "built-in")
+    // date-part surface with DuckDB semantics — the shim routes
+    // extract(part FROM x) and date_part('part', x) here, and the
+    // DuckDB scalar names register directly (dayofweek SHADOWS Spark's
+    // 1-based builtin with DuckDB's 0-based count — session-registry
+    // only). Spark rejects isodow/epoch/microsecond/millisecond/
+    // century/decade/millennium/era outright, and its second/dow
+    // values differ (fractional seconds, 1-based dow).
+    reg.createOrReplaceTempFunction("duck_datepart",
+      es => {
+        val p = es(0) match {
+          case Literal(s, StringType) if s != null => s.toString
+          case other => throw new IllegalArgumentException(
+            s"duck_datepart expects a literal part name, got $other")
+        }
+        duckDatePartExpr(p, es(1))
+      }, "built-in")
+    Seq("dayofweek", "weekday", "isodow", "millisecond", "microsecond",
+      "epoch", "decade", "century", "millennium", "era", "yearweek",
+      "isoyear").foreach { nm =>
+      reg.createOrReplaceTempFunction(nm,
+        es => duckDatePartExpr(nm, es.head), "built-in")
+    }
     // regexp_full_match (also the SIMILAR TO rewrite target): DuckDB
     // anchors the whole string; RLike is partial-match, so wrap the
     // pattern in ^(?: )$
@@ -714,6 +736,62 @@ object DuckFunctions {
     }
     override protected def withNewChildrenInternal(
         newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+  }
+
+  /** DuckDB date-part semantics over native Catalyst expressions.
+    * Values verified against DuckDB 1.0: `second` is the WHOLE second
+    * (no fraction), `dow`/`dayofweek`/`weekday` are 0-based Sunday,
+    * `isodow` is Mon=1..Sun=7, `epoch` is DOUBLE seconds with the
+    * fraction, `microsecond`/`millisecond` count within the minute
+    * (truncated), `decade` = floor(y/10), `century`/`millennium` =
+    * ceil, `era` flags CE, `isoyear`/`yearweek` use the ISO week-year
+    * (the year of the week's Thursday).
+    */
+  private def duckDatePartExpr(part0: String, x: Expression): Expression = {
+    val aliases = Map(
+      "years" -> "year", "months" -> "month", "days" -> "day",
+      "hours" -> "hour", "minutes" -> "minute", "seconds" -> "second",
+      "dayofmonth" -> "day", "dayofyear" -> "doy", "weekofyear" -> "week",
+      "weeks" -> "week", "quarters" -> "quarter", "decades" -> "decade",
+      "centuries" -> "century", "millenniums" -> "millennium",
+      "millennia" -> "millennium", "microseconds" -> "microsecond",
+      "milliseconds" -> "millisecond", "weekday" -> "dow",
+      "dayofweek" -> "dow")
+    def yearE  = Year(x)
+    def micros = Pmod(UnixMicros(Cast(x, TimestampType)), Literal(60000000L))
+    def isoYear =
+      Year(DateAdd(Cast(x, DateType), Subtract(Literal(3), WeekDay(x))))
+    aliases.getOrElse(part0.toLowerCase, part0.toLowerCase) match {
+      case "year"    => yearE
+      case "month"   => Month(x)
+      case "day"     => DayOfMonth(x)
+      case "hour"    => Hour(x)
+      case "minute"  => Minute(x)
+      case "second"  => Second(x) // whole seconds, as DuckDB's
+      case "quarter" => Quarter(x)
+      case "doy"     => DayOfYear(x)
+      case "week"    => WeekOfYear(x) // ISO week in both engines
+      case "dow"     => Subtract(DayOfWeek(x), Literal(1))
+      case "isodow"  => Add(WeekDay(x), Literal(1))
+      case "epoch" =>
+        Divide(Cast(UnixMicros(Cast(x, TimestampType)), DoubleType),
+          Literal(1000000.0))
+      case "microsecond" => micros
+      case "millisecond" => IntegralDivide(micros, Literal(1000L))
+      case "decade" =>
+        Floor(Divide(Cast(yearE, DoubleType), Literal(10.0)))
+      case "century" =>
+        Ceil(Divide(Cast(yearE, DoubleType), Literal(100.0)))
+      case "millennium" =>
+        Ceil(Divide(Cast(yearE, DoubleType), Literal(1000.0)))
+      case "era"     => If(GreaterThan(yearE, Literal(0)), Literal(1), Literal(0))
+      case "isoyear" => isoYear
+      case "yearweek" =>
+        Add(Multiply(isoYear, Literal(100)), WeekOfYear(x))
+      case other => throw new IllegalArgumentException(
+        s"date part '$other' has no registered DuckDB mapping " +
+          "(see docs/sql-dialect.md)")
+    }
   }
 
   /** DuckDB `product(x)`: DOUBLE multiply-fold over the group, NULLs

@@ -313,6 +313,33 @@ def cases():
         yield f"date_diff({slit(part)}, {a}, {b})", "long"
 
 
+def date_part_cases():
+    # date-part conformance: Spark's extract has fractional seconds,
+    # 1-based dow, and rejects isodow/epoch/micro/millis/century/
+    # decade/millennium/era — all routed through duck_datepart
+    tss = ["TIMESTAMP '2024-03-05 09:07:03.123456'",
+           "TIMESTAMP '1999-12-31 23:59:59.5'",
+           "DATE '2021-01-03'", "DATE '2000-02-29'",
+           "TIMESTAMP '1969-07-20 20:17:40'"]
+    parts = ["year", "month", "day", "hour", "minute", "second", "quarter",
+             "doy", "week", "dow", "isodow", "decade", "century",
+             "millennium", "era", "yearweek", "isoyear", "dayofweek",
+             "weekday", "dayofyear", "weekofyear"]
+    for t in tss:
+        for p in parts:
+            yield f"extract({p} FROM {t})", "long"
+        yield f"date_part('dow', {t})", "long"
+        yield f"datepart('second', {t})", "long"
+        yield f"extract(epoch FROM {t})", "double"
+        yield f"extract(microsecond FROM {t})", "long"
+        yield f"extract(millisecond FROM {t})", "long"
+        yield f"dayofweek({t})", "long"
+        yield f"isodow({t})", "long"
+        yield f"century({t})", "long"
+        yield f"yearweek({t})", "long"
+        yield f"epoch({t})", "double"
+
+
 def struct_map_cases():
     # struct / MAP literals (shim: named_struct / map) — exercised via
     # scalar extraction because struct/map VARCHAR rendering differs
@@ -545,7 +572,7 @@ def fuzz_cases():
 
 rows, seen = [], set()
 import itertools
-for expr, typ in itertools.chain(cases(), struct_map_cases(),
+for expr, typ in itertools.chain(cases(), date_part_cases(), struct_map_cases(),
                                  string_slice_sweep(), fuzz_cases()):
     if expr in seen:
         continue
