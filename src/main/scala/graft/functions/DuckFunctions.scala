@@ -669,6 +669,28 @@ object DuckFunctions {
         Literal("v"))
     reg.createOrReplaceTempFunction("list", duckListAgg, "built-in")
     reg.createOrReplaceTempFunction("array_agg", duckListAgg, "built-in")
+    // vector math over embedding lists: DuckDB's list_* kernels map to
+    // the engine's native one-pass vector expressions (same kernels the
+    // ANN operators run on); operands cast to array<double> so decimal
+    // literals work
+    locally {
+      import VectorExpressions.{VecDot, VecNorm, VecDist}
+      def vd(e: Expression)  = Cast(e, ArrayType(DoubleType))
+      reg.createOrReplaceTempFunction("list_dot_product",
+        es => VecDot(vd(es(0)), vd(es(1))), "built-in")
+      reg.createOrReplaceTempFunction("list_inner_product",
+        es => VecDot(vd(es(0)), vd(es(1))), "built-in")
+      reg.createOrReplaceTempFunction("list_cosine_similarity",
+        es => Divide(VecDot(vd(es(0)), vd(es(1))),
+          Multiply(VecNorm(vd(es(0))), VecNorm(vd(es(1))))), "built-in")
+      reg.createOrReplaceTempFunction("list_distance",
+        es => VecDist(vd(es(0)), vd(es(1))), "built-in")
+    }
+    // to_timestamp: NUMERIC epoch seconds in DuckDB (fractions kept);
+    // Spark's to_timestamp parses strings — shadow with the numeric
+    // meaning (DuckDB has no string form, so nothing is lost)
+    reg.createOrReplaceTempFunction("to_timestamp",
+      es => SecondsToTimestamp(Cast(es.head, DoubleType)), "built-in")
     // date-part surface with DuckDB semantics — the shim routes
     // extract(part FROM x) and date_part('part', x) here, and the
     // DuckDB scalar names register directly (dayofweek SHADOWS Spark's

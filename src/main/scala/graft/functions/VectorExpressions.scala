@@ -48,6 +48,28 @@ object VectorExpressions {
     override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   }
 
+  /** √(Σ (aᵢ−bᵢ)²) over the common prefix length — the exact
+    * euclidean distance (one pass; composing from dot products can go
+    * fractionally negative under the root for near-identical vectors).
+    */
+  case class VecDist(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vec_dist"
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val ea = elemType(left.dataType); val eb = elemType(right.dataType)
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0; var i = 0
+      while (i < n) {
+        val d = toDouble(a, ea, i) - toDouble(b, eb, i); s += d * d; i += 1
+      }
+      math.sqrt(s)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+  }
+
   /** √(Σ aᵢ²). */
   case class VecNorm(child: Expression) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType

@@ -340,6 +340,27 @@ def date_part_cases():
         yield f"epoch({t})", "double"
 
 
+def vector_cases():
+    # vector math over embedding lists (the engine's native kernels)
+    rng = random.Random(99)
+    for _ in range(25):
+        n = rng.randint(1, 8)
+        a = "[" + ", ".join(f"{rng.randint(-9, 9)}.0" for _ in range(n)) + "]"
+        b = "[" + ", ".join(f"{rng.randint(-9, 9)}.0" for _ in range(n)) + "]"
+        yield f"list_dot_product({a}, {b})", "double"
+        yield f"list_inner_product({a}, {b})", "double"
+        yield f"list_distance({a}, {b})", "double"
+        yield f"list_cosine_similarity({a}, {b})", "double"
+    yield "list_dot_product([1.0,2.0], [3.0,4.0])", "double"
+    yield "list_distance([1.0,2.0], [4.0,6.0])", "double"
+    yield "epoch_us(to_timestamp(1700000000.5))", "long"
+    yield "epoch_us(to_timestamp(0))", "long"
+    # split_part: 1-based, '' out of range, negative from the end
+    yield "split_part('a,b,c', ',', 2)", "str"
+    yield "split_part('a,b,c', ',', 9)", "str"
+    yield "split_part('a,b,c', ',', -1)", "str"
+
+
 def struct_map_cases():
     # struct / MAP literals (shim: named_struct / map) — exercised via
     # scalar extraction because struct/map VARCHAR rendering differs
@@ -572,7 +593,7 @@ def fuzz_cases():
 
 rows, seen = [], set()
 import itertools
-for expr, typ in itertools.chain(cases(), date_part_cases(), struct_map_cases(),
+for expr, typ in itertools.chain(cases(), date_part_cases(), vector_cases(), struct_map_cases(),
                                  string_slice_sweep(), fuzz_cases()):
     if expr in seen:
         continue
