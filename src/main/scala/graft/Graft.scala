@@ -162,6 +162,19 @@ final class Graft(val spark: SparkSession, stateDir: String) {
                  saltFactor: Int = 1): DataFrame =
     graft.ops.Dedup.fuzzyNamePairs(df, idCol, nameCol, threshold, blockLen, saltFactor)
 
+  /** As-of join: for each left row, the single right row with the
+    * largest `rightTs` ≤ `leftTs` per key (DuckDB's `ASOF JOIN`;
+    * `forward = true` flips to smallest ≥). Union + tagged sort +
+    * running-last window — one shuffle, no join node, no
+    * candidate-pair blowup.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, forward: Boolean = false,
+               tolerance: Option[org.apache.spark.sql.Column] = None,
+               inner: Boolean = true): DataFrame =
+    graft.ops.AsofJoin.asof(left, right, keys, leftTs, rightTs, forward,
+      tolerance, inner)
+
   /** Exact cosine top-k neighbors (broadcast query set × corpus scan). */
   def annTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int = 10): DataFrame =

@@ -102,5 +102,39 @@ object EventQueries {
              |SELECT prev_type, event_type, COUNT(*) AS n
              |FROM t WHERE prev_type IS NOT NULL
              |GROUP BY prev_type, event_type ORDER BY prev_type, event_type""".stripMargin)),
+
+    // As-of join: each event attaches the LATEST sparse per-user
+    // checkpoint at-or-before its timestamp (checkpoints = hours with
+    // ≥3 events, so matches genuinely look back across hours). The
+    // oracle is DuckDB's native ASOF JOIN; the Spark side is the
+    // union + tagged-sort + running-last plan (one shuffle, no join
+    // node — ops/AsofJoin).
+    Q("events_asof_join",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val ev = s.table("events").select(col("event_id"), col("user_id"), col("ts"))
+        val cp = s.table("events")
+          .groupBy(col("user_id"),
+            expr("timestamp_micros((unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000) * 3600000000)")
+              .as("cp_ts"))
+          .agg(count(lit(1)).as("cp_n"))
+          .where(col("cp_n") >= 3)
+        graft.ops.AsofJoin.asof(ev, cp, Seq("user_id"), "ts", "cp_ts")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+            unix_micros(col("cp_ts").cast("timestamp")).as("cp_us"),
+            col("cp_n"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH cp AS (
+             |  SELECT user_id,
+             |         make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS cp_ts,
+             |         COUNT(*) AS cp_n
+             |  FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+             |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+             |       epoch_us(cp.cp_ts) AS cp_us, cp.cp_n
+             |FROM events e
+             |ASOF JOIN cp ON e.user_id = cp.user_id AND e.ts >= cp.cp_ts
+             |ORDER BY e.event_id""".stripMargin)),
   )
 }

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** As-of join semantics on hand-computed fixtures (backward/forward,
+  * inclusive equal timestamps, tolerance, inner vs outer), plus the
+  * plan-shape claim: the union + tagged-sort + running-last rewrite
+  * must contain NO join node — that is the whole point of the design.
+  */
+class AsofJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def events = Seq(
+    // (key, event time, label)
+    (1, 5L, "e1"), (1, 9L, "e2"), (1, 2L, "e0"), (2, 4L, "f1"), (3, 7L, "g1"))
+    .toDF("k", "t", "ev")
+
+  private def quotes = Seq(
+    // (key, quote time, value) — key 3 has no quote at-or-before 7
+    (1, 3L, "a"), (1, 7L, "b"), (2, 4L, "c"), (3, 9L, "d"))
+    .toDF("k", "qt", "v")
+
+  test("backward asof picks the latest right row at-or-before, per key") {
+    val r = AsofJoin.asof(events, quotes, Seq("k"), "t", "qt")
+      .orderBy("k", "t").collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getString(2), x.getLong(3), x.getString(4)))
+    assert(r.toSeq == Seq(
+      (1, 5L, "e1", 3L, "a"),   // 5 >= 3, not yet 7
+      (1, 9L, "e2", 7L, "b"),   // latest of {3, 7}
+      (2, 4L, "f1", 4L, "c")))  // equal timestamps match (inclusive)
+    // inner: (1, 2, e0) has no quote <= 2; key 3's only quote is later
+  }
+
+  test("outer keeps unmatched left rows with NULL right payload") {
+    val r = AsofJoin.asof(events, quotes, Seq("k"), "t", "qt", inner = false)
+      .orderBy("k", "t").collect()
+    assert(r.length == 5)
+    val unmatched = r.filter(_.isNullAt(4)).map(x => (x.getInt(0), x.getLong(1))).toSeq
+    assert(unmatched == Seq((1, 2L), (3, 7L)))
+  }
+
+  test("forward asof picks the earliest right row at-or-after") {
+    val r = AsofJoin.asof(events, quotes, Seq("k"), "t", "qt", forward = true)
+      .orderBy("k", "t").collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(3), x.getString(4)))
+    assert(r.toSeq == Seq(
+      (1, 2L, 3L, "a"), (1, 5L, 7L, "b"),
+      (2, 4L, 4L, "c"),           // inclusive
+      (3, 7L, 9L, "d")))          // (1, 9) has nothing later -> dropped
+  }
+
+  test("tolerance bounds the gap") {
+    val r = AsofJoin.asof(events, quotes, Seq("k"), "t", "qt",
+      tolerance = Some(lit(2L)))
+      .orderBy("k", "t").collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(3)))
+    // (1, 5) -> quote 3 gap 2 kept; (1, 9) -> quote 7 gap 2 kept;
+    // (2, 4) gap 0
+    assert(r.toSeq == Seq((1, 5L, 3L), (1, 9L, 7L), (2, 4L, 4L)))
+    val tight = AsofJoin.asof(events, quotes, Seq("k"), "t", "qt",
+      tolerance = Some(lit(1L))).collect()
+    assert(tight.map(_.getLong(1)).toSeq.sorted == Seq(4L)) // only the gap-0 row
+  }
+
+  test("duplicate-name collision outside keys is rejected") {
+    val bad = quotes.withColumnRenamed("v", "ev")
+    val e = intercept[IllegalArgumentException](
+      AsofJoin.asof(events, bad, Seq("k"), "t", "qt"))
+    assert(e.getMessage.contains("ev"))
+  }
+
+  test("the plan has no join node and one shuffle of the union") {
+    val df = AsofJoin.asof(events, quotes, Seq("k"), "t", "qt")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+    assert(plan.contains("Window"), "expected the running-last window")
+  }
+}
