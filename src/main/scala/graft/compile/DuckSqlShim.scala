@@ -1120,6 +1120,16 @@ object DuckSqlShim {
               out.append("duck_datediff(").append(rewriteTokens(inner)).append(')')
             else out.append(word).append('(').append(rewriteTokens(inner)).append(')')
             i = end
+          case "asof" if {
+            var j = i
+            while (j < n && sql.charAt(j).isWhitespace) j += 1
+            var k = j
+            while (k < n && sql.charAt(k).isLetter) k += 1
+            sql.substring(j, k).equalsIgnoreCase("join")
+          } =>
+            fail("ASOF JOIN",
+              "use Graft.asofJoin (ops.AsofJoin) — the engine's one-shuffle " +
+                "as-of operator (backward/forward, tolerance, inner/outer)")
           case "similar" if {
             var j = i
             while (j < n && sql.charAt(j).isWhitespace) j += 1

@@ -541,6 +541,10 @@ class DuckSqlShimSpec extends AnyFunSuite {
       "SELECT a FROM t JOIN u USING (id)")
     intercept[IllegalArgumentException](
       rw("SELECT * FROM t USING SAMPLE 10% (bernoulli, 42)"))
+    // ASOF JOIN points at the engine operator
+    val asofErr = intercept[IllegalArgumentException](
+      rw("SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t"))
+    assert(asofErr.getMessage.contains("asofJoin"))
     // sampled scan executes (row count bounded, exact count is random)
     import spark.implicits._
     (1 to 100).toDF("x").createOrReplaceTempView("samp_t")
