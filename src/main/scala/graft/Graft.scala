@@ -175,6 +175,17 @@ final class Graft(val spark: SparkSession, stateDir: String) {
     graft.ops.AsofJoin.asof(left, right, keys, leftTs, rightTs, forward,
       tolerance, inner)
 
+  /** Interval-overlap join: pairs whose [start, end] ranges intersect
+    * (inclusive), optionally per equi key. Bucketized hash join — the
+    * raw inequality would plan as a nested-loop in Spark.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   lStart: String, lEnd: String, rStart: String, rEnd: String,
+                   keys: Seq[String] = Nil,
+                   bucket: Long = 3600000000L): DataFrame =
+    graft.ops.IntervalJoin.overlapJoin(left, right, lStart, lEnd, rStart, rEnd,
+      keys, bucket)
+
   /** Exact cosine top-k neighbors (broadcast query set × corpus scan). */
   def annTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int = 10): DataFrame =

@@ -136,5 +136,44 @@ object EventQueries {
              |FROM events e
              |ASOF JOIN cp ON e.user_id = cp.user_id AND e.ts >= cp.cp_ts
              |ORDER BY e.event_id""".stripMargin)),
+
+    // Interval-overlap join: per-user daily activity spans × busy
+    // hourly windows (≥8 events of one type). DuckDB plans the raw
+    // inequality with its IEJoin; the Spark side bucketizes both
+    // interval sets and hash-joins the buckets (ops/IntervalJoin) —
+    // the QueriesSmokeSpec cartesian/BNLJ gate proves no fallback.
+    Q("events_interval_join",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val us = unix_micros(col("ts").cast("timestamp"))
+        val spans = s.table("events")
+          .groupBy(col("user_id"),
+            expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("__day"))
+          .agg(min(us).as("s_start"), max(us).as("s_end"))
+          .drop("__day")
+        val wins = s.table("events")
+          .groupBy(col("event_type"),
+            expr("(unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000) * 3600000000")
+              .as("w_start"))
+          .agg(count(lit(1)).as("__n"))
+          .where(col("__n") >= 8)
+          .withColumn("w_end", col("w_start") + 3599999999L)
+          .drop("__n")
+        graft.ops.IntervalJoin
+          .overlapJoin(spans, wins, "s_start", "s_end", "w_start", "w_end",
+            bucket = 3600000000L)
+          .select(col("user_id"), col("s_start"), col("event_type"), col("w_start"))
+          .orderBy(col("user_id"), col("s_start"), col("event_type"), col("w_start"))
+      },
+      Some("""WITH spans AS (
+             |  SELECT user_id, epoch_us(MIN(ts)) AS s_start, epoch_us(MAX(ts)) AS s_end
+             |  FROM events GROUP BY user_id, epoch_us(ts) // 86400000000),
+             |wins AS (
+             |  SELECT event_type, (epoch_us(ts) // 3600000000) * 3600000000 AS w_start,
+             |         (epoch_us(ts) // 3600000000) * 3600000000 + 3599999999 AS w_end
+             |  FROM events GROUP BY 1, 2, 3 HAVING COUNT(*) >= 8)
+             |SELECT s.user_id, s.s_start, w.event_type, w.w_start
+             |FROM spans s JOIN wins w ON s.s_start <= w.w_end AND w.w_start <= s.s_end
+             |ORDER BY s.user_id, s.s_start, w.event_type, w.w_start""".stripMargin)),
   )
 }
