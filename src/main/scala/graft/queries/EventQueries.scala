@@ -137,28 +137,35 @@ object EventQueries {
              |ASOF JOIN cp ON e.user_id = cp.user_id AND e.ts >= cp.cp_ts
              |ORDER BY e.event_id""".stripMargin)),
 
-    // Interval-overlap join: per-user daily activity spans × busy
-    // hourly windows (≥8 events of one type). DuckDB plans the raw
-    // inequality with its IEJoin; the Spark side bucketizes both
-    // interval sets and hash-joins the buckets (ops/IntervalJoin) —
-    // the QueriesSmokeSpec cartesian/BNLJ gate proves no fallback.
+    // Interval-overlap join: per-user daily activity spans × the 40
+    // BUSIEST hourly windows per event type (top-k, not a count
+    // threshold — so the right side stays 200 rows at every SF and
+    // the result scales with the spans, not quadratically with
+    // density). DuckDB plans the raw inequality with its IEJoin; the
+    // Spark side bucketizes both interval sets and hash-joins the
+    // buckets (ops/IntervalJoin) — the QueriesSmokeSpec
+    // cartesian/BNLJ gate proves no fallback.
     Q("events_interval_join",
       (s, dir) => {
         Tables.registerAll(s, dir)
+        import org.apache.spark.sql.expressions.Window
         val us = unix_micros(col("ts").cast("timestamp"))
         val spans = s.table("events")
           .groupBy(col("user_id"),
             expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("__day"))
           .agg(min(us).as("s_start"), max(us).as("s_end"))
           .drop("__day")
+        val rk = Window.partitionBy(col("event_type"))
+          .orderBy(col("__n").desc, col("w_start"))
         val wins = s.table("events")
           .groupBy(col("event_type"),
             expr("(unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000) * 3600000000")
               .as("w_start"))
           .agg(count(lit(1)).as("__n"))
-          .where(col("__n") >= 8)
+          .withColumn("__rk", row_number().over(rk))
+          .where(col("__rk") <= 40)
           .withColumn("w_end", col("w_start") + 3599999999L)
-          .drop("__n")
+          .drop("__n", "__rk")
         graft.ops.IntervalJoin
           .overlapJoin(spans, wins, "s_start", "s_end", "w_start", "w_end",
             bucket = 3600000000L)
@@ -169,9 +176,11 @@ object EventQueries {
              |  SELECT user_id, epoch_us(MIN(ts)) AS s_start, epoch_us(MAX(ts)) AS s_end
              |  FROM events GROUP BY user_id, epoch_us(ts) // 86400000000),
              |wins AS (
-             |  SELECT event_type, (epoch_us(ts) // 3600000000) * 3600000000 AS w_start,
-             |         (epoch_us(ts) // 3600000000) * 3600000000 + 3599999999 AS w_end
-             |  FROM events GROUP BY 1, 2, 3 HAVING COUNT(*) >= 8)
+             |  SELECT event_type, w_start, w_start + 3599999999 AS w_end FROM (
+             |    SELECT event_type, (epoch_us(ts) // 3600000000) * 3600000000 AS w_start,
+             |           COUNT(*) AS n
+             |    FROM events GROUP BY 1, 2
+             |    QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY n DESC, w_start) <= 40))
              |SELECT s.user_id, s.s_start, w.event_type, w.w_start
              |FROM spans s JOIN wins w ON s.s_start <= w.w_end AND w.w_start <= s.s_end
              |ORDER BY s.user_id, s.s_start, w.event_type, w.w_start""".stripMargin)),
