@@ -44,6 +44,10 @@ object CoverageQueries {
     * first/last deterministic (l_linenumber repeats within an order in
     * the synthetic data, so a bare key would leave ties to engine
     * whim); product stays exact because line numbers are small ints.
+    * The `l_orderkey < 1000` prefilter (pushed to the scan) bounds the
+    * aggregate to ~1000 groups at every SF without changing the
+    * ORDER BY + LIMIT 100 result — this row proves the surface, not
+    * aggregate throughput.
     */
   val duckOrderedAggText: String =
     """SELECT l_orderkey,
@@ -55,6 +59,7 @@ object CoverageQueries {
       |       format('{}:{:d}', l_orderkey, len(list(l_linenumber))) AS tag,
       |       {'k': min(l_suppkey)}.k AS k_echo
       |FROM lineitem
+      |WHERE l_orderkey < 1000
       |GROUP BY l_orderkey
       |ORDER BY l_orderkey
       |LIMIT 100""".stripMargin
