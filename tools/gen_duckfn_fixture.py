@@ -589,6 +589,30 @@ def fuzz_cases():
         l = ilist()
         yield f"array_to_string(list_sort({l}), ',')", "str"
         yield f"({l})[{num(1)}]", "long"
+    # date/time fuzz: random instants through the translated surface
+    # (duck_datepart, duck_datediff, strftime, date_trunc, intervals)
+    drng = random.Random(4242)
+    def rand_ts():
+        y = drng.randint(1970, 2035)
+        mo = drng.randint(1, 12)
+        d = drng.randint(1, 28)
+        h, mi, se = drng.randint(0, 23), drng.randint(0, 59), drng.randint(0, 59)
+        us = drng.choice([0, 1, 500000, 999999])
+        return f"TIMESTAMP '{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{se:02d}.{us:06d}'"
+    dp = ["year", "month", "day", "hour", "minute", "second", "dow", "isodow",
+          "doy", "week", "quarter", "decade", "century", "era"]
+    dt = ["year", "month", "week", "day", "hour", "minute"]
+    fmts = ["%Y-%m-%d", "%H:%M:%S", "%a %d %b %Y", "%j %a", "%I %p", "%y%m%d"]
+    for _ in range(40):
+        a, b = rand_ts(), rand_ts()
+        yield f"extract({drng.choice(dp)} FROM {a})", "long"
+        yield f"datediff('{drng.choice(dt)}', {a}, {b})", "long"
+        yield f"epoch_us(date_trunc('{drng.choice(dt)}', {a}))", "long"
+        yield f"strftime({a}, {slit(drng.choice(fmts))})", "str"
+        n = drng.randint(1, 72)
+        unit = drng.choice(["hour", "day", "minute"])
+        yield f"epoch_us({a} + INTERVAL {n} {unit})", "long"
+        yield f"epoch_us({a} - INTERVAL {n} {unit})", "long"
 
 
 rows, seen = [], set()
