@@ -1130,6 +1130,20 @@ object DuckSqlShim {
             fail("ASOF JOIN",
               "use Graft.asofJoin (ops.AsofJoin) — the engine's one-shuffle " +
                 "as-of operator (backward/forward, tolerance, inner/outer)")
+          case "glob" if nextSignificant(sql, i) == '\'' =>
+            // `s GLOB 'a*c'` — case-sensitive glob full-match; only
+            // the literal-pattern form translates (to an anchored
+            // regex via regexp_full_match)
+            val rEnd = scanAtom(sql, i)
+            val lit  = sql.substring(i, rEnd).trim
+            val pat  = lit.substring(1, lit.length - 1).replace("''", "'")
+            val rx   = globToRegex(pat).replace("'", "''").replace("\\", "\\\\")
+            val start = operandStart(out)
+            out.insert(start, "regexp_full_match(")
+            while (out.nonEmpty && out.charAt(out.length - 1).isWhitespace)
+              out.setLength(out.length - 1)
+            out.append(", '").append(rx).append("')")
+            i = rEnd
           case "similar" if {
             var j = i
             while (j < n && sql.charAt(j).isWhitespace) j += 1
@@ -1223,6 +1237,43 @@ object DuckSqlShim {
     var j = end - 1
     while (j >= 0 && (out.charAt(j).isLetterOrDigit || out.charAt(j) == '_')) j -= 1
     out.substring(j + 1, end)
+  }
+
+  /** Glob pattern → regex: `*` → `.*`, `?` → `.`, `[ab]`/`[!ab]`
+    * classes kept (negation respelled `^`), everything else escaped
+    * literally. DuckDB 1.0-verified: case-sensitive, `.` literal,
+    * `[*]` escapes the star.
+    */
+  private def globToRegex(p: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < p.length) {
+      val c = p.charAt(i)
+      c match {
+        case '*' => out.append(".*")
+        case '?' => out.append('.')
+        case '[' =>
+          var j = i + 1
+          val neg = j < p.length && p.charAt(j) == '!'
+          if (neg) j += 1
+          out.append('[').append(if (neg) "^" else "")
+          // a leading ] is a literal member of the class
+          var first = true
+          while (j < p.length && (p.charAt(j) != ']' || first)) {
+            val cc = p.charAt(j)
+            if (cc == '\\' || cc == '^' || (cc == '[' )) out.append('\\')
+            out.append(cc)
+            first = false
+            j += 1
+          }
+          out.append(']')
+          i = j
+        case ch if "\\.^$+(){}|".indexOf(ch) >= 0 => out.append('\\').append(ch)
+        case ch => out.append(ch)
+      }
+      i += 1
+    }
+    out.toString
   }
 
   /** Split a trailing in-args `IGNORE NULLS` / `RESPECT NULLS` off an

@@ -422,6 +422,15 @@ def struct_map_cases():
     yield "array_to_string([x * 2 FOR x IN [1,2,3]], ',')", "str"
     yield "array_to_string([upper(x) FOR x IN ['a','b']], ',')", "str"
     yield "array_to_string([x FOR x IN [1,2,3,4] IF x % 2 = 0], ',')", "str"
+    yield "'abc' GLOB 'a*c'", "bool"
+    yield "'abc' GLOB 'a?c'", "bool"
+    yield "'abc' GLOB 'A*'", "bool"
+    yield "'a.c' GLOB 'a.c'", "bool"
+    yield "'axc' GLOB 'a.c'", "bool"
+    yield "'abc' GLOB 'a[bx]c'", "bool"
+    yield "'abc' GLOB 'a[!bx]c'", "bool"
+    yield "'a*c' GLOB 'a[*]c'", "bool"
+    yield "'hello world' GLOB 'h*o w?rld'", "bool"
     yield "'abc' SIMILAR TO 'ab.'", "bool"
     yield "'abc' SIMILAR TO 'ab'", "bool"
     yield "'abc' NOT SIMILAR TO 'ab'", "bool"
