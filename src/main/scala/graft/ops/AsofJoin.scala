@@ -48,9 +48,13 @@ object AsofJoin {
     val lPrep = left.select(
       keys.map(col) ++ Seq(col(leftTs).as("__t"),
         struct(lCols.map(col): _*).as("__l"), lit(1).as("__tag")): _*)
+    // equi semantics: a NULL key never matches (the window PARTITION
+    // BY would group left and right NULLs together otherwise), and a
+    // NULL right timestamp can never be "the latest at-or-before"
     val rPrep = right.select(
       keys.map(col) ++ Seq(col(rightTs).as("__t"),
         struct(rPayload.map(col): _*).as("__r"), lit(0).as("__tag")): _*)
+      .where(keys.map(col(_).isNotNull).foldLeft(col(rightTs).isNotNull)(_ && _))
     val u = lPrep.unionByName(rPrep, allowMissingColumns = true)
 
     // at equal timestamps the right row sorts FIRST (tag 0), so the

@@ -96,6 +96,45 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming face of the as-of join for the stream-static shape: a
+    * stream of events attaches the latest row of a STATIC (broadcast)
+    * timestamped dimension at-or-before each event. Candidates fan
+    * out per eligible dimension row and collapse with `max_by` per
+    * event — update-mode aggregation keyed by the event id, state one
+    * row per in-flight event. (The stream-STREAM as-of needs the
+    * union+window plan of ops.AsofJoin, which streaming windows can't
+    * express — pair a stream with a slowly-changing static side, the
+    * realistic shape.)
+    */
+  def startAsofStream(
+      spark: SparkSession, sourceDir: String, queryName: String,
+      checkpoints: DataFrame, keys: Seq[String],
+      rightTs: String): StreamingQuery = {
+    val src = spark.readStream
+      .schema(eventSchema)
+      .parquet(sourceDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val rPayload = checkpoints.columns.toSeq.filterNot(keys.contains)
+    val joined = src.join(
+      org.apache.spark.sql.functions.broadcast(checkpoints),
+      keys.map(k => src(k) === checkpoints(k))
+        .reduce(_ && _) && col(rightTs) <= col("ts"),
+      "inner")
+    joined
+      .groupBy(col("event_id"))
+      .agg(
+        first(col("ts")).as("ts"),
+        max_by(struct(rPayload.map(col): _*), col(rightTs)).as("__m"))
+      .select(Seq(col("event_id"), col("ts")) ++
+        rPayload.map(c => col("__m").getField(c).as(c)): _*)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   // ── stateful sessionization ────────────────────────────────────────
 
   final case class Event(event_id: Long, ts: java.time.LocalDateTime, user_id: Long,

@@ -71,6 +71,21 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(tight.map(_.getLong(1)).toSeq.sorted == Seq(4L)) // only the gap-0 row
   }
 
+  test("NULL keys and NULL right timestamps never match (equi semantics)") {
+    val lNull = Seq((Option(1), 5L, "e1"), (Option.empty[Int], 5L, "eN"))
+      .toDF("k", "t", "ev")
+    val rNull = Seq((Option(1), Option(3L), "a"),
+      (Option.empty[Int], Option(1L), "nullkey"),
+      (Option(1), Option.empty[Long], "nullts"))
+      .toDF("k", "qt", "v")
+    val inner = AsofJoin.asof(lNull, rNull, Seq("k"), "t", "qt").collect()
+    assert(inner.map(x => (x.getInt(0), x.getString(4))).toSeq == Seq((1, "a")))
+    val outer = AsofJoin.asof(lNull, rNull, Seq("k"), "t", "qt", inner = false)
+      .collect()
+    assert(outer.length == 2)
+    assert(outer.count(_.isNullAt(4)) == 1) // the NULL-key left row, unmatched
+  }
+
   test("duplicate-name collision outside keys is rejected") {
     val bad = quotes.withColumnRenamed("v", "ev")
     val e = intercept[IllegalArgumentException](

@@ -47,6 +47,40 @@ class EventStreamsSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (s1, b1) => assert(s1 == b1) }
   }
 
+  test("streaming stream-static asof equals the batch asof join") {
+    import org.apache.spark.sql.functions._
+    val src = java.nio.file.Files.createTempDirectory("graft_asof_src").toString
+    eventsBatch.write.mode("overwrite").parquet(src)
+
+    // sparse static checkpoints (hours with >= 2 events per user —
+    // sf0.001 is too thin for a higher bar)
+    val cp = eventsBatch
+      .groupBy(col("user_id"),
+        expr("timestamp_micros((unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000) * 3600000000)")
+          .as("cp_ts"))
+      .agg(count(lit(1)).as("cp_n"))
+      .where(col("cp_n") >= 2)
+      .cache()
+
+    val q = EventStreams.startAsofStream(spark, src, "stream_asof",
+      cp, Seq("user_id"), "cp_ts")
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_asof")
+      .select(col("event_id"),
+        unix_micros(col("cp_ts")).as("cp_us"), col("cp_n"))
+      .orderBy("event_id").collect()
+
+    val batch = graft.ops.AsofJoin.asof(
+        eventsBatch.select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp").as("ts")),
+        cp, Seq("user_id"), "ts", "cp_ts")
+      .select(col("event_id"), unix_micros(col("cp_ts")).as("cp_us"), col("cp_n"))
+      .orderBy("event_id").collect()
+
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s1, b1) => assert(s1 == b1) }
+  }
+
   test("stateful sessionizer agrees with batch SQL sessionization") {
     import spark.implicits._
     val ev = eventsBatch
