@@ -93,6 +93,35 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ev"))
   }
 
+  test("randomized trials agree with a brute-force reference") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val nl = 5 + rnd.nextInt(30)
+      val nr = 3 + rnd.nextInt(20)
+      val lrows = (0 until nl).map(i => (rnd.nextInt(4), rnd.nextInt(40).toLong, i))
+      val rrows = (0 until nr).map(i => (rnd.nextInt(4), rnd.nextInt(40).toLong, i))
+        // contract: unique (key, ts) on the right — ties are arbitrary
+        .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+      val forward = rnd.nextBoolean()
+      val l = lrows.toDF("k", "t", "lid")
+      val r = rrows.toDF("k", "qt", "rid")
+      val got = AsofJoin.asof(l, r, Seq("k"), "t", "qt", forward = forward)
+        .select("lid", "rid").collect().map(x => (x.getInt(0), x.getInt(1)))
+        .toSeq.sorted
+      val expected = lrows.flatMap { case (k, t, lid) =>
+        val cands =
+          if (forward) rrows.filter(rr => rr._1 == k && rr._2 >= t)
+          else rrows.filter(rr => rr._1 == k && rr._2 <= t)
+        if (cands.isEmpty) None
+        else {
+          val best = if (forward) cands.minBy(_._2) else cands.maxBy(_._2)
+          Some((lid, best._3))
+        }
+      }.sorted
+      assert(got == expected, s"trial $trial forward=$forward: $lrows vs $rrows")
+    }
+  }
+
   test("the plan has no join node and one shuffle of the union") {
     val df = AsofJoin.asof(events, quotes, Seq("k"), "t", "qt")
     val plan = df.queryExecution.executedPlan.toString
