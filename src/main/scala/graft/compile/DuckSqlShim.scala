@@ -58,7 +58,63 @@ object DuckSqlShim {
     "values", "exists", "any", "some", "interval", "using", "with", "return",
     "returning", "array")
 
-  def rewrite(sql: String): String = rewriteTokens(rewriteQualifyDeep(sql))
+  def rewrite(sql: String): String =
+    rewriteTokens(rewriteQualifyDeep(rewriteUnpivot(sql)))
+
+  /** DuckDB's statement-form `UNPIVOT t ON c1, c2 INTO NAME n VALUE v
+    * [tail]` → the SQL-standard `SELECT * FROM t UNPIVOT (v FOR n IN
+    * (c1, c2)) [tail]`, which both engines accept (NULL values
+    * excluded by default in both). The statement-form `PIVOT` cannot
+    * be mechanically rewritten — DuckDB infers the pivoted value list
+    * from the DATA, Spark requires it in the syntax — so it raises
+    * with guidance.
+    */
+  private def rewriteUnpivot(sql: String): String = {
+    val t = sql.trim
+    def firstWord(s: String): String = s.takeWhile(c => c.isLetterOrDigit || c == '_')
+    val fw = firstWord(t).toLowerCase
+    if (fw == "pivot")
+      fail("the statement-form PIVOT",
+        "DuckDB infers the pivoted values from data; Spark needs them in the " +
+          "syntax — use SELECT ... PIVOT (agg FOR col IN (v1, v2, ...)) with " +
+          "an explicit value list")
+    if (fw != "unpivot") return sql
+    var i = "unpivot".length
+    def skipWs(): Unit = while (i < t.length && t.charAt(i).isWhitespace) i += 1
+    def word(): String = {
+      val s = i
+      if (i < t.length && t.charAt(i) == '"') { i = closeQuoted(t, i); t.substring(s, i) }
+      else {
+        while (i < t.length && (t.charAt(i).isLetterOrDigit || t.charAt(i) == '_' ||
+          t.charAt(i) == '.')) i += 1
+        t.substring(s, i)
+      }
+    }
+    skipWs()
+    val table = word()
+    skipWs()
+    if (!word().equalsIgnoreCase("on"))
+      fail("UNPIVOT without ON", "the form is UNPIVOT t ON cols INTO NAME n VALUE v")
+    val intoPos = findTopLevelWord(t, i, Set("into"))
+    if (intoPos < 0)
+      fail("UNPIVOT without INTO NAME/VALUE",
+        "the form is UNPIVOT t ON cols INTO NAME n VALUE v")
+    val cols = t.substring(i, intoPos).trim
+    i = intoPos + "into".length
+    skipWs()
+    if (!word().equalsIgnoreCase("name"))
+      fail("UNPIVOT INTO without NAME", "the form is INTO NAME n VALUE v")
+    skipWs()
+    val nameCol = word()
+    skipWs()
+    if (!word().equalsIgnoreCase("value"))
+      fail("UNPIVOT INTO without VALUE", "the form is INTO NAME n VALUE v")
+    skipWs()
+    val valueCol = word()
+    val tail = t.substring(i).trim
+    s"SELECT * FROM $table UNPIVOT ($valueCol FOR $nameCol IN ($cols))" +
+      (if (tail.isEmpty) "" else s" $tail")
+  }
 
   /** [[rewriteQualify]] applied at every subquery nesting level,
     * innermost first: each balanced `(...)` group's content is
@@ -155,7 +211,7 @@ object DuckSqlShim {
     * the 1-arg form.
     */
   def rewrite(sql: String, resolveTable: String => Option[Seq[String]]): String =
-    rewriteTokens(rewriteQualifyDeep(expandColumns(sql, resolveTable)))
+    rewriteTokens(rewriteQualifyDeep(expandColumns(rewriteUnpivot(sql), resolveTable)))
 
   /** DuckDB star-expression expansion for the common SELECT-list form:
     * `SELECT ... fn(COLUMNS('regex')) ... FROM tbl` replicates each

@@ -563,6 +563,26 @@ class DuckSqlShimSpec extends AnyFunSuite {
     assert(dn == 3L)
   }
 
+  test("statement-form UNPIVOT rewrites to the standard clause; PIVOT raises") {
+    import spark.implicits._
+    assert(rw("UNPIVOT m ON jan, feb INTO NAME month VALUE v") ==
+      "SELECT * FROM m UNPIVOT (v FOR month IN (jan, feb))")
+    assert(rw("UNPIVOT m ON jan, feb INTO NAME month VALUE v ORDER BY month") ==
+      "SELECT * FROM m UNPIVOT (v FOR month IN (jan, feb)) ORDER BY month")
+    // execution, DuckDB-verified values
+    Seq((1, 10, 20), (2, 30, 40)).toDF("id", "jan", "feb")
+      .createOrReplaceTempView("unp_m")
+    val rows = spark.sql(rw("UNPIVOT unp_m ON jan, feb INTO NAME month VALUE v"))
+      .orderBy("id", "month").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    assert(rows.toSeq == Seq((1, "feb", 20), (1, "jan", 10), (2, "feb", 40), (2, "jan", 30)))
+    // the SQL-standard form passes through (both engines accept it)
+    assert(rw("SELECT * FROM m UNPIVOT (v FOR month IN (jan, feb))") ==
+      "SELECT * FROM m UNPIVOT (v FOR month IN (jan, feb))")
+    val e = intercept[IllegalArgumentException](rw("PIVOT m ON id USING sum(jan)"))
+    assert(e.getMessage.contains("explicit value list"))
+  }
+
   test("power operator, list comprehensions, SIMILAR TO") {
     graft.functions.DuckFunctions.register(spark)
     // ^ / ** are POWER in DuckDB (Spark ^ is XOR — silent wrong answer)
