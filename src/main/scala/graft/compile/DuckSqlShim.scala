@@ -144,7 +144,34 @@ object DuckSqlShim {
         i = e
       } else { out.append(c); i += 1 }
     }
-    rewriteDistinctOn(rewriteQualify(out.toString))
+    rewriteDistinctOn(rewriteQualify(rewriteFromFirst(out.toString)))
+  }
+
+  /** DuckDB's FROM-first form, applied per nesting level: `FROM t
+    * [SELECT list] <clauses>` → `SELECT <list or *> FROM t <clauses>`
+    * (the optional SELECT sits between the FROM clause and WHERE in
+    * DuckDB's grammar; bare `FROM t WHERE ...` keeps every clause).
+    */
+  private def rewriteFromFirst(sql: String): String = {
+    val lead = sql.indexWhere(!_.isWhitespace)
+    if (lead < 0) return sql
+    val wEnd = {
+      var j = lead
+      while (j < sql.length && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+      j
+    }
+    if (!sql.substring(lead, wEnd).equalsIgnoreCase("from")) return sql
+    val selPos = findTopLevelWord(sql, wEnd, Set("select"))
+    if (selPos < 0) return sql.substring(0, lead) + "SELECT * " + sql.substring(lead)
+    val selEnd0 = findTopLevelWord(sql, selPos + "select".length, Set(
+      "where", "group", "having", "window", "qualify", "order", "limit",
+      "offset", "union", "intersect", "except"))
+    val selEnd = if (selEnd0 < 0) sql.length else selEnd0
+    val fromPart   = sql.substring(lead, selPos).trim
+    val selectPart = sql.substring(selPos + "select".length, selEnd).trim
+    val rest       = sql.substring(selEnd)
+    sql.substring(0, lead) + s"SELECT $selectPart $fromPart" +
+      (if (rest.trim.isEmpty) "" else s" ${rest.trim}")
   }
 
   /** Word-boundary-safe select-head classification: a column named

@@ -713,6 +713,18 @@ object DuckFunctions {
       reg.createOrReplaceTempFunction(nm,
         es => duckDatePartExpr(nm, es.head), "built-in")
     }
+    // 2-arg trim family: DuckDB trim(s, chars) strips any of `chars`
+    // from both ends (Spark spells that btrim); ltrim/rtrim likewise.
+    // 1-arg forms keep whitespace-trim semantics (identical engines).
+    reg.createOrReplaceTempFunction("trim",
+      es => if (es.length >= 2) StringTrim(es(0), Some(es(1))) else StringTrim(es(0)),
+      "built-in")
+    reg.createOrReplaceTempFunction("ltrim",
+      es => if (es.length >= 2) StringTrimLeft(es(0), Some(es(1))) else StringTrimLeft(es(0)),
+      "built-in")
+    reg.createOrReplaceTempFunction("rtrim",
+      es => if (es.length >= 2) StringTrimRight(es(0), Some(es(1))) else StringTrimRight(es(0)),
+      "built-in")
     // regexp_full_match (also the SIMILAR TO rewrite target): DuckDB
     // anchors the whole string; RLike is partial-match, so wrap the
     // pattern in ^(?: )$

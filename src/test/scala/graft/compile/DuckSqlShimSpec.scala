@@ -563,6 +563,25 @@ class DuckSqlShimSpec extends AnyFunSuite {
     assert(dn == 3L)
   }
 
+  test("FROM-first statements and the 2-arg trim family") {
+    graft.functions.DuckFunctions.register(spark)
+    import spark.implicits._
+    Seq((1, 2), (3, 4)).toDF("a", "b").createOrReplaceTempView("ff_t")
+    assert(rw("FROM ff_t") == "SELECT * FROM ff_t")
+    assert(rw("FROM ff_t SELECT a") == "SELECT a FROM ff_t")
+    assert(rw("FROM ff_t SELECT a WHERE b > 2") == "SELECT a FROM ff_t WHERE b > 2")
+    assert(rw("FROM ff_t WHERE b > 2") == "SELECT * FROM ff_t WHERE b > 2")
+    assert(spark.sql(rw("FROM ff_t SELECT a + 1 AS x WHERE b > 2")).head().getInt(0) == 4)
+    // FROM-first inside a derived table rewrites at its nesting level
+    val sub = spark.sql(rw("SELECT * FROM (FROM ff_t WHERE a = 1) s")).head()
+    assert((sub.getInt(0), sub.getInt(1)) == (1, 2))
+    val r = spark.sql(rw(
+      "SELECT trim('xxhixx', 'x') AS a, ltrim('xxhi', 'x') AS b, " +
+        "rtrim('hixx', 'x') AS c, trim('  hi  ') AS d")).head()
+    assert(r.getString(0) == "hi" && r.getString(1) == "hi" &&
+      r.getString(2) == "hi" && r.getString(3) == "hi")
+  }
+
   test("statement-form UNPIVOT rewrites to the standard clause; PIVOT raises") {
     import spark.implicits._
     assert(rw("UNPIVOT m ON jan, feb INTO NAME month VALUE v") ==

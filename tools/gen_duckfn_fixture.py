@@ -422,6 +422,13 @@ def struct_map_cases():
     yield "array_to_string([x * 2 FOR x IN [1,2,3]], ',')", "str"
     yield "array_to_string([upper(x) FOR x IN ['a','b']], ',')", "str"
     yield "array_to_string([x FOR x IN [1,2,3,4] IF x % 2 = 0], ',')", "str"
+    # FROM-first scalar subquery + 2-arg trim family
+    yield "(FROM (VALUES (1),(5),(3)) t(x) SELECT max(x))", "long"
+    yield "trim('xxhixx', 'x')", "str"
+    yield "ltrim('xxhi', 'x')", "str"
+    yield "rtrim('hixx', 'x')", "str"
+    yield "trim('  hi  ')", "str"
+    yield "trim('xyhixy', 'xy')", "str"
     yield "'abc' GLOB 'a*c'", "bool"
     yield "'abc' GLOB 'a?c'", "bool"
     yield "'abc' GLOB 'A*'", "bool"
