@@ -422,6 +422,20 @@ def struct_map_cases():
     yield "array_to_string([x * 2 FOR x IN [1,2,3]], ',')", "str"
     yield "array_to_string([upper(x) FOR x IN ['a','b']], ',')", "str"
     yield "array_to_string([x FOR x IN [1,2,3,4] IF x % 2 = 0], ',')", "str"
+    # kitchen sink: one statement composing CTE + FROM-first + power +
+    # string slice + ordered string_agg + product + format
+    yield ("(WITH d AS (SELECT k, v FROM (VALUES (1,'aa'),(2,'bb'),(3,'cc'),(4,'dd')) t(k, v)) "
+           "SELECT format('{}|{}', string_agg(u, '' ORDER BY u), product(k)) "
+           "FROM (FROM d SELECT k, upper(v[1:1]) AS u WHERE k ^ 2 < 10) s)"), "str"
+    # random glob fuzz (full-match translation)
+    grng = random.Random(77)
+    gparts = ["a", "b", "c", "*", "?", "[ab]", "[!a]", "x"]
+    for _ in range(40):
+        pat = "".join(grng.choice(gparts) for _ in range(grng.randint(1, 5)))
+        s = "".join(grng.choice("abcx") for _ in range(grng.randint(0, 5)))
+        yield f"{slit(s)} GLOB {slit(pat)}", "bool"
+    # multibyte trim set
+    yield "trim('ééhiéé', 'é')", "str"
     # FROM-first scalar subquery + 2-arg trim family
     yield "(FROM (VALUES (1),(5),(3)) t(x) SELECT max(x))", "long"
     yield "trim('xxhixx', 'x')", "str"
