@@ -342,6 +342,10 @@ object DuckFunctions {
     "list_sort"          -> "array_sort",   // both ASC NULLS LAST
     "string_split_regex" -> "split",
     "str_split_regex"    -> "split",
+    "starts_with"        -> "startswith", // same (string, affix) order
+    "ends_with"          -> "endswith",
+    "prefix"             -> "startswith",
+    "suffix"             -> "endswith",
     "generate_series"    -> "sequence", // both ends inclusive in both engines
     "unnest"             -> "explode",
     "strpos"             -> "instr",    // both (string, needle), 1-based, 0 = absent
@@ -713,6 +717,21 @@ object DuckFunctions {
       reg.createOrReplaceTempFunction(nm,
         es => duckDatePartExpr(nm, es.head), "built-in")
     }
+    // string_split / str_split / string_to_array: LITERAL delimiter
+    // (DuckDB's '.' splits on dots) — aliasing to Spark's regex
+    // `split` would be silently wrong; StringSplitSQL is the literal
+    // splitter Spark's own split_part builds on
+    // empty delimiter splits per CHARACTER in DuckDB; StringSplitSQL
+    // would return the whole string — dispatch to a lookahead regex
+    // the lookahead pair splits BETWEEN characters only (no trailing
+    // empty element); '' in gives [''] in both engines
+    def litSplit(es: Seq[Expression]): Expression =
+      If(EqualTo(es(1), Literal("")),
+        StringSplit(es(0), Literal("(?!^)(?=.)"), Literal(-1)),
+        StringSplitSQL(es(0), es(1)))
+    reg.createOrReplaceTempFunction("string_split", litSplit, "built-in")
+    reg.createOrReplaceTempFunction("str_split", litSplit, "built-in")
+    reg.createOrReplaceTempFunction("string_to_array", litSplit, "built-in")
     // 2-arg trim family: DuckDB trim(s, chars) strips any of `chars`
     // from both ends (Spark spells that btrim); ltrim/rtrim likewise.
     // 1-arg forms keep whitespace-trim semantics (identical engines).

@@ -422,6 +422,19 @@ def struct_map_cases():
     yield "array_to_string([x * 2 FOR x IN [1,2,3]], ',')", "str"
     yield "array_to_string([upper(x) FOR x IN ['a','b']], ',')", "str"
     yield "array_to_string([x FOR x IN [1,2,3,4] IF x % 2 = 0], ',')", "str"
+    # literal-delimiter splits (regex aliasing would silently mangle
+    # metachars) + affix predicates
+    yield "array_to_string(string_split('a.b.c', '.'), '|')", "str"
+    yield "array_to_string(str_split('a|b||c', '|'), '/')", "str"
+    yield "array_to_string(string_to_array('x, y', ', '), ';')", "str"
+    yield "len(string_split('abc', ''))", "long"
+    yield "array_to_string(string_split('abc', ''), '-')", "str"
+    yield "len(string_split('', ''))", "long"
+    yield "len(string_split('', '.'))", "long"
+    yield "prefix('abcd', 'ab')", "bool"
+    yield "suffix('abcd', 'cd')", "bool"
+    yield "starts_with('abcd', 'b')", "bool"
+    yield "ends_with('abcd', 'cd')", "bool"
     # kitchen sink: one statement composing CTE + FROM-first + power +
     # string slice + ordered string_agg + product + format
     yield ("(WITH d AS (SELECT k, v FROM (VALUES (1,'aa'),(2,'bb'),(3,'cc'),(4,'dd')) t(k, v)) "
