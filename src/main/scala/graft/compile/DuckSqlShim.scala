@@ -696,6 +696,20 @@ object DuckSqlShim {
         out.append(sql.substring(i, end)); i = end
       } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '/') {
         out.append(" div "); i += 2
+      } else if (c == '-' && i + 2 < n && sql.charAt(i + 1) == '>' &&
+          sql.charAt(i + 2) == '>') {
+        // JSON extract-text operator `j ->> 'k'` → json_extract_string
+        // (registered; bare keys and integer indices normalize to
+        // $-rooted paths). The single-arrow `j -> 'k'` is textually a
+        // lambda arrow and is NOT rewritten — use the function names.
+        val rEnd     = scanAtom(sql, i + 3)
+        val rightTxt = rewriteTokens(sql.substring(i + 3, rEnd)).trim
+        val start    = operandStart(out)
+        out.insert(start, "json_extract_string(")
+        while (out.nonEmpty && out.charAt(out.length - 1).isWhitespace)
+          out.setLength(out.length - 1)
+        out.append(", ").append(rightTxt).append(')')
+        i = rEnd
       } else if (c == ':' && i + 1 < n && sql.charAt(i + 1) == ':') {
         i += 2
         while (i < n && sql.charAt(i).isWhitespace) i += 1

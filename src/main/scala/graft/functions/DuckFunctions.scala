@@ -717,6 +717,24 @@ object DuckFunctions {
       reg.createOrReplaceTempFunction(nm,
         es => duckDatePartExpr(nm, es.head), "built-in")
     }
+    // JSON extraction: json_extract_string / the ->> operator (shim-
+    // routed) → get_json_object semantics. DuckDB accepts bare keys
+    // and integer indices as paths; Spark wants $-rooted JsonPath —
+    // literal paths normalize here. json_extract (JSON-typed result,
+    // quoted strings) has no Spark twin and is NOT mapped.
+    def jpath(e: Expression): Expression = e match {
+      case Literal(s, StringType) if s != null =>
+        val p = s.toString
+        if (p.startsWith("$")) Literal(p)
+        else if (p.nonEmpty && p.forall(_.isDigit)) Literal(s"$$[$p]")
+        else Literal(s"$$.$p")
+      case Literal(n, IntegerType | LongType | ShortType | ByteType) if n != null => Literal(s"$$[$n]")
+      case other => other
+    }
+    reg.createOrReplaceTempFunction("json_extract_string",
+      es => GetJsonObject(es(0), jpath(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("json_extract_path_text",
+      es => GetJsonObject(es(0), jpath(es(1))), "built-in")
     // string_split / str_split / string_to_array: LITERAL delimiter
     // (DuckDB's '.' splits on dots) — aliasing to Spark's regex
     // `split` would be silently wrong; StringSplitSQL is the literal

@@ -422,6 +422,16 @@ def struct_map_cases():
     yield "array_to_string([x * 2 FOR x IN [1,2,3]], ',')", "str"
     yield "array_to_string([upper(x) FOR x IN ['a','b']], ',')", "str"
     yield "array_to_string([x FOR x IN [1,2,3,4] IF x % 2 = 0], ',')", "str"
+    # JSON extraction (json_extract_string / ->> -> get_json_object)
+    J = slit('{"a": 1, "b": "x", "c": [10, 20], "d": {"e": 2}}')
+    yield f"json_extract_string({J}, '$.a')", "str"
+    yield f"json_extract_string({J}, 'b')", "str"
+    yield f"json_extract_string({J}, '$.c[1]')", "str"
+    yield f"json_extract_string({J}, '$.d.e')", "str"
+    yield f"json_extract_string({J}, '$.zz')", "str"
+    yield f"{J} ->> 'b'", "str"
+    yield f"{J} ->> '$.c[0]'", "str"
+    yield "json_array_length('[1,2,3]')", "long"
     # literal-delimiter splits (regex aliasing would silently mangle
     # metachars) + affix predicates
     yield "array_to_string(string_split('a.b.c', '.'), '|')", "str"
