@@ -407,7 +407,11 @@ class DuckSqlShimSpec extends AnyFunSuite {
       "SELECT format('{} {:d}', a, b) FROM t",
       "SELECT lag(x IGNORE NULLS) OVER (ORDER BY k) FROM t",
       "SELECT DISTINCT ON (v) k FROM t ORDER BY v, k DESC",
-      "SELECT 'abcdef'[2], 'abcdef'[2:4] FROM t")
+      "SELECT 'abcdef'[2], 'abcdef'[2:4] FROM t",
+      "SELECT j ->> 'k', 2 ^ 3, [x FOR x IN l IF x > 0] FROM t",
+      "FROM t SELECT a WHERE b > 2",
+      "UNPIVOT m ON jan, feb INTO NAME month VALUE v",
+      "SELECT trim(s, 'x'), string_split(s, '.') FROM t")
     inputs.foreach { in =>
       val once = rw(in)
       assert(rw(once) == once, s"not stable for: $in ->\n  $once\n  ${rw(once)}")
