@@ -717,6 +717,20 @@ object DuckFunctions {
       reg.createOrReplaceTempFunction(nm,
         es => duckDatePartExpr(nm, es.head), "built-in")
     }
+    // even(x): round to the next even integer AWAY from zero
+    // (even(-0.5) = -2, even(2.0) = 2 — DuckDB-verified); isinf /
+    // isfinite compose from abs-compare (NaN input: both false, as
+    // DuckDB's; isnan resolves natively)
+    reg.createOrReplaceTempFunction("even", es => {
+      val x = Cast(es.head, DoubleType)
+      Multiply(Signum(x),
+        Cast(Multiply(Ceil(Divide(Abs(x), Literal(2.0))), Literal(2L)), DoubleType))
+    }, "built-in")
+    def isInf(e: Expression): Expression =
+      EqualTo(Abs(Cast(e, DoubleType)), Literal(Double.PositiveInfinity))
+    reg.createOrReplaceTempFunction("isinf", es => isInf(es.head), "built-in")
+    reg.createOrReplaceTempFunction("isfinite", es =>
+      Not(Or(IsNaN(Cast(es.head, DoubleType)), isInf(es.head))), "built-in")
     // JSON extraction: json_extract_string / the ->> operator (shim-
     // routed) → get_json_object semantics. DuckDB accepts bare keys
     // and integer indices as paths; Spark wants $-rooted JsonPath —

@@ -422,6 +422,22 @@ def struct_map_cases():
     yield "array_to_string([x * 2 FOR x IN [1,2,3]], ',')", "str"
     yield "array_to_string([upper(x) FOR x IN ['a','b']], ',')", "str"
     yield "array_to_string([x FOR x IN [1,2,3,4] IF x % 2 = 0], ',')", "str"
+    # even / isfinite family (cot, degrees, radians, cbrt, factorial,
+    # isnan resolve natively by name)
+    for v in ["2.5", "-2.5", "2.0", "3.1", "0.0", "-0.5"]:
+        yield f"even({v})", "double"
+    yield "isfinite(1.5)", "bool"
+    yield "isinf(1.0/0.0000001)", "bool"
+    yield "isfinite('inf'::DOUBLE)", "bool"
+    yield "isinf('inf'::DOUBLE)", "bool"
+    yield "isinf('-inf'::DOUBLE)", "bool"
+    yield "isnan('nan'::DOUBLE)", "bool"
+    yield "isfinite('nan'::DOUBLE)", "bool"
+    yield "cot(0.5)", "double"
+    yield "degrees(1)", "double"
+    yield "radians(90)", "double"
+    yield "cbrt(27)", "double"
+    yield "factorial(5)", "long"
     # JSON extraction (json_extract_string / ->> -> get_json_object)
     J = slit('{"a": 1, "b": "x", "c": [10, 20], "d": {"e": 2}}')
     yield f"json_extract_string({J}, '$.a')", "str"
