@@ -346,7 +346,8 @@ object DuckFunctions {
     "ends_with"          -> "endswith",
     "prefix"             -> "startswith",
     "suffix"             -> "endswith",
-    "generate_series"    -> "sequence", // both ends inclusive in both engines
+    // generate_series registers via DuckSeries (Spark's sequence
+    // auto-DESCENDS on b < a where DuckDB returns empty)
     "unnest"             -> "explode",
     "strpos"             -> "instr",    // both (string, needle), 1-based, 0 = absent
     "regexp_matches"     -> "rlike",    // partial-match boolean in both
@@ -453,27 +454,9 @@ object DuckFunctions {
     // a wrong-direction bound (where Spark's sequence would raise);
     // the 1-arg form is range(0, n)
     reg.createOrReplaceTempFunction("range",
-      es => {
-        def empty(of: Expression) =
-          Slice(Sequence(of, of, Some(Literal(1L)), None), Literal(1), Literal(0))
-        val a = if (es.length == 1) Literal(0L) else Cast(es(0), LongType)
-        val b = Cast(if (es.length == 1) es(0) else es(1), LongType)
-        if (es.length <= 2)
-          If(LessThanOrEqual(b, a), empty(a),
-            Sequence(a, Subtract(b, Literal(1L)), Some(Literal(1L)), None))
-        else {
-          val s = Cast(es(2), LongType)
-          CaseWhen(Seq(
-            EqualTo(s, Literal(0L)) ->
-              Cast(new RaiseError(Literal("range: step cannot be zero")),
-                ArrayType(LongType)),
-            And(GreaterThan(s, Literal(0L)), GreaterThan(b, a)) ->
-              Sequence(a, Subtract(b, Literal(1L)), Some(s), None),
-            And(LessThan(s, Literal(0L)), LessThan(b, a)) ->
-              Sequence(a, Add(b, Literal(1L)), Some(s), None)),
-            Some(empty(a)))
-        }
-      }, "built-in")
+      es => DuckSeries(es, exclusive = true), "built-in")
+    reg.createOrReplaceTempFunction("generate_series",
+      es => DuckSeries(es, exclusive = false), "built-in")
     // the shim's [i] subscript rewrite targets this (zero-index-safe
     // try_element_at)
     reg.createOrReplaceTempFunction("list_extract",
@@ -877,6 +860,78 @@ object DuckFunctions {
         s"date part '$other' has no registered DuckDB mapping " +
           "(see docs/sql-dialect.md)")
     }
+  }
+
+  /** DuckDB `range` (exclusive end) / `generate_series` (inclusive)
+    * with the engine-verified conventions, type-dispatched:
+    *
+    *  - numeric: wrong-direction bounds → EMPTY (Spark's `sequence`
+    *    would auto-descend), `generate_series` step 0 → empty while
+    *    `range` step 0 RAISES (DuckDB's own asymmetry), negative
+    *    steps walk down
+    *  - temporal: DATE operands promote to TIMESTAMP (as DuckDB's
+    *    TIMESTAMP[] result), interval step required; the exclusive
+    *    `range` end is realized as stop − 1 µs
+    */
+  case class DuckSeries(children: Seq[Expression], exclusive: Boolean)
+      extends RuntimeReplaceable {
+    // a RuntimeReplaceable's replacement must be RESOLVED immediately;
+    // Sequence/Cast/TimestampAdd are TimeZoneAware (unresolved until a
+    // zone is set — normally the analyzer's job), so stamp the session
+    // zone on the built tree
+    override lazy val replacement: Expression = built.transform {
+      case t: TimeZoneAwareExpression if t.timeZoneId.isEmpty =>
+        t.withTimeZone(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    }
+    private lazy val built: Expression = {
+      def empty(of: Expression) =
+        Slice(Sequence(of, of, Some(Literal(1L)), None), Literal(1), Literal(0))
+      def isTemporal(dt: DataType) =
+        dt == DateType || dt == TimestampType || dt == TimestampNTZType
+      if (children.take(2).exists(e => isTemporal(e.dataType))) {
+        if (children.length != 3)
+          throw new IllegalArgumentException(
+            "temporal range/generate_series needs (start, stop, step INTERVAL)")
+        def ts(e: Expression) =
+          if (e.dataType == DateType) Cast(e, TimestampType) else e
+        val a  = ts(children(0))
+        val b0 = ts(children(1))
+        val b  = if (exclusive) TimestampAdd("MICROSECOND", Literal(-1L), b0) else b0
+        Sequence(a, b, Some(children(2)), None)
+      } else {
+        val a = if (children.length == 1) Literal(0L) else Cast(children(0), LongType)
+        val b = Cast(if (children.length == 1) children(0) else children(1), LongType)
+        if (children.length <= 2) {
+          if (exclusive)
+            If(LessThanOrEqual(b, a), empty(a),
+              Sequence(a, Subtract(b, Literal(1L)), Some(Literal(1L)), None))
+          else
+            If(LessThan(b, a), empty(a),
+              Sequence(a, b, Some(Literal(1L)), None))
+        } else {
+          val s = Cast(children(2), LongType)
+          if (exclusive)
+            CaseWhen(Seq(
+              EqualTo(s, Literal(0L)) ->
+                Cast(new RaiseError(Literal("range: step cannot be zero")),
+                  ArrayType(LongType)),
+              And(GreaterThan(s, Literal(0L)), GreaterThan(b, a)) ->
+                Sequence(a, Subtract(b, Literal(1L)), Some(s), None),
+              And(LessThan(s, Literal(0L)), LessThan(b, a)) ->
+                Sequence(a, Add(b, Literal(1L)), Some(s), None)),
+              Some(empty(a)))
+          else
+            CaseWhen(Seq(
+              And(GreaterThan(s, Literal(0L)), GreaterThanOrEqual(b, a)) ->
+                Sequence(a, b, Some(s), None),
+              And(LessThan(s, Literal(0L)), LessThanOrEqual(b, a)) ->
+                Sequence(a, b, Some(s), None)),
+              Some(empty(a))) // covers step 0 (empty, not an error)
+        }
+      }
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
   }
 
   /** DuckDB `product(x)`: DOUBLE multiply-fold over the group, NULLs

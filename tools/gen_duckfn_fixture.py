@@ -422,6 +422,25 @@ def struct_map_cases():
     yield "array_to_string([x * 2 FOR x IN [1,2,3]], ',')", "str"
     yield "array_to_string([upper(x) FOR x IN ['a','b']], ',')", "str"
     yield "array_to_string([x FOR x IN [1,2,3,4] IF x % 2 = 0], ',')", "str"
+    # series direction/step edges (Spark sequence would auto-descend)
+    yield "len(generate_series(5, 1))", "long"
+    yield "len(generate_series(1, 9, -2))", "long"
+    yield "array_to_string(generate_series(9, 1, -2), ',')", "str"
+    yield "len(generate_series(1, 9, 0))", "long"
+    yield "array_to_string(generate_series(3), ',')", "str"
+    yield "len(range(1, 9, -1))", "long"
+    # temporal series: DATE promotes to TIMESTAMP[], range end exclusive
+    yield ("array_to_string(list_transform(generate_series(DATE '2024-01-01', "
+           "DATE '2024-01-04', INTERVAL 1 DAY), x -> epoch_us(x)), ',')"), "str"
+    yield ("array_to_string(list_transform(range(DATE '2024-01-01', "
+           "DATE '2024-01-04', INTERVAL 1 DAY), x -> epoch_us(x)), ',')"), "str"
+    yield ("array_to_string(list_transform(range(TIMESTAMP '2024-01-01 00:00:00', "
+           "TIMESTAMP '2024-01-01 02:00:00', INTERVAL 1 HOUR), x -> epoch_us(x)), ',')"), "str"
+    yield ("len(generate_series(TIMESTAMP '2024-01-01 00:00:00', "
+           "TIMESTAMP '2024-01-01 02:00:00', INTERVAL 30 MINUTE))"), "long"
+    # month steps intentionally NOT generated: DuckDB steps
+    # iteratively (Jan 31 -> Feb 29 -> Mar 29, clamping carries);
+    # Spark computes start + k*step (-> Mar 31) — documented delta
     # even / isfinite family (cot, degrees, radians, cbrt, factorial,
     # isnan resolve natively by name)
     for v in ["2.5", "-2.5", "2.0", "3.1", "0.0", "-0.5"]:
