@@ -1537,7 +1537,9 @@ object DuckSqlShim {
   }
 
   /** Index just past the `close` matching the `open` at `i`,
-    * skipping string literals.
+    * skipping string literals. An unclosed group raises with guidance
+    * — every caller slices `(i+1, end-1)`, which would crash or
+    * silently mangle on malformed input otherwise.
     */
   private def closeDelim(sql: String, i: Int, open: Char, close: Char): Int = {
     var depth = 0
@@ -1549,7 +1551,7 @@ object DuckSqlShim {
       else if (c == close) { depth -= 1; if (depth == 0) return j + 1 }
       j += 1
     }
-    sql.length
+    fail(s"an unclosed '$open'", "check balanced delimiters")
   }
 
   /** Position of a top-level single `:` (slice separator) in a

@@ -392,6 +392,28 @@ class DuckSqlShimSpec extends AnyFunSuite {
     assert(nested.contains("WINDOW z AS (ORDER BY k)"))
   }
 
+  test("rewrite terminates on arbitrary token soup (IllegalArgument at worst)") {
+    val rnd = new scala.util.Random(3)
+    val atoms = Seq("SELECT", "FROM", "t", "(", ")", "[", "]", "{", "}", "'a'",
+      "::INT", "::", "//", "^", "**", "*", "list", "ORDER", "BY", "GLOB",
+      "->>", "->", ",", "1", "x", "DISTINCT", "ON", "USING", "SAMPLE",
+      "qualify", "over", "format", "'{}'", "similar", "to", "unpivot",
+      "extract", "date_part", ":=", "struct_pack", "{'a': 1}", "[1:2]",
+      "IGNORE", "NULLS", "first", "--c", "/*x*/", "\"q\"")
+    var rewrote = 0
+    var raised  = 0
+    for (trial <- 1 to 500) {
+      val s = Seq.fill(1 + rnd.nextInt(12))(atoms(rnd.nextInt(atoms.length)))
+        .mkString(" ")
+      try { DuckSqlShim.rewrite(s); rewrote += 1 }
+      catch {
+        case _: IllegalArgumentException => raised += 1
+        case e: Throwable => fail(s"trial $trial crashed on <$s>: $e")
+      }
+    }
+    assert(rewrote > 0 && rewrote + raised == 500)
+  }
+
   test("rewrite is stable on its own output, including quoted names with operators") {
     val inputs = Seq(
       "SELECT x::BIGINT, a // b, arr[1], [1,2,3], \"my col\" FROM t",
