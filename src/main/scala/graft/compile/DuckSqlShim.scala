@@ -1230,13 +1230,21 @@ object DuckSqlShim {
           case "glob" if nextSignificant(sql, i) == '\'' =>
             // `s GLOB 'a*c'` — case-sensitive glob full-match; only
             // the literal-pattern form translates (to an anchored
-            // regex via regexp_full_match)
+            // regex via regexp_full_match). A trailing NOT negates
+            // (DuckDB's own parser rejects the infix `NOT GLOB` form —
+            // accepted here as a graceful superset, mirroring the
+            // SIMILAR TO negation handling so the operand is never
+            // split mid-expression)
             val rEnd = scanAtom(sql, i)
             val lit  = sql.substring(i, rEnd).trim
             val pat  = lit.substring(1, lit.length - 1).replace("''", "'")
             val rx   = globToRegex(pat).replace("'", "''").replace("\\", "\\\\")
+            val negWord = trailingWord(out)
+            val negated = negWord.equalsIgnoreCase("not")
+            if (negated) dropTrailingWord(out, negWord)
             val start = operandStart(out)
-            out.insert(start, "regexp_full_match(")
+            out.insert(start,
+              if (negated) "NOT regexp_full_match(" else "regexp_full_match(")
             while (out.nonEmpty && out.charAt(out.length - 1).isWhitespace)
               out.setLength(out.length - 1)
             out.append(", '").append(rx).append("')")

@@ -739,10 +739,12 @@ object DuckFunctions {
     // empty delimiter splits per CHARACTER in DuckDB; StringSplitSQL
     // would return the whole string — dispatch to a lookahead regex
     // the lookahead pair splits BETWEEN characters only (no trailing
-    // empty element); '' in gives [''] in both engines
+    // empty element); '' in gives [''] in both engines. (?s) makes the
+    // dot match line terminators too — without it no boundary fires
+    // before \n or \r, so 'a\nb' split to ['a\n','b'] not ['a','\n','b']
     def litSplit(es: Seq[Expression]): Expression =
       If(EqualTo(es(1), Literal("")),
-        StringSplit(es(0), Literal("(?!^)(?=.)"), Literal(-1)),
+        StringSplit(es(0), Literal("(?!^)(?s)(?=.)"), Literal(-1)),
         StringSplitSQL(es(0), es(1)))
     reg.createOrReplaceTempFunction("string_split", litSplit, "built-in")
     reg.createOrReplaceTempFunction("str_split", litSplit, "built-in")
@@ -894,10 +896,44 @@ object DuckFunctions {
             "temporal range/generate_series needs (start, stop, step INTERVAL)")
         def ts(e: Expression) =
           if (e.dataType == DateType) Cast(e, TimestampType) else e
-        val a  = ts(children(0))
-        val b0 = ts(children(1))
-        val b  = if (exclusive) TimestampAdd("MICROSECOND", Literal(-1L), b0) else b0
-        Sequence(a, b, Some(children(2)), None)
+        val a    = ts(children(0))
+        val b0   = ts(children(1))
+        val step = children(2)
+        // DuckDB direction semantics (engine-verified): negative steps
+        // walk down with the exclusive end realized as stop + 1 µs (so
+        // the stop stays EXCLUDED when the walk lands on it);
+        // wrong-direction bounds and a zero step are EMPTY, never an
+        // error (unlike the numeric range, whose zero step raises).
+        // Step sign at runtime: ANSI interval types compare against a
+        // same-typed zero; CalendarIntervalType (make_interval) is not
+        // orderable, so its sign is read off an epoch-shift.
+        val (pos, neg) = step.dataType match {
+          case t: DayTimeIntervalType =>
+            val z = Literal(0L, t)
+            (GreaterThan(step, z), LessThan(step, z))
+          case t: YearMonthIntervalType =>
+            val z = Literal(0, t)
+            (GreaterThan(step, z), LessThan(step, z))
+          case _ =>
+            val ep = Literal(0L, TimestampType)
+            val sh = TimestampAddInterval(ep, step)
+            (GreaterThan(sh, ep), LessThan(sh, ep))
+        }
+        def seq(end: Expression) = Sequence(a, end, Some(step), None)
+        val emptyT =
+          Literal.create(Array.empty[Any], ArrayType(a.dataType, containsNull = false))
+        if (exclusive)
+          CaseWhen(Seq(
+            And(pos, GreaterThan(b0, a)) ->
+              seq(TimestampAdd("MICROSECOND", Literal(-1L), b0)),
+            And(neg, LessThan(b0, a)) ->
+              seq(TimestampAdd("MICROSECOND", Literal(1L), b0))),
+            Some(emptyT))
+        else
+          CaseWhen(Seq(
+            And(pos, GreaterThanOrEqual(b0, a)) -> seq(b0),
+            And(neg, LessThanOrEqual(b0, a))    -> seq(b0)),
+            Some(emptyT))
       } else {
         val a = if (children.length == 1) Literal(0L) else Cast(children(0), LongType)
         val b = Cast(if (children.length == 1) children(0) else children(1), LongType)

@@ -58,10 +58,14 @@ object AsofJoin {
     val u = lPrep.unionByName(rPrep, allowMissingColumns = true)
 
     // at equal timestamps the right row sorts FIRST (tag 0), so the
-    // running last() includes it — the inclusive >= / <= of ASOF
+    // running last() includes it — the inclusive >= / <= of ASOF.
+    // NULLs FIRST in both directions: a left row with a NULL probe
+    // timestamp must sort before every right row (no match inherited);
+    // desc's Spark default is nulls-LAST, which would hand such a row
+    // the running last() of the whole partition
     val ord =
-      if (forward) Seq(col("__t").desc, col("__tag").asc)
-      else Seq(col("__t").asc, col("__tag").asc)
+      if (forward) Seq(col("__t").desc_nulls_first, col("__tag").asc)
+      else Seq(col("__t").asc_nulls_first, col("__tag").asc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withMatch = u

@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * would fall back to BroadcastNestedLoopJoin — so the ranges are
   * bucketized instead: each interval explodes to the coarse buckets it
   * covers, buckets equi-join (hash, shuffled on the bucket and keys),
-  * the true overlap predicate refines, and a DISTINCT collapses the
-  * multi-bucket duplicates. The same grid-prefilter shape as the
-  * spatial GridJoin, in one dimension.
+  * the true overlap predicate refines, and a dedup on pre-explode row
+  * ids collapses the multi-bucket replicas (only them — duplicate
+  * input rows keep IEJoin's output multiplicity). The same
+  * grid-prefilter shape as the spatial GridJoin, in one dimension.
   *
   * 100 TB design: the shuffle carries (bucket, keys) hash partitions —
   * no pair enumeration beyond co-bucketed candidates. `bucket` trades
@@ -35,13 +36,18 @@ object IntervalJoin {
     val overlapCols = left.columns.toSet.intersect(right.columns.toSet) -- keys
     require(overlapCols.isEmpty,
       s"overlapJoin: non-key columns present on both sides: ${overlapCols.mkString(", ")}")
-    val l = left.withColumn("__bkt",
-      explode(buckets(col(lStart), col(lEnd), bucket)))
-    val r = right.withColumn("__bkt",
-      explode(buckets(col(rStart), col(rEnd), bucket)))
+    // row ids BEFORE the explode: the multi-bucket replicas of one
+    // input pair share an id pair, so deduping on (id, id) collapses
+    // exactly the replication — genuinely duplicate input rows keep
+    // their join multiplicity (as DuckDB's IEJoin emits them), and
+    // non-orderable payload columns (MAP) never enter a comparison
+    val l = left.withColumn("__lid", monotonically_increasing_id())
+      .withColumn("__bkt", explode(buckets(col(lStart), col(lEnd), bucket)))
+    val r = right.withColumn("__rid", monotonically_increasing_id())
+      .withColumn("__bkt", explode(buckets(col(rStart), col(rEnd), bucket)))
     l.join(r, Seq("__bkt") ++ keys)
       .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
-      .drop("__bkt")
-      .distinct()
+      .dropDuplicates("__lid", "__rid")
+      .drop("__bkt", "__lid", "__rid")
   }
 }

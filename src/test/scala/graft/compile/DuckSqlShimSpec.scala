@@ -661,6 +661,23 @@ class DuckSqlShimSpec extends AnyFunSuite {
     assert(r.getInt(6) == 6)
   }
 
+  test("GLOB translates to an anchored regex; trailing NOT negates") {
+    graft.functions.DuckFunctions.register(spark)
+    assert(rw("SELECT s GLOB 'a*c'") == "SELECT regexp_full_match(s, 'a.*c')")
+    // infix NOT (a graceful superset — DuckDB's own parser rejects it)
+    // must wrap as a negation, not split the operand mid-expression
+    assert(rw("SELECT s NOT GLOB 'a*c'") ==
+      "SELECT NOT regexp_full_match(s, 'a.*c')")
+    assert(rw("SELECT x FROM t WHERE nm NOT GLOB '*z'") ==
+      "SELECT x FROM t WHERE NOT regexp_full_match(nm, '.*z')")
+    // prefix NOT keeps working (the operand is the atom after NOT)
+    assert(rw("SELECT NOT s GLOB 'a?'") == "SELECT NOT regexp_full_match(s, 'a.')")
+    val r = spark.sql(rw(
+      """SELECT 'abc' GLOB 'a*' AS g1, 'abc' NOT GLOB 'a*' AS n1,
+        |  'xbc' NOT GLOB 'a*' AS n2, NOT 'abc' GLOB 'a?c' AS n3""".stripMargin)).head()
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2) && !r.getBoolean(3))
+  }
+
   test("DISTINCT ON rewrites to the row_number idiom") {
     import spark.implicits._
     Seq((1, "a"), (2, "a"), (3, "b")).toDF("k", "v").createOrReplaceTempView("don_t")

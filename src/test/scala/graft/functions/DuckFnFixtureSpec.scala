@@ -37,7 +37,7 @@ class DuckFnFixtureSpec extends AnyFunSuite {
         if (r.isNullAt(4)) null else r.getString(4),
         if (r.isNullAt(5)) null else r.getBoolean(5),
         r.getBoolean(6)))
-    assert(cases.length == 3385)
+    assert(cases.length == 3402)
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     // cast in-dialect so INT/BIGINT width differences don't trip the
     // typed getters; the cast is value-preserving for every case

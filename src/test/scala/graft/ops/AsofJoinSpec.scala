@@ -86,6 +86,25 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(outer.count(_.isNullAt(4)) == 1) // the NULL-key left row, unmatched
   }
 
+  test("NULL left probe timestamps never match, in either direction") {
+    val lNull = Seq((Option(1), Option(5L), "e1"), (Option(1), Option.empty[Long], "eN"))
+      .toDF("k", "t", "ev")
+    val rOk = Seq((1, 3L, "a"), (1, 9L, "b")).toDF("k", "qt", "v")
+    // forward: desc ordering must put NULL __t FIRST — with Spark's
+    // default nulls-last the NULL probe row would sort after every
+    // right row and inherit the partition's running last() match
+    val fwd = AsofJoin.asof(lNull, rOk, Seq("k"), "t", "qt", forward = true)
+      .collect()
+    assert(fwd.map(x => (x.getLong(1), x.getString(4))).toSeq == Seq((5L, "b")))
+    val bwd = AsofJoin.asof(lNull, rOk, Seq("k"), "t", "qt").collect()
+    assert(bwd.map(x => (x.getLong(1), x.getString(4))).toSeq == Seq((5L, "a")))
+    // outer keeps the NULL-timestamp row, unmatched
+    val outer = AsofJoin.asof(lNull, rOk, Seq("k"), "t", "qt",
+      forward = true, inner = false).collect()
+    assert(outer.length == 2)
+    assert(outer.filter(_.isNullAt(1)).forall(_.isNullAt(4)))
+  }
+
   test("duplicate-name collision outside keys is rejected") {
     val bad = quotes.withColumnRenamed("v", "ev")
     val e = intercept[IllegalArgumentException](

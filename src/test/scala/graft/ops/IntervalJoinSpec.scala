@@ -60,6 +60,29 @@ class IntervalJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate input rows keep their join multiplicity") {
+    // IEJoin emits one output row per duplicate input pair; a distinct
+    // over all columns would collapse them along with the bucket
+    // replicas — the row-id dedup must collapse ONLY the replicas
+    val aDup = a.union(a.where($"aid" === 1)) // interval 1 twice
+    val r = IntervalJoin.overlapJoin(aDup, b, "s_start", "s_end", "w_start", "w_end",
+      bucket = 10L)
+      .select("aid", "bid").orderBy("aid", "bid").collect()
+      .map(x => (x.getInt(0), x.getInt(1)))
+    assert(r.toSeq == Seq((1, 10), (1, 10), (2, 10), (2, 11)))
+  }
+
+  test("non-orderable payload columns (MAP) survive the dedup") {
+    val aMap = a.withColumn("meta",
+      org.apache.spark.sql.functions.map(
+        org.apache.spark.sql.functions.lit("k"), $"aid"))
+    val r = IntervalJoin.overlapJoin(aMap, b, "s_start", "s_end", "w_start", "w_end",
+      bucket = 10L)
+      .select("aid", "bid").orderBy("aid", "bid").collect()
+      .map(x => (x.getInt(0), x.getInt(1)))
+    assert(r.toSeq == Seq((1, 10), (2, 10), (2, 11)))
+  }
+
   test("the plan is a hash join on buckets — no BNLJ/cartesian") {
     val plan = IntervalJoin.overlapJoin(a, b, "s_start", "s_end", "w_start", "w_end",
       bucket = 10L).queryExecution.executedPlan.toString

@@ -438,6 +438,29 @@ def struct_map_cases():
            "TIMESTAMP '2024-01-01 02:00:00', INTERVAL 1 HOUR), x -> epoch_us(x)), ',')"), "str"
     yield ("len(generate_series(TIMESTAMP '2024-01-01 00:00:00', "
            "TIMESTAMP '2024-01-01 02:00:00', INTERVAL 30 MINUTE))"), "long"
+    # descending temporal series: the exclusive `range` end must stay
+    # EXCLUDED when the negative walk lands on it; generate_series
+    # includes it; wrong-direction / zero steps are EMPTY, not errors
+    yield ("array_to_string(list_transform(range(TIMESTAMP '2024-01-01 10:00:00', "
+           "TIMESTAMP '2024-01-01 08:00:00', INTERVAL '-1 hour'), x -> epoch_us(x)), ',')"), "str"
+    yield ("array_to_string(list_transform(generate_series(TIMESTAMP '2024-01-01 10:00:00', "
+           "TIMESTAMP '2024-01-01 08:00:00', INTERVAL '-1 hour'), x -> epoch_us(x)), ',')"), "str"
+    yield ("array_to_string(list_transform(range(TIMESTAMP '2024-01-01 10:00:00', "
+           "TIMESTAMP '2024-01-01 08:00:00', INTERVAL '-45 minutes'), x -> epoch_us(x)), ',')"), "str"
+    yield ("len(range(TIMESTAMP '2024-01-01 10:00:00', "
+           "TIMESTAMP '2024-01-01 08:00:00', INTERVAL '1 hour'))"), "long"
+    yield ("len(generate_series(TIMESTAMP '2024-01-01 08:00:00', "
+           "TIMESTAMP '2024-01-01 10:00:00', INTERVAL '-1 hour'))"), "long"
+    yield ("len(range(TIMESTAMP '2024-01-01 10:00:00', "
+           "TIMESTAMP '2024-01-01 11:00:00', INTERVAL '0 hour'))"), "long"
+    yield ("len(generate_series(TIMESTAMP '2024-01-01 10:00:00', "
+           "TIMESTAMP '2024-01-01 11:00:00', INTERVAL '0 hour'))"), "long"
+    yield ("len(generate_series(TIMESTAMP '2024-01-01 10:00:00', "
+           "TIMESTAMP '2024-01-01 10:00:00', INTERVAL '-1 hour'))"), "long"
+    yield ("len(range(TIMESTAMP '2024-01-01 10:00:00', "
+           "TIMESTAMP '2024-01-01 10:00:00', INTERVAL '-1 hour'))"), "long"
+    yield ("array_to_string(list_transform(range(DATE '2024-01-10', "
+           "DATE '2024-01-05', INTERVAL '-2 days'), x -> epoch_us(x)), ',')"), "str"
     # month steps intentionally NOT generated: DuckDB steps
     # iteratively (Jan 31 -> Feb 29 -> Mar 29, clamping carries);
     # Spark computes start + k*step (-> Mar 31) — documented delta
@@ -476,6 +499,11 @@ def struct_map_cases():
     yield "array_to_string(string_split('abc', ''), '-')", "str"
     yield "len(string_split('', ''))", "long"
     yield "len(string_split('', '.'))", "long"
+    # per-character split must fire at line terminators too
+    yield "len(string_split('a' || chr(10) || 'b', ''))", "long"
+    yield "array_to_string(string_split('a' || chr(10) || 'b', ''), '-')", "str"
+    yield "len(string_split('a' || chr(13) || chr(10) || 'b', ''))", "long"
+    yield "len(string_split(chr(10) || chr(10), ''))", "long"
     yield "prefix('abcd', 'ab')", "bool"
     yield "suffix('abcd', 'cd')", "bool"
     yield "starts_with('abcd', 'b')", "bool"
@@ -510,6 +538,11 @@ def struct_map_cases():
     yield "'abc' GLOB 'a[!bx]c'", "bool"
     yield "'a*c' GLOB 'a[*]c'", "bool"
     yield "'hello world' GLOB 'h*o w?rld'", "bool"
+    # prefix-NOT glob (DuckDB's parser rejects infix NOT GLOB; the
+    # shim's trailing-NOT handling is spec-tested instead)
+    yield "NOT 'abc' GLOB 'a*'", "bool"
+    yield "NOT 'xbc' GLOB 'a*'", "bool"
+    yield "NOT ('abc' GLOB 'a?c')", "bool"
     yield "'abc' SIMILAR TO 'ab.'", "bool"
     yield "'abc' SIMILAR TO 'ab'", "bool"
     yield "'abc' NOT SIMILAR TO 'ab'", "bool"
