@@ -151,6 +151,19 @@ final class Graft(val spark: SparkSession, stateDir: String) {
       graft.ops.Dedup.winnowPairs(df, idCol, textCol, blockCols, threshold = threshold)
         .withColumnRenamed("fp_jaccard", "jaccard"))
 
+  /** Cluster near-duplicate documents: MinHash+LSH pairs closed under
+    * transitivity (connected components, pointer-jumping min-label),
+    * so A~B, B~C lands A, B, C in ONE cluster with the min id as its
+    * canonical representative — the corpus-level dedup a per-pair
+    * drop cannot express. Returns (node, cluster) for every document
+    * that appears in a pair.
+    */
+  def dedupClusters(df: DataFrame, idCol: String, textCol: String,
+                    threshold: Double = 0.5): DataFrame =
+    graft.ops.Components.connectedComponents(
+      graft.ops.Dedup.minhashLshPairs(df, idCol, textCol, threshold = threshold),
+      "id_a", "id_b")
+
   /** Fuzzy entity resolution: blocked Jaro-Winkler pairs of
     * NON-identical names scoring at least `threshold` (byte-oriented,
     * DuckDB-score-identical kernel; prefix blocking, no all-pairs

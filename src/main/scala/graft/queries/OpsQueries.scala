@@ -271,6 +271,36 @@ object OpsQueries {
               |WHERE doc_id NOT IN (SELECT id_b FROM est WHERE est_jaccard >= 0.25)
               |ORDER BY doc_id""".stripMargin)),
 
+    // transitive closure of the pair set: corpus-level duplicate
+    // CLUSTERS (A~B, B~C ⇒ one cluster), min doc id as the canonical
+    // representative — oracle is a DuckDB recursive CTE reaching the
+    // same fixpoint the pointer-jumping loop computes
+    Q("dedup_cluster_assign",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val docs = s.table("documents")
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+            k = 16, bands = 4, n = 3, threshold = 0.25)
+        val comp = graft.ops.Components.connectedComponents(pairs, "id_a", "id_b")
+        docs.select(col("doc_id"))
+          .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
+          .withColumn("cluster_size", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $minhashOracleCtes,
+              |prs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.25),
+              |eg AS (SELECT id_a AS a, id_b AS b FROM prs UNION SELECT id_b, id_a FROM prs),
+              |walk(node, lbl) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT e.b, w.lbl FROM walk w JOIN eg e ON e.a = w.node),
+              |comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node)
+              |SELECT doc_id, cluster_id,
+              |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+              |FROM comp ORDER BY doc_id""".stripMargin)),
+
     Q("dedup_simhash",
       (s, dir) => {
         Tables.registerAll(s, dir)
