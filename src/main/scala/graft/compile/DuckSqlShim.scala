@@ -59,7 +59,7 @@ object DuckSqlShim {
     "returning", "array")
 
   def rewrite(sql: String): String =
-    rewriteTokens(rewriteQualifyDeep(rewriteUnpivot(sql)))
+    rewriteTokens(rewriteQualifyDeep(rewritePivot(rewriteUnpivot(sql), None)))
 
   /** DuckDB's statement-form `UNPIVOT t ON c1, c2 INTO NAME n VALUE v
     * [tail]` → the SQL-standard `SELECT * FROM t UNPIVOT (v FOR n IN
@@ -73,11 +73,6 @@ object DuckSqlShim {
     val t = sql.trim
     def firstWord(s: String): String = s.takeWhile(c => c.isLetterOrDigit || c == '_')
     val fw = firstWord(t).toLowerCase
-    if (fw == "pivot")
-      fail("the statement-form PIVOT",
-        "DuckDB infers the pivoted values from data; Spark needs them in the " +
-          "syntax — use SELECT ... PIVOT (agg FOR col IN (v1, v2, ...)) with " +
-          "an explicit value list")
     if (fw != "unpivot") return sql
     var i = "unpivot".length
     def skipWs(): Unit = while (i < t.length && t.charAt(i).isWhitespace) i += 1
@@ -114,6 +109,192 @@ object DuckSqlShim {
     val tail = t.substring(i).trim
     s"SELECT * FROM $table UNPIVOT ($valueCol FOR $nameCol IN ($cols))" +
       (if (tail.isEmpty) "" else s" $tail")
+  }
+
+  /** DuckDB's statement-form `PIVOT tbl ON col IN (v…) [USING agg…]
+    * [GROUP BY g…] [tail]` → the SQL-standard PIVOT clause both
+    * engines accept. Only the static form translates — without an IN
+    * list DuckDB infers the pivoted values from DATA, which no
+    * mechanical rewrite can know — and the output column names match
+    * DuckDB's (engine-verified): value alone for a single unaliased
+    * aggregate, `value_alias` with aliases, so multi-aggregate pivots
+    * require aliases (DuckDB's unaliased `en_sum(n)` names are not
+    * reproducible in Spark). A GROUP BY narrows the implicit grouping
+    * set, which needs the table's schema to re-project — available
+    * only on the resolver [[rewrite]] overload; missing USING
+    * defaults to count(*) as in DuckDB.
+    */
+  private def rewritePivot(sql: String,
+      resolve: Option[String => Option[Seq[String]]]): String = {
+    val t = sql.trim
+    def firstWord(s: String): String = s.takeWhile(c => c.isLetterOrDigit || c == '_')
+    if (!firstWord(t).equalsIgnoreCase("pivot")) return sql
+    var i = "pivot".length
+    def skipWs(): Unit = while (i < t.length && t.charAt(i).isWhitespace) i += 1
+    def word(): String = {
+      val s = i
+      if (i < t.length && t.charAt(i) == '"') { i = closeQuoted(t, i); t.substring(s, i) }
+      else {
+        while (i < t.length && (t.charAt(i).isLetterOrDigit || t.charAt(i) == '_' ||
+          t.charAt(i) == '.')) i += 1
+        t.substring(s, i)
+      }
+    }
+    skipWs()
+    val table =
+      if (i < t.length && t.charAt(i) == '(') {
+        val e = closeDelim(t, i, '(', ')'); val s = t.substring(i, e); i = e; s
+      } else word()
+    skipWs()
+    if (!word().equalsIgnoreCase("on"))
+      fail("PIVOT without ON",
+        "the form is PIVOT t ON col IN (v1, ...) USING agg [GROUP BY cols]")
+    skipWs()
+    val onStart = i
+    val inPos   = findTopLevelWord(t, i, Set("in", "using", "group"))
+    if (inPos < 0 || !t.substring(inPos).toLowerCase.startsWith("in"))
+      fail("PIVOT without an IN value list",
+        "DuckDB infers the pivoted values from data; Spark needs them in the " +
+          "syntax — add IN (v1, v2, ...) after the ON column")
+    val pc = t.substring(onStart, inPos).trim
+    if (!pc.forall(c => c.isLetterOrDigit || c == '_' || c == '.' || c == '"' || c == '`'))
+      fail(s"PIVOT ON expression '$pc'",
+        "only a plain column pivots mechanically — project the expression " +
+          "to a column first")
+    i = inPos + 2
+    skipWs()
+    if (i >= t.length || t.charAt(i) != '(')
+      fail("PIVOT IN without a parenthesized value list", "write IN (v1, v2, ...)")
+    val inEnd = closeDelim(t, i, '(', ')')
+    val vals  = splitTopLevel(t.substring(i + 1, inEnd - 1)).map(_.trim)
+    i = inEnd
+    // USING section (optional; DuckDB defaults to count(*))
+    val tailPos0  = findTopLevelWord(t, i, Set("order", "limit", "offset", "having", "qualify"))
+    val tailPos   = if (tailPos0 < 0) t.length else tailPos0
+    def before(p: Int) = if (p >= 0 && p < tailPos) p else -1
+    val usingPos = before(findTopLevelWord(t, i, Set("using")))
+    val groupPos = before(findTopLevelWord(t, i, Set("group")))
+    val aggsTxt =
+      if (usingPos < 0) "count(*)"
+      else t.substring(usingPos + "using".length,
+        if (groupPos >= 0) groupPos else tailPos).trim
+    val groupsTxt =
+      if (groupPos < 0) ""
+      else {
+        val afterBy = t.substring(groupPos + "group".length, tailPos).trim
+        if (!afterBy.toLowerCase.startsWith("by"))
+          fail("PIVOT GROUP without BY", "the form is GROUP BY col, ...")
+        afterBy.substring(2).trim
+      }
+    val tail = t.substring(tailPos).trim
+    // aliases: a single unaliased aggregate names columns by value
+    // alone in both engines; aliased ones name value_alias in both;
+    // unaliased MULTIPLE aggregates diverge — require aliases
+    val aggs = splitTopLevel(aggsTxt).map(_.trim)
+    def aliasOf(a: String): Option[String] = {
+      val p = findTopLevelWord(a, 0, Set("as"))
+      if (p < 0) None else Some(a.substring(p + 2).trim.replace("\"", "").replace("`", ""))
+    }
+    if (aggs.length > 1 && !aggs.forall(aliasOf(_).isDefined))
+      fail("PIVOT with multiple unaliased aggregates",
+        "alias each (USING sum(x) AS s, max(x) AS m) so the pivoted column " +
+          "names are well-defined in both engines")
+    val valAliases = vals.map { v =>
+      aliasOf(v).getOrElse {
+        if (v.startsWith("'") && v.endsWith("'") && v.length >= 2)
+          v.substring(1, v.length - 1).replace("''", "'")
+        else v.replace("\"", "").replace("`", "")
+      }
+    }
+    val valsOut = vals.zip(valAliases).map { case (v, a) =>
+      if (aliasOf(v).isDefined) v
+      else s"""$v AS "${a.replace("\"", "\"\"")}""""
+    }
+    def norm(s: String) = s.replace("\"", "").replace("`", "").toLowerCase
+    // aggregate inputs: schema columns appearing as word tokens in the
+    // USING text (alias names excluded)
+    lazy val aggWords = {
+      val words = scala.collection.mutable.Set[String]()
+      var j = 0; var prev = ""
+      while (j < aggsTxt.length) {
+        val c = aggsTxt.charAt(j)
+        if (c == '\'') j = closeString(aggsTxt, j)
+        else if (c.isLetter || c == '_') {
+          val s = j
+          while (j < aggsTxt.length && (aggsTxt.charAt(j).isLetterOrDigit ||
+            aggsTxt.charAt(j) == '_')) j += 1
+          val w = aggsTxt.substring(s, j).toLowerCase
+          if (prev != "as") words += w
+          prev = w
+        } else { if (!c.isWhitespace) prev = ""; j += 1 }
+      }
+      words
+    }
+    def schemaCols(why: String): Seq[String] = {
+      val resolver = resolve.getOrElse(
+        fail(s"statement-form PIVOT $why",
+          "needs the table's schema — use Graft.duckSql (schema-aware) or " +
+            "SELECT ... PIVOT directly"))
+      val plain = table.replace("\"", "").replace("`", "")
+      resolver(plain).getOrElse(
+        fail(s"PIVOT $why over unresolvable source '$table'",
+          "only a catalog table/view translates mechanically — " +
+            "pre-project the subquery instead"))
+    }
+    val groups: Seq[String] =
+      if (groupsTxt.nonEmpty) {
+        val gs = splitTopLevel(groupsTxt).map(_.trim)
+        if (!gs.forall(_.forall(c => c.isLetterOrDigit || c == '_' || c == '.' ||
+          c == '"' || c == '`')))
+          fail("PIVOT GROUP BY with computed expressions",
+            "only plain columns translate mechanically — project the " +
+              "expression to a column first")
+        gs
+      } else Nil
+    val base =
+      if (groups.isEmpty) table
+      else {
+        // DuckDB groups ONLY by the GROUP BY columns; Spark's PIVOT
+        // groups by every column of the source not consumed by the
+        // pivot — so re-project the source down to (groups, pivot
+        // column, aggregate inputs), which needs the schema
+        val cols = schemaCols("with GROUP BY")
+        val keep = groups.map(norm).toSet + norm(pc)
+        val aggCols = cols.filter(c => aggWords.contains(c.toLowerCase) &&
+          !keep.contains(c.toLowerCase))
+        s"(SELECT ${(groups ++ Seq(pc) ++ aggCols).mkString(", ")} FROM $table)"
+      }
+    val pivoted =
+      s"SELECT * FROM $base PIVOT (${aggs.mkString(", ")} FOR $pc IN (${valsOut.mkString(", ")}))"
+    // DuckDB zero-fills empty COUNT cells where Spark's PIVOT leaves
+    // NULL (the aggregate never ran) — wrap count-valued output
+    // columns in coalesce(..., 0), which needs the output column list
+    def isCount(a: String) =
+      a.takeWhile(c => c.isLetterOrDigit || c == '_').equalsIgnoreCase("count")
+    val result =
+      if (!aggs.exists(isCount)) pivoted
+      else {
+        val groupOut: Seq[String] =
+          if (groups.nonEmpty) groups.map(g => g.substring(g.lastIndexOf('.') + 1))
+          else {
+            val cols = schemaCols("with a COUNT aggregate")
+            val used = aggWords
+            cols.filter(c => norm(c) != norm(pc) && !used.contains(c.toLowerCase))
+          }
+        val valueOut: Seq[(String, Boolean)] =
+          for (va <- valAliases; a <- aggs) yield {
+            val name =
+              if (aggs.length == 1 && aliasOf(a).isEmpty) va
+              else s"${va}_${aliasOf(a).get}"
+            (name, isCount(a))
+          }
+        val items = groupOut.map(g => s""""$g"""") ++ valueOut.map { case (n, cnt) =>
+          val q = s""""${n.replace("\"", "\"\"")}""""
+          if (cnt) s"coalesce($q, 0) AS $q" else q
+        }
+        s"SELECT ${items.mkString(", ")} FROM ($pivoted)"
+      }
+    result + (if (tail.isEmpty) "" else s" $tail")
   }
 
   /** [[rewriteQualify]] applied at every subquery nesting level,
@@ -238,7 +419,8 @@ object DuckSqlShim {
     * the 1-arg form.
     */
   def rewrite(sql: String, resolveTable: String => Option[Seq[String]]): String =
-    rewriteTokens(rewriteQualifyDeep(expandColumns(rewriteUnpivot(sql), resolveTable)))
+    rewriteTokens(rewriteQualifyDeep(expandColumns(
+      rewritePivot(rewriteUnpivot(sql), Some(resolveTable)), resolveTable)))
 
   /** DuckDB star-expression expansion for the common SELECT-list form:
     * `SELECT ... fn(COLUMNS('regex')) ... FROM tbl` replicates each

@@ -608,7 +608,56 @@ class DuckSqlShimSpec extends AnyFunSuite {
       r.getString(2) == "hi" && r.getString(3) == "hi")
   }
 
-  test("statement-form UNPIVOT rewrites to the standard clause; PIVOT raises") {
+  test("statement-form PIVOT rewrites to the standard clause (static IN form)") {
+    import spark.implicits._
+    Seq(("en", "a", 1L), ("en", "b", 2L), ("fr", "a", 3L), ("de", "a", 4L))
+      .toDF("lang", "src", "n").createOrReplaceTempView("shim_pv_t")
+    val resolve: String => Option[Seq[String]] = {
+      case "shim_pv_t" => Some(Seq("lang", "src", "n"))
+      case _           => None
+    }
+    // no GROUP BY: both engines group by all unconsumed columns —
+    // the table passes through unprojected
+    assert(rw("PIVOT shim_pv_t ON lang IN ('en','fr') USING sum(n)") ==
+      "SELECT * FROM shim_pv_t PIVOT (sum(n) FOR lang IN ('en' AS `en`, 'fr' AS `fr`))")
+    // GROUP BY narrows the grouping set, so the source re-projects
+    // down to (groups, pivot col, agg inputs) using the schema
+    val g = DuckSqlShim.rewrite(
+      "PIVOT shim_pv_t ON lang IN ('en','fr') USING sum(n) GROUP BY src", resolve)
+    assert(g.contains("(SELECT src, lang, n FROM shim_pv_t)"), g)
+    // DuckDB-verified values: en/fr sums per src, missing cell NULL
+    val got = spark.sql(g).orderBy("src").collect()
+      .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(got == Seq(("a", Some(1L), Some(3L)), ("b", Some(2L), None)))
+    // aliased + multiple aggregates name value_alias as DuckDB does
+    val m = spark.sql(DuckSqlShim.rewrite(
+      "PIVOT shim_pv_t ON lang IN ('en','fr') USING sum(n) AS s, max(n) AS m GROUP BY src",
+      resolve))
+    assert(m.columns.toSeq == Seq("src", "en_s", "en_m", "fr_s", "fr_m"))
+    // missing USING defaults to count(*) (DuckDB-verified: 1/1, 1/0)
+    val cnt = spark.sql(DuckSqlShim.rewrite(
+      "PIVOT shim_pv_t ON lang IN ('en','fr') GROUP BY src", resolve))
+      .orderBy("src").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(cnt.toSeq == Seq(("a", 1L, 1L), ("b", 1L, 0L)))
+    // ORDER BY / LIMIT tails carry over
+    val tl = spark.sql(DuckSqlShim.rewrite(
+      "PIVOT shim_pv_t ON lang IN ('en','fr') USING sum(n) GROUP BY src ORDER BY src LIMIT 1",
+      resolve)).collect()
+    assert(tl.length == 1 && tl.head.getString(0) == "a")
+    // guided errors: dynamic form (no IN), multi-agg without aliases,
+    // GROUP BY without schema access
+    val e1 = intercept[IllegalArgumentException](
+      rw("PIVOT shim_pv_t ON lang USING sum(n)"))
+    assert(e1.getMessage.contains("IN"))
+    val e2 = intercept[IllegalArgumentException](
+      rw("PIVOT shim_pv_t ON lang IN ('en') USING sum(n), max(n)"))
+    assert(e2.getMessage.toLowerCase.contains("alias"))
+    val e3 = intercept[IllegalArgumentException](
+      rw("PIVOT shim_pv_t ON lang IN ('en') USING sum(n) GROUP BY src"))
+    assert(e3.getMessage.contains("schema"))
+  }
+
+  test("statement-form UNPIVOT rewrites to the standard clause; dynamic PIVOT raises") {
     import spark.implicits._
     assert(rw("UNPIVOT m ON jan, feb INTO NAME month VALUE v") ==
       "SELECT * FROM m UNPIVOT (v FOR month IN (jan, feb))")
@@ -624,8 +673,10 @@ class DuckSqlShimSpec extends AnyFunSuite {
     // the SQL-standard form passes through (both engines accept it)
     assert(rw("SELECT * FROM m UNPIVOT (v FOR month IN (jan, feb))") ==
       "SELECT * FROM m UNPIVOT (v FOR month IN (jan, feb))")
+    // dynamic PIVOT (no IN list) still raises with guidance — the
+    // static IN form rewrites (see the PIVOT test above)
     val e = intercept[IllegalArgumentException](rw("PIVOT m ON id USING sum(jan)"))
-    assert(e.getMessage.contains("explicit value list"))
+    assert(e.getMessage.contains("IN"))
   }
 
   test("power operator, list comprehensions, SIMILAR TO") {
