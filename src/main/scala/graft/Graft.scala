@@ -243,6 +243,23 @@ final class Graft(val spark: SparkSession, stateDir: String) {
                        defaultFraction: Double = 1.0): DataFrame =
     graft.ops.Sampling.stratifiedSample(df, idCol, strataCol, fractions, defaultFraction)
 
+  /** Disjoint deterministic train/val/test split column — every row
+    * exactly one label, stable across runs/engines/repartitions.
+    */
+  def sampleSplit(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1),
+                  restLabel: String = "test"): DataFrame =
+    graft.ops.Sampling.splitAssign(df, idCol, splits, restLabel)
+
+  /** Globally redact each (pattern → replacement) in order over a
+    * text column; defaults to the PII set (email/URL/IP/phone).
+    */
+  def redact(df: DataFrame, textCol: String = "text",
+             patterns: Seq[(String, String)] = graft.ops.TextAnalysis.PiiPatterns): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn(textCol, graft.ops.TextAnalysis.redact(col(textCol), patterns))
+  }
+
   /** Symmetric int8 quantization of an embedding column (adds q_vec +
     * q_scale) — the 4× memory-scale path for vector search.
     */

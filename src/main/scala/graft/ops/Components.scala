@@ -48,6 +48,12 @@ object Components {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
+    // labels only ever DECREASE (both steps take a least()), so the
+    // label sum is a strictly monotone convergence witness: equal sum
+    // ⇔ fixpoint — one decimal agg per round instead of a self-join
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum   = lblSum(labels)
     var iter      = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -67,11 +73,11 @@ object Components {
         .select(col("node"),
           least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      val changed = jump.alias("n")
-        .join(labels.withColumnRenamed("lbl", "old"), "node")
-        .where(col("lbl") < col("old")).limit(1).count()
+      val newSum = lblSum(jump)
       labels = jump
-      converged = changed == 0
+      converged = (newSum == null && prevSum == null) ||
+        (newSum != null && prevSum != null && newSum.compareTo(prevSum) == 0)
+      prevSum = newSum
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")

@@ -51,4 +51,28 @@ object Sampling {
     }
     df.where(hashKey(col(idCol)) < cutoff)
   }
+
+  /** Disjoint deterministic train/val/test assignment: `splits` are
+    * (label, fraction) pairs partitioning [0,1] by cumulative hash
+    * threshold; any remainder falls to `restLabel`. Every row gets
+    * exactly one label, stable across runs/engines/repartitions —
+    * a pure map-side CASE, no shuffle, so splitting a 100 TB corpus
+    * costs one scan and the split column prunes like any other.
+    */
+  def splitAssign(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1),
+                  restLabel: String = "test",
+                  splitCol: String = "split"): DataFrame = {
+    val total = splits.map(_._2).sum
+    require(total <= 1.0 + 1e-12, s"split fractions sum to $total > 1")
+    val key = hashKey(col(idCol))
+    // CASE over cumulative upper cutoffs, narrowest first — the first
+    // matching WHEN wins, which is exactly the [0,c1),[c1,c2),… bands
+    val cums = splits.scanLeft(0.0) { case (c, (_, f)) => c + f }.tail
+    val cased = splits.zip(cums).foldRight(lit(restLabel): Column) {
+      case (((label, _), hi), els) =>
+        when(key < lit(thresholdHex(hi)), lit(label)).otherwise(els)
+    }
+    df.withColumn(splitCol, cased)
+  }
 }

@@ -17,6 +17,31 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
 
+  /** Default PII masking set: (pattern, replacement), applied in
+    * order. Patterns stay inside the Java∩RE2 regex subset so the
+    * same strings run in Spark and in DuckDB-dialect oracles.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
+    "https?://[^\\s]+"                                -> "[URL]",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "[IP]",
+    "\\+?\\d[\\d\\-() ]{7,}\\d"                       -> "[PHONE]")
+
+  /** Redact every (global) match of each pattern in order — a chained
+    * `regexp_replace`, fully codegen'd, so scrubbing a 100 TB corpus
+    * is one map-side scan with no shuffle. Later patterns see earlier
+    * replacements (so e.g. an [EMAIL] mask is not re-matched as a
+    * phone number — order the set accordingly).
+    */
+  def redact(text: Column, patterns: Seq[(String, String)] = PiiPatterns): Column =
+    patterns.foldLeft(text) { case (acc, (pat, rep)) =>
+      regexp_replace(acc, pat, rep)
+    }
+
+  /** Count of (non-overlapping, global) matches of `pattern`. */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count estimate: words + extra units for long

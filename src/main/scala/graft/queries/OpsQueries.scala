@@ -644,6 +644,45 @@ object OpsQueries {
               |       ELSE '${graft.ops.Sampling.thresholdHex(0.25)}' END
               |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // disjoint deterministic train/val/test assignment — pure
+    // map-side CASE over the md5 hex threshold, no shuffle
+    Q("sample_split_assign",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        graft.ops.Sampling.splitAssign(s.table("documents"), "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1), restLabel = "test")
+          .select(col("doc_id"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+              |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) <
+              |         '${graft.ops.Sampling.thresholdHex(0.8)}' THEN 'train'
+              |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) <
+              |         '${graft.ops.Sampling.thresholdHex(0.9)}' THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ordered global-redaction chain (sensitive-term + PII masking):
+    // codegen'd regexp_replace, one scan, no shuffle — the match
+    // count comes from the pre-redaction text
+    Q("text_redact",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val term = "\\b(customer|spark|vector)\\b"
+        val mail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        s.table("documents").select(
+            col("doc_id"),
+            TextAnalysis.redact(col("text"),
+              Seq(term -> "[TERM]", mail -> "[EMAIL]")).as("red"),
+            TextAnalysis.matchCount(col("text"), term).as("n_term"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  regexp_replace(regexp_replace(text, '\b(customer|spark|vector)\b', '[TERM]', 'g'),
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS red,
+             |  len(regexp_extract_all(text, '\b(customer|spark|vector)\b')) AS n_term
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // symmetric int8 quantization of the embedding corpus: scale,
     // integer checksum, saturation count and max reconstruction error.
     Q("ann_quantize_int8",

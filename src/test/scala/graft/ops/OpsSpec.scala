@@ -585,6 +585,42 @@ class OpsSpec extends AnyFunSuite {
     assert(Sampling.deterministicSample(ids, "id", 1.0).count() == 2000)
   }
 
+  test("split assignment: disjoint, exhaustive, rate-accurate, consistent with sampling") {
+    val ids = (0L until 2000L).map(i => (i, s"d$i")).toDF("id", "x")
+    val got = Sampling.splitAssign(ids, "id", Seq("train" -> 0.8, "val" -> 0.1))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(got.size == 2000)                       // every row exactly one label
+    val byLabel = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(byLabel("train") / 2000.0 - 0.8) < 0.05)
+    assert(math.abs(byLabel("val") / 2000.0 - 0.1) < 0.03)
+    assert(math.abs(byLabel("test") / 2000.0 - 0.1) < 0.03)
+    // band structure composes with deterministicSample: the train
+    // band IS the 0.8 sample (same hash, same threshold)
+    val sampled = Sampling.deterministicSample(ids, "id", 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.filter(_._2 == "train").keySet == sampled)
+    // over-allocated fractions are rejected
+    intercept[IllegalArgumentException](
+      Sampling.splitAssign(ids, "id", Seq("a" -> 0.9, "b" -> 0.2)))
+  }
+
+  test("redaction masks the PII set globally, in order, counting matches") {
+    val rows = Seq(
+      (1L, "mail me at a.b+c@ex-ample.org or x@y.io today"),
+      (2L, "visit https://ex.com/p?q=1 from 10.0.0.1"),
+      (3L, "call +1 (555) 123-4567 now"),
+      (4L, "clean text, nothing to hide")).toDF("id", "text")
+    val got = rows.select(col("id"),
+        TextAnalysis.redact(col("text")).as("red"),
+        TextAnalysis.matchCount(col("text"),
+          TextAnalysis.PiiPatterns.head._1).as("n_mail"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L) == ("mail me at [EMAIL] or [EMAIL] today", 2L))
+    assert(got(2L)._1 == "visit [URL] from [IP]")
+    assert(got(3L)._1 == "call [PHONE] now")
+    assert(got(4L) == ("clean text, nothing to hide", 0L))
+  }
+
   test("int8 quantization: bounded values, bounded error, quantized cosine tracks exact") {
     val vecs = Seq(
       (1L, Array(0.5, -1.0, 0.25, 0.75)),
