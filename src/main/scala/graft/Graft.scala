@@ -232,6 +232,30 @@ final class Graft(val spark: SparkSession, stateDir: String) {
       graft.ops.TextAnalysis.winnowFingerprints(col(textCol), k, w))
   }
 
+  /** Gopher-style repetition quality stats (duplicate word / 2-gram /
+    * 3-gram fractions, top-word share) as one fused-kernel struct
+    * column — the duplicate-content pre-training filters.
+    */
+  def repetitionStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("rep_stats",
+      graft.ops.TextAnalysis.repetitionStats(col(textCol)))
+  }
+
+  /** Benchmark decontamination: annotate each document with its
+    * distinct word-n-gram overlap against an eval set (`n_hits`,
+    * `contaminated`); `decontaminate` drops the flagged rows.
+    */
+  def contaminationCheck(docs: DataFrame, bench: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         n: Int = 3, minHits: Int = 1): DataFrame =
+    graft.ops.Decontaminate.overlap(docs, bench, idCol, textCol, n, minHits)
+
+  def decontaminate(docs: DataFrame, bench: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    n: Int = 3, minHits: Int = 1): DataFrame =
+    graft.ops.Decontaminate.drop(docs, bench, idCol, textCol, n, minHits)
+
   /** Deterministic (hash-threshold) sample — reproducible across
     * runs, engines and repartitioning; optional per-stratum rates.
     */

@@ -410,6 +410,78 @@ object TextExpressions {
       ColumnBridge.expression(org.apache.spark.sql.functions.lower(text)),
       enStopwords))
 
+  /** Gopher-style repetition statistics in ONE pass: struct(n_tokens,
+    * dup_word_frac, dup_2gram_frac, dup_3gram_frac, top_word_frac).
+    * The declarative formulation needs the token array THREE more
+    * times (2-gram list, 3-gram list, per-distinct-token multiplicity
+    * scan — the last is O(n²) per document, ruinous on a 10k-token web
+    * page); this kernel keeps hashmap counts during the single token
+    * scan, so cost is O(tokens) per row regardless of document length.
+    *
+    * Semantics contract (pinned against the declarative form by
+    * TextPropertySpec and against DuckDB by the oracle row):
+    * dup_word_frac = (n − n_distinct)/max(n,1); an n-gram list of a
+    * doc with fewer than n tokens is EMPTY (no whole-text fallback —
+    * unlike shingles, repetition over a padded singleton is
+    * meaningless) and its dup fraction is 0; top_word_frac = max
+    * single-token multiplicity / n, 0 when empty. All fractions are
+    * exact-integer double divisions, so both engines agree bitwise.
+    */
+  case class RepetitionStatsExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dup_word_frac", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("dup_2gram_frac", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("dup_3gram_frac", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("top_word_frac", org.apache.spark.sql.types.DoubleType)))
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "repetition_stats"
+
+    override protected def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val counts = new java.util.HashMap[String, Int]()
+      val g2 = new java.util.HashSet[String]()
+      val g3 = new java.util.HashSet[String]()
+      var nTok = 0L
+      var prev1: String = null // token n-1
+      var prev2: String = null // token n-2
+      var maxCount = 0
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+          val start = i
+          i += 1
+          while (i < s.length && {
+            val d = s.charAt(i); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+          }) i += 1
+          val tok = s.substring(start, i)
+          nTok += 1
+          val n = counts.merge(tok, 1, (a, b) => a + b)
+          if (n > maxCount) maxCount = n
+          if (prev1 != null) g2.add(prev1 + " " + tok)
+          if (prev2 != null) g3.add(prev2 + " " + prev1 + " " + tok)
+          prev2 = prev1
+          prev1 = tok
+        } else i += 1
+      }
+      val n2 = math.max(nTok - 1, 0L) // total 2-grams
+      val n3 = math.max(nTok - 2, 0L)
+      org.apache.spark.sql.catalyst.InternalRow(
+        nTok,
+        (nTok - counts.size).toDouble / math.max(nTok, 1L).toDouble,
+        if (n2 > 0) (n2 - g2.size).toDouble / n2.toDouble else 0.0,
+        if (n3 > 0) (n3 - g3.size).toDouble / n3.toDouble else 0.0,
+        if (nTok > 0) maxCount.toDouble / nTok.toDouble else 0.0)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def repetition_stats(text: Column): Column =
+    ColumnBridge.column(RepetitionStatsExpr(
+      ColumnBridge.expression(org.apache.spark.sql.functions.lower(text))))
+
   /** SimHash fingerprint per document in one pass — SimHash is a
     * purely per-row computation (tokenize → tf → per-token md5 bit
     * votes → sign), but the declarative formulation pays TWO full

@@ -102,6 +102,48 @@ object TextAnalysis {
         / greatest(length(text).cast("double"), lit(1.0))))
   }
 
+  /** Gopher-style repetition statistics as one struct column —
+    * struct(n_tokens, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
+    * top_word_frac) — the standard duplicate-content quality filters
+    * (a high duplicate-n-gram fraction marks boilerplate / SEO spam /
+    * crawler loops). Computed by the fused native
+    * `RepetitionStatsExpr` kernel: one O(tokens) pass with hashmap
+    * counts, map-side only, no shuffle — the declarative form below
+    * is O(tokens²) per document on the top-word multiplicity scan.
+    */
+  def repetitionStats(text: Column): Column =
+    graft.functions.TextExpressions.repetition_stats(text)
+
+  /** The declarative formulation repetitionStats replaced — kept as
+    * the parity reference for the property suite. O(n²) per row on
+    * the multiplicity scan; never use on real data.
+    */
+  private[graft] def repetitionStatsDeclarative(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    def grams(k: Int): Column =
+      when(n >= k,
+        transform(sequence(lit(0), n - lit(k)),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+        .otherwise(array().cast("array<string>"))
+    def dupFrac(g: Column): Column = {
+      val tot = size(g)
+      when(tot > 0, (tot - size(array_distinct(g))).cast("double") / tot.cast("double"))
+        .otherwise(lit(0.0))
+    }
+    val top = when(n > 0,
+      array_max(transform(array_distinct(toks),
+        t => size(filter(toks, x => x === t)))).cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+    struct(
+      n.cast("long").as("n_tokens"),
+      ((n - size(array_distinct(toks))).cast("double")
+        / greatest(n, lit(1)).cast("double")).as("dup_word_frac"),
+      dupFrac(grams(2)).as("dup_2gram_frac"),
+      dupFrac(grams(3)).as("dup_3gram_frac"),
+      top.as("top_word_frac"))
+  }
+
   /** Canonical-form fingerprint: md5 over lowercased text with
     * non-alphanumerics collapsed to single spaces — catches
     * whitespace/punctuation-variant duplicates.

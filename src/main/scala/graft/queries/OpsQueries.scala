@@ -683,6 +683,65 @@ object OpsQueries {
              |  len(regexp_extract_all(text, '\b(customer|spark|vector)\b')) AS n_term
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Gopher-style repetition quality stats: duplicate word/2-gram/
+    // 3-gram fractions + top-word share, one fused-kernel map pass.
+    // All fractions are exact-integer double divisions → bit-exact
+    // across engines, no rounding needed.
+    Q("text_repetition",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.table("documents")
+          .select(col("doc_id"), TextAnalysis.repetitionStats(col("text")).as("_r"))
+          .select(col("doc_id"),
+            col("_r.n_tokens").as("n_tokens"),
+            col("_r.dup_word_frac").as("dup_word_frac"),
+            col("_r.dup_2gram_frac").as("dup_2gram_frac"),
+            col("_r.dup_3gram_frac").as("dup_3gram_frac"),
+            col("_r.top_word_frac").as("top_word_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, $oracleToks AS toks FROM documents),
+              |r AS (
+              |  SELECT doc_id, toks, len(toks) AS n, len(list_distinct(toks)) AS nd,
+              |    CASE WHEN len(toks) >= 2 THEN [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)] ELSE [] END AS g2,
+              |    CASE WHEN len(toks) >= 3 THEN [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)] ELSE [] END AS g3
+              |  FROM d)
+              |SELECT doc_id, n AS n_tokens,
+              |  CAST(n - nd AS DOUBLE) / GREATEST(n, 1) AS dup_word_frac,
+              |  CASE WHEN len(g2) > 0 THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) ELSE 0.0 END AS dup_2gram_frac,
+              |  CASE WHEN len(g3) > 0 THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) ELSE 0.0 END AS dup_3gram_frac,
+              |  CASE WHEN n > 0 THEN CAST(list_max([len(list_filter(toks, x -> x = t)) for t in list_distinct(toks)]) AS DOUBLE) / n ELSE 0.0 END AS top_word_frac
+              |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // benchmark decontamination: distinct 3-gram overlap of every
+    // non-src0 document against the src0 "eval set"; contaminated =
+    // ≥ 2 shared grams. Inverted-index equi-join — the eval side
+    // collapses to a small distinct gram set (AQE-broadcastable).
+    Q("decontaminate_overlap",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val docs = s.table("documents")
+        graft.ops.Decontaminate.overlap(
+            docs.where(col("source") =!= "src0"),
+            docs.where(col("source") === "src0"),
+            "doc_id", "text", n = 3, minHits = 2)
+          .select(col("doc_id"), col("n_hits"), col("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, source, $oracleToks AS toks FROM documents),
+              |g AS (
+              |  SELECT doc_id, source, $oracleShingles AS gs FROM d),
+              |bg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE source = 'src0'),
+              |dg AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE source <> 'src0'),
+              |h AS (SELECT dg.doc_id, COUNT(*) AS n_hits FROM dg JOIN bg USING (gram) GROUP BY dg.doc_id)
+              |SELECT g.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+              |       COALESCE(h.n_hits, 0) >= 2 AS contaminated
+              |FROM g LEFT JOIN h ON g.doc_id = h.doc_id
+              |WHERE g.source <> 'src0'
+              |ORDER BY g.doc_id""".stripMargin)),
+
     // symmetric int8 quantization of the embedding corpus: scale,
     // integer checksum, saturation count and max reconstruction error.
     Q("ann_quantize_int8",

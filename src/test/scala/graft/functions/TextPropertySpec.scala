@@ -181,4 +181,25 @@ class TextPropertySpec extends AnyFunSuite {
     }
     texts.unpersist()
   }
+
+  test("RepetitionStatsExpr matches the declarative formulation on random input") {
+    import spark.implicits._
+    val r = new Random(20260814L)
+    val texts = ((0 until 400).map(_ => genText(r)) ++
+      Seq("", " ", "a", "a a", "a a b", "go go go go", "x y z x y z x y"))
+      .toDF("text")
+    texts.cache().count()
+    val rows = texts.select(col("text"),
+        TextExpressions.repetition_stats(col("text")).as("kern"),
+        graft.ops.TextAnalysis.repetitionStatsDeclarative(col("text")).as("decl"))
+      .collect()
+    rows.foreach { row =>
+      val k = row.getStruct(1)
+      val d = row.getStruct(2)
+      // exact equality: both sides are integer-derived double divisions
+      assert((0 until 5).forall(i => k.get(i) == d.get(i)),
+        s"text=${row.getString(0).take(60)} kern=$k decl=$d")
+    }
+    texts.unpersist()
+  }
 }

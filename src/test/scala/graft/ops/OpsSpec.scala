@@ -705,6 +705,47 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("repetitionStats computes known duplicate fractions") {
+    val d = Seq(
+      (1L, "a a b"),              // 3 toks, 2 distinct; 2-grams "a a","a b" distinct; top a=2/3
+      (2L, "go go go go"),        // 4 toks 1 distinct; 2-grams all "go go" → 2/3 dup; 3-grams 1/2 dup
+      (3L, ""),                   // empty → all zeros
+      (4L, "x y")                 // no 3-grams → dup_3gram_frac 0
+    ).toDF("doc_id", "text")
+    val r = d.select($"doc_id", TextAnalysis.repetitionStats($"text").as("r"))
+      .select($"doc_id", $"r.n_tokens", $"r.dup_word_frac", $"r.dup_2gram_frac",
+        $"r.dup_3gram_frac", $"r.top_word_frac")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 3 && math.abs(r(1L).getDouble(2) - 1.0 / 3) < 1e-15)
+    assert(r(1L).getDouble(3) == 0.0 && math.abs(r(1L).getDouble(5) - 2.0 / 3) < 1e-15)
+    assert(math.abs(r(2L).getDouble(2) - 0.75) < 1e-15)       // 4 toks, 1 distinct
+    assert(math.abs(r(2L).getDouble(3) - 2.0 / 3) < 1e-15)    // 3 2-grams, 1 distinct
+    assert(math.abs(r(2L).getDouble(4) - 0.5) < 1e-15)        // 2 3-grams, 1 distinct
+    assert(r(2L).getDouble(5) == 1.0)
+    assert(r(3L).getLong(1) == 0 && r(3L).getDouble(2) == 0.0 && r(3L).getDouble(5) == 0.0)
+    assert(r(4L).getDouble(4) == 0.0)
+  }
+
+  test("decontaminate flags shared n-grams against the bench set and drop removes them") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over fences"), // shares "the quick brown","quick brown fox" w/ bench
+      (2L, "an entirely unrelated sentence here"),
+      (3L, "short text")                             // < 3 toks → whole-text gram, no match
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox is a benchmark")).toDF("doc_id", "text")
+    val flagged = Decontaminate.overlap(corpus, bench, "doc_id", "text", n = 3)
+      .select($"doc_id", $"n_hits", $"contaminated").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(flagged(1L)._1 == 2 && flagged(1L)._2)
+    assert(flagged(2L) == ((0L, false)) && flagged(3L) == ((0L, false)))
+    val kept = Decontaminate.drop(corpus, bench, "doc_id", "text", n = 3)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    assert(kept.columns.toSeq == corpus.columns.toSeq) // apply step restores the schema
+    // both joins stay equi (broadcast or shuffle hash) — no nested-loop fallback
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("trainIvfCentroids handles k = 1") {
     val vecs = (0L until 10L).map(i => (i, Array(i.toDouble, 1.0))).toDF("vec_id", "embedding")
     val cents = Similarity.trainIvfCentroids(vecs, "vec_id", "embedding", k = 1, iters = 2)
