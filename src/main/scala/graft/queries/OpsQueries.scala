@@ -742,6 +742,55 @@ object OpsQueries {
               |WHERE g.source <> 'src0'
               |ORDER BY g.doc_id""".stripMargin)),
 
+    // end-to-end curation pipeline: quality filter (token count +
+    // duplicate-word fraction) → exact-dup drop → benchmark
+    // decontamination → deterministic train/val/test split. One plan:
+    // the quality gate and split label are map-side, the dedup keeps
+    // min-id per digest, the decontamination is the inverted-index
+    // semi-join — the composition a 100 TB curation run would
+    // actually execute.
+    Q("pipeline_curate",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val docs = s.table("documents")
+        val bench = docs.where(col("source") === "src0")
+        val q = docs.where(col("source") =!= "src0")
+          .withColumn("_r", TextAnalysis.repetitionStats(col("text")))
+          .where(col("_r.n_tokens") >= 25 && col("_r.dup_word_frac") <= 0.55)
+          .drop("_r")
+        val deduped = Dedup.dropExactDuplicates(q, "doc_id", "text")
+        val clean = graft.ops.Decontaminate.drop(deduped, bench, "doc_id", "text",
+          n = 3, minHits = 2)
+        graft.ops.Sampling.splitAssign(clean, "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1), restLabel = "test")
+          .select(col("doc_id"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, text, $oracleToks AS toks FROM documents WHERE source <> 'src0'),
+              |q AS (
+              |  SELECT doc_id, text, toks FROM t
+              |  WHERE len(toks) >= 25
+              |    AND CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / GREATEST(len(toks), 1) <= 0.55),
+              |e AS (
+              |  SELECT q.doc_id, q.text, q.toks FROM q
+              |  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS m FROM q GROUP BY 1) k
+              |    ON md5(q.text) = k.h AND q.doc_id = k.m),
+              |bt AS (SELECT doc_id, $oracleToks AS toks FROM documents WHERE source = 'src0'),
+              |bg AS (SELECT DISTINCT unnest($oracleShingles) AS gram FROM bt),
+              |dg AS (SELECT doc_id, unnest($oracleShingles) AS gram FROM e),
+              |contam AS (
+              |  SELECT dg.doc_id FROM dg JOIN bg USING (gram)
+              |  GROUP BY dg.doc_id HAVING COUNT(*) >= 2)
+              |SELECT doc_id,
+              |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) <
+              |         '${graft.ops.Sampling.thresholdHex(0.8)}' THEN 'train'
+              |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) <
+              |         '${graft.ops.Sampling.thresholdHex(0.9)}' THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM e WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+              |ORDER BY doc_id""".stripMargin)),
+
     // symmetric int8 quantization of the embedding corpus: scale,
     // integer checksum, saturation count and max reconstruction error.
     Q("ann_quantize_int8",
