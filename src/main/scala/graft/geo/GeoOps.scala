@@ -112,6 +112,24 @@ object GeoOps {
     math.sqrt(dx * dx + dy * dy)
   }
 
+  /** Min distance from point p to a linestring — tight index loop
+    * over the vertex array, zero allocation (cf. the generic
+    * `distance` path, which materializes segment tuples per call).
+    * A single-vertex "line" degrades to point distance.
+    */
+  def pointLineDist(p: Pt, l: LineString): Double = {
+    val pts = l.pts
+    if (pts.length == 1) return dist(p, pts(0))
+    var best = Double.PositiveInfinity
+    var i = 0
+    while (i < pts.length - 1) {
+      val d = pointSegDist(p, pts(i), pts(i + 1))
+      if (d < best) best = d
+      i += 1
+    }
+    best
+  }
+
   /** Min distance from point p to segment [a,b]. */
   def pointSegDist(p: Pt, a: Pt, b: Pt): Double = {
     val dx = b.x - a.x; val dy = b.y - a.y
@@ -277,9 +295,22 @@ object GeoOps {
 
   /** Min planar distance; 0 when geometries intersect (incl. one
     * containing the other).
+    *
+    * Point↔point and point↔linestring take allocation-free fast paths
+    * (no segment/point buffer materialization, no up-front intersects
+    * pass — a point touching the other geometry yields 0 from the
+    * primitive itself). These are the shapes every distance join in
+    * the query surface probes per candidate pair, so the per-pair
+    * constant is the term that scales with the ×100 candidate growth.
     */
   def distance(a: Geometry, b: Geometry): Double = {
     if (a.isEmpty || b.isEmpty) return Double.NaN
+    (a, b) match {
+      case (p: Point, q: Point) => return dist(p.p, q.p)
+      case (p: Point, l: LineString) => return pointLineDist(p.p, l)
+      case (l: LineString, p: Point) => return pointLineDist(p.p, l)
+      case _ => ()
+    }
     if (intersects(a, b)) return 0.0
 
     val segsA = new ArrayBuffer[(Pt, Pt)]; segmentsOf(a, segsA)
