@@ -267,6 +267,14 @@ final class Graft(val spark: SparkSession, stateDir: String) {
                        defaultFraction: Double = 1.0): DataFrame =
     graft.ops.Sampling.stratifiedSample(df, idCol, strataCol, fractions, defaultFraction)
 
+  /** Frequency capping: keep at most `maxPerKey` rows per key (the
+    * per-domain cap), deterministically as the smallest id-hashes —
+    * salted two-stage top-k, bounded tasks under domain skew.
+    */
+  def sampleCapPerKey(df: DataFrame, keyCol: String, idCol: String,
+                      maxPerKey: Int, saltBuckets: Int = 16): DataFrame =
+    graft.ops.Sampling.capPerKey(df, keyCol, idCol, maxPerKey, saltBuckets)
+
   /** Disjoint deterministic train/val/test split column — every row
     * exactly one label, stable across runs/engines/repartitions.
     */

@@ -75,4 +75,40 @@ object Sampling {
     }
     df.withColumn(splitCol, cased)
   }
+
+  /** Frequency capping: keep at most `maxPerKey` rows per `keyCol`
+    * (the per-domain / per-source cap every crawl-curation pipeline
+    * applies so one hot domain cannot dominate the corpus). The kept
+    * subset is the `maxPerKey` SMALLEST id-hashes within the key —
+    * deterministic across runs/engines/repartitioning and unbiased by
+    * input order, consistent with the hash-threshold samplers above.
+    *
+    * 100 TB design: a naive per-key window sorts every row of a hot
+    * key in one task (a 50%-of-corpus domain = an unbounded
+    * partition). Instead, stage 1 windows over (key, salt) — each of
+    * the `saltBuckets` sub-partitions keeps its own `maxPerKey`
+    * smallest, bounding any task at bucket size — and stage 2 re-ranks
+    * the ≤ saltBuckets×maxPerKey survivors per key. The N smallest
+    * per bucket are a superset of the N smallest overall, so the
+    * result is identical to the single-window form (OpsSpec pins the
+    * equivalence).
+    */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String,
+                maxPerKey: Int, saltBuckets: Int = 16): DataFrame = {
+    require(maxPerKey > 0, s"maxPerKey must be positive: $maxPerKey")
+    require(saltBuckets > 0, s"saltBuckets must be positive: $saltBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val h = hashKey(col(idCol))
+    val pruned = df
+      .withColumn("_salt", pmod(crc32(col(idCol).cast("string")), lit(saltBuckets)))
+      .withColumn("_rn1", row_number().over(
+        Window.partitionBy(col(keyCol), col("_salt")).orderBy(h, col(idCol))))
+      .where(col("_rn1") <= maxPerKey)
+      .drop("_salt", "_rn1")
+    pruned
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(h, col(idCol))))
+      .where(col("_rn") <= maxPerKey)
+      .drop("_rn")
+  }
 }

@@ -644,6 +644,23 @@ object OpsQueries {
               |       ELSE '${graft.ops.Sampling.thresholdHex(0.25)}' END
               |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // per-source frequency capping: ≤ 15 docs per source, chosen as
+    // the smallest id-hashes (deterministic, order-unbiased). The
+    // salted two-stage top-k bounds task size under domain skew; its
+    // result is identical to the single window the oracle runs.
+    Q("sample_cap_per_source",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        graft.ops.Sampling.capPerKey(s.table("documents"), "source", "doc_id",
+            maxPerKey = 15)
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, source FROM documents
+             |QUALIFY row_number() OVER (PARTITION BY source
+             |  ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id) <= 15
+             |ORDER BY doc_id""".stripMargin)),
+
     // disjoint deterministic train/val/test assignment — pure
     // map-side CASE over the md5 hex threshold, no shuffle
     Q("sample_split_assign",

@@ -746,6 +746,23 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("capPerKey keeps the N smallest hashes per key, identical to a single window") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (0L until 200L).map(i => (i, s"k${i % 3}")).toDF("id", "k")
+    for (buckets <- Seq(1, 4, 16)) {
+      val capped = Sampling.capPerKey(rows, "k", "id", maxPerKey = 5, saltBuckets = buckets)
+      val naive = rows.withColumn("_rn", row_number().over(
+          Window.partitionBy($"k").orderBy(Sampling.hashKey($"id"), $"id")))
+        .where($"_rn" <= 5).drop("_rn")
+      assert(capped.collect().toSet == naive.collect().toSet, s"buckets=$buckets")
+    }
+    // per-key counts respect the cap; a key with fewer rows keeps them all
+    val small = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "k")
+    val kept = Sampling.capPerKey(small, "k", "id", maxPerKey = 2)
+      .groupBy("k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("trainIvfCentroids handles k = 1") {
     val vecs = (0L until 10L).map(i => (i, Array(i.toDouble, 1.0))).toDF("vec_id", "embedding")
     val cents = Similarity.trainIvfCentroids(vecs, "vec_id", "embedding", k = 1, iters = 2)
