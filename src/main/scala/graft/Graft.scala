@@ -164,6 +164,17 @@ final class Graft(val spark: SparkSession, stateDir: String) {
       graft.ops.Dedup.minhashLshPairs(df, idCol, textCol, threshold = threshold),
       "id_a", "id_b")
 
+  /** SemDeDup semantic deduplication over an embedding column: train
+    * `nlist` deterministic k-means centroids, compare pairs only
+    * within a cluster, drop the larger id of each pair at cosine ≥
+    * `threshold`. Approximate (cross-cluster near-dups are missed) —
+    * the standard recall trade that bounds the quadratic comparison.
+    */
+  def dedupSemantic(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double = 0.9, nlist: Int = 64): DataFrame =
+    graft.ops.Dedup.semDedupDrop(df, idCol, vecCol,
+      graft.ops.Similarity.trainIvfCentroids(df, idCol, vecCol, nlist), threshold)
+
   /** Fuzzy entity resolution: blocked Jaro-Winkler pairs of
     * NON-identical names scoring at least `threshold` (byte-oriented,
     * DuckDB-score-identical kernel; prefix blocking, no all-pairs

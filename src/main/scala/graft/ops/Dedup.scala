@@ -281,6 +281,31 @@ object Dedup {
       col(idCol) === col("_drop"), "left_anti")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with k-means,
+    * compare pairs only WITHIN a cluster, and drop the larger id of
+    * every pair whose cosine reaches `threshold`. Returns `df` minus
+    * the dropped rows (schema unchanged). Approximate by design: a
+    * near-duplicate pair split across two clusters is missed — the
+    * standard SemDeDup recall trade that buys the quadratic bound.
+    *
+    * 100 TB design: `centroids` (train via
+    * [[Similarity.trainIvfCentroids]]) broadcast — the corpus never
+    * shuffles for the assignment; pair generation is an equi-join on
+    * `cent_id`, bounding the quadratic comparison at cluster
+    * granularity (expected (n/k)² work per cluster — grow k with the
+    * corpus, k ≈ √n keeps total pair work linear); the drop set,
+    * bounded by the duplicate count, broadcasts into a left-anti
+    * join, so the corpus itself is never shuffled at all.
+    */
+  def semDedupDrop(df: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame, threshold: Double): DataFrame = {
+    val assigned = Similarity.assignClusters(df, vecCol, centroids)
+    val pairs = embeddingNearDupPairs(assigned, idCol, vecCol, threshold,
+      blockCol = Some("cent_id"))
+    dropPairedDuplicates(df, idCol, pairs)
+  }
+
   /** Hamming distance between two equal-length bit strings. */
   def hammingDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     size(filter(zip_with(split(a, "(?!^)"), split(b, "(?!^)"), (x, y) => x =!= y), d => d))

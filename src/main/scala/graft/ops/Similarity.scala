@@ -97,6 +97,32 @@ object Similarity {
     concat(bits: _*)
   }
 
+  /** Nearest-centroid cluster label for every row: appends `cent_id`
+    * (the argmax-cosine centroid, ties to the LARGEST id — mirrored
+    * in the oracle) to `df`. The IVF list assignment exposed as a
+    * standalone operator: SemDeDup-style semantic dedup blocks on it
+    * ([[Dedup.semDedupDrop]]); a persisted IVF layout partitions on
+    * it. The codebook is collected (small by construction — the same
+    * k ≤ a-few-thousand envelope as [[trainIvfCentroids]]) and ships
+    * as plan literals, so the assignment is a pure per-row projection:
+    * no join, no shuffle, no exchange of the corpus at any size.
+    */
+  def assignClusters(df: DataFrame, vecCol: String, centroids: DataFrame,
+                     centIdCol: String = "cent_id",
+                     centVecCol: String = "centroid"): DataFrame = {
+    val cents = centroids
+      .select(col(centIdCol).cast("long"), col(centVecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    require(cents.nonEmpty, "assignClusters: empty centroid set")
+    val v = col(vecCol).cast("array<double>")
+    val scored = cents.map { case (ci, cv) =>
+      struct(cosine(v, array(cv.map(lit): _*)).as("c"), lit(ci).as("ci"))
+    }
+    val label = if (scored.length == 1) lit(cents.head._1)
+                else greatest(scored.toIndexedSeq: _*).getField("ci")
+    df.withColumn("cent_id", label)
+  }
+
   /** IVF (inverted-file) ANN: the corpus is partitioned by nearest
     * centroid; a query probes only its `nprobe` closest lists and
     * refines with exact cosine inside them.
@@ -104,28 +130,22 @@ object Similarity {
     * Centroids are caller-provided (id, vector) — train them offline
     * (k-means or a deterministic sample like "every nth vector"); the
     * assignment itself is deterministic given the centroids, which
-    * keeps results reproducible across runs/engines. The centroid set
-    * is broadcast (it is small by construction); the corpus shuffles
-    * once on its list assignment — at 100 TB that is the bucketed
-    * layout you would persist, not recompute per query.
+    * keeps results reproducible across runs/engines. The corpus side
+    * labels through [[assignClusters]] (plan-literal argmax — no join,
+    * no shuffle of the corpus); only the tiny query set touches the
+    * broadcast centroid table for its multi-probe window.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
               idCol: String, vecCol: String, k: Int = 10, nprobe: Int = 2): DataFrame = {
     val cent = centroids.select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
 
     def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
-      val scored = df.crossJoin(broadcast(cent))
-        .withColumn("cent_cos", cosine(col(vec), col("cent_vec")))
       if (keep == 1) {
-        // argmax as a hash aggregation (map-side partial agg, no sort,
-        // no per-id window exchange — this is the corpus-sized side);
-        // ties break to the LARGEST cent_id, mirrored in the oracle
-        val originals = df.columns.map(col).toSeq
-        scored.groupBy(originals: _*)
-          .agg(max(struct(col("cent_cos"), col("cent_id"))).as("_best"))
-          .withColumn("cent_id", col("_best").getField("cent_id"))
-          .drop("_best")
+        // corpus side: delegate to the standalone argmax assignment
+        assignClusters(df, vec, centroids, idCol, vecCol)
       } else {
+        val scored = df.crossJoin(broadcast(cent))
+          .withColumn("cent_cos", cosine(col(vec), col("cent_vec")))
         // the multi-probe side is the (small) query set — a window
         // top-nprobe there is cheap and keeps one code path per rank
         val w = Window.partitionBy(col(id)).orderBy(desc("cent_cos"), desc("cent_id"))

@@ -59,9 +59,13 @@ object OpsQueries {
     * DECIMAL(38,15) sums divided in double, empty clusters keeping
     * their previous centroid.
     */
-  private def trainOracleSql(k: Int, iters: Int, dims: Int): String = {
+  /** The k-means CTE chain alone (through `cent<iters>`, no leading
+    * WITH / trailing comma) — shared by the centroid dump and the
+    * SemDeDup drop oracle.
+    */
+  private def trainCtes(k: Int, iters: Int, dims: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH init AS (
+    sb ++= s"""init AS (
               |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS ci,
               |         embedding
               |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
@@ -89,13 +93,16 @@ object OpsQueries {
                 |  GROUP BY p.ci),
                 |""".stripMargin
     }
-    sb ++= s"""expanded AS (
-              |  SELECT ci, unnest(generate_series(1, $dims)) AS pos, cv FROM cent$iters)
-              |SELECT CAST(ci AS BIGINT) AS cent_id, CAST(pos - 1 AS BIGINT) AS pos,
-              |       ROUND(cv[pos], 6) AS v
-              |FROM expanded ORDER BY cent_id, pos""".stripMargin
-    sb.toString
+    sb.toString.stripSuffix("\n").stripSuffix(",")
   }
+
+  private def trainOracleSql(k: Int, iters: Int, dims: Int): String =
+    s"""WITH ${trainCtes(k, iters, dims)},
+       |expanded AS (
+       |  SELECT ci, unnest(generate_series(1, $dims)) AS pos, cv FROM cent$iters)
+       |SELECT CAST(ci AS BIGINT) AS cent_id, CAST(pos - 1 AS BIGINT) AS pos,
+       |       ROUND(cv[pos], 6) AS v
+       |FROM expanded ORDER BY cent_id, pos""".stripMargin
 
   /** Shared minhash CTE chain (shingle hashes, signatures, LSH bands,
     * candidate pairs, signature-agreement estimates) used by both the
@@ -337,6 +344,41 @@ object OpsQueries {
               |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
               |WHERE ${oracleCosine("a.embedding", "b.embedding")} >= 0.3
               |ORDER BY id_a, id_b""".stripMargin)),
+
+    // SemDeDup: k-means-cluster the embedding space (the proven
+    // deterministic trainer), compare pairs only within a cluster,
+    // drop the larger id of every pair at cosine >= 0.35 (nearest
+    // within-cluster pair sits 7e-5 from the threshold at sf0.01 —
+    // no engine-float ambiguity). Exposes the surviving rows WITH
+    // their cluster label so the oracle pins assignment AND drop.
+    Q("dedup_semantic_drop",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val emb = s.table("embeddings")
+        val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+          k = 4, iters = 2)
+        val assigned = Similarity.assignClusters(emb, "embedding", cents)
+        val pairs = Dedup.embeddingNearDupPairs(assigned, "vec_id", "embedding",
+          threshold = 0.35, blockCol = Some("cent_id"))
+        Dedup.dropPairedDuplicates(assigned, "vec_id", pairs)
+          .selectExpr("vec_id", "CAST(cent_id AS BIGINT) AS cent_id")
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH ${trainCtes(4, 2, 64)},
+              |assignf AS (
+              |  SELECT vec_id, embedding, ci FROM (
+              |    SELECT e.vec_id, e.embedding, c.ci,
+              |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              |             ORDER BY ${oracleCosine("e.embedding", "c.cv")} DESC, c.ci DESC) AS rn
+              |    FROM embeddings e CROSS JOIN cent2 c)
+              |  WHERE rn = 1),
+              |drops AS (
+              |  SELECT DISTINCT b.vec_id AS d
+              |  FROM assignf a JOIN assignf b ON a.ci = b.ci AND a.vec_id < b.vec_id
+              |  WHERE ${oracleCosine("a.embedding", "b.embedding")} >= 0.35)
+              |SELECT a.vec_id, CAST(a.ci AS BIGINT) AS cent_id
+              |FROM assignf a WHERE a.vec_id NOT IN (SELECT d FROM drops)
+              |ORDER BY vec_id""".stripMargin)),
 
     // Fuzzy entity resolution: blocked Jaro-Winkler name pairs
     // (Dedup.fuzzyNamePairs). The threshold applies to the 6-digit

@@ -763,6 +763,40 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("assignClusters labels every row with its argmax-cosine centroid, ties to larger id") {
+    val cents = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0))).toDF("cent_id", "centroid")
+    val vecs = Seq(
+      (10L, Array(0.9f, 0.1f)),  // → cent 0
+      (11L, Array(0.1f, 0.9f)),  // → cent 1
+      (12L, Array(0.5f, 0.5f))   // exact tie → larger cent_id 1
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.assignClusters(vecs, "embedding", cents)
+      .select("vec_id", "cent_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 0L, 11L -> 1L, 12L -> 1L))
+  }
+
+  test("semDedupDrop drops within-cluster near-dups, keeps cross-cluster ones") {
+    val cents = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0))).toDF("cent_id", "centroid")
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),    // cluster 0
+      (2L, Array(0.99f, 0.01f)),  // cluster 0, near-dup of 1 → dropped
+      (3L, Array(0.0f, 1.0f)),    // cluster 1
+      (4L, Array(0.6f, 0.8f))     // cluster 1, cosine(3,4)=0.8 < 0.95 → kept
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.semDedupDrop(vecs, "vec_id", "embedding", cents, threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L))
+    // a near-identical pair split across clusters is NOT dropped (documented trade)
+    val split = Seq(
+      (1L, Array(0.72f, 0.70f)),  // lands cluster 0 (x-heavy)
+      (2L, Array(0.70f, 0.72f))   // near-identical (cos ≈ 0.9996) but lands cluster 1
+    ).toDF("vec_id", "embedding")
+    val keptSplit = Dedup.semDedupDrop(split, "vec_id", "embedding", cents, threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptSplit == Set(1L, 2L))
+  }
+
   test("trainIvfCentroids handles k = 1") {
     val vecs = (0L until 10L).map(i => (i, Array(i.toDouble, 1.0))).toDF("vec_id", "embedding")
     val cents = Similarity.trainIvfCentroids(vecs, "vec_id", "embedding", k = 1, iters = 2)
