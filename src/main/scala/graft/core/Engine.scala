@@ -69,10 +69,12 @@ object Tables {
     * Idempotent; parquet footers only are read at registration time
     * (scans stay lazy), so this is cheap to call per-query.
     *
-    * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects; we read it as raw nanos (legacy conf) and expose a
-    * microsecond TIMESTAMP_NTZ — the same truncation DuckDB applies
-    * when it reads TIMESTAMP_NS into its µs TIMESTAMP.
+    * `events.ts` is exposed as a microsecond TIMESTAMP_NTZ regardless
+    * of the on-disk physical type: TIMESTAMP(NANOS) parquet (which
+    * Spark's vectorized reader rejects) is read as raw nanos via the
+    * legacy conf and truncated to µs — the same truncation DuckDB
+    * applies reading TIMESTAMP_NS into its µs TIMESTAMP — while µs
+    * timestamp columns pass through with only the NTZ cast.
     */
   private val registeredDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -93,10 +95,17 @@ object Tables {
         val raw = df(spark, dir, n)
         val v =
           if (n == "events")
-            raw.withColumn("ts",
-              org.apache.spark.sql.functions.timestamp_micros(
-                org.apache.spark.sql.functions.expr("ts div 1000"))
-                .cast("timestamp_ntz"))
+            raw.schema("ts").dataType match {
+              case org.apache.spark.sql.types.LongType =>
+                raw.withColumn("ts",
+                  org.apache.spark.sql.functions.timestamp_micros(
+                    org.apache.spark.sql.functions.expr("ts div 1000"))
+                    .cast("timestamp_ntz"))
+              case _ =>
+                raw.withColumn("ts",
+                  org.apache.spark.sql.functions.col("ts")
+                    .cast("timestamp_ntz"))
+            }
           else raw
         v.createOrReplaceTempView(n)
       }
