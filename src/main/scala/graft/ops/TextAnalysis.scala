@@ -179,6 +179,43 @@ object TextAnalysis {
   def tokenStats(text: Column): Column =
     graft.functions.TextExpressions.token_stats(text, stopwords("en"))
 
+  /** TF-IDF top-k characteristic terms per document — the standard
+    * corpus-keyword extraction a curation pipeline uses for topic
+    * labeling, cluster naming and near-duplicate triage.
+    *
+    * Scale shape: term frequencies aggregate on (doc, term) with
+    * map-side combine; document frequencies aggregate the tf table on
+    * term (far smaller — one row per distinct (doc, term)); the idf
+    * join is a plain equi-join on term (AQE broadcasts the df side
+    * when the vocabulary is small); the corpus size attaches as a
+    * broadcast single-row crossJoin; the final top-k is one
+    * row_number window per doc. Nothing touches the driver.
+    *
+    * Float parity: idf = ln((1+N)/(1+df)) + 1 (smoothed), score =
+    * tf·idf ROUNDed to 6 digits, and the window orders by the ROUNDED
+    * score (term as tiebreak) so a last-ulp `ln` divergence between
+    * engines cannot flip a rank.
+    */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5, minTermLen: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .where(length(col("term")) >= minTermLen)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * (log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))) + lit(1.0)), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("score"), col("rank").cast("long").as("rank"))
+  }
+
   /** Convenience: annotate a corpus with the full analysis bundle
     * (fused kernel for the stats, LangIdExpr for the language).
     */

@@ -193,6 +193,35 @@ object OpsQueries {
               |  ELSE 'de' END AS lang_pred
               |FROM scored ORDER BY doc_id""".stripMargin)),
 
+    Q("text_tfidf_topk",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        TextAnalysis.tfIdfTopTerms(s.table("documents"), "doc_id", "text", k = 5)
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      // same smoothed idf = ln((1+N)/(1+df)) + 1; both sides round the
+      // score to 6 dp BEFORE the rank window so a last-ulp ln
+      // divergence cannot flip a rank (term breaks exact ties)
+      Some(s"""WITH d AS (SELECT doc_id,
+              |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) >= 2) AS toks
+              |  FROM documents),
+              |tfc AS (
+              |  SELECT doc_id, term, COUNT(*) AS tf
+              |  FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+              |  GROUP BY doc_id, term),
+              |dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
+              |n AS (SELECT COUNT(*) AS n FROM documents),
+              |scored AS (
+              |  SELECT t.doc_id, t.term,
+              |         ROUND(t.tf * (ln((1.0 + n.n) / (1.0 + f.df)) + 1.0), 6) AS score
+              |  FROM tfc t JOIN dfc f USING (term) CROSS JOIN n),
+              |ranked AS (
+              |  SELECT doc_id, term, score,
+              |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+              |  FROM scored)
+              |SELECT doc_id, term, score, CAST(rank AS BIGINT) AS rank
+              |FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)),
+
     // ── dedup ──────────────────────────────────────────────────────
 
     Q("dedup_exact_stats",

@@ -85,6 +85,28 @@ class OpsSpec extends AnyFunSuite {
     assert(langs(7L) == "fr")
   }
 
+  test("tf-idf top terms: smoothed idf formula, rank contract, term tiebreak") {
+    val top = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 5).collect()
+    val byDoc = top.groupBy(_.getAs[Long]("doc_id"))
+    // rank is 1..min(k, n_terms) and scores are non-increasing within a doc
+    byDoc.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.map(_.getAs[Double]("score")).toSeq.sliding(2).forall {
+        case Seq(a, b) => a >= b; case _ => true
+      })
+    }
+    // hand-computed: doc 1's "the" has tf=2, df=4 (docs 1-4), N=7
+    // → score = round(2 * (ln(8/5) + 1), 6) = 2.940007, and it wins rank 1
+    val d1 = byDoc(1L).minBy(_.getAs[Long]("rank"))
+    assert(d1.getAs[String]("term") == "the")
+    assert(d1.getAs[Double]("score") == 2.940007)
+    // doc 5: every term has tf=1, df=1 (all-equal scores) → the window's
+    // term tiebreak yields the 5 lexicographically-smallest terms in order
+    val d5 = byDoc(5L).sortBy(_.getAs[Long]("rank")).map(_.getAs[String]("term")).toSeq
+    assert(d5 == Seq("about", "and", "completely", "data", "different"))
+  }
+
   test("cosine and brute-force top-k are exact") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
