@@ -216,6 +216,104 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("score"), col("rank").cast("long").as("rank"))
   }
 
+  /** CCNet-style unigram language-model quality score: train an
+    * add-one-smoothed unigram LM on the corpus itself and score each
+    * document by its average negative log-likelihood (nats/token) and
+    * perplexity. Low-ppl documents look like the corpus; high-ppl
+    * outliers are the gibberish/boilerplate a curation pipeline
+    * filters out (in CCNet the LM is trained on a trusted corpus —
+    * here the corpus is its own model, the self-scoring variant).
+    *
+    * Scale shape: one explode → (doc, term) groupBy with map-side
+    * combine; the vocabulary aggregates that table on term (small);
+    * the count join is a term equi-join (AQE broadcasts the vocab);
+    * corpus totals attach as a 1-row broadcast; the final per-doc
+    * reduce is one hash aggregate. No driver involvement, no window.
+    *
+    * Float parity: p(t) = (cnt+1)/(T+V) is the same rational on both
+    * engines; each doc×term contribution tf·ln(p) is ROUNDed to 12 dp
+    * and summed as DECIMAL(38,15) — exact, order-independent — so
+    * Spark's partial-aggregation order cannot change the sum; the
+    * single final cast to double rounds avg_nll and ppl to 6 dp.
+    */
+  def lmPerplexity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("term").agg(sum("tf").as("cnt"))
+    val totals = vocab.agg(sum("cnt").as("t_total"), count(lit(1)).as("v_size"))
+    val contrib = tf.join(vocab, "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("lp",
+        round(col("tf") * log((col("cnt") + lit(1.0)) / (col("t_total") + col("v_size"))), 12)
+          .cast("decimal(38,15)"))
+    val nll = -col("slp").cast("double") / col("n_tokens")
+    contrib.groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("lp")).as("slp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(nll, 6).as("avg_nll"),
+        round(exp(nll), 6).as("ppl"))
+  }
+
+  /** DSIR-style importance weights for data selection (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): hash each document's unigrams+bigrams into B
+    * buckets, fit add-one-smoothed bucket distributions on a target
+    * corpus and on the raw corpus, and score every raw document by
+    * its log importance weight Σ_b n_doc[b]·(ln p_target[b] − ln
+    * p_raw[b]). Sampling raw docs ∝ exp(log_weight) reshapes the raw
+    * corpus toward the target domain.
+    *
+    * Scale shape: gram explode → (doc, bucket) counts with map-side
+    * combine; the raw bucket table derives from those counts (no
+    * second corpus pass) and is ≤B rows, as is the target's — both
+    * broadcast into the per-doc join; corpus totals attach as a 1-row
+    * broadcast. The per-doc reduce is one hash aggregate; nothing
+    * touches the driver.
+    *
+    * Float parity: buckets are md5-derived (engine-portable); each
+    * doc×bucket contribution is ROUNDed to 12 dp and summed as
+    * DECIMAL(38,15) — exact and order-independent — with a single
+    * final 6-dp round.
+    */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                     textCol: String, buckets: Int = 1024): DataFrame = {
+    def grams(t: Column): Column = {
+      val toks = tokens(t)
+      val bi = when(size(toks) >= 2,
+        zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat_ws(" ", a, b)))
+        .otherwise(array().cast("array<string>"))
+      // NOT functions.concat: it resolves by name through the session
+      // registry, where the DuckDB shim's string concat replaces it
+      flatten(array(toks, bi))
+    }
+    def bucket(g: Column): Column =
+      conv(substring(md5(g), 1, 15), 16, 10).cast("long") % buckets
+    val docB = raw.select(col(idCol).as("doc_id"),
+        explode(grams(col(textCol))).as("g"))
+      .select(col("doc_id"), bucket(col("g")).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    val rawB = docB.groupBy("b").agg(sum("c").as("cr"))
+    val tgtB = target.select(explode(grams(col(textCol))).as("g"))
+      .select(bucket(col("g")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val totals = rawB.agg(sum("cr").as("tr"))
+      .crossJoin(broadcast(tgtB.agg(sum("ct").as("tt"))))
+    val contrib = docB
+      .join(rawB, "b")
+      .join(tgtB, Seq("b"), "left").na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lw",
+        round(col("c") * (log((col("ct") + lit(1.0)) / (col("tt") + lit(buckets)))
+                        - log((col("cr") + lit(1.0)) / (col("tr") + lit(buckets)))), 12)
+          .cast("decimal(38,15)"))
+    contrib.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_grams"), sum(col("lw")).as("slw"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("slw").cast("double"), 6).as("log_weight"))
+  }
+
   /** Convenience: annotate a corpus with the full analysis bundle
     * (fused kernel for the stats, LangIdExpr for the language).
     */

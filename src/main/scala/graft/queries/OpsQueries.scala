@@ -222,6 +222,72 @@ object OpsQueries {
               |SELECT doc_id, term, score, CAST(rank AS BIGINT) AS rank
               |FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)),
 
+    Q("text_lm_perplexity",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        TextAnalysis.lmPerplexity(s.table("documents"), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      // doc×term contributions round to 12 dp and sum as DECIMAL —
+      // exact and order-independent — so partial-agg order can't
+      // change the sum; one final double cast rounds to 6 dp
+      Some(s"""WITH d AS (SELECT doc_id, $oracleToks AS toks FROM documents),
+              |tfc AS (
+              |  SELECT doc_id, term, COUNT(*) AS tf
+              |  FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+              |  GROUP BY doc_id, term),
+              |vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tfc GROUP BY term),
+              |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_total, COUNT(*) AS v_size FROM vocab),
+              |contrib AS (
+              |  SELECT t.doc_id, t.tf,
+              |         CAST(ROUND(t.tf * ln((v.cnt + 1.0) / (tot.t_total + tot.v_size)), 12) AS DECIMAL(38,15)) AS lp
+              |  FROM tfc t JOIN vocab v USING (term) CROSS JOIN tot),
+              |agg AS (
+              |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, CAST(SUM(lp) AS DOUBLE) AS slp
+              |  FROM contrib GROUP BY doc_id)
+              |SELECT doc_id, n_tokens,
+              |       ROUND(-slp / n_tokens, 6) AS avg_nll,
+              |       ROUND(exp(-slp / n_tokens), 6) AS ppl
+              |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // DSIR importance weights: raw corpus = non-src0 docs, target
+    // domain = src0 (the same split decontaminate_overlap uses).
+    Q("text_dsir_weights",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val docs = s.table("documents")
+        TextAnalysis.dsirLogWeights(
+            docs.where(col("source") =!= "src0"),
+            docs.where(col("source") === "src0"),
+            "doc_id", "text", buckets = 1024)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, source, $oracleToks AS toks FROM documents),
+              |g AS (SELECT doc_id, source,
+              |  list_concat(toks,
+              |    CASE WHEN len(toks) >= 2
+              |         THEN [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)]
+              |         ELSE [] END) AS gs
+              |  FROM tk),
+              |e AS (SELECT doc_id, source,
+              |  (('0x' || substr(md5(unnest(gs)), 1, 15))::BIGINT % 1024) AS b
+              |  FROM g),
+              |docb AS (SELECT doc_id, b, COUNT(*) AS c FROM e WHERE source <> 'src0' GROUP BY doc_id, b),
+              |rawb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cr FROM docb GROUP BY b),
+              |tgtb AS (SELECT b, COUNT(*) AS ct FROM e WHERE source = 'src0' GROUP BY b),
+              |tot AS (SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM rawb) AS tr,
+              |               (SELECT CAST(SUM(ct) AS BIGINT) FROM tgtb) AS tt),
+              |contrib AS (
+              |  SELECT d.doc_id, d.c,
+              |    CAST(ROUND(d.c * (ln((COALESCE(t.ct, 0) + 1.0) / (tot.tt + 1024))
+              |                    - ln((r.cr + 1.0) / (tot.tr + 1024))), 12) AS DECIMAL(38,15)) AS lw
+              |  FROM docb d JOIN rawb r USING (b) LEFT JOIN tgtb t USING (b) CROSS JOIN tot),
+              |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+              |               CAST(SUM(lw) AS DOUBLE) AS slw
+              |        FROM contrib GROUP BY doc_id)
+              |SELECT doc_id, n_grams, ROUND(slw, 6) AS log_weight
+              |FROM agg ORDER BY doc_id""".stripMargin)),
+
     // ── dedup ──────────────────────────────────────────────────────
 
     Q("dedup_exact_stats",

@@ -45,7 +45,9 @@ class QueriesSmokeSpec extends AnyFunSuite {
     "ann_ivf_topk",        // corpus × broadcast centroid set (k rows)
     "ann_ivf_train_centroids", // same, inside the trainer
     "dedup_exact_stats",   // crossJoin of two 1-row aggregate results
-    "text_tfidf_topk")     // corpus-size N attaches as a 1-row broadcast crossJoin
+    "text_tfidf_topk",     // corpus-size N attaches as a 1-row broadcast crossJoin
+    "text_lm_perplexity",  // corpus totals attach as a 1-row broadcast crossJoin
+    "text_dsir_weights")   // corpus totals attach as a 1-row broadcast crossJoin
 
   test("no query accidentally plans a cartesian or nested-loop join") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -107,6 +107,49 @@ class OpsSpec extends AnyFunSuite {
     assert(d5 == Seq("about", "and", "completely", "data", "different"))
   }
 
+  test("unigram LM perplexity: corpus-typical docs score lower than outliers") {
+    val ppl = TextAnalysis.lmPerplexity(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ppl")).toMap
+    assert(ppl.size == 7)
+    // docs 1/2 are the repeated sentence — maximally corpus-typical;
+    // doc 5's vocabulary is unique to it — the high-ppl outlier
+    assert(ppl(1L) == ppl(2L))
+    assert(ppl(5L) > ppl(1L))
+    // exact formula on a 2-doc corpus: "x x" + "y" → T=3, V=2,
+    // p(x)=(2+1)/(3+2), p(y)=(1+1)/(3+2); avg_nll(doc1)=ln(5/3)
+    val two = Seq((1L, "x x"), (2L, "y")).toDF("id", "t")
+    val r = TextAnalysis.lmPerplexity(two, "id", "t").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("n_tokens") == 2L)
+    assert(r(1L).getAs[Double]("avg_nll") == math.rint(math.log(5.0 / 3.0) * 1e6) / 1e6)
+    assert(r(2L).getAs[Double]("avg_nll") == math.rint(math.log(5.0 / 2.0) * 1e6) / 1e6)
+  }
+
+  test("dsir importance weights: target-like raw docs outweigh off-domain ones") {
+    val target = Seq(
+      (100L, "spark engines process data with tables and queries"),
+      (101L, "data tables feed spark queries and spark engines")
+    ).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "spark engines process data tables"),          // in-domain
+      (2L, "le chat est dans la maison et le chien"),     // off-domain
+      (3L, "der hund ist ein guter hund und die katze")   // off-domain
+    ).toDF("doc_id", "text")
+    val w = TextAnalysis.dsirLogWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Double]("log_weight"))).toMap
+    assert(w.size == 3)
+    // unigrams + bigrams: 5 tokens → 5 + 4 grams
+    assert(w(1L)._1 == 9L)
+    assert(w(1L)._2 > w(2L)._2 && w(1L)._2 > w(3L)._2)
+    // per-doc weights are scale-free of doc order: permuting raw rows
+    // changes nothing (pure aggregates)
+    val w2 = TextAnalysis.dsirLogWeights(
+        raw.orderBy(desc("doc_id")), target, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_weight")).toMap
+    assert(w.forall { case (k, (_, lw)) => w2(k) == lw })
+  }
+
   test("cosine and brute-force top-k are exact") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
