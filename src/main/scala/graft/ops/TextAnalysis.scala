@@ -314,6 +314,34 @@ object TextAnalysis {
         round(col("slw").cast("double"), 6).as("log_weight"))
   }
 
+  /** The apply half of DSIR: sample k documents from the raw corpus
+    * with probability ∝ exp(log_weight) via the Gumbel top-k trick —
+    * adding independent Gumbel(0,1) noise to each log-weight and
+    * keeping the k largest keys draws exactly from the softmax
+    * distribution. The noise is a deterministic md5-seeded uniform
+    * (u = (h60 + 0.5) / 2⁶⁰, g = −ln(−ln u)), so the "random" sample
+    * is reproducible and engine-portable.
+    *
+    * Scale shape: everything in [[dsirLogWeights]] plus one map-side
+    * key computation and a distributed top-k
+    * (TakeOrderedAndProject — per-partition partial top-k, no global
+    * sort shuffle). k is bounded, so the driver holds ≤k rows.
+    */
+  def dsirResample(raw: DataFrame, target: DataFrame, idCol: String,
+                   textCol: String, k: Int, buckets: Int = 1024,
+                   seed: String = "dsir"): DataFrame = {
+    val h = conv(substring(md5(
+        concat_ws("|", lit(seed), col("doc_id"))), 1, 15), 16, 10)
+      .cast("long").cast("double")
+    val u = (h + lit(0.5)) / lit(math.pow(2, 60))
+    val key = round(col("log_weight") + (-log(-log(u))), 6)
+    dsirLogWeights(raw, target, idCol, textCol, buckets)
+      .withColumn("samp_key", key)
+      .orderBy(desc("samp_key"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("log_weight"), col("samp_key"))
+  }
+
   /** Convenience: annotate a corpus with the full analysis bundle
     * (fused kernel for the stats, LangIdExpr for the language).
     */

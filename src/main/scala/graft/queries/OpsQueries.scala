@@ -133,6 +133,35 @@ object OpsQueries {
        |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
        |  GROUP BY c.id_a, c.id_b)""".stripMargin
 
+  /** DSIR oracle CTE chain (raw = non-src0, target = src0, B=1024),
+    * ending in `agg(doc_id, n_grams, slw)` — shared by the weight
+    * dump and the Gumbel-resample apply query.
+    */
+  private val dsirCtes: String =
+    s"""tk AS (SELECT doc_id, source, $oracleToks AS toks FROM documents),
+       |g AS (SELECT doc_id, source,
+       |  list_concat(toks,
+       |    CASE WHEN len(toks) >= 2
+       |         THEN [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)]
+       |         ELSE [] END) AS gs
+       |  FROM tk),
+       |e AS (SELECT doc_id, source,
+       |  (('0x' || substr(md5(unnest(gs)), 1, 15))::BIGINT % 1024) AS b
+       |  FROM g),
+       |docb AS (SELECT doc_id, b, COUNT(*) AS c FROM e WHERE source <> 'src0' GROUP BY doc_id, b),
+       |rawb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cr FROM docb GROUP BY b),
+       |tgtb AS (SELECT b, COUNT(*) AS ct FROM e WHERE source = 'src0' GROUP BY b),
+       |tot AS (SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM rawb) AS tr,
+       |               (SELECT CAST(SUM(ct) AS BIGINT) FROM tgtb) AS tt),
+       |contrib AS (
+       |  SELECT d.doc_id, d.c,
+       |    CAST(ROUND(d.c * (ln((COALESCE(t.ct, 0) + 1.0) / (tot.tt + 1024))
+       |                    - ln((r.cr + 1.0) / (tot.tr + 1024))), 12) AS DECIMAL(38,15)) AS lw
+       |  FROM docb d JOIN rawb r USING (b) LEFT JOIN tgtb t USING (b) CROSS JOIN tot),
+       |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+       |               CAST(SUM(lw) AS DOUBLE) AS slw
+       |        FROM contrib GROUP BY doc_id)""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ── text analysis ──────────────────────────────────────────────
@@ -262,31 +291,30 @@ object OpsQueries {
             "doc_id", "text", buckets = 1024)
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH tk AS (SELECT doc_id, source, $oracleToks AS toks FROM documents),
-              |g AS (SELECT doc_id, source,
-              |  list_concat(toks,
-              |    CASE WHEN len(toks) >= 2
-              |         THEN [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)]
-              |         ELSE [] END) AS gs
-              |  FROM tk),
-              |e AS (SELECT doc_id, source,
-              |  (('0x' || substr(md5(unnest(gs)), 1, 15))::BIGINT % 1024) AS b
-              |  FROM g),
-              |docb AS (SELECT doc_id, b, COUNT(*) AS c FROM e WHERE source <> 'src0' GROUP BY doc_id, b),
-              |rawb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cr FROM docb GROUP BY b),
-              |tgtb AS (SELECT b, COUNT(*) AS ct FROM e WHERE source = 'src0' GROUP BY b),
-              |tot AS (SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM rawb) AS tr,
-              |               (SELECT CAST(SUM(ct) AS BIGINT) FROM tgtb) AS tt),
-              |contrib AS (
-              |  SELECT d.doc_id, d.c,
-              |    CAST(ROUND(d.c * (ln((COALESCE(t.ct, 0) + 1.0) / (tot.tt + 1024))
-              |                    - ln((r.cr + 1.0) / (tot.tr + 1024))), 12) AS DECIMAL(38,15)) AS lw
-              |  FROM docb d JOIN rawb r USING (b) LEFT JOIN tgtb t USING (b) CROSS JOIN tot),
-              |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
-              |               CAST(SUM(lw) AS DOUBLE) AS slw
-              |        FROM contrib GROUP BY doc_id)
+      Some(s"""WITH $dsirCtes
               |SELECT doc_id, n_grams, ROUND(slw, 6) AS log_weight
               |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // the apply half: Gumbel top-k resampling ∝ exp(log_weight) with
+    // a deterministic md5-seeded uniform.
+    Q("sample_dsir_resample",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val docs = s.table("documents")
+        TextAnalysis.dsirResample(
+          docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"),
+          "doc_id", "text", k = 100, buckets = 1024)
+      },
+      Some(s"""WITH $dsirCtes,
+              |wt AS (SELECT doc_id, ROUND(slw, 6) AS log_weight FROM agg),
+              |keyed AS (SELECT doc_id, log_weight,
+              |  ROUND(log_weight + (-ln(-ln(
+              |    (('0x' || substr(md5('dsir|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 0.5)
+              |      / 1152921504606846976.0))), 6) AS samp_key
+              |  FROM wt)
+              |SELECT doc_id, log_weight, samp_key FROM keyed
+              |ORDER BY samp_key DESC, doc_id LIMIT 100""".stripMargin)),
 
     // ── dedup ──────────────────────────────────────────────────────
 

@@ -47,7 +47,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
     "dedup_exact_stats",   // crossJoin of two 1-row aggregate results
     "text_tfidf_topk",     // corpus-size N attaches as a 1-row broadcast crossJoin
     "text_lm_perplexity",  // corpus totals attach as a 1-row broadcast crossJoin
-    "text_dsir_weights")   // corpus totals attach as a 1-row broadcast crossJoin
+    "text_dsir_weights",   // corpus totals attach as a 1-row broadcast crossJoin
+    "sample_dsir_resample") // same chain + Gumbel top-k tail
 
   test("no query accidentally plans a cartesian or nested-loop join") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -150,6 +150,23 @@ class OpsSpec extends AnyFunSuite {
     assert(w.forall { case (k, (_, lw)) => w2(k) == lw })
   }
 
+  test("dsir gumbel resample: deterministic, size-k, distributed top-k tail") {
+    val target = docs.where($"lang" === "en")
+    val raw = docs
+    val s1 = TextAnalysis.dsirResample(raw, target, "doc_id", "text", k = 4)
+    val r1 = s1.collect()
+    val r2 = TextAnalysis.dsirResample(raw, target, "doc_id", "text", k = 4).collect()
+    assert(r1.length == 4)
+    assert(r1.map(_.getAs[Long]("doc_id")).toSeq == r2.map(_.getAs[Long]("doc_id")).toSeq)
+    // keys arrive sorted descending and every id comes from the raw side
+    val keys = r1.map(_.getAs[Double]("samp_key")).toSeq
+    assert(keys == keys.sorted.reverse)
+    val rawIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(r1.forall(r => rawIds(r.getAs[Long]("doc_id"))))
+    // bounded-k selection must be a TakeOrderedAndProject, not a global sort
+    assert(s1.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
   test("cosine and brute-force top-k are exact") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
