@@ -303,6 +303,35 @@ final class Graft(val spark: SparkSession, stateDir: String) {
     df.withColumn(textCol, graft.ops.TextAnalysis.redact(col(textCol), patterns))
   }
 
+  /** TF-IDF top-k characteristic terms per document (smoothed idf,
+    * rank-stable 6-dp scores) — corpus keyword extraction.
+    */
+  def tfIdfTerms(df: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", k: Int = 5): DataFrame =
+    graft.ops.TextAnalysis.tfIdfTopTerms(df, idCol, textCol, k)
+
+  /** CCNet-style unigram LM self-perplexity per document (avg
+    * negative log-likelihood in nats/token + ppl) — the classic
+    * looks-like-the-corpus quality score.
+    */
+  def perplexity(df: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    graft.ops.TextAnalysis.lmPerplexity(df, idCol, textCol)
+
+  /** DSIR importance log-weights of raw docs toward a target domain
+    * (hashed unigram+bigram buckets); `dsirSample` draws k docs
+    * ∝ exp(log_weight) via deterministic Gumbel top-k.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  buckets: Int = 1024): DataFrame =
+    graft.ops.TextAnalysis.dsirLogWeights(raw, target, idCol, textCol, buckets)
+
+  def dsirSample(raw: DataFrame, target: DataFrame, k: Int,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 buckets: Int = 1024): DataFrame =
+    graft.ops.TextAnalysis.dsirResample(raw, target, idCol, textCol, k, buckets)
+
   /** Symmetric int8 quantization of an embedding column (adds q_vec +
     * q_scale) — the 4× memory-scale path for vector search.
     */

@@ -199,7 +199,10 @@ object TextAnalysis {
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 5, minTermLen: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol).as("doc_id"),
+    // spread the doc rows before the token explode (single-file
+    // inputs would otherwise serialize it; see dsirLogWeights)
+    val toks = df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("term"))
       .where(length(col("term")) >= minTermLen)
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -237,7 +240,10 @@ object TextAnalysis {
     * single final cast to double rounds avg_nll and ppl to 6 dp.
     */
   def lmPerplexity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
+    // spread the doc rows before the token explode (single-file
+    // inputs would otherwise serialize it; see dsirLogWeights)
+    val toks = df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val vocab = tf.groupBy("term").agg(sum("tf").as("cnt"))
@@ -264,12 +270,15 @@ object TextAnalysis {
     * p_raw[b]). Sampling raw docs ∝ exp(log_weight) reshapes the raw
     * corpus toward the target domain.
     *
-    * Scale shape: gram explode → (doc, bucket) counts with map-side
-    * combine; the raw bucket table derives from those counts (no
-    * second corpus pass) and is ≤B rows, as is the target's — both
-    * broadcast into the per-doc join; corpus totals attach as a 1-row
-    * broadcast. The per-doc reduce is one hash aggregate; nothing
-    * touches the driver.
+    * Scale shape: each corpus is scanned exactly once — gram explode
+    * → (doc, bucket) counts with map-side combine; the raw bucket
+    * table derives from those counts (its exchange is reused, no
+    * second pass), full-outer-merges with the target's (both ≤B
+    * rows), and the corpus totals ride along as window sums over that
+    * merged ≤B-row table (the single-partition window is bounded by
+    * B, not by the corpus). One broadcast of the merged stats feeds
+    * the per-doc join; the per-doc reduce is one hash aggregate;
+    * nothing touches the driver.
     *
     * Float parity: buckets are md5-derived (engine-portable); each
     * doc×bucket contribution is ROUNDed to 12 dp and summed as
@@ -290,20 +299,37 @@ object TextAnalysis {
     }
     def bucket(g: Column): Column =
       conv(substring(md5(g), 1, 15), 16, 10).cast("long") % buckets
-    val docB = raw.select(col(idCol).as("doc_id"),
+    // repartition the (cheap) doc rows before the (heavy) gram
+    // explode: a small corpus arrives as one file = one partition,
+    // which would serialize the md5 chain; at scale the shuffle moves
+    // only doc rows, never gram rows
+    // explicit partition count: AQE would coalesce a column-only
+    // repartition of a few thousand tiny doc rows back to one
+    // partition, re-serializing the heavy md5 chain downstream
+    val spread = raw.sparkSession.sparkContext.defaultParallelism
+    val docB = raw.repartition(spread, col(idCol))
+      .select(col(idCol).as("doc_id"),
         explode(grams(col(textCol))).as("g"))
       .select(col("doc_id"), bucket(col("g")).as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
     val rawB = docB.groupBy("b").agg(sum("c").as("cr"))
-    val tgtB = target.select(explode(grams(col(textCol))).as("g"))
+    val tgtB = target.repartition(spread, col(idCol))
+      .select(explode(grams(col(textCol))).as("g"))
       .select(bucket(col("g")).as("b"))
       .groupBy("b").agg(count(lit(1)).as("ct"))
-    val totals = rawB.agg(sum("cr").as("tr"))
-      .crossJoin(broadcast(tgtB.agg(sum("ct").as("tt"))))
+    // one merged ≤B-row stats table: bucket counts for both corpora
+    // plus the corpus totals as whole-table window sums. The window's
+    // single partition holds at most `buckets` rows — bounded by B,
+    // not the corpus — and folding the totals in here avoids both a
+    // second scan of each corpus and two extra broadcast stages (the
+    // query is stage-floor-bound, not data-bound, at small SF).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val stats = rawB.join(tgtB, Seq("b"), "full_outer")
+      .na.fill(0L, Seq("cr", "ct"))
+      .withColumn("tr", sum("cr").over(w))
+      .withColumn("tt", sum("ct").over(w))
     val contrib = docB
-      .join(rawB, "b")
-      .join(tgtB, Seq("b"), "left").na.fill(0L, Seq("ct"))
-      .crossJoin(broadcast(totals))
+      .join(broadcast(stats), "b")
       .withColumn("lw",
         round(col("c") * (log((col("ct") + lit(1.0)) / (col("tt") + lit(buckets)))
                         - log((col("cr") + lit(1.0)) / (col("tr") + lit(buckets)))), 12)

@@ -78,6 +78,11 @@ class GraftSpec extends AnyFunSuite {
     }.toDF("vec_id", "embedding")
     val nn = g.annIvf(vecs, vecs.limit(2), "vec_id", "embedding", k = 3, nlist = 3, nprobe = 1)
     assert(nn.count() > 0)
+    assert(g.tfIdfTerms(docs).columns.toSeq == Seq("doc_id", "term", "score", "rank"))
+    assert(g.perplexity(docs).columns.contains("ppl"))
+    val tgt = docs.where($"doc_id" === 4L)
+    assert(g.dsirWeights(docs, tgt).count() == 4)
+    assert(g.dsirSample(docs, tgt, k = 2).count() == 2)
   }
 
   test("dropArea removes views and indexes") {
