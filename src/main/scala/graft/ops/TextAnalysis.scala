@@ -287,35 +287,42 @@ object TextAnalysis {
     */
   def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
                      textCol: String, buckets: Int = 1024): DataFrame = {
-    def grams(t: Column): Column = {
-      val toks = tokens(t)
-      val bi = when(size(toks) >= 2,
-        zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
-          (a, b) => concat_ws(" ", a, b)))
-        .otherwise(array().cast("array<string>"))
-      // NOT functions.concat: it resolves by name through the session
-      // registry, where the DuckDB shim's string concat replaces it
-      flatten(array(toks, bi))
+    // unigram+bigram 60-bit md5-prefix hashes via the one-pass
+    // ShingleHashes kernel (== conv(substring(md5(gram),1,15),16,10),
+    // the engine-portable bucket hash — flatten, NOT functions.concat,
+    // which resolves by name through the session registry where the
+    // DuckDB shim's string concat replaces it). The declarative
+    // zip_with/slice + md5/substring/conv formulation re-walked the
+    // token HOF chain per reference and tripled this query's CPU.
+    // The rlike guards mask the kernel's join-all fallback below n
+    // tokens (a 1-token doc has one unigram and NO bigram); they test
+    // lower(text) so they see exactly the kernel's token alphabet.
+    def gramHashes(t: Column): Column = {
+      val lo = lower(t)
+      val uni = when(lo.rlike("[a-z0-9]"),
+          graft.functions.TextExpressions.shingle_hashes(t, 1))
+        .otherwise(array().cast("array<long>"))
+      val bi = when(lo.rlike("[a-z0-9][^a-z0-9]+[a-z0-9]"),
+          graft.functions.TextExpressions.shingle_hashes(t, 2))
+        .otherwise(array().cast("array<long>"))
+      flatten(array(uni, bi))
     }
-    def bucket(g: Column): Column =
-      conv(substring(md5(g), 1, 15), 16, 10).cast("long") % buckets
-    // repartition the (cheap) doc rows before the (heavy) gram
+    // repartition the (cheap) doc rows before the (heavy) hash
     // explode: a small corpus arrives as one file = one partition,
     // which would serialize the md5 chain; at scale the shuffle moves
-    // only doc rows, never gram rows
-    // explicit partition count: AQE would coalesce a column-only
-    // repartition of a few thousand tiny doc rows back to one
-    // partition, re-serializing the heavy md5 chain downstream
+    // only doc rows, never gram rows. Explicit partition count: AQE
+    // would coalesce a column-only repartition of a few thousand tiny
+    // doc rows back to one partition.
     val spread = raw.sparkSession.sparkContext.defaultParallelism
     val docB = raw.repartition(spread, col(idCol))
       .select(col(idCol).as("doc_id"),
-        explode(grams(col(textCol))).as("g"))
-      .select(col("doc_id"), bucket(col("g")).as("b"))
+        explode(gramHashes(col(textCol))).as("h"))
+      .select(col("doc_id"), (col("h") % buckets).as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
     val rawB = docB.groupBy("b").agg(sum("c").as("cr"))
     val tgtB = target.repartition(spread, col(idCol))
-      .select(explode(grams(col(textCol))).as("g"))
-      .select(bucket(col("g")).as("b"))
+      .select(explode(gramHashes(col(textCol))).as("h"))
+      .select((col("h") % buckets).as("b"))
       .groupBy("b").agg(count(lit(1)).as("ct"))
     // one merged ≤B-row stats table: bucket counts for both corpora
     // plus the corpus totals as whole-table window sums. The window's
