@@ -303,6 +303,23 @@ final class Graft(val spark: SparkSession, stateDir: String) {
     df.withColumn(textCol, graft.ops.TextAnalysis.redact(col(textCol), patterns))
   }
 
+  /** Cross-corpus (incremental-ingestion) near-dedup: MinHash+LSH
+    * pairs of a new batch against an existing corpus — no self-join
+    * of either side; `dedupCross` drops the batch's corpus-duplicate
+    * docs.
+    */
+  def dedupCrossPairs(batch: DataFrame, corpus: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      threshold: Double = 0.5): DataFrame =
+    graft.ops.Dedup.minhashLshPairsAcross(batch, corpus, idCol, textCol,
+      threshold = threshold)
+
+  def dedupCross(batch: DataFrame, corpus: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 threshold: Double = 0.5): DataFrame =
+    graft.ops.Dedup.dropCrossDuplicates(batch, corpus, idCol, textCol,
+      threshold = threshold)
+
   /** TF-IDF top-k characteristic terms per document (smoothed idf,
     * rank-stable 6-dp scores) — corpus keyword extraction.
     */

@@ -188,29 +188,77 @@ object Dedup {
                       k: Int = 16, bands: Int = 4, n: Int = 3,
                       threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
-    val rowsPerBand = k / bands
     // three consumers (band explode + both pair sides) read the
     // signatures; localCheckpoint materializes them once and lets the
     // blocks die with the DataFrame — see ngramJaccardPairs note
     val wide = minhashSignaturesWide(df, idCol, textCol, k, n).localCheckpoint()
-    val bandRows = wide.select(col("id"),
+    val bandRows = lshBandRows(wide, k, bands)
+    val cand = bandRows.as("x").join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    estimatePairs(cand, wide, wide, k, threshold)
+  }
+
+  /** The banded (band, band_hash) LSH bucket rows of a wide signature
+    * table.
+    */
+  private def lshBandRows(wide: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    wide.select(col("id"),
         explode(array((0 until bands).map { b =>
           val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(s => col(s"sig$s"))
           struct(lit(b).as("band"), md5(concat_ws("|", slice: _*)).as("band_hash"))
         }: _*)).as("x"))
       .select(col("id"), col("x.band").as("band"), col("x.band_hash").as("band_hash"))
-    val cand = bandRows.as("x").join(bandRows.as("y"),
-        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+  }
+
+  /** Signature-agreement estimate for candidate (id_a, id_b) pairs. */
+  private def estimatePairs(cand: DataFrame, wideA: DataFrame, wideB: DataFrame,
+                            k: Int, threshold: Double): DataFrame = {
     val matches = (0 until k).map(s =>
       when(col(s"a.sig$s") === col(s"b.sig$s"), 1).otherwise(0))
       .reduce(_ + _)
     cand
-      .join(wide.as("a"), col("id_a") === col("a.id"))
-      .join(wide.as("b"), col("id_b") === col("b.id"))
+      .join(wideA.as("a"), col("id_a") === col("a.id"))
+      .join(wideB.as("b"), col("id_b") === col("b.id"))
       .select(col("id_a"), col("id_b"), (matches.cast("double") / lit(k)).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
+  }
+
+  /** Bipartite (cross-corpus) MinHash+LSH near-dup pairs: candidates
+    * are (a-doc, b-doc) pairs sharing an LSH bucket — the incremental
+    * -ingestion shape, where a new batch `a` is deduplicated AGAINST
+    * an existing corpus `b` without ever self-joining either side.
+    * Same banded equi-join scale shape as [[minhashLshPairs]]; the
+    * candidate join is new-batch × matching-buckets only, so a small
+    * batch against a 100 TB corpus shuffles the batch's buckets and
+    * probes the corpus's (AQE broadcasts the batch side when small).
+    */
+  def minhashLshPairsAcross(a: DataFrame, b: DataFrame, idCol: String,
+                            textCol: String, k: Int = 16, bands: Int = 4,
+                            n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val wideA = minhashSignaturesWide(a, idCol, textCol, k, n).localCheckpoint()
+    val wideB = minhashSignaturesWide(b, idCol, textCol, k, n).localCheckpoint()
+    val cand = lshBandRows(wideA, k, bands).as("x")
+      .join(lshBandRows(wideB, k, bands).as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    estimatePairs(cand, wideA, wideB, k, threshold)
+  }
+
+  /** The apply half of cross-corpus dedup: drop the new-batch docs
+    * that near-duplicate the existing corpus (the pair set's id_a
+    * side), keeping the batch otherwise intact. The drop set is ≤
+    * |batch| ids → broadcast left-anti join.
+    */
+  def dropCrossDuplicates(a: DataFrame, b: DataFrame, idCol: String,
+                          textCol: String, k: Int = 16, bands: Int = 4,
+                          n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val dropIds = minhashLshPairsAcross(a, b, idCol, textCol, k, bands, n, threshold)
+      .select(col("id_a").as("__drop_id")).distinct()
+    a.join(broadcast(dropIds), a(idCol) === col("__drop_id"), "left_anti")
   }
 
   /** SimHash fingerprint over tokens (bit-width configurable; 64 by

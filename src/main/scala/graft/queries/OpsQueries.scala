@@ -133,6 +133,38 @@ object OpsQueries {
        |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
        |  GROUP BY c.id_a, c.id_b)""".stripMargin
 
+  /** Bipartite minhash oracle chain (batch = non-src0 vs corpus =
+    * src0), ending in `est(id_a, id_b, est_jaccard)` — shared by the
+    * cross-pair dump and the drop apply. Signatures are per-doc and
+    * corpus-independent, so one chain over all documents with source
+    * filters at the candidate join matches the two-corpus Spark run.
+    */
+  private val crossMinhashCtes: String =
+    s"""d AS (SELECT doc_id, source, $oracleToks AS toks FROM documents),
+       |s2 AS (SELECT doc_id, source, $oracleShingles AS shs FROM d),
+       |sh AS (SELECT doc_id, source, unnest(shs) AS s FROM s2),
+       |hashes AS (
+       |  SELECT doc_id, source, (('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS h FROM sh),
+       |sig AS (
+       |  SELECT doc_id, source, seed, MIN(((2*seed + 1) * h + 1000003*seed + 12345) % 2147483647) AS sig
+       |  FROM hashes, (SELECT unnest(generate_series(0, 15)) AS seed)
+       |  GROUP BY doc_id, source, seed),
+       |bandh AS (
+       |  SELECT doc_id, source, seed // 4 AS band,
+       |         md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS band_hash
+       |  FROM sig GROUP BY doc_id, source, seed // 4),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bandh x JOIN bandh y ON x.band = y.band AND x.band_hash = y.band_hash
+       |  WHERE x.source <> 'src0' AND y.source = 'src0'),
+       |est AS (
+       |  SELECT c.id_a, c.id_b,
+       |         CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_jaccard
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.id_a
+       |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+       |  GROUP BY c.id_a, c.id_b)""".stripMargin
+
   /** DSIR oracle CTE chain (raw = non-src0, target = src0, B=1024),
     * ending in `agg(doc_id, n_grams, slw)` — shared by the weight
     * dump and the Gumbel-resample apply query.
@@ -373,6 +405,42 @@ object OpsQueries {
               |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
               |WHERE len(list_intersect(a.sh, b.sh)) > 0
               |ORDER BY jaccard DESC, id_a, id_b LIMIT 50""".stripMargin)),
+
+    // bipartite (cross-corpus) near-dup: the new batch (non-src0)
+    // deduplicated AGAINST the existing corpus (src0) — incremental
+    // ingestion. Per-doc signatures are corpus-independent, so the
+    // oracle computes one signature chain and filters at the
+    // candidate join.
+    Q("dedup_cross_pairs",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val docs = s.table("documents")
+        Dedup.minhashLshPairsAcross(
+            docs.where(col("source") =!= "src0"),
+            docs.where(col("source") === "src0"),
+            "doc_id", "text", k = 16, bands = 4, n = 3, threshold = 0.25)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH $crossMinhashCtes
+              |SELECT id_a, id_b, est_jaccard FROM est
+              |WHERE est_jaccard >= 0.25 ORDER BY id_a, id_b""".stripMargin)),
+
+    // its apply: the new batch with corpus-duplicates removed.
+    Q("dedup_drop_cross",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val docs = s.table("documents")
+        Dedup.dropCrossDuplicates(
+            docs.where(col("source") =!= "src0"),
+            docs.where(col("source") === "src0"),
+            "doc_id", "text", k = 16, bands = 4, n = 3, threshold = 0.25)
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $crossMinhashCtes
+              |SELECT doc_id FROM documents
+              |WHERE source <> 'src0'
+              |  AND doc_id NOT IN (SELECT id_a FROM est WHERE est_jaccard >= 0.25)
+              |ORDER BY doc_id""".stripMargin)),
 
     Q("dedup_minhash_lsh",
       (s, dir) => {

@@ -167,6 +167,33 @@ class OpsSpec extends AnyFunSuite {
     assert(s1.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
   }
 
+  test("cross-corpus minhash: finds batch-vs-corpus dups, never self-joins a side") {
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "totally unrelated corpus content about databases")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 100
+      (2L, "the quick brown fox jumps over the lazy cat"),  // near dup of 100
+      (3L, "fresh new content nothing like the existing corpus rows"),
+      (4L, "fresh new content nothing like the existing corpus stuff") // near-dups WITHIN batch only
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairsAcross(batch, corpus, "doc_id", "text",
+        threshold = 0.25).collect()
+    val pairSet = pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairSet.contains((1L, 100L)))
+    // within-batch near-dups (3,4) must NOT pair — bipartite only
+    assert(pairs.forall(r => r.getAs[Long]("id_b") >= 100L))
+    assert(!pairSet.exists(p => p._1 == 3L || p._1 == 4L))
+    // the exact dup's estimate is 1.0 (all 16 slots agree)
+    assert(pairs.find(r => r.getAs[Long]("id_a") == 1L)
+      .get.getAs[Double]("est_jaccard") == 1.0)
+    // apply: dropped docs are exactly the paired id_a side
+    val kept = Dedup.dropCrossDuplicates(batch, corpus, "doc_id", "text",
+        threshold = 0.25).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L) -- pairSet.map(_._1))
+  }
+
   test("cosine and brute-force top-k are exact") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
