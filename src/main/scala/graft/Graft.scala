@@ -335,6 +335,13 @@ final class Graft(val spark: SparkSession, stateDir: String) {
                  textCol: String = "text"): DataFrame =
     graft.ops.TextAnalysis.lmPerplexity(df, idCol, textCol)
 
+  /** Bigram interpolated LM perplexity (λ·bigram-MLE + (1−λ)·smoothed
+    * unigram) — the stronger corpus-typicality score.
+    */
+  def perplexityBigram(df: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", lambda: Double = 0.75): DataFrame =
+    graft.ops.TextAnalysis.bigramPerplexity(df, idCol, textCol, lambda)
+
   /** DSIR importance log-weights of raw docs toward a target domain
     * (hashed unigram+bigram buckets); `dsirSample` draws k docs
     * ∝ exp(log_weight) via deterministic Gumbel top-k.

@@ -261,6 +261,55 @@ object TextAnalysis {
         round(exp(nll), 6).as("ppl"))
   }
 
+  /** Bigram interpolated LM perplexity — the stronger form of
+    * [[lmPerplexity]]: each token after the first scores
+    * p = λ·c(prev,w)/c(prev·) + (1−λ)·(c(w)+1)/(T+V) (bigram MLE
+    * interpolated with the add-one unigram; first tokens score the
+    * unigram alone). Context counts come from the bigram table
+    * (exact MLE denominators), so probabilities per context sum to 1.
+    *
+    * Scale shape: one posexplode; the prev-token attach is a per-doc
+    * window (partitions bounded by document length); token classes
+    * group to (doc, prev, term) multiplicities BEFORE the model
+    * joins, so the unigram/bigram/context joins shuffle class rows,
+    * not token rows. The bigram table can be huge at corpus scale —
+    * its join is a plain (prev, term) shuffle equi-join, AQE
+    * broadcasts when small. Same decimal-exact summation contract as
+    * [[lmPerplexity]].
+    */
+  def bigramPerplexity(df: DataFrame, idCol: String, textCol: String,
+                       lambda: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spread = df.sparkSession.sparkContext.defaultParallelism
+    val seq = df.repartition(spread, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+      .withColumn("prev", lag("term", 1).over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+    val grp = seq.groupBy("doc_id", "prev", "term").agg(count(lit(1)).as("m"))
+    val uni = seq.groupBy("term").agg(count(lit(1)).as("cw"))
+    val bi = seq.where(col("prev").isNotNull)
+      .groupBy("prev", "term").agg(count(lit(1)).as("cb"))
+    val ctx = bi.groupBy("prev").agg(sum("cb").as("cctx"))
+    val totals = uni.agg(sum("cw").as("t_total"), count(lit(1)).as("v_size"))
+    val puni = (col("cw") + lit(1.0)) / (col("t_total") + col("v_size"))
+    val p = when(col("prev").isNull, puni)
+      .otherwise(lit(lambda) * (col("cb").cast("double") / col("cctx").cast("double"))
+               + lit(1.0 - lambda) * puni)
+    val contrib = grp
+      .join(uni, "term")
+      .join(bi, Seq("prev", "term"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("lp", round(col("m") * log(p), 12).cast("decimal(38,15)"))
+    val nll = -col("slp").cast("double") / col("n_tokens")
+    contrib.groupBy("doc_id")
+      .agg(sum(col("m")).as("n_tokens"), sum(col("lp")).as("slp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(nll, 6).as("avg_nll"),
+        round(exp(nll), 6).as("ppl"))
+  }
+
   /** DSIR-style importance weights for data selection (Xie et al.
     * 2023, "Data Selection for Language Models via Importance
     * Resampling"): hash each document's unigrams+bigrams into B

@@ -311,6 +311,41 @@ object OpsQueries {
               |       ROUND(exp(-slp / n_tokens), 6) AS ppl
               |FROM agg ORDER BY doc_id""".stripMargin)),
 
+    Q("text_bigram_perplexity",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        TextAnalysis.bigramPerplexity(s.table("documents"), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      // λ = 0.75 is binary-exact; integer-ratio probabilities and the
+      // 12-dp-rounded DECIMAL sum keep both engines bit-identical
+      Some(s"""WITH d AS (SELECT doc_id, $oracleToks AS toks FROM documents),
+              |seq AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM d),
+              |seq2 AS (SELECT doc_id, pos, term,
+              |         LAG(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM seq),
+              |grp AS (SELECT doc_id, prev, term, COUNT(*) AS m FROM seq2 GROUP BY doc_id, prev, term),
+              |uni AS (SELECT term, COUNT(*) AS cw FROM seq2 GROUP BY term),
+              |tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS t_total, COUNT(*) AS v_size FROM uni),
+              |bi AS (SELECT prev, term, COUNT(*) AS cb FROM seq2 WHERE prev IS NOT NULL GROUP BY prev, term),
+              |ctx AS (SELECT prev, CAST(SUM(cb) AS BIGINT) AS cctx FROM bi GROUP BY prev),
+              |contrib AS (
+              |  SELECT g.doc_id, g.m,
+              |    CAST(ROUND(g.m * ln(CASE WHEN g.prev IS NULL
+              |        THEN (u.cw + 1.0) / (tot.t_total + tot.v_size)
+              |        ELSE 0.75 * (CAST(b.cb AS DOUBLE) / CAST(c.cctx AS DOUBLE))
+              |           + 0.25 * ((u.cw + 1.0) / (tot.t_total + tot.v_size)) END), 12) AS DECIMAL(38,15)) AS lp
+              |  FROM grp g JOIN uni u USING (term)
+              |  LEFT JOIN bi b ON b.prev = g.prev AND b.term = g.term
+              |  LEFT JOIN ctx c ON c.prev = g.prev
+              |  CROSS JOIN tot),
+              |agg AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_tokens,
+              |               CAST(SUM(lp) AS DOUBLE) AS slp
+              |        FROM contrib GROUP BY doc_id)
+              |SELECT doc_id, n_tokens,
+              |       ROUND(-slp / n_tokens, 6) AS avg_nll,
+              |       ROUND(exp(-slp / n_tokens), 6) AS ppl
+              |FROM agg ORDER BY doc_id""".stripMargin)),
+
     // DSIR importance weights: raw corpus = non-src0 docs, target
     // domain = src0 (the same split decontaminate_overlap uses).
     Q("text_dsir_weights",

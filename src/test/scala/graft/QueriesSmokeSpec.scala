@@ -47,6 +47,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
     "dedup_exact_stats",   // crossJoin of two 1-row aggregate results
     "text_tfidf_topk",     // corpus-size N attaches as a 1-row broadcast crossJoin
     "text_lm_perplexity",  // corpus totals attach as a 1-row broadcast crossJoin
+    "text_bigram_perplexity", // same 1-row totals crossJoin
     "text_dsir_weights",   // corpus totals attach as a 1-row broadcast crossJoin
     "sample_dsir_resample") // same chain + Gumbel top-k tail
 

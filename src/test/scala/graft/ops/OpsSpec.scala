@@ -125,6 +125,23 @@ class OpsSpec extends AnyFunSuite {
     assert(r(2L).getAs[Double]("avg_nll") == math.rint(math.log(5.0 / 2.0) * 1e6) / 1e6)
   }
 
+  test("bigram perplexity: interpolated model, exact hand-check, common beats rare") {
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("id", "t")
+    val r = TextAnalysis.bigramPerplexity(corpus, "id", "t").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // T=6, V=3; c(a)=3, c(b)=2, c(c)=1; c(a,b)=2, c(a,c)=1, ctx(a)=3
+    // doc1: "a" first → (3+1)/9; "b"|a → 0.75·(2/3) + 0.25·(3/9)
+    val p1 = (3 + 1.0) / (6L + 3L)
+    val p2 = 0.75 * (2.0 / 3.0) + 0.25 * ((2 + 1.0) / (6L + 3L))
+    val expected = math.rint(-(math.log(p1) + math.log(p2)) / 2 * 1e6) / 1e6
+    assert(r(1L).getAs[Double]("avg_nll") == expected)
+    assert(r(1L).getAs[Long]("n_tokens") == 2L)
+    // identical docs score identically; the rarer continuation (a c)
+    // scores strictly higher perplexity
+    assert(r(2L).getAs[Double]("ppl") == r(1L).getAs[Double]("ppl"))
+    assert(r(3L).getAs[Double]("ppl") > r(1L).getAs[Double]("ppl"))
+  }
+
   test("dsir importance weights: target-like raw docs outweigh off-domain ones") {
     val target = Seq(
       (100L, "spark engines process data with tables and queries"),
