@@ -424,6 +424,29 @@ object TextAnalysis {
       .select(col("doc_id"), col("log_weight"), col("samp_key"))
   }
 
+  /** Corpus n-gram frequency report: the top-k word n-grams with
+    * occurrence and document counts — the table blocklists,
+    * boilerplate detectors and decontamination lists are built from.
+    *
+    * Scale shape: one shingle explode (native WordShingles kernel) →
+    * (doc, gram) counts with map-side combine → gram totals → one
+    * bounded top-k (TakeOrderedAndProject; count desc, gram asc for a
+    * total order).
+    */
+  def topNgrams(df: DataFrame, idCol: String, textCol: String,
+                n: Int = 3, k: Int = 20): DataFrame = {
+    val spread = df.sparkSession.sparkContext.defaultParallelism
+    val docGram = df.repartition(spread, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextExpressions.word_shingles(
+          col(textCol), n, dedup = false)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+    docGram.groupBy("gram")
+      .agg(sum("c").as("n_occurrences"), count(lit(1)).as("n_docs"))
+      .orderBy(desc("n_occurrences"), col("gram"))
+      .limit(k)
+  }
+
   /** Convenience: annotate a corpus with the full analysis bundle
     * (fused kernel for the stats, LangIdExpr for the language).
     */

@@ -311,6 +311,24 @@ object OpsQueries {
               |       ROUND(exp(-slp / n_tokens), 6) AS ppl
               |FROM agg ORDER BY doc_id""".stripMargin)),
 
+    Q("text_top_ngrams",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        TextAnalysis.topNgrams(s.table("documents"), "doc_id", "text", n = 3, k = 20)
+      },
+      // non-deduped shingles (the kernel's dedup=false mode): the <n
+      // fallback joins all tokens, so an empty doc contributes ''
+      Some(s"""WITH d AS (SELECT doc_id, $oracleToks AS toks FROM documents),
+              |g AS (SELECT doc_id, unnest(
+              |  CASE WHEN len(toks) >= 3
+              |       THEN [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)]
+              |       ELSE [array_to_string(toks, ' ')] END) AS gram FROM d),
+              |t AS (SELECT gram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+              |      FROM g GROUP BY gram)
+              |SELECT gram, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+              |       CAST(n_docs AS BIGINT) AS n_docs
+              |FROM t ORDER BY n_occurrences DESC, gram LIMIT 20""".stripMargin)),
+
     Q("text_bigram_perplexity",
       (s, dir) => {
         Tables.registerAll(s, dir)

@@ -142,6 +142,21 @@ class OpsSpec extends AnyFunSuite {
     assert(r(3L).getAs[Double]("ppl") > r(1L).getAs[Double]("ppl"))
   }
 
+  test("top n-grams: planted repeats rank first with exact doc counts") {
+    val top = TextAnalysis.topNgrams(docs, "doc_id", "text", n = 3, k = 10).collect()
+    // the fox-sentence 3-grams appear once in each of docs 1,2,3,4 and
+    // tie at 4 occurrences; the gram tiebreak puts the lexicographically
+    // smallest first
+    assert(top.head.getAs[String]("gram") == "brown fox jumps")
+    assert(top.head.getAs[Long]("n_occurrences") == 4L)
+    val tqb = top.find(_.getAs[String]("gram") == "the quick brown").get
+    assert(tqb.getAs[Long]("n_occurrences") == 4L)
+    assert(tqb.getAs[Long]("n_docs") == 4L)
+    // counts arrive sorted descending with the gram tiebreak
+    val occ = top.map(_.getAs[Long]("n_occurrences")).toSeq
+    assert(occ == occ.sorted.reverse)
+  }
+
   test("dsir importance weights: target-like raw docs outweigh off-domain ones") {
     val target = Seq(
       (100L, "spark engines process data with tables and queries"),
