@@ -45,4 +45,62 @@ object CurationStreams {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Offline half of streaming LM scoring: collapse a training corpus
+    * to a ONE-ROW model table — a term → ln p map (add-one unigram,
+    * ln p = ln((cnt+1)/(T+V))) plus the unseen-token log-probability
+    * ln(1/(T+V)). Bounded by the VOCABULARY, not the corpus (the same
+    * contract as any broadcast dimension); at 100 TB the counts
+    * aggregate distributes and only the final map build is single-row.
+    */
+  def trainUnigramModel(corpus: DataFrame, textCol: String = "text"): DataFrame = {
+    val cnt = corpus
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val tot = cnt.agg(sum("cnt").as("t_total"), count(lit(1)).as("v_size"))
+    cnt.crossJoin(broadcast(tot))
+      .withColumn("lp", log((col("cnt") + lit(1.0)) / (col("t_total") + col("v_size"))))
+      .agg(
+        map_from_entries(collect_list(struct(col("term"), col("lp")))).as("lp_map"),
+        first(log(lit(1.0) / (col("t_total") + col("v_size")))).as("lp_unseen"))
+  }
+
+  /** Online half: score documents against the trained model — the
+    * production deployment shape of [[graft.ops.TextAnalysis.lmPerplexity]]
+    * (train offline on a trusted corpus, score the ingest stream).
+    * The model row broadcasts into a stream-static cross join and the
+    * fold over the token array is a per-row expression, so the stage
+    * is STATELESS: Append mode, no watermark, no state store, and
+    * batch ≡ streaming byte-identically. Works identically on a batch
+    * DataFrame.
+    */
+  def scoreWithModel(docs: DataFrame, model: DataFrame,
+                     textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    // map access via extraction syntax, NOT element_at: that name
+    // resolves through the session registry to the DuckDB-list shim
+    val slp = aggregate(toks, lit(0.0d),
+      (acc, t) => acc + coalesce(col("lp_map")(t), col("lp_unseen")))
+    docs.crossJoin(broadcast(model))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .where(col("n_tokens") > 0)
+      .withColumn("avg_nll", round(-slp / col("n_tokens"), 6))
+      .withColumn("ppl", round(exp(-slp / col("n_tokens")), 6))
+      .drop("lp_map", "lp_unseen")
+  }
+
+  /** Start a scored ingest stream from a parquet directory source into
+    * a named memory sink.
+    */
+  def startScoredStream(
+      spark: SparkSession, sourceDir: String, queryName: String,
+      schema: StructType, model: DataFrame): StreamingQuery = {
+    val src = spark.readStream.schema(schema).parquet(sourceDir)
+    scoreWithModel(src, model).writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

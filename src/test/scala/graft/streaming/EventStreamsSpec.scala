@@ -146,4 +146,32 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batch.nonEmpty && batch.size < docs.count())
     assert(streamed == batch) // stateless stages → byte-identical results
   }
+
+  test("streaming LM scoring against a trained model equals batch, tracks lmPerplexity") {
+    graft.core.Tables.registerAll(spark, dir)
+    val docs = spark.table("documents")
+    val model = CurationStreams.trainUnigramModel(docs)
+    val src = java.nio.file.Files.createTempDirectory("graft_score_src").toString
+    docs.write.mode("overwrite").parquet(src)
+
+    val q = CurationStreams.startScoredStream(
+      spark, src, "stream_scored", docs.schema, model)
+    q.awaitTermination(120000)
+
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_nll"), r.getAs[Double]("ppl")))).toMap
+    val streamed = keyed(spark.table("stream_scored").collect())
+    val batch = keyed(CurationStreams.scoreWithModel(docs, model).collect())
+    assert(batch.nonEmpty)
+    assert(streamed == batch) // stateless scoring → byte-identical
+
+    // self-scoring tracks the batch lmPerplexity operator (different
+    // summation pipeline → tolerance, not equality)
+    val ref = graft.ops.TextAnalysis.lmPerplexity(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_nll")).toMap
+    batch.foreach { case (id, (_, nll, _)) =>
+      assert(math.abs(nll - ref(id)) < 2e-6, s"doc $id: $nll vs ${ref(id)}")
+    }
+  }
 }
