@@ -286,10 +286,15 @@ object TextAnalysis {
         posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
       .withColumn("prev", lag("term", 1).over(
         Window.partitionBy("doc_id").orderBy("pos")))
+    // every model table derives from the ONE (doc, prev, term)
+    // aggregate — deriving them from `seq` directly would re-execute
+    // the explode+window chain once per branch (the DSIR lesson);
+    // this way the grp exchange is the shared, reusable subtree and
+    // the derived tables shuffle class rows only
     val grp = seq.groupBy("doc_id", "prev", "term").agg(count(lit(1)).as("m"))
-    val uni = seq.groupBy("term").agg(count(lit(1)).as("cw"))
-    val bi = seq.where(col("prev").isNotNull)
-      .groupBy("prev", "term").agg(count(lit(1)).as("cb"))
+    val uni = grp.groupBy("term").agg(sum("m").as("cw"))
+    val bi = grp.where(col("prev").isNotNull)
+      .groupBy("prev", "term").agg(sum("m").as("cb"))
     val ctx = bi.groupBy("prev").agg(sum("cb").as("cctx"))
     val totals = uni.agg(sum("cw").as("t_total"), count(lit(1)).as("v_size"))
     val puni = (col("cw") + lit(1.0)) / (col("t_total") + col("v_size"))
