@@ -199,13 +199,25 @@ object TextAnalysis {
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 5, minTermLen: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spread = df.sparkSession.sparkContext.defaultParallelism
     // spread the doc rows before the token explode (single-file
     // inputs would otherwise serialize it; see dsirLogWeights)
-    val toks = df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    val toks = df.repartition(spread, col(idCol))
       .select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("term"))
       .where(length(col("term")) >= minTermLen)
+    // the eager localCheckpoint is the MATERIALIZATION POINT: the tf
+    // aggregate needs no exchange of its own (its input is already
+    // clustered by doc_id), so there is no shuffle boundary for
+    // ReuseExchange and the df branch + the probe side would each
+    // re-run the tokenize+explode subtree from the parquet scan — at
+    // sf0.1 that recompute, not data volume, dominated the query. The
+    // checkpoint stores exactly what a shuffle would have
+    // materialized (the per-doc class table, spilling to disk), and
+    // LogicalRDD keeps the doc_id partitioning so the rank window
+    // runs exchange-free on the reused output.
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n"))
     val scored = tf.join(dfreq, "term")
@@ -240,12 +252,18 @@ object TextAnalysis {
     * single final cast to double rounds avg_nll and ppl to 6 dp.
     */
   def lmPerplexity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spread = df.sparkSession.sparkContext.defaultParallelism
     // spread the doc rows before the token explode (single-file
     // inputs would otherwise serialize it; see dsirLogWeights)
-    val toks = df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    val toks = df.repartition(spread, col(idCol))
       .select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("term"))
+    // materialization point (see tfIdfTopTerms): vocab and the probe
+    // side reuse one stored class table instead of each re-running
+    // the explode; the preserved doc_id partitioning makes the
+    // terminal per-doc aggregate exchange-free
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val vocab = tf.groupBy("term").agg(sum("tf").as("cnt"))
     val totals = vocab.agg(sum("cnt").as("t_total"), count(lit(1)).as("v_size"))
     val contrib = tf.join(vocab, "term")
@@ -268,12 +286,17 @@ object TextAnalysis {
     * unigram alone). Context counts come from the bigram table
     * (exact MLE denominators), so probabilities per context sum to 1.
     *
-    * Scale shape: one posexplode; the prev-token attach is a per-doc
-    * window (partitions bounded by document length); token classes
-    * group to (doc, prev, term) multiplicities BEFORE the model
-    * joins, so the unigram/bigram/context joins shuffle class rows,
-    * not token rows. The bigram table can be huge at corpus scale —
-    * its join is a plain (prev, term) shuffle equi-join, AQE
+    * Scale shape: one explode of (term, prev) pairs — `prev` comes
+    * straight from the token ARRAY (`t[i-1]`, null at i=0), so no
+    * per-doc sort/window ever runs; token classes group to
+    * (doc, prev, term) multiplicities BEFORE the model joins, so the
+    * unigram/bigram joins shuffle class rows, not token rows. The
+    * class table materializes through one doc_id-keyed exchange that
+    * every model branch reuses (see tfIdfTopTerms), and the context
+    * denominator rides on the bigram table as a window over `prev`
+    * (partitions bounded by the per-context vocabulary) instead of a
+    * third aggregate+join. The bigram table can be huge at corpus
+    * scale — its join is a plain (prev, term) shuffle equi-join, AQE
     * broadcasts when small. Same decimal-exact summation contract as
     * [[lmPerplexity]].
     */
@@ -282,20 +305,24 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val spread = df.sparkSession.sparkContext.defaultParallelism
     val seq = df.repartition(spread, col(idCol))
-      .select(col(idCol).as("doc_id"),
-        posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
-      .withColumn("prev", lag("term", 1).over(
-        Window.partitionBy("doc_id").orderBy("pos")))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), explode(transform(col("_toks"),
+        (x, i) => struct(x.as("term"),
+          get(col("_toks"), i - lit(1)).as("prev")))).as("_p"))
+      .select(col("doc_id"), col("_p.term").as("term"), col("_p.prev").as("prev"))
     // every model table derives from the ONE (doc, prev, term)
     // aggregate — deriving them from `seq` directly would re-execute
-    // the explode+window chain once per branch (the DSIR lesson);
-    // this way the grp exchange is the shared, reusable subtree and
-    // the derived tables shuffle class rows only
+    // the explode chain once per branch (the DSIR lesson); the eager
+    // localCheckpoint is the materialization point (see tfIdfTopTerms)
+    // both model branches and the probe side reuse, and the preserved
+    // doc_id partitioning makes the terminal per-doc aggregate
+    // exchange-free
     val grp = seq.groupBy("doc_id", "prev", "term").agg(count(lit(1)).as("m"))
+      .localCheckpoint(true)
     val uni = grp.groupBy("term").agg(sum("m").as("cw"))
     val bi = grp.where(col("prev").isNotNull)
       .groupBy("prev", "term").agg(sum("m").as("cb"))
-    val ctx = bi.groupBy("prev").agg(sum("cb").as("cctx"))
+      .withColumn("cctx", sum("cb").over(Window.partitionBy("prev")))
     val totals = uni.agg(sum("cw").as("t_total"), count(lit(1)).as("v_size"))
     val puni = (col("cw") + lit(1.0)) / (col("t_total") + col("v_size"))
     val p = when(col("prev").isNull, puni)
@@ -304,7 +331,6 @@ object TextAnalysis {
     val contrib = grp
       .join(uni, "term")
       .join(bi, Seq("prev", "term"), "left")
-      .join(ctx, Seq("prev"), "left")
       .crossJoin(broadcast(totals))
       .withColumn("lp", round(col("m") * log(p), 12).cast("decimal(38,15)"))
     val nll = -col("slp").cast("double") / col("n_tokens")
@@ -368,11 +394,17 @@ object TextAnalysis {
     // would coalesce a column-only repartition of a few thousand tiny
     // doc rows back to one partition.
     val spread = raw.sparkSession.sparkContext.defaultParallelism
+    // the eager localCheckpoint is the materialization point (see
+    // tfIdfTopTerms): rawB and the contrib probe reuse one stored
+    // class table instead of each re-running the md5 gram explode;
+    // the preserved doc_id partitioning makes the terminal per-doc
+    // aggregate exchange-free
     val docB = raw.repartition(spread, col(idCol))
       .select(col(idCol).as("doc_id"),
         explode(gramHashes(col(textCol))).as("h"))
       .select(col("doc_id"), (col("h") % buckets).as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val rawB = docB.groupBy("b").agg(sum("c").as("cr"))
     val tgtB = target.repartition(spread, col(idCol))
       .select(explode(gramHashes(col(textCol))).as("h"))
