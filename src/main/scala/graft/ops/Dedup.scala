@@ -238,14 +238,30 @@ object Dedup {
   def minhashLshPairsAcross(a: DataFrame, b: DataFrame, idCol: String,
                             textCol: String, k: Int = 16, bands: Int = 4,
                             n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val wideB = minhashSignaturesWide(b, idCol, textCol, k, n).localCheckpoint()
+    minhashLshPairsAcrossSigs(a, wideB, idCol, textCol, k, bands, n, threshold)
+  }
+
+  /** The amortized form of [[minhashLshPairsAcross]] for repeated
+    * batch ingests: `corpusSigs` is the corpus's wide signature table
+    * ([[minhashSignaturesWide]] output — `id, sig0..sig{k-1}`),
+    * computed once and persisted (e.g. written to parquet alongside
+    * the corpus) so each incoming batch pays only ITS OWN signature
+    * pass plus the bucket join — the corpus is never re-scanned. The
+    * convenience overload above derives the corpus signatures inline
+    * and therefore re-pays that scan per call.
+    */
+  def minhashLshPairsAcrossSigs(a: DataFrame, corpusSigs: DataFrame,
+                                idCol: String, textCol: String,
+                                k: Int = 16, bands: Int = 4, n: Int = 3,
+                                threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val wideA = minhashSignaturesWide(a, idCol, textCol, k, n).localCheckpoint()
-    val wideB = minhashSignaturesWide(b, idCol, textCol, k, n).localCheckpoint()
     val cand = lshBandRows(wideA, k, bands).as("x")
-      .join(lshBandRows(wideB, k, bands).as("y"),
+      .join(lshBandRows(corpusSigs, k, bands).as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    estimatePairs(cand, wideA, wideB, k, threshold)
+    estimatePairs(cand, wideA, corpusSigs, k, threshold)
   }
 
   /** The apply half of cross-corpus dedup: drop the new-batch docs

@@ -49,16 +49,25 @@ object CurationStreams {
   /** Offline half of streaming LM scoring: collapse a training corpus
     * to a ONE-ROW model table — a term → ln p map (add-one unigram,
     * ln p = ln((cnt+1)/(T+V))) plus the unseen-token log-probability
-    * ln(1/(T+V)). Bounded by the VOCABULARY, not the corpus (the same
-    * contract as any broadcast dimension); at 100 TB the counts
-    * aggregate distributes and only the final map build is single-row.
+    * ln(1/(T+V)). The map keeps only the `maxVocab` most frequent
+    * terms (ties broken lexicographically, via a bounded
+    * TakeOrderedAndProject); everything beyond the cap scores as
+    * `lp_unseen`, the same CCNet-style pruning a production model
+    * ships with. The cap is what makes the one-row shape honest at
+    * corpus scale: an uncapped web-corpus vocabulary (10⁸+ terms)
+    * would blow Spark's single-value and broadcast limits, while the
+    * capped row is bounded by `maxVocab` regardless of corpus size.
+    * The smoothing totals T and V are still measured over the FULL
+    * vocabulary, so kept-term probabilities are unchanged by pruning.
     */
-  def trainUnigramModel(corpus: DataFrame, textCol: String = "text"): DataFrame = {
+  def trainUnigramModel(corpus: DataFrame, textCol: String = "text",
+                        maxVocab: Int = 100000): DataFrame = {
     val cnt = corpus
       .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
     val tot = cnt.agg(sum("cnt").as("t_total"), count(lit(1)).as("v_size"))
-    cnt.crossJoin(broadcast(tot))
+    val kept = cnt.orderBy(col("cnt").desc, col("term")).limit(maxVocab)
+    kept.crossJoin(broadcast(tot))
       .withColumn("lp", log((col("cnt") + lit(1.0)) / (col("t_total") + col("v_size"))))
       .agg(
         map_from_entries(collect_list(struct(col("term"), col("lp")))).as("lp_map"),
@@ -73,6 +82,11 @@ object CurationStreams {
     * is STATELESS: Append mode, no watermark, no state store, and
     * batch ≡ streaming byte-identically. Works identically on a batch
     * DataFrame.
+    *
+    * Scoring ANNOTATES, it never filters: zero-token documents pass
+    * through with null `avg_nll`/`ppl` (a perplexity over no tokens
+    * is undefined), so a scorer dropped into an ingest pipeline
+    * preserves the row set and callers choose what to filter.
     */
   def scoreWithModel(docs: DataFrame, model: DataFrame,
                      textCol: String = "text"): DataFrame = {
@@ -81,11 +95,12 @@ object CurationStreams {
     // resolves through the session registry to the DuckDB-list shim
     val slp = aggregate(toks, lit(0.0d),
       (acc, t) => acc + coalesce(col("lp_map")(t), col("lp_unseen")))
+    val scored = when(col("n_tokens") > 0, round(-slp / col("n_tokens"), 6))
     docs.crossJoin(broadcast(model))
       .withColumn("n_tokens", size(toks).cast("long"))
-      .where(col("n_tokens") > 0)
-      .withColumn("avg_nll", round(-slp / col("n_tokens"), 6))
-      .withColumn("ppl", round(exp(-slp / col("n_tokens")), 6))
+      .withColumn("avg_nll", scored)
+      .withColumn("ppl", when(col("n_tokens") > 0,
+        round(exp(-slp / col("n_tokens")), 6)))
       .drop("lp_map", "lp_unseen")
   }
 

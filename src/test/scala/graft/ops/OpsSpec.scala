@@ -224,6 +224,16 @@ class OpsSpec extends AnyFunSuite {
     val kept = Dedup.dropCrossDuplicates(batch, corpus, "doc_id", "text",
         threshold = 0.25).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 2L, 3L, 4L) -- pairSet.map(_._1))
+
+    // the amortized form: a persisted corpus signature table gives the
+    // same pairs without re-scanning the corpus per batch
+    val sigDir = java.nio.file.Files.createTempDirectory("graft_sigs").toString
+    Dedup.minhashSignaturesWide(corpus, "doc_id", "text").write
+      .mode("overwrite").parquet(sigDir)
+    val viaSigs = Dedup.minhashLshPairsAcrossSigs(
+        batch, spark.read.parquet(sigDir), "doc_id", "text", threshold = 0.25)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(viaSigs == pairSet)
   }
 
   test("cosine and brute-force top-k are exact") {

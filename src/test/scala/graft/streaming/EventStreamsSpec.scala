@@ -170,8 +170,57 @@ class EventStreamsSpec extends AnyFunSuite {
     // summation pipeline → tolerance, not equality)
     val ref = graft.ops.TextAnalysis.lmPerplexity(docs, "doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_nll")).toMap
-    batch.foreach { case (id, (_, nll, _)) =>
-      assert(math.abs(nll - ref(id)) < 2e-6, s"doc $id: $nll vs ${ref(id)}")
+    batch.foreach { case (id, (n, nll, _)) =>
+      if (n > 0) assert(math.abs(nll - ref(id)) < 2e-6, s"doc $id: $nll vs ${ref(id)}")
     }
+  }
+
+  test("LM vocabulary cap: beyond-cap terms score as unseen; batch stays streaming-identical") {
+    import spark.implicits._
+    // 'alpha' dominates, 'beta' second; cap=2 keeps exactly those
+    val corpus = Seq(
+      (1L, "alpha alpha alpha alpha beta beta beta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "alpha gamma")
+    ).toDF("doc_id", "text")
+    val full = CurationStreams.trainUnigramModel(corpus).head()
+    val capped = CurationStreams.trainUnigramModel(corpus, maxVocab = 2).head()
+    val fullMap = full.getAs[Map[String, Double]]("lp_map")
+    val capMap = capped.getAs[Map[String, Double]]("lp_map")
+    assert(fullMap.keySet == Set("alpha", "beta", "gamma", "delta"))
+    assert(capMap.keySet == Set("alpha", "beta")) // top-2 by count
+    // kept-term probabilities unchanged by pruning (totals stay full-vocab)
+    assert(capMap("alpha") == fullMap("alpha") && capMap("beta") == fullMap("beta"))
+    assert(capped.getAs[Double]("lp_unseen") == full.getAs[Double]("lp_unseen"))
+
+    // a beyond-cap term now scores exactly lp_unseen
+    val model = CurationStreams.trainUnigramModel(corpus, maxVocab = 2)
+    val gammaOnly = Seq((9L, "gamma")).toDF("doc_id", "text")
+    val row = CurationStreams.scoreWithModel(gammaOnly, model).head()
+    // avg_nll is 6-dp rounded by the scorer → half-ulp tolerance
+    assert(math.abs(row.getAs[Double]("avg_nll")
+      - (-capped.getAs[Double]("lp_unseen"))) < 1e-6)
+
+    // zero-token documents pass through annotated null, never dropped
+    val empty = Seq((10L, ""), (11L, "!!!"), (12L, "alpha")).toDF("doc_id", "text")
+    val out = CurationStreams.scoreWithModel(empty, model)
+      .select("doc_id", "n_tokens", "avg_nll", "ppl").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(10L, 11L, 12L))
+    assert(out(10L).isNullAt(2) && out(10L).isNullAt(3) && out(10L).getLong(1) == 0L)
+    assert(out(11L).isNullAt(2) && out(11L).getLong(1) == 0L)
+    assert(!out(12L).isNullAt(2))
+
+    // batch ≡ streaming byte-identically AT the cap
+    val src = java.nio.file.Files.createTempDirectory("graft_cap_src").toString
+    corpus.write.mode("overwrite").parquet(src)
+    val q = CurationStreams.startScoredStream(
+      spark, src, "stream_capped", corpus.schema, model)
+    q.awaitTermination(120000)
+    def keyed2(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_nll"), r.getAs[Double]("ppl")))).toMap
+    assert(keyed2(spark.table("stream_capped").collect())
+      == keyed2(CurationStreams.scoreWithModel(corpus, model).collect()))
   }
 }
