@@ -60,9 +60,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
-    // quiet shutdown, then emit the JSON as the very last output on
-    // BOTH streams, plus a file copy — the driver's parser must find it
-    // regardless of which stream it tails or how much it captures
+    // quiet shutdown, then emit the JSON exactly ONCE on stdout, plus
+    // a file copy. A second stderr print looked like belt-and-braces
+    // but it is what truncated the driver's tail capture (two ~2 KB
+    // lines racing into one interleaved tail) — single-stream output
+    // is what parses.
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     try {
@@ -71,7 +73,5 @@ object Bench {
     } catch { case _: Throwable => () }
     println(line)
     System.out.flush()
-    System.err.println(line)
-    System.err.flush()
   }
 }

@@ -35,30 +35,58 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
-  /** Queries whose plan legitimately contains an unconditioned join:
-    * deliberate broadcast linear scans (brute-force ANN, centroid
-    * assignment against a broadcast centroid set) and crossJoins of
-    * single-row aggregates.
+  /** Queries whose plan legitimately contains a DELIBERATE broadcast
+    * linear scan with a bounded multi-row build side (brute-force ANN
+    * baseline, centroid assignment against a broadcast centroid set).
+    * Everything else is held to: no CartesianProduct ever, and a
+    * BroadcastNestedLoopJoin only when its build side reduces to a
+    * single-row global aggregate (the "attach corpus totals" shape) —
+    * so a regression in those queries can't hide behind a blanket
+    * exemption.
     */
-  private val intentionalCross = Set(
-    "ann_bruteforce_topk", // exact baseline: broadcast queries × corpus scan
-    "ann_ivf_topk",        // corpus × broadcast centroid set (k rows)
-    "ann_ivf_train_centroids", // same, inside the trainer
-    "dedup_exact_stats",   // crossJoin of two 1-row aggregate results
-    "text_tfidf_topk",     // corpus-size N attaches as a 1-row broadcast crossJoin
-    "text_lm_perplexity",  // corpus totals attach as a 1-row broadcast crossJoin
-    "text_bigram_perplexity", // same 1-row totals crossJoin
-    "text_dsir_weights",   // corpus totals attach as a 1-row broadcast crossJoin
-    "sample_dsir_resample") // same chain + Gumbel top-k tail
+  private val intentionalLinearScan = Set(
+    "ann_bruteforce_topk",     // exact baseline: broadcast queries × corpus scan
+    "ann_ivf_topk",            // corpus × broadcast centroid set (k rows)
+    "ann_ivf_train_centroids") // same, inside the trainer
+
+  import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode, GenerateExec, ExpandExec}
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+  import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+  import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+  import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+  import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+
+  /** True when the subtree's cardinality provably collapses to one
+    * row: descending through cardinality-preserving unary nodes, the
+    * first cardinality-defining node is a global (no grouping keys)
+    * aggregate. Generate/Expand multiply rows → not one-row.
+    */
+  private def oneRowSubtree(p: SparkPlan): Boolean = p match {
+    case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+    case r: ReusedExchangeExec => oneRowSubtree(r.child)
+    case _: GenerateExec | _: ExpandExec => false
+    case u: UnaryExecNode => oneRowSubtree(u.child)
+    case _ => false
+  }
 
   test("no query accidentally plans a cartesian or nested-loop join") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (!intentionalCross(name)) {
-        val plan = fn(spark, dir).queryExecution.executedPlan.toString
-        assert(!plan.contains("CartesianProduct"),
-          s"$name plans a CartesianProduct:\n${plan.take(2000)}")
-        assert(!plan.contains("BroadcastNestedLoopJoin"),
-          s"$name plans a BroadcastNestedLoopJoin:\n${plan.take(2000)}")
+      if (!intentionalLinearScan(name)) {
+        val root = fn(spark, dir).queryExecution.executedPlan
+        val plan = root match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        val s = plan.toString
+        assert(!s.contains("CartesianProduct"),
+          s"$name plans a CartesianProduct:\n${s.take(2000)}")
+        plan.collectWithSubqueries { case j: BroadcastNestedLoopJoinExec => j }
+          .foreach { j =>
+            val build = if (j.buildSide == BuildLeft) j.left else j.right
+            assert(oneRowSubtree(build),
+              s"$name plans a BroadcastNestedLoopJoin whose build side is " +
+                s"not a 1-row global aggregate:\n${j.toString.take(2000)}")
+          }
       }
     }
   }
