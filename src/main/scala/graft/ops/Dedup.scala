@@ -143,6 +143,96 @@ object Dedup {
       .select("id_a", "id_b", "fp_jaccard")
   }
 
+  /** Maximal duplicated token spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the substring-level
+    * dedup document-level MinHash cannot see): every token n-gram
+    * occurring in ≥2 distinct documents marks its covered positions,
+    * and overlapping/adjacent marks merge into maximal spans.
+    * Returns (doc_id, span_start, span_end, span_tokens) with
+    * 0-based inclusive token positions, one row per maximal span.
+    * Docs shorter than `n` tokens never participate (short-doc
+    * duplication is document-level dedup's job). `crossDocOnly=false`
+    * also marks within-document repeats (≥2 occurrences anywhere).
+    *
+    * Scale shape: the ShingleHashes kernel emits one 60-bit hash per
+    * gram position in a single pass (the suffix-array of the paper
+    * replaced by a hash inverted index — the standard distributed
+    * reformulation); duplicated grams are one (hash) groupBy with
+    * map-side partials, the position join is an equi-join on the hash
+    * (AQE broadcasts the duplicated set when small), and the island
+    * merge is a per-document window — bounded by doc length, never
+    * corpus-wide. Hash collisions (60-bit) can over-mark a span at
+    * ~1e-10 per gram pair — the standard trade for never shuffling
+    * gram strings.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8, crossDocOnly: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spread = df.sparkSession.sparkContext.defaultParallelism
+    val grams = df.repartition(spread, col(idCol))
+      .where(size(TextAnalysis.tokens(col(textCol))) >= n)
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextExpressions.shingle_hashes(col(textCol), n))
+          .as(Seq("gpos", "gh")))
+      // the dup-set branch and the position probe both consume this;
+      // one materialization instead of two explode scans (see
+      // TextAnalysis.tfIdfTopTerms for the recompute lesson)
+      .localCheckpoint(true)
+    val dupCond =
+      if (crossDocOnly) countDistinct(col("doc_id")) >= 2 else count(lit(1)) >= 2
+    val dup = grams.groupBy("gh").agg(dupCond.as("_d")).where(col("_d")).select("gh")
+    val hits = grams.join(dup, "gh").select("doc_id", "gpos")
+    val w = Window.partitionBy("doc_id").orderBy("gpos")
+    // covers [gpos, gpos+n-1]; merge marks that overlap or touch
+    val prev = lag(col("gpos"), 1).over(w)
+    val island = sum(when(prev.isNull || col("gpos") > prev + n, 1).otherwise(0))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    hits.withColumn("_isl", island)
+      .groupBy(col("doc_id"), col("_isl"))
+      .agg(min("gpos").as("_s"), max("gpos").as("_e"))
+      .select(col("doc_id"),
+        col("_s").cast("long").as("span_start"),
+        (col("_e") + n - 1).cast("long").as("span_end"),
+        (col("_e") + n - col("_s")).cast("long").as("span_tokens"))
+  }
+
+  /** The "apply" half of [[duplicateSpans]]: rebuild each document
+    * with every duplicated span's tokens removed (the Lee-et-al.
+    * policy of cutting repeated substrings out of the training text
+    * rather than dropping whole documents). Returns one row per input
+    * document: (doc_id, clean_text, n_kept, n_removed). Documents
+    * with no duplicated span pass through re-joined on single spaces
+    * (token-normalized, like every text op here).
+    *
+    * Scale shape: spans aggregate to ONE row per affected doc (a
+    * bounded struct array), the corpus joins that table on doc_id
+    * (AQE broadcasts it when small — the corpus itself never
+    * shuffles), and the cut is a per-row `filter` with index over the
+    * token array: map-side, O(tokens × spans-per-doc), no window, no
+    * token-stream shuffle.
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 8, crossDocOnly: Boolean = true): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, n, crossDocOnly)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
+    val toks = TextAnalysis.tokens(col(textCol))
+    // docs with no span row join a NULL _spans — the isNull arm keeps
+    // every token (exists over NULL would yield NULL → drop-all)
+    val kept = filter(col("_t"), (tok, i) =>
+      col("_spans").isNull ||
+        !exists(col("_spans"), s =>
+          i.cast("long") >= s.getField("span_start") &&
+            i.cast("long") <= s.getField("span_end")))
+    df.select(col(idCol).as("doc_id"), toks.as("_t"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("_k", kept)
+      .select(col("doc_id"),
+        concat_ws(" ", col("_k")).as("clean_text"),
+        size(col("_k")).cast("long").as("n_kept"),
+        (size(col("_t")) - size(col("_k"))).cast("long").as("n_removed"))
+  }
+
   /** MinHash signatures in wide form: one row per doc, k `sig<i>`
     * columns — a single shuffle (groupBy id) with k min-aggregates,
     * instead of exploding every shingle k times.

@@ -484,6 +484,37 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Sliding-window passage chunking — the RAG/embedding-pipeline
+    * primitive: split each document into token windows of `chunkSize`
+    * tokens starting every `stride` tokens (overlap =
+    * chunkSize − stride). Output: (doc_id, chunk_id, n_tokens,
+    * chunk_text), chunk_id dense from 0 per doc. When stride <
+    * chunkSize the final windows shorten toward the text's tail
+    * (standard sliding-window behavior); callers filter on n_tokens
+    * if overlap-only tails are unwanted. Zero-token docs emit no
+    * chunks.
+    *
+    * Scale shape: pure map side — tokenize, explode a per-row
+    * `sequence` of window starts, slice. No shuffle, no window, no
+    * driver involvement; 100 TB chunks exactly as fast as it scans.
+    */
+  def chunkPassages(df: DataFrame, idCol: String, textCol: String,
+                    chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkSize >= 1, "chunkSize must be >= 1")
+    require(stride >= 1, "stride must be >= 1")
+    val nToks = org.apache.spark.sql.functions.size(col("_t"))
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
+      .where(nToks > 0)
+      .select(col("doc_id"), col("_t"),
+        explode(sequence(lit(0), nToks - 1, lit(stride))).as("_start"))
+      .select(col("doc_id"),
+        (col("_start") / stride).cast("long").as("chunk_id"),
+        slice(col("_t"), col("_start") + 1, lit(chunkSize)).as("_c"))
+      .select(col("doc_id"), col("chunk_id"),
+        org.apache.spark.sql.functions.size(col("_c")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("_c")).as("chunk_text"))
+  }
+
   /** Convenience: annotate a corpus with the full analysis bundle
     * (fused kernel for the stats, LangIdExpr for the language).
     */

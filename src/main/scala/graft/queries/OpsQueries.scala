@@ -329,6 +329,83 @@ object OpsQueries {
               |       CAST(n_docs AS BIGINT) AS n_docs
               |FROM t ORDER BY n_occurrences DESC, gram LIMIT 20""".stripMargin)),
 
+    // sliding-window passage chunking (RAG/embedding prep): 32-token
+    // windows every 24 tokens — pure map side, zero shuffle
+    Q("text_chunk_passages",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        TextAnalysis.chunkPassages(s.table("documents"), "doc_id", "text",
+            chunkSize = 32, stride = 24)
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $oracleToks AS toks FROM documents),
+              |s AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 24)) AS start
+              |      FROM d WHERE len(toks) > 0)
+              |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id,
+              |       CAST(len(toks[start + 1:start + 32]) AS BIGINT) AS n_tokens,
+              |       array_to_string(toks[start + 1:start + 32], ' ') AS chunk_text
+              |FROM s ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // substring-level dedup (Lee et al. 2022): maximal cross-document
+    // duplicated 5-gram spans — the hash inverted-index reformulation
+    // of the paper's suffix array
+    Q("dedup_dup_spans",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        Dedup.duplicateSpans(s.table("documents"), "doc_id", "text", n = 5)
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $oracleToks AS toks FROM documents),
+              |p AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+              |      FROM d WHERE len(toks) >= 5),
+              |g AS (SELECT doc_id, i - 1 AS gpos, array_to_string(toks[i:i+4], ' ') AS gram FROM p),
+              |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+              |h AS (SELECT doc_id, gpos FROM g JOIN dup USING (gram)),
+              |lg AS (SELECT doc_id, gpos,
+              |       LAG(gpos) OVER (PARTITION BY doc_id ORDER BY gpos) AS pg FROM h),
+              |w AS (SELECT doc_id, gpos,
+              |      CASE WHEN pg IS NULL OR gpos > pg + 5 THEN 1 ELSE 0 END AS ni FROM lg),
+              |isl AS (SELECT doc_id, gpos,
+              |        SUM(ni) OVER (PARTITION BY doc_id ORDER BY gpos ROWS UNBOUNDED PRECEDING) AS island
+              |        FROM w)
+              |SELECT doc_id, CAST(MIN(gpos) AS BIGINT) AS span_start,
+              |       CAST(MAX(gpos) + 4 AS BIGINT) AS span_end,
+              |       CAST(MAX(gpos) + 5 - MIN(gpos) AS BIGINT) AS span_tokens
+              |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin)),
+
+    // the apply half: cut duplicated spans out of the text (keep the
+    // document, remove the repeated substring)
+    Q("dedup_drop_spans",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        Dedup.removeDuplicateSpans(s.table("documents"), "doc_id", "text", n = 5)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $oracleToks AS toks FROM documents),
+              |p AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+              |      FROM d WHERE len(toks) >= 5),
+              |g AS (SELECT doc_id, i - 1 AS gpos, array_to_string(toks[i:i+4], ' ') AS gram FROM p),
+              |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+              |h AS (SELECT doc_id, gpos FROM g JOIN dup USING (gram)),
+              |lg AS (SELECT doc_id, gpos,
+              |       LAG(gpos) OVER (PARTITION BY doc_id ORDER BY gpos) AS pg FROM h),
+              |w AS (SELECT doc_id, gpos,
+              |      CASE WHEN pg IS NULL OR gpos > pg + 5 THEN 1 ELSE 0 END AS ni FROM lg),
+              |isl AS (SELECT doc_id, gpos,
+              |        SUM(ni) OVER (PARTITION BY doc_id ORDER BY gpos ROWS UNBOUNDED PRECEDING) AS island
+              |        FROM w),
+              |sp AS (SELECT doc_id, MIN(gpos) AS s, MAX(gpos) + 4 AS e FROM isl GROUP BY doc_id, island),
+              |cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM sp),
+              |t AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos FROM d),
+              |kept AS (SELECT t.doc_id, t.term, t.pos FROM t ANTI JOIN cov
+              |         ON t.doc_id = cov.doc_id AND t.pos = cov.pos),
+              |agg AS (SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS clean_text,
+              |               COUNT(*) AS n_kept FROM kept GROUP BY doc_id)
+              |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+              |       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+              |       CAST(len(d.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+              |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
+
     Q("text_bigram_perplexity",
       (s, dir) => {
         Tables.registerAll(s, dir)

@@ -53,7 +53,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
   import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
   import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-  import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+  import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
   import org.apache.spark.sql.catalyst.optimizer.BuildLeft
 
   /** True when the subtree's cardinality provably collapses to one
@@ -77,9 +77,15 @@ class QueriesSmokeSpec extends AnyFunSuite {
           case a: AdaptiveSparkPlanExec => a.executedPlan
           case p => p
         }
-        val s = plan.toString
-        assert(!s.contains("CartesianProduct"),
-          s"$name plans a CartesianProduct:\n${s.take(2000)}")
+        // a cartesian of two provably-1-row subtrees is a scalar
+        // attach (the "corpus totals × fingerprint totals" shape),
+        // not a scale risk; anything wider fails
+        plan.collectWithSubqueries { case c: CartesianProductExec => c }
+          .foreach { c =>
+            assert(oneRowSubtree(c.left) && oneRowSubtree(c.right),
+              s"$name plans a CartesianProduct with a multi-row side:\n" +
+                c.toString.take(2000))
+          }
         plan.collectWithSubqueries { case j: BroadcastNestedLoopJoinExec => j }
           .foreach { j =>
             val build = if (j.buildSide == BuildLeft) j.left else j.right

@@ -957,4 +957,71 @@ class OpsSpec extends AnyFunSuite {
     val c = rows.head.getSeq[Double](1)
     assert(math.abs(c(0) - 4.5) < 1e-9 && math.abs(c(1) - 1.0) < 1e-9)
   }
+
+  test("duplicate spans: overlapping cross-doc grams merge to one maximal span") {
+    // docs 1 and 2 share tokens 2..7 ("c d e f g h"): with n=3 the
+    // duplicated gram starts are 2,3,4,5 in doc 1 — overlapping marks
+    // that must merge into ONE span [2, 7]
+    val d = Seq(
+      (1L, "a b c d e f g h x y z"),
+      (2L, "p q c d e f g h r s t"),
+      (3L, "completely unrelated words only here none shared")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, "doc_id", "text", n = 3)
+      .orderBy("doc_id", "span_start").collect()
+    assert(spans.map(_.getLong(0)).toSet == Set(1L, 2L))
+    val s1 = spans.find(_.getLong(0) == 1L).get
+    assert(s1.getAs[Long]("span_start") == 2L && s1.getAs[Long]("span_end") == 7L &&
+      s1.getAs[Long]("span_tokens") == 6L)
+  }
+
+  test("duplicate spans: within-doc repeats only count when crossDocOnly=false") {
+    val d = Seq(
+      (1L, "u v w u v w unique tail words here"),
+      (2L, "totally different content in this row")
+    ).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(d, "doc_id", "text", n = 3).count() == 0)
+    val within = Dedup.duplicateSpans(d, "doc_id", "text", n = 3, crossDocOnly = false)
+      .collect()
+    // "u v w" occurs at 0 and 3 → marks cover [0,2] and [3,5], adjacent → merged
+    assert(within.length == 1 && within.head.getAs[Long]("span_start") == 0L &&
+      within.head.getAs[Long]("span_end") == 5L)
+  }
+
+  test("remove duplicate spans: cuts the span, preserves the row set") {
+    val d = Seq(
+      (1L, "a b c d e f g h x y z"),
+      (2L, "p q c d e f g h r s t"),
+      (3L, "short doc"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(d, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(out.length == 4) // annotate/apply keeps every input row
+    assert(out(0).getAs[String]("clean_text") == "a b x y z" &&
+      out(0).getAs[Long]("n_removed") == 6L)
+    assert(out(1).getAs[String]("clean_text") == "p q r s t")
+    // unaffected docs pass through token-normalized, nothing removed
+    assert(out(2).getAs[String]("clean_text") == "short doc" &&
+      out(2).getAs[Long]("n_removed") == 0L)
+    assert(out(3).getAs[String]("clean_text") == "" &&
+      out(3).getAs[Long]("n_kept") == 0L)
+  }
+
+  test("passage chunking: stride windows, shortened tail, zero-token drop") {
+    val text = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val d = Seq((1L, text), (2L, "one two"), (3L, "!!!")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkPassages(d, "doc_id", "text", chunkSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+    val c1 = out.filter(_.getLong(0) == 1L)
+    // starts 0,3,6,9 → windows of 4,4,4,1 tokens
+    assert(c1.map(_.getAs[Long]("chunk_id")).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(c1.map(_.getAs[Long]("n_tokens")).toSeq == Seq(4L, 4L, 4L, 1L))
+    assert(c1(1).getAs[String]("chunk_text") == "w4 w5 w6 w7")
+    // a doc shorter than the window emits exactly one chunk
+    val c2 = out.filter(_.getLong(0) == 2L)
+    assert(c2.length == 1 && c2.head.getAs[String]("chunk_text") == "one two")
+    // no tokens → no chunks
+    assert(!out.exists(_.getLong(0) == 3L))
+  }
 }
