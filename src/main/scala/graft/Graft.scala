@@ -96,7 +96,32 @@ final class Graft(val spark: SparkSession, stateDir: String) {
     // schema access enables the COLUMNS('regex') select-list expansion
     val resolve = (t: String) =>
       scala.util.Try(spark.table(t).columns.toSeq).toOption
-    spark.sql(graft.compile.DuckSqlShim.rewrite(text, resolve))
+    // data access enables the dynamic statement-form PIVOT (no IN
+    // list): DuckDB enumerates the distinct non-NULL pivot values,
+    // ordered by their string form, and names columns after them.
+    // The probe is one bounded-collect DISTINCT (the shim caps the
+    // width at MaxDynamicPivotValues) — the same enumeration DuckDB
+    // itself performs before binding a dynamic pivot.
+    val distinctVals = (source: String, column: String) => scala.util.Try {
+      import org.apache.spark.sql.types._
+      val probeSql = s"SELECT DISTINCT $column AS __pv FROM $source WHERE $column IS NOT NULL"
+      val probe = spark.sql(graft.compile.DuckSqlShim.rewrite(probeSql, resolve))
+        .orderBy(org.apache.spark.sql.functions.col("__pv").cast("string"))
+        .limit(graft.compile.DuckSqlShim.MaxDynamicPivotValues + 1)
+      val dt = probe.schema("__pv").dataType
+      probe.collect().toSeq.map { r =>
+        val s = String.valueOf(r.get(0))
+        val lit = dt match {
+          case _: NumericType | BooleanType => s
+          case DateType                     => s"DATE '$s'"
+          case _: TimestampType             => s"TIMESTAMP '$s'"
+          case TimestampNTZType             => s"TIMESTAMP_NTZ '$s'"
+          case _                            => "'" + s.replace("'", "''") + "'"
+        }
+        (lit, s)
+      }
+    }.toOption
+    spark.sql(graft.compile.DuckSqlShim.rewrite(text, resolve, distinctVals))
   }
 
   /** SQL with Arrow results: the reference surfaces query results as

@@ -32,13 +32,22 @@ package graft.compile
   *    applied per subquery level innermost-first (alias-referencing
   *    conditions directly; inline-OVER conditions hoisted)
   *  - `* EXCLUDE cols`              → `* EXCEPT (cols)` (Spark 4)
-  *  - `COLUMNS('regex')` / `COLUMNS(*)` in the top-level SELECT list →
-  *    expanded against the FROM table's schema when the caller supplies
-  *    a resolver ([[graft.Graft.duckSql]] does); each select item
-  *    containing the call is replicated per matching column, aliased
-  *    to the source column name — DuckDB's own expansion rule. Forms
-  *    with no resolvable single-table FROM, lambda/EXCLUDE arguments,
-  *    or an explicit alias raise with a pointer to the doc.
+  *  - `COLUMNS('regex')` / `COLUMNS(*)` in the top-level SELECT list,
+  *    WHERE and ORDER BY → expanded against the FROM table's schema
+  *    when the caller supplies a resolver ([[graft.Graft.duckSql]]
+  *    does); each select item containing the call is replicated per
+  *    matching column, aliased to the source column name; a WHERE
+  *    predicate AND-folds its per-column copies; an ORDER BY key
+  *    expands in place with its direction modifiers — DuckDB's own
+  *    expansion rules (GROUP BY/HAVING reject COLUMNS in DuckDB too).
+  *    Forms with no resolvable single-table FROM or lambda arguments
+  *    raise with a pointer to the doc.
+  *  - dynamic statement-form `PIVOT t ON col` (no IN list) → the
+  *    pivoted values are enumerated from the data when the caller
+  *    supplies a distinct-values resolver ([[graft.Graft.duckSql]]
+  *    does): distinct non-NULL values, ordered and named by their
+  *    string form, capped at [[MaxDynamicPivotValues]] — DuckDB's own
+  *    dynamic-pivot binding rule.
   *
   * The rewriter is a single-pass tokenizer (string literals, quoted
   * identifiers and comments pass through untouched), not a SQL parser:
@@ -59,7 +68,7 @@ object DuckSqlShim {
     "returning", "array")
 
   def rewrite(sql: String): String =
-    rewriteTokens(rewriteQualifyDeep(rewritePivot(rewriteUnpivot(sql), None)))
+    rewriteTokens(rewriteQualifyDeep(rewritePivot(rewriteUnpivot(sql), None, None)))
 
   /** DuckDB's statement-form `UNPIVOT t ON c1, c2 INTO NAME n VALUE v
     * [tail]` → the SQL-standard `SELECT * FROM t UNPIVOT (v FOR n IN
@@ -125,7 +134,8 @@ object DuckSqlShim {
     * defaults to count(*) as in DuckDB.
     */
   private def rewritePivot(sql: String,
-      resolve: Option[String => Option[Seq[String]]]): String = {
+      resolve: Option[String => Option[Seq[String]]],
+      values: Option[(String, String) => Option[Seq[(String, String)]]]): String = {
     val t = sql.trim
     def firstWord(s: String): String = s.takeWhile(c => c.isLetterOrDigit || c == '_')
     if (!firstWord(t).equalsIgnoreCase("pivot")) return sql
@@ -151,23 +161,50 @@ object DuckSqlShim {
         "the form is PIVOT t ON col IN (v1, ...) USING agg [GROUP BY cols]")
     skipWs()
     val onStart = i
-    val inPos   = findTopLevelWord(t, i, Set("in", "using", "group"))
-    if (inPos < 0 || !t.substring(inPos).toLowerCase.startsWith("in"))
-      fail("PIVOT without an IN value list",
-        "DuckDB infers the pivoted values from data; Spark needs them in the " +
-          "syntax — add IN (v1, v2, ...) after the ON column")
-    val pc = t.substring(onStart, inPos).trim
+    val stopPos0 = findTopLevelWord(t, i,
+      Set("in", "using", "group", "order", "limit", "offset", "having", "qualify"))
+    val stopPos  = if (stopPos0 < 0) t.length else stopPos0
+    val isStatic = stopPos < t.length && t.substring(stopPos).toLowerCase.startsWith("in")
+    val pc = t.substring(onStart, stopPos).trim
     if (!pc.forall(c => c.isLetterOrDigit || c == '_' || c == '.' || c == '"' || c == '`'))
       fail(s"PIVOT ON expression '$pc'",
         "only a plain column pivots mechanically — project the expression " +
           "to a column first")
-    i = inPos + 2
-    skipWs()
-    if (i >= t.length || t.charAt(i) != '(')
-      fail("PIVOT IN without a parenthesized value list", "write IN (v1, v2, ...)")
-    val inEnd = closeDelim(t, i, '(', ')')
-    val vals  = splitTopLevel(t.substring(i + 1, inEnd - 1)).map(_.trim)
-    i = inEnd
+    val vals: Seq[String] =
+      if (isStatic) {
+        i = stopPos + 2
+        skipWs()
+        if (i >= t.length || t.charAt(i) != '(')
+          fail("PIVOT IN without a parenthesized value list", "write IN (v1, v2, ...)")
+        val inEnd = closeDelim(t, i, '(', ')')
+        val vs = splitTopLevel(t.substring(i + 1, inEnd - 1)).map(_.trim)
+        i = inEnd
+        vs
+      } else {
+        // dynamic PIVOT: DuckDB enumerates the column's distinct
+        // non-NULL values, lexicographically by their string form,
+        // and names the output columns after them (engine-verified);
+        // reproducing that needs DATA access, available only on the
+        // distinctValues rewrite overload
+        val vr = values.getOrElse(
+          fail("dynamic PIVOT (no IN value list)",
+            "DuckDB infers the pivoted values from data — use Graft.duckSql " +
+              "(data-aware) or add IN (v1, v2, ...) after the ON column"))
+        val pairs = vr(table, pc).getOrElse(
+          fail(s"dynamic PIVOT over unresolvable source '$table'",
+            "the value probe (SELECT DISTINCT) failed — check the source " +
+              "and column, or add an explicit IN (v1, v2, ...) list"))
+        if (pairs.isEmpty)
+          fail("dynamic PIVOT over a source with no non-NULL pivot values",
+            "there is nothing to pivot — Spark's PIVOT clause cannot take " +
+              "an empty IN list; filter or list values explicitly")
+        if (pairs.length > MaxDynamicPivotValues)
+          fail(s"dynamic PIVOT with > $MaxDynamicPivotValues distinct values",
+            "a pivot this wide is a mis-shaped plan on any engine — " +
+              "aggregate instead, or list the values you want in IN (...)")
+        i = stopPos
+        pairs.map { case (lit, nm) => s"""$lit AS "${nm.replace("\"", "\"\"")}"""" }
+      }
     // USING section (optional; DuckDB defaults to count(*))
     val tailPos0  = findTopLevelWord(t, i, Set("order", "limit", "offset", "having", "qualify"))
     val tailPos   = if (tailPos0 < 0) t.length else tailPos0
@@ -420,7 +457,29 @@ object DuckSqlShim {
     */
   def rewrite(sql: String, resolveTable: String => Option[Seq[String]]): String =
     rewriteTokens(rewriteQualifyDeep(expandColumns(
-      rewritePivot(rewriteUnpivot(sql), Some(resolveTable)), resolveTable)))
+      rewritePivot(rewriteUnpivot(sql), Some(resolveTable), None), resolveTable)))
+
+  /** Rewrite with schema AND data access: `distinctValues(source,
+    * column)` returns the ordered distinct pivot values of `column`
+    * in `source` as (sqlLiteral, columnName) pairs — enabling the
+    * DYNAMIC statement-form `PIVOT t ON col` (no IN list), where
+    * DuckDB infers the pivoted value list from the data.
+    * [[graft.Graft.duckSql]] supplies a resolver that runs the
+    * distinct probe in-session; the value list is capped at
+    * [[MaxDynamicPivotValues]] (a wider pivot is a mis-shaped query,
+    * and the probe's driver collect must stay bounded).
+    */
+  def rewrite(sql: String, resolveTable: String => Option[Seq[String]],
+              distinctValues: (String, String) => Option[Seq[(String, String)]]): String =
+    rewriteTokens(rewriteQualifyDeep(expandColumns(
+      rewritePivot(rewriteUnpivot(sql), Some(resolveTable), Some(distinctValues)),
+      resolveTable)))
+
+  /** Dynamic-PIVOT value-list cap (matches DuckDB's own
+    * pivot_limit≈100k in spirit but sized for a sane Spark plan: a
+    * 1000-column pivot is already a mis-shaped query).
+    */
+  final val MaxDynamicPivotValues = 1000
 
   /** DuckDB star-expression expansion for the common SELECT-list form:
     * `SELECT ... fn(COLUMNS('regex')) ... FROM tbl` replicates each
@@ -486,6 +545,65 @@ object DuckSqlShim {
 
     def quoted(c: String) = "\"" + c.replace("\"", "\"\"") + "\""
 
+    /** Resolve a COLUMNS(...) argument to the matched column names. */
+    def columnsArgMatches(arg: String): Seq[String] = {
+      val matched =
+        if (arg == "*") cols
+        else if (arg.length >= 2 && arg.head == '\'' && closeString(arg, 0) == arg.length) {
+          val regex = arg.substring(1, arg.length - 1).replace("''", "'")
+          val p = java.util.regex.Pattern.compile(regex)
+          cols.filter(c => p.matcher(c).find())
+        } else if (arg.startsWith("*")) {
+          // `COLUMNS(* EXCLUDE (a, b))` / `COLUMNS(* EXCLUDE a)`
+          val rest = arg.substring(1).trim
+          val kwEnd = rest.indexWhere(ch => !(ch.isLetter || ch == '_'))
+          val kw = if (kwEnd < 0) rest else rest.substring(0, kwEnd)
+          if (!kw.equalsIgnoreCase("exclude"))
+            fail(s"COLUMNS(* $kw ...)", "only * EXCLUDE (cols) is supported inside COLUMNS")
+          val tail = rest.substring(kw.length).trim
+          val excluded =
+            if (tail.startsWith("(") && closeDelim(tail, 0, '(', ')') == tail.length)
+              splitTopLevel(tail.substring(1, tail.length - 1))
+                .map(_.trim.replace("\"", ""))
+            else if (tail.nonEmpty &&
+              tail.forall(ch => ch.isLetterOrDigit || ch == '_')) Seq(tail)
+            else fail("COLUMNS(* EXCLUDE ...) with an unparseable exclusion list",
+              "use EXCLUDE (col, ...)")
+          excluded.foreach { ex =>
+            if (!cols.exists(_.equalsIgnoreCase(ex)))
+              fail(s"COLUMNS(* EXCLUDE ...) name '$ex' not in '$tableName'",
+                "check the column name (DuckDB raises a binder error here too)")
+          }
+          val exSet = excluded.map(_.toLowerCase).toSet
+          cols.filterNot(c => exSet(c.toLowerCase))
+        } else fail("COLUMNS(...) with a non-literal argument (lambda, expression)",
+          "list the wanted columns explicitly")
+      if (matched.isEmpty)
+        fail(s"COLUMNS($arg) matching no columns of '$tableName'",
+          "check the regex (DuckDB raises a binder error here too)")
+      matched
+    }
+
+    /** Expand the single COLUMNS(...) call in `text`, once per
+      * matched column → (expanded text, column name) pairs. None when
+      * there is no parseable COLUMNS call in `text`.
+      */
+    def expandCall(text: String): Option[Seq[(String, String)]] = {
+      val cPos = findWord(text, 0, Set("columns"), topLevelOnly = false)
+      if (cPos < 0) return None
+      val argOpen = text.indexOf('(', cPos)
+      if (argOpen < 0 || text.substring(cPos + 7, argOpen).exists(!_.isWhitespace))
+        return None
+      if (findWord(text, argOpen, Set("columns"), topLevelOnly = false) >= 0)
+        fail("multiple COLUMNS(...) in one expression",
+          "expand the column list by hand")
+      val argClose = closeDelim(text, argOpen, '(', ')')
+      val arg = text.substring(argOpen + 1, argClose - 1).trim
+      Some(columnsArgMatches(arg).map { c =>
+        (text.substring(0, cPos) + quoted(c) + text.substring(argClose), c)
+      })
+    }
+
     val items = splitTopLevel(sql.substring(listStart, fromPos))
     val expanded = items.flatMap { item =>
       val starReplace = parseStarReplace(item)
@@ -507,59 +625,58 @@ object DuckSqlShim {
         }
       } else if (cPos < 0) Seq(item.trim)
       else {
-        val argOpen = item.indexOf('(', cPos)
-        if (argOpen < 0 || item.substring(cPos + 7, argOpen).exists(!_.isWhitespace))
-          return sql
-        if (findWord(item, argOpen, Set("columns"), topLevelOnly = false) >= 0)
-          fail("multiple COLUMNS(...) in one select item",
-            "expand the column list by hand")
         if (findTopLevelWord(item, 0, Set("as")) >= 0)
           fail("COLUMNS(...) with an explicit alias",
             "drop the alias; each expanded column is named after its source column")
-        val argClose = closeDelim(item, argOpen, '(', ')')
-        val arg = item.substring(argOpen + 1, argClose - 1).trim
-        val matched =
-          if (arg == "*") cols
-          else if (arg.length >= 2 && arg.head == '\'' && closeString(arg, 0) == arg.length) {
-            val regex = arg.substring(1, arg.length - 1).replace("''", "'")
-            val p = java.util.regex.Pattern.compile(regex)
-            cols.filter(c => p.matcher(c).find())
-          } else if (arg.startsWith("*")) {
-            // `COLUMNS(* EXCLUDE (a, b))` / `COLUMNS(* EXCLUDE a)`
-            val rest = arg.substring(1).trim
-            val kwEnd = rest.indexWhere(ch => !(ch.isLetter || ch == '_'))
-            val kw = if (kwEnd < 0) rest else rest.substring(0, kwEnd)
-            if (!kw.equalsIgnoreCase("exclude"))
-              fail(s"COLUMNS(* $kw ...)", "only * EXCLUDE (cols) is supported inside COLUMNS")
-            val tail = rest.substring(kw.length).trim
-            val excluded =
-              if (tail.startsWith("(") && closeDelim(tail, 0, '(', ')') == tail.length)
-                splitTopLevel(tail.substring(1, tail.length - 1))
-                  .map(_.trim.replace("\"", ""))
-              else if (tail.nonEmpty &&
-                tail.forall(ch => ch.isLetterOrDigit || ch == '_')) Seq(tail)
-              else fail("COLUMNS(* EXCLUDE ...) with an unparseable exclusion list",
-                "use EXCLUDE (col, ...)")
-            excluded.foreach { ex =>
-              if (!cols.exists(_.equalsIgnoreCase(ex)))
-                fail(s"COLUMNS(* EXCLUDE ...) name '$ex' not in '$tableName'",
-                  "check the column name (DuckDB raises a binder error here too)")
-            }
-            val exSet = excluded.map(_.toLowerCase).toSet
-            cols.filterNot(c => exSet(c.toLowerCase))
-          } else fail("COLUMNS(...) with a non-literal argument (lambda, expression)",
-            "list the wanted columns explicitly")
-        if (matched.isEmpty)
-          fail(s"COLUMNS($arg) matching no columns of '$tableName'",
-            "check the regex (DuckDB raises a binder error here too)")
-        matched.map { c =>
-          val q = quoted(c)
-          (item.substring(0, cPos) + q + item.substring(argClose)).trim + s" AS $q"
+        expandCall(item) match {
+          case Some(exp) => exp.map { case (txt, c) => txt.trim + s" AS ${quoted(c)}" }
+          case None      => return sql
         }
       }
     }
+
+    // COLUMNS beyond the select list — engine-verified DuckDB rule:
+    // in WHERE the predicate instantiates once per matched column and
+    // the copies AND-fold; in ORDER BY each key containing a COLUMNS
+    // call expands to one key per matched column, direction modifiers
+    // riding along. (GROUP BY / HAVING reject COLUMNS in DuckDB
+    // itself — a binder error — so those stay guided errors here.)
+    var tail = sql.substring(fromPos)
+    val wherePos = findTopLevelWord(tail, 0, Set("where"))
+    if (wherePos >= 0) {
+      val wEnd0 = findTopLevelWord(tail, wherePos + 5, Set("group", "having",
+        "window", "qualify", "order", "limit", "offset", "union", "intersect", "except"))
+      val wEnd = if (wEnd0 < 0) tail.length else wEnd0
+      expandCall(tail.substring(wherePos + 5, wEnd)).foreach { exp =>
+        val folded = exp.map { case (txt, _) => s"(${txt.trim})" }.mkString(" AND ")
+        val rest = tail.substring(wEnd)
+        tail = tail.substring(0, wherePos) + s"WHERE $folded" +
+          (if (rest.trim.isEmpty) "" else "\n" + rest)
+      }
+    }
+    val ordPos = findTopLevelWord(tail, 0, Set("order"))
+    if (ordPos >= 0 &&
+        findWord(tail, ordPos, Set("columns"), topLevelOnly = false) >= 0) {
+      val afterBy = tail.substring(ordPos + 5).trim
+      if (afterBy.toLowerCase.startsWith("by")) {
+        val byOff = tail.indexOf(afterBy.substring(0, 2), ordPos + 5) + 2
+        val oEnd0 = findTopLevelWord(tail, byOff,
+          Set("limit", "offset", "union", "intersect", "except"))
+        val oEnd = if (oEnd0 < 0) tail.length else oEnd0
+        val keys = splitTopLevel(tail.substring(byOff, oEnd)).map(_.trim)
+          .flatMap { k =>
+            expandCall(k) match {
+              case Some(exp) => exp.map(_._1.trim)
+              case None      => Seq(k)
+            }
+          }
+        val rest = tail.substring(oEnd)
+        tail = tail.substring(0, ordPos) + s"ORDER BY ${keys.mkString(", ")}" +
+          (if (rest.trim.isEmpty) "" else "\n" + rest)
+      }
+    }
     sql.substring(0, listStart).stripTrailing() + " " + expanded.mkString(", ") +
-      "\n" + sql.substring(fromPos)
+      "\n" + tail
   }
 
   /** Parse a select item of the form

@@ -257,6 +257,45 @@ class DuckSqlShimSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](rw("SELECT COLUMNS('^a') FROM t"))
   }
 
+  test("COLUMNS in WHERE folds with AND; in ORDER BY expands the key list") {
+    val resolve: String => Option[Seq[String]] = {
+      case "t" => Some(Seq("a1", "a2", "b"))
+      case _   => None
+    }
+    def rwc(s: String) = DuckSqlShim.rewrite(s, resolve)
+    // WHERE: the whole predicate instantiates per matched column,
+    // AND-folded (DuckDB-verified)
+    assert(rwc("SELECT * FROM t WHERE COLUMNS(*) IS NOT NULL") ==
+      "SELECT *\nFROM t WHERE (`a1` IS NOT NULL) AND (`a2` IS NOT NULL) AND (`b` IS NOT NULL)")
+    assert(rwc("SELECT * FROM t WHERE COLUMNS('^a') > 1") ==
+      "SELECT *\nFROM t WHERE (`a1` > 1) AND (`a2` > 1)")
+    // a mixed conjunct replicates whole (equivalent under AND-fold)
+    assert(rwc("SELECT * FROM t WHERE b = 'x' AND COLUMNS('^a') > 0 ORDER BY b") ==
+      "SELECT *\nFROM t WHERE (b = 'x' AND `a1` > 0) AND (b = 'x' AND `a2` > 0)\nORDER BY b")
+    // ORDER BY: per-key expansion with direction modifiers riding along
+    assert(rwc("SELECT * FROM t ORDER BY COLUMNS('^a') DESC NULLS LAST") ==
+      "SELECT *\nFROM t ORDER BY `a1` DESC NULLS LAST, `a2` DESC NULLS LAST")
+    assert(rwc("SELECT * FROM t ORDER BY b, COLUMNS('^a') DESC LIMIT 2") ==
+      "SELECT *\nFROM t ORDER BY b, `a1` DESC, `a2` DESC\nLIMIT 2")
+    // both clauses at once, with a select-list expansion in the mix
+    assert(rwc("SELECT COLUMNS('^a') FROM t WHERE COLUMNS('^a') > 0 ORDER BY COLUMNS('^a')") ==
+      "SELECT `a1` AS `a1`, `a2` AS `a2`\nFROM t WHERE (`a1` > 0) AND (`a2` > 0)\nORDER BY `a1`, `a2`")
+    // end-to-end against DuckDB-1.0-verified rows
+    import spark.implicits._
+    Seq((Option(1), Option(2), "x"), (Option.empty[Int], Option(3), "y"),
+        (Option(4), Option(5), "x"), (Option(6), Option.empty[Int], "z"))
+      .toDF("a1", "a2", "b").createOrReplaceTempView("shim_colw_t")
+    val live = (t: String) => scala.util.Try(spark.table(t).columns.toSeq).toOption
+    val r1 = spark.sql(DuckSqlShim.rewrite(
+      "SELECT * FROM shim_colw_t WHERE COLUMNS(*) IS NOT NULL", live))
+      .orderBy("a1").collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    assert(r1.toSeq == Seq((1, 2, "x"), (4, 5, "x")))
+    val r2 = spark.sql(DuckSqlShim.rewrite(
+      "SELECT * FROM shim_colw_t ORDER BY COLUMNS('^a') DESC NULLS LAST", live))
+      .collect().map(r => (r.get(0), r.get(1)))
+    assert(r2.toSeq == Seq((6, null), (4, 5), (1, 2), (null, 3)))
+  }
+
   test("* REPLACE expands against the FROM table's schema") {
     val resolve: String => Option[Seq[String]] = {
       case "t" => Some(Seq("aa", "ab", "ba", "s"))
@@ -655,6 +694,48 @@ class DuckSqlShimSpec extends AnyFunSuite {
     val e3 = intercept[IllegalArgumentException](
       rw("PIVOT shim_pv_t ON lang IN ('en') USING sum(n) GROUP BY src"))
     assert(e3.getMessage.contains("schema"))
+  }
+
+  test("dynamic PIVOT (no IN list) through the data-aware resolver") {
+    import spark.implicits._
+    val g = new graft.Graft(spark,
+      java.nio.file.Files.createTempDirectory("shim_dynpv").toString)
+    // string pivot column; NULL pivot values are excluded, columns
+    // come out sorted by value (all DuckDB-1.0-verified)
+    Seq(("x", Option("b"), 1), ("x", Option("a"), 2), ("y", Option("a"), 3),
+        ("y", Option.empty[String], 4), ("x", Option("c"), 5))
+      .toDF("g", "c", "v").createOrReplaceTempView("dynpv_t")
+    val r1 = g.duckSql("PIVOT dynpv_t ON c USING sum(v)")
+    assert(r1.columns.toSeq == Seq("g", "a", "b", "c"))
+    val rows1 = r1.orderBy("g").collect()
+      .map(r => (r.getString(0), r.get(1), r.get(2), r.get(3)))
+    assert(rows1.toSeq == Seq(("x", 2L, 1L, 5L), ("y", 3L, null, null)))
+    // integer pivot column: DuckDB orders and names columns by the
+    // STRING form of the value ('10' sorts before '2')
+    Seq(("x", 10, 1), ("x", 2, 2), ("y", 2, 3)).toDF("g", "k", "v")
+      .createOrReplaceTempView("dynpv_t2")
+    val r2 = g.duckSql("PIVOT dynpv_t2 ON k USING sum(v)")
+    assert(r2.columns.toSeq == Seq("g", "10", "2"))
+    assert(r2.orderBy("g").collect().map(r => (r.getString(0), r.get(1), r.get(2)))
+      .toSeq == Seq(("x", 1L, 2L), ("y", null, 3L)))
+    // GROUP BY narrowing + tail carry-over on the dynamic path
+    val r3 = g.duckSql("PIVOT dynpv_t ON c USING sum(v) GROUP BY g ORDER BY g LIMIT 1")
+      .collect()
+    assert(r3.length == 1 && r3.head.getString(0) == "x" && r3.head.getLong(1) == 2L)
+    // default USING is count(*) with zero-fill; unconsumed columns
+    // stay implicit group keys (DuckDB semantics)
+    val r4 = g.duckSql("PIVOT dynpv_t ON c")
+    assert(r4.columns.toSeq == Seq("g", "v", "a", "b", "c"))
+    val n4 = r4.orderBy("g", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(n4.toSeq == Seq(("x", 1, 0L, 1L, 0L), ("x", 2, 1L, 0L, 0L),
+      ("x", 5, 0L, 0L, 1L), ("y", 3, 1L, 0L, 0L), ("y", 4, 0L, 0L, 0L)))
+    // a value list wider than the cap raises the guided error
+    (1 to DuckSqlShim.MaxDynamicPivotValues + 1).map(i => (f"k$i%05d", 1))
+      .toDF("c", "v").createOrReplaceTempView("dynpv_wide")
+    val e = intercept[IllegalArgumentException](
+      g.duckSql("PIVOT dynpv_wide ON c USING sum(v)"))
+    assert(e.getMessage.contains("distinct values"))
   }
 
   test("statement-form UNPIVOT rewrites to the standard clause; dynamic PIVOT raises") {
