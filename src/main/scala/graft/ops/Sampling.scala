@@ -93,6 +93,93 @@ object Sampling {
     * result is identical to the single-window form (OpsSpec pins the
     * equivalence).
     */
+  /** Deterministic hash-ordered running token total per key group,
+    * added as `_cum_before` (tokens strictly before this row in the
+    * (hashKey, id) order) — the primitive token-budget sampling and
+    * sequence packing share.
+    *
+    * 100 TB design: a single per-key window would sort every row of a
+    * hot key in one task. This is the classic two-level distributed
+    * prefix sum instead: the first 2 hex chars of the id-hash split
+    * each key into 256 ORDERED buckets (the bucket is a prefix of the
+    * sort key, so global hash order = (bucket, hash) order); per-
+    * bucket token sums cumulate in a ≤256-row window per key, and the
+    * within-bucket running sum — a window bounded at ~1/256 of the
+    * key — adds the bucket offset back via a (key, bucket) equi-join
+    * on the tiny offset table (AQE broadcasts it). No task ever sorts
+    * more than a bucket.
+    */
+  private def withCumBefore(df: DataFrame, idCol: String, tokensCol: String,
+                            keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyCs = keyCols.map(col)
+    val withB = df
+      .withColumn("_h", hashKey(col(idCol)))
+      .withColumn("_b", substring(col("_h"), 1, 2))
+    val wOff = Window.partitionBy(keyCs: _*).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withB
+      .groupBy(keyCs :+ col("_b"): _*)
+      .agg(sum(col(tokensCol)).as("_bt"))
+      .withColumn("_off", coalesce(sum(col("_bt")).over(wOff), lit(0L)))
+      .drop("_bt")
+    val wIn = Window.partitionBy(keyCs :+ col("_b"): _*)
+      .orderBy(col("_h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB.join(offs, keyCols :+ "_b")
+      .withColumn("_cum_before",
+        col("_off") + coalesce(sum(col(tokensCol)).over(wIn), lit(0L)))
+      .drop("_h", "_b", "_off")
+  }
+
+  /** Token-budget sampling: keep documents, in deterministic id-hash
+    * order, until `budget` tokens are reached per key group (the
+    * "take N tokens per domain/language" selection every
+    * mixture-weighted pretraining recipe applies). A row is kept when
+    * the running total BEFORE it is still under the budget, so a
+    * positive budget always yields at least one row per key and the
+    * last kept row may overshoot (the standard fill rule; filter on
+    * a tokens column cap first if hard ceilings matter). Empty
+    * `keyCols` = one global budget. Deterministic across
+    * runs/engines/repartitioning, like every sampler here.
+    */
+  def sampleTokenBudget(df: DataFrame, idCol: String, tokensCol: String,
+                        budget: Long, keyCols: Seq[String] = Nil): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    withCumBefore(df, idCol, tokensCol, keyCols)
+      .where(col("_cum_before") < budget)
+      .drop("_cum_before")
+  }
+
+  /** Concat-and-split sequence packing: lay the corpus's token stream
+    * end-to-end in deterministic id-hash order (per key group — pack
+    * within shards, the standard practice) and cut it into fixed
+    * `seqLen`-token training sequences. Each document is annotated
+    * with where it lands: `seq_id` (the sequence its first token
+    * falls in), `seq_offset` (position of that token within the
+    * sequence) and `n_seqs` (how many sequences it spans) — the
+    * placement map a tokenize-and-pack job materializes. Zero-token
+    * docs occupy no span: they land at their neighbor's boundary with
+    * n_seqs = 0.
+    *
+    * Same distributed prefix-sum core as [[sampleTokenBudget]]; the
+    * placement arithmetic is a pure map-side projection on top.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    seqLen: Int, keyCols: Seq[String] = Nil): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    // `div` (integer division) keeps the arithmetic in LONG — a
+    // double-rounded `/` would wobble near 2^53 tokens
+    withCumBefore(df, idCol, tokensCol, keyCols)
+      .withColumn("seq_id", expr(s"_cum_before div $seqLen"))
+      .withColumn("seq_offset", pmod(col("_cum_before"), lit(seqLen.toLong)))
+      .withColumn("n_seqs",
+        when(col(tokensCol) <= 0, lit(0L))
+          .otherwise(expr(s"(_cum_before + $tokensCol - 1) div $seqLen")
+            - col("seq_id") + 1))
+      .drop("_cum_before")
+  }
+
   def capPerKey(df: DataFrame, keyCol: String, idCol: String,
                 maxPerKey: Int, saltBuckets: Int = 16): DataFrame = {
     require(maxPerKey > 0, s"maxPerKey must be positive: $maxPerKey")

@@ -1024,6 +1024,51 @@ object OpsQueries {
              |  ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id) <= 15
              |ORDER BY doc_id""".stripMargin)),
 
+    // token-budget sampling: fill each source's budget in
+    // deterministic hash order (distributed two-level prefix sum)
+    Q("sample_token_budget",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val d = s.table("documents")
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        graft.ops.Sampling.sampleTokenBudget(d, "doc_id", "n_tokens",
+            budget = 600L, keyCols = Seq("source"))
+          .select(col("doc_id"), col("source"), col("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source,
+              |  CAST(len($oracleToks) AS BIGINT) AS n_tokens FROM documents),
+              |c AS (SELECT doc_id, source, n_tokens,
+              |  COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+              |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb FROM d)
+              |SELECT doc_id, source, n_tokens FROM c WHERE cumb < 600
+              |ORDER BY doc_id""".stripMargin)),
+
+    // concat-and-split sequence packing: the token stream laid
+    // end-to-end in hash order, cut into 512-token sequences — each
+    // doc annotated with its placement
+    Q("sample_pack_sequences",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val d = s.table("documents")
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        graft.ops.Sampling.packSequences(d, "doc_id", "n_tokens", seqLen = 512)
+          .select(col("doc_id"), col("n_tokens"), col("seq_id"),
+            col("seq_offset"), col("n_seqs"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+              |  CAST(len($oracleToks) AS BIGINT) AS n_tokens FROM documents),
+              |c AS (SELECT doc_id, n_tokens,
+              |  COALESCE(SUM(n_tokens) OVER (
+              |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb FROM d)
+              |SELECT doc_id, n_tokens, cumb // 512 AS seq_id, cumb % 512 AS seq_offset,
+              |  CASE WHEN n_tokens <= 0 THEN 0
+              |       ELSE ((cumb + n_tokens - 1) // 512) - (cumb // 512) + 1 END AS n_seqs
+              |FROM c ORDER BY doc_id""".stripMargin)),
+
     // disjoint deterministic train/val/test assignment — pure
     // map-side CASE over the md5 hex threshold, no shuffle
     Q("sample_split_assign",

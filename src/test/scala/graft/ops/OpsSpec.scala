@@ -958,6 +958,43 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(c(0) - 4.5) < 1e-9 && math.abs(c(1) - 1.0) < 1e-9)
   }
 
+  test("token-budget sampling: hash-order fill, >= 1 row per key, window-equivalent") {
+    import org.apache.spark.sql.expressions.Window
+    val d = (1L to 60L).map(i => (i, s"s${i % 3}", 10L + i % 7))
+      .toDF("doc_id", "key", "n")
+    val got = Sampling.sampleTokenBudget(d, "doc_id", "n", budget = 50L,
+        keyCols = Seq("key")).select("doc_id").collect().map(_.getLong(0)).toSet
+    // reference: plain single-window running sum in hash order
+    val w = Window.partitionBy("key")
+      .orderBy(Sampling.hashKey(col("doc_id")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = d.withColumn("cumb", coalesce(sum("n").over(w), lit(0L)))
+      .where(col("cumb") < 50L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+    // a budget smaller than any doc still keeps one doc per key
+    val tiny = Sampling.sampleTokenBudget(d, "doc_id", "n", budget = 1L,
+      keyCols = Seq("key")).groupBy("key").count().collect()
+    assert(tiny.length == 3 && tiny.forall(_.getLong(1) == 1L))
+  }
+
+  test("sequence packing: placements match the sequential fold") {
+    val d = Seq((1L, 100L), (2L, 600L), (3L, 0L), (4L, 512L), (5L, 1L))
+      .toDF("doc_id", "n")
+    val got = Sampling.packSequences(d, "doc_id", "n", seqLen = 512)
+      .orderBy(Sampling.hashKey(col("doc_id")), col("doc_id"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n"),
+        r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset"), r.getAs[Long]("n_seqs")))
+    // sequential reference: concat in the same hash order, cut at 512
+    var cum = 0L
+    got.foreach { case (_, n, seqId, off, nSeqs) =>
+      assert(seqId == cum / 512 && off == cum % 512)
+      if (n <= 0) assert(nSeqs == 0L)
+      else assert(nSeqs == (cum + n - 1) / 512 - cum / 512 + 1)
+      cum += n
+    }
+    assert(cum == 1213L) // every token placed exactly once
+  }
+
   test("duplicate spans: overlapping cross-doc grams merge to one maximal span") {
     // docs 1 and 2 share tokens 2..7 ("c d e f g h"): with n=3 the
     // duplicated gram starts are 2,3,4,5 in doc 1 — overlapping marks
