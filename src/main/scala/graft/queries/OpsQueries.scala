@@ -47,6 +47,37 @@ object OpsQueries {
       |  SELECT vec_id, string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
       |  FROM sums GROUP BY vec_id)""".stripMargin
 
+  /** DuckDB replica of Bpe.trainMerges: k unrolled merge rounds as
+    * MATERIALIZED CTEs (w0 = char-segmented word counts; per round a
+    * pair count p{i}, the argmax m{i}, and the merged table w{i+1}
+    * via the same double-space-separator `replace`). `carryWord`
+    * keeps the source word through the chain for encode oracles.
+    * Returns the full `WITH ...` prefix ending at w{k}/m{k-1}.
+    */
+  private def bpeOracle(k: Int, carryWord: Boolean): String = {
+    val wCol = if (carryWord) "w, " else ""
+    val w0 =
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT ${if (carryWord) "w, " else ""}CAST(COUNT(*) AS BIGINT) AS freq,
+         |         '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s
+         |  FROM (SELECT unnest($oracleToks) AS w FROM documents) GROUP BY w)""".stripMargin
+    val rounds = (0 until k).map { i =>
+      s"""p$i AS (
+         |  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS c FROM (
+         |    SELECT freq, syms[j] AS a, syms[j + 1] AS b FROM (
+         |      SELECT freq, string_split(trim(s), '  ') AS syms,
+         |             unnest(generate_series(1, len(string_split(trim(s), '  ')) - 1)) AS j
+         |      FROM w$i))
+         |  GROUP BY a, b HAVING SUM(freq) >= 2),
+         |m$i AS MATERIALIZED (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+         |w${i + 1} AS MATERIALIZED (
+         |  SELECT ${wCol}freq,
+         |         replace(s, ' ' || (SELECT a FROM m$i) || '  ' || (SELECT b FROM m$i) || ' ',
+         |                    ' ' || (SELECT a || b FROM m$i) || ' ') AS s FROM w$i)""".stripMargin
+    }
+    (w0 +: rounds).mkString(",\n")
+  }
+
   /** DuckDB cosine matching Similarity.cosine's double math. */
   private def oracleCosine(a: String, b: String): String =
     s"""((SELECT SUM(CAST(ea AS DOUBLE)*CAST(eb AS DOUBLE)) FROM (SELECT unnest($a) ea, unnest($b) eb))
@@ -1023,6 +1054,55 @@ object OpsQueries {
              |QUALIFY row_number() OVER (PARTITION BY source
              |  ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id) <= 15
              |ORDER BY doc_id""".stripMargin)),
+
+    // BPE vocabulary training: k merge rounds over the word-frequency
+    // table (single corpus scan; iterations are vocab-bounded). The
+    // oracle unrolls the same k rounds as MATERIALIZED CTEs — plain
+    // CTEs would inline w{i} twice per level and re-scan the corpus
+    // 2^k times.
+    Q("text_bpe_merges",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        graft.ops.Bpe.trainMerges(s.table("documents"), "text", numMerges = 8)
+          .orderBy(col("merge_rank"))
+      },
+      Some(bpeOracle(8, carryWord = false) +
+        "\nSELECT * FROM (" +
+        (0 until 8).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, " +
+            s"a || b AS merged, c AS pair_count FROM m$i").mkString(" UNION ALL ") +
+        ") ORDER BY merge_rank")),
+
+    // the apply half: segment every document with the trained merges
+    // (chained leftmost replace = BPE greedy); subword stream digest
+    // pins the exact segmentation, not just counts
+    Q("text_bpe_subwords",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val docs = s.table("documents")
+        val merges = graft.ops.Bpe.trainMerges(docs, "text", numMerges = 8)
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        docs.select(col("doc_id"),
+            graft.ops.Bpe.encodeSubwords(col("text"), merges).as("_subs"))
+          .select(col("doc_id"),
+            size(col("_subs")).cast("long").as("n_subwords"),
+            md5(concat_ws(" ", col("_subs"))).as("subword_digest"))
+          .orderBy(col("doc_id"))
+      },
+      Some(bpeOracle(8, carryWord = true) +
+        s""",
+           |seg AS (SELECT w, array_to_string(string_split(trim(s), '  '), ' ') AS sub_text,
+           |               len(string_split(trim(s), '  ')) AS n_sub FROM w8),
+           |tok AS (SELECT doc_id, t.w, t.pos FROM (
+           |  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
+           |  FROM (SELECT doc_id, $oracleToks AS toks FROM documents)) t),
+           |enc AS (SELECT tok.doc_id,
+           |               COALESCE(SUM(seg.n_sub), 0) AS n_subwords,
+           |               string_agg(seg.sub_text, ' ' ORDER BY tok.pos) AS stream
+           |        FROM tok JOIN seg ON tok.w = seg.w GROUP BY tok.doc_id)
+           |SELECT d.doc_id, CAST(COALESCE(e.n_subwords, 0) AS BIGINT) AS n_subwords,
+           |       md5(COALESCE(e.stream, '')) AS subword_digest
+           |FROM documents d LEFT JOIN enc e USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
 
     // token-budget sampling: fill each source's budget in
     // deterministic hash order (distributed two-level prefix sum)

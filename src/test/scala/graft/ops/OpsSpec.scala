@@ -958,6 +958,36 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(c(0) - 4.5) < 1e-9 && math.abs(c(1) - 1.0) < 1e-9)
   }
 
+  test("BPE trainer: hand-checked merges, greedy overlap, encode round-trip") {
+    // "abab" x3 + "ab" x2: pair (a,b) count = 3*2+2 = 8 wins round 1;
+    // round 2: (ab,ab) count 3 vs (b,a) 3 — lexicographic tiebreak
+    // picks (ab,ab)
+    val d = Seq((1L, "abab abab abab ab ab")).toDF("doc_id", "text")
+    val m = Bpe.trainMerges(d, "text", numMerges = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(m.toSeq == Seq((0L, "a", "b", "ab", 8L), (1L, "ab", "ab", "abab", 3L)))
+    // greedy leftmost non-overlap: "aaa" under merge (a,a) -> [aa, a]
+    val d2 = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val m2 = Bpe.trainMerges(d2, "text", numMerges = 1).collect()
+    assert(m2.length == 1 && m2.head.getString(3) == "aa" && m2.head.getLong(4) == 4L)
+    val enc = d2.select(Bpe.encodeSubwords(col("text"),
+      Seq(("a", "a"))).as("s")).head.getSeq[String](0)
+    assert(enc == Seq("aa", "a", "aa", "a"))
+    // encode concatenation always reproduces the tokenized text
+    val docs3 = Seq((1L, "the quick brown fox"), (2L, "lazy dogs lie")).toDF("doc_id", "text")
+    val ms = Bpe.trainMerges(docs3, "text", numMerges = 4).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val rt = docs3.select(col("text"),
+      concat_ws("", Bpe.encodeSubwords(col("text"), ms)).as("glued"))
+      .collect()
+    rt.foreach { r =>
+      assert(r.getString(1) == r.getString(0).toLowerCase.replaceAll("[^a-z0-9]+", ""))
+    }
+    // early stop: minPairCount unreachable -> fewer rows, no error
+    val few = Bpe.trainMerges(docs3, "text", numMerges = 50).count()
+    assert(few < 50)
+  }
+
   test("token-budget sampling: hash-order fill, >= 1 row per key, window-equivalent") {
     import org.apache.spark.sql.expressions.Window
     val d = (1L to 60L).map(i => (i, s"s${i % 3}", 10L + i % 7))
