@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed logistic-regression quality classifier — the
+  * model-based filter half of an LLM data-curation pipeline (a
+  * fastText-style linear classifier over hashed bag-of-words
+  * features, the shape CCNet/GPT-3-style "looks like the reference
+  * corpus" filters use; reference scope: extension surface, the
+  * reference engine has no ML ops).
+  *
+  * Scale design: the corpus is featurized ONCE into a
+  * (doc, bucket, count) class table (localCheckpoint materialization
+  * point, doc_id-partitioned); each full-batch gradient-descent step
+  * is then two hash aggregates over that table — a per-doc margin
+  * (exchange-free on the preserved doc_id partitioning) and a
+  * per-bucket gradient (≤dims rows) — with the weight vector living
+  * as a ≤dims-element driver array embedded as plan literals (the
+  * k-means/BPE trainer precedent: bounded driver state; scoring is
+  * map-side + one aggregate, never a weights shuffle).
+  *
+  * Float parity (mirrors [[TextAnalysis.lmPerplexity]]): every
+  * cross-row sum rounds its per-row contribution to 12 dp and
+  * accumulates as DECIMAL(38,15) — exact and order-independent, so
+  * Spark's partial-aggregation order cannot change any sum — and
+  * each weight update re-rounds to 12 dp. Spark and the
+  * unrolled-CTE DuckDB oracle therefore walk identical weight
+  * trajectories step for step.
+  */
+object Classifier {
+
+  private def dec(c: Column): Column = c.cast("decimal(38,15)")
+
+  private def r12(x: Double): Double =
+    BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Hashed bag-of-words class table: (doc_id, y, n, b, c) — one row
+    * per (document, feature bucket), `n` the document token count,
+    * `c` the bucket count, `y` the 0/1 training label. Buckets are
+    * the engine-portable 60-bit md5-prefix token hash mod `dims`
+    * (the DSIR bucket scheme). Zero-token documents carry no
+    * features and are excluded from the training set.
+    */
+  def featurize(df: DataFrame, idCol: String, textCol: String,
+                label: Column, dims: Int): DataFrame = {
+    val spread = df.sparkSession.sparkContext.defaultParallelism
+    // rlike guard masks the kernel's join-all fallback on token-free
+    // text (see dsirLogWeights)
+    val hs = when(lower(col(textCol)).rlike("[a-z0-9]"),
+        graft.functions.TextExpressions.shingle_hashes(col(textCol), 1))
+      .otherwise(array().cast("array<long>"))
+    df.repartition(spread, col(idCol))
+      .select(col(idCol).as("doc_id"), label.cast("double").as("y"), hs.as("hs"))
+      .where(size(col("hs")) > 0)
+      .select(col("doc_id"), col("y"),
+        size(col("hs")).cast("long").as("n"), explode(col("hs")).as("h"))
+      .select(col("doc_id"), col("y"), col("n"),
+        (col("h") % dims).as("b"))
+      .groupBy("doc_id", "y", "n", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+  }
+
+  /** Per-doc margin under a literal weight vector: Σ_b (c/n)·w_b
+    * (12-dp-rounded contributions, decimal-exact sum) + bias. */
+  private def margins(db: DataFrame, w: Array[Double], bias: Double): DataFrame = {
+    val wb = element_at(lit(w), (col("b") + 1).cast("int"))
+    val contrib = dec(round(col("c") / col("n") * wb, 12))
+    db.groupBy("doc_id", "y")
+      .agg((sum(contrib).cast("double") + lit(bias)).as("marg"))
+  }
+
+  private def sigmoid(m: Column): Column = lit(1.0) / (lit(1.0) + exp(-m))
+
+  /** `steps` full-batch GD steps from zero weights; returns the
+    * (weights, bias) pair. Each step collects only the ≤dims-row
+    * per-bucket gradient and a 1-row bias/count aggregate.
+    */
+  def trainWeights(db: DataFrame, dims: Int, steps: Int, lr: Double): (Array[Double], Double) = {
+    val w = Array.fill(dims)(0.0)
+    var bias = 0.0
+    for (_ <- 1 to steps) {
+      val m = margins(db, w, bias)
+      val e = m.select(col("doc_id"),
+          round(col("y") - sigmoid(col("marg")), 12).as("err"))
+        .localCheckpoint(true)
+      val gRows = e.join(db, "doc_id")
+        .groupBy("b")
+        .agg(sum(dec(round(col("err") * col("c") / col("n"), 12))).as("sg"))
+        .collect()
+      val biasRow = e.agg(sum(dec(col("err"))).as("sb"), count(lit(1)).as("nd"))
+        .collect().head
+      val nd = biasRow.getLong(1).toDouble
+      gRows.foreach { r =>
+        val b = r.getLong(0).toInt
+        val g = r.getDecimal(1).doubleValue() / nd
+        w(b) = r12(w(b) + lr * g)
+      }
+      bias = r12(bias + lr * (biasRow.getDecimal(0).doubleValue() / nd))
+    }
+    (w, bias)
+  }
+
+  /** Trained weights as a (feature, weight) table — only buckets that
+    * occur in the corpus (matching the oracle's gradient key set),
+    * plus the bias as feature −1.
+    */
+  def weightsDF(spark: SparkSession, db: DataFrame,
+                w: Array[Double], bias: Double): DataFrame = {
+    import spark.implicits._
+    val present = db.select("b").distinct().collect().map(_.getLong(0)).sorted
+    (present.map(b => (b, w(b.toInt))) :+ (-1L, bias)).toSeq
+      .toDF("feature", "weight")
+      .select(col("feature"), round(col("weight"), 6).as("weight"))
+  }
+
+  /** Score the class table under trained weights: per-doc probability
+    * (6-dp) and the ≥0.5 prediction. Map-side margin aggregate only —
+    * the model rides in the plan as literals.
+    */
+  def score(db: DataFrame, w: Array[Double], bias: Double): DataFrame = {
+    val prob = round(sigmoid(col("marg")), 6)
+    margins(db, w, bias)
+      .select(col("doc_id"), col("y").as("label"),
+        prob.as("prob"), (prob >= 0.5).as("pred"))
+  }
+}

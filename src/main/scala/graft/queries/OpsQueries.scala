@@ -225,6 +225,51 @@ object OpsQueries {
        |               CAST(SUM(lw) AS DOUBLE) AS slw
        |        FROM contrib GROUP BY doc_id)""".stripMargin
 
+  /** Unrolled-GD logistic-regression oracle: the same feature
+    * hashing, 12-dp-rounded DECIMAL(38,15)-exact sums and per-step
+    * weight re-rounding as ops/Classifier, one CTE trio
+    * (margin/error/gradient → weights) per step, ending in
+    * `w$steps(f, w)` and the final-margin table `mf(doc_id, y, marg)`.
+    */
+  private def logRegCtes(dims: Int, steps: Int, lr: Double): String = {
+    val b = new StringBuilder
+    b ++= s"""tk AS (SELECT doc_id,
+             |  CAST(CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS DOUBLE) AS y,
+             |  $oracleToks AS toks FROM documents),
+             |dbx AS (SELECT doc_id, y, CAST(len(toks) AS BIGINT) AS n,
+             |  (('0x' || substr(md5(unnest(toks)), 1, 15))::BIGINT % $dims) AS b
+             |  FROM tk WHERE len(toks) > 0),
+             |db AS (SELECT doc_id, y, n, b, COUNT(*) AS c FROM dbx GROUP BY doc_id, y, n, b),
+             |w0 AS (SELECT CAST(NULL AS BIGINT) AS f, CAST(NULL AS DOUBLE) AS w WHERE FALSE)""".stripMargin
+    for (i <- 1 to steps) {
+      val p = s"w${i - 1}"
+      b ++= s""",
+               |m$i AS (SELECT d.doc_id, d.y,
+               |  CAST(SUM(CAST(ROUND(d.c / d.n * COALESCE(w.w, 0), 12) AS DECIMAL(38,15))) AS DOUBLE)
+               |    + (SELECT COALESCE(MAX(w), 0) FROM $p WHERE f = -1) AS marg
+               |  FROM db d LEFT JOIN $p w ON d.b = w.f GROUP BY d.doc_id, d.y),
+               |e$i AS (SELECT doc_id, ROUND(y - 1 / (1 + exp(-marg)), 12) AS err FROM m$i),
+               |g$i AS (SELECT d.b AS f,
+               |    CAST(SUM(CAST(ROUND(e.err * d.c / d.n, 12) AS DECIMAL(38,15))) AS DOUBLE)
+               |      / (SELECT COUNT(*) FROM e$i) AS g
+               |  FROM e$i e JOIN db d USING (doc_id) GROUP BY d.b
+               |  UNION ALL
+               |  SELECT -1, CAST(SUM(CAST(err AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*) FROM e$i),
+               |w$i AS (SELECT g.f, ROUND(COALESCE(p.w, 0) + $lr * g.g, 12) AS w
+               |  FROM g$i g LEFT JOIN $p p ON g.f = p.f)""".stripMargin
+    }
+    b ++= s""",
+             |mf AS (SELECT d.doc_id, d.y,
+             |  CAST(SUM(CAST(ROUND(d.c / d.n * COALESCE(w.w, 0), 12) AS DECIMAL(38,15))) AS DOUBLE)
+             |    + (SELECT COALESCE(MAX(w), 0) FROM w$steps WHERE f = -1) AS marg
+             |  FROM db d LEFT JOIN w$steps w ON d.b = w.f GROUP BY d.doc_id, d.y)""".stripMargin
+    b.toString
+  }
+
+  private val LrDims = 128
+  private val LrSteps = 3
+  private val LrRate = 5.0
+
   val queries: Seq[Q] = Seq(
 
     // ── text analysis ──────────────────────────────────────────────
@@ -1103,6 +1148,41 @@ object OpsQueries {
            |SELECT d.doc_id, CAST(COALESCE(e.n_subwords, 0) AS BIGINT) AS n_subwords,
            |       md5(COALESCE(e.stream, '')) AS subword_digest
            |FROM documents d LEFT JOIN enc e USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
+
+    // model-based quality filtering: a fastText-style logistic
+    // regression over hashed bag-of-words, trained with k full-batch
+    // GD steps (decimal-exact gradient sums; the DuckDB oracle
+    // unrolls the identical weight trajectory)
+    Q("quality_classifier_train",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val db = graft.ops.Classifier.featurize(
+          s.table("documents"), "doc_id", "text",
+          col("source") === "src0", LrDims)
+        val (w, bias) = graft.ops.Classifier.trainWeights(db, LrDims, LrSteps, LrRate)
+        graft.ops.Classifier.weightsDF(s, db, w, bias).orderBy("feature")
+      },
+      Some(s"""WITH ${logRegCtes(LrDims, LrSteps, LrRate)}
+              |SELECT f AS feature, ROUND(w, 6) AS weight FROM w$LrSteps
+              |ORDER BY feature""".stripMargin)),
+
+    // the apply half: score every document under the trained model —
+    // the margin rides on the materialized class table, the weights
+    // as plan literals (map-side; no weights shuffle)
+    Q("quality_classifier_score",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val db = graft.ops.Classifier.featurize(
+          s.table("documents"), "doc_id", "text",
+          col("source") === "src0", LrDims)
+        val (w, bias) = graft.ops.Classifier.trainWeights(db, LrDims, LrSteps, LrRate)
+        graft.ops.Classifier.score(db, w, bias).orderBy("doc_id")
+      },
+      Some(s"""WITH ${logRegCtes(LrDims, LrSteps, LrRate)}
+              |SELECT doc_id, y AS label,
+              |       ROUND(1 / (1 + exp(-marg)), 6) AS prob,
+              |       (ROUND(1 / (1 + exp(-marg)), 6) >= 0.5) AS pred
+              |FROM mf ORDER BY doc_id""".stripMargin)),
 
     // token-budget sampling: fill each source's budget in
     // deterministic hash order (distributed two-level prefix sum)

@@ -53,8 +53,15 @@ object ScaleUp {
   private val Stride32 = 1000000L
   private val Stride64 = 100000000L
 
-  /** Common letters whose per-copy rotation rewrites document text. */
-  private val SubAlpha = "etaoinshrdlu"
+  /** Common letters whose per-copy rotation rewrites document text.
+    * Two disjoint letter sets rotated independently (c mod 12 and
+    * c div 12 mod 10) keep the combined substitution injective for up
+    * to 120 copies — a single 12-letter rotation would repeat at copy
+    * 12, silently turning the 100-copy (sf10) synthesis into 8-way
+    * exact-duplicate groups and a ×10⁴ cross-copy pair artifact.
+    */
+  private val SubAlpha  = "etaoinshrdlu"
+  private val SubAlpha2 = "bcfgkmpvwy"
 
   private def copyOf(df: DataFrame, table: String, c: Int): DataFrame = {
     var out = df
@@ -65,14 +72,26 @@ object ScaleUp {
       out = out.withColumn(k, col(k) + lit(c * Stride64))
     }
     if ((table == "documents" || table == "part") && c > 0) {
-      val to = SubAlpha.drop(c % SubAlpha.length) + SubAlpha.take(c % SubAlpha.length)
+      val r1 = c % SubAlpha.length
+      val r2 = (c / SubAlpha.length) % SubAlpha2.length
+      val to  = SubAlpha.drop(r1) + SubAlpha.take(r1)
+      val to2 = SubAlpha2.drop(r2) + SubAlpha2.take(r2)
       val target = if (table == "documents") "text" else "p_name"
-      out = out.withColumn(target, translate(col(target), SubAlpha, to))
+      out = out.withColumn(target,
+        translate(translate(col(target), SubAlpha, to), SubAlpha2, to2))
     }
     if (table == "embeddings" && c > 0)
+      // Per-copy deterministic sign pattern (element-wise ±1, i.e. a
+      // reflection): within-copy dot products and norms are EXACTLY
+      // preserved (similarity structure replicates per copy), while a
+      // base vector's images in two copies disagree in sign on ~half
+      // the dims, so cross-copy cosine collapses to O(1/√dims) — far
+      // below any near-dup threshold. (The earlier additive
+      // perturbation's amplitude grew with c and would have crushed
+      // cosine structure for high copy numbers at 100 copies.)
       out = out.withColumn("embedding",
         transform(col("embedding"), (x, i) =>
-          (x + lit(0.31 * c) * cos(i.cast("double") * 1.7 + lit(c.toDouble)))
+          (x * when(pmod(hash(i, lit(c)), lit(2)) === 0, 1.0f).otherwise(-1.0f))
             .cast("float")))
     out
   }

@@ -1091,4 +1091,33 @@ class OpsSpec extends AnyFunSuite {
     // no tokens → no chunks
     assert(!out.exists(_.getLong(0) == 3L))
   }
+
+  test("logistic-regression classifier: separates a toy corpus, bounded driver state") {
+    // two cleanly separable vocabularies; label = "wiki-like" source
+    val d = Seq(
+      (1L, "alpha beta gamma alpha beta", "wiki"),
+      (2L, "beta gamma alpha gamma", "wiki"),
+      (3L, "alpha gamma beta beta", "wiki"),
+      (4L, "zork quux blarg zork", "web"),
+      (5L, "quux blarg zork blarg", "web"),
+      (6L, "blarg zork quux quux", "web"),
+      (7L, "", "web") // zero tokens → excluded from training and scoring
+    ).toDF("doc_id", "text", "source")
+    val db = Classifier.featurize(d, "doc_id", "text", $"source" === "wiki", dims = 64)
+    assert(!db.columns.contains("text")) // class table carries no bodies
+    val (w, bias) = Classifier.trainWeights(db, dims = 64, steps = 8, lr = 5.0)
+    val scored = Classifier.score(db, w, bias).collect()
+    assert(scored.length == 6) // doc 7 excluded
+    scored.foreach { r =>
+      val wiki = r.getAs[Double]("label") == 1.0
+      val prob = r.getAs[Double]("prob")
+      assert(if (wiki) prob > 0.5 else prob < 0.5,
+        s"doc ${r.getLong(0)} prob=$prob wiki=$wiki")
+      assert(r.getAs[Boolean]("pred") == wiki)
+    }
+    // weights table: only present buckets + the bias row
+    val wdf = Classifier.weightsDF(spark, db, w, bias).collect()
+    assert(wdf.exists(_.getLong(0) == -1L))
+    assert(wdf.length <= 64 + 1)
+  }
 }
