@@ -180,6 +180,81 @@ object Sampling {
       .drop("_cum_before")
   }
 
+  /** 60-bit numeric form of [[hashKey]] (both engines parse the same
+    * 15 hex chars, so the value is engine-identical).
+    */
+  private def hashKey60(id: Column): Column =
+    conv(hashKey(id), 16, 10).cast("long")
+
+  /** Source-mixture planning: given a target share per key (domain /
+    * source / language — the pretraining "data mixture"), compute the
+    * LARGEST total token count `mixture_total` achievable at exactly
+    * those proportions without upsampling any key — `T = min over
+    * target keys of available_k / share_k` — and each key's resulting
+    * take and keep-rate. Keys absent from `target` (and target keys
+    * absent from the data) get rate 0: the mixture is exact, not
+    * best-effort — renormalize the target first if partial mixtures
+    * are wanted.
+    *
+    * Output per key: `n_tokens_avail`, `target_share`,
+    * `mixture_total`, `n_tokens_take` (= share × total, double),
+    * `rate` (= take / avail ∈ [0,1]).
+    *
+    * Scale shape: one per-key token aggregate (map-side combine), a
+    * single-row global min attached as a broadcast crossJoin, pure
+    * projection after — the key table is #domains-sized, never
+    * corpus-sized. Float parity: plain IEEE ÷, ×, min in both
+    * engines on integer-derived inputs — bit-identical.
+    */
+  def mixtureWeights(df: DataFrame, keyCol: String, tokensCol: String,
+                     target: Seq[(String, Double)]): DataFrame = {
+    val total = target.map(_._2).sum
+    require(target.nonEmpty && math.abs(total - 1.0) < 1e-9,
+      s"target shares must sum to 1, got $total")
+    require(target.map(_._1).distinct.size == target.size, "duplicate target keys")
+    val shareExpr = target.foldLeft(lit(0.0)) { case (acc, (k, s)) =>
+      when(col(keyCol) === k, lit(s)).otherwise(acc)
+    }
+    // #keys-sized; pin one materialization so the min branch and the
+    // output branch (and a mixtureSample caller) don't re-scan the
+    // corpus once each
+    val avail = df.groupBy(col(keyCol))
+      .agg(sum(col(tokensCol)).cast("long").as("n_tokens_avail"))
+      .withColumn("target_share", shareExpr)
+      .localCheckpoint()
+    val tmax = avail.where(col("target_share") > 0)
+      .agg(min(col("n_tokens_avail").cast("double") / col("target_share"))
+        .as("mixture_total"))
+    avail.crossJoin(broadcast(tmax))
+      .withColumn("mixture_total", coalesce(col("mixture_total"), lit(0.0)))
+      .withColumn("n_tokens_take", col("target_share") * col("mixture_total"))
+      .withColumn("rate",
+        when(col("n_tokens_avail") > 0,
+          least(col("n_tokens_take") / col("n_tokens_avail").cast("double"), lit(1.0)))
+          .otherwise(lit(0.0)))
+  }
+
+  /** The apply half of [[mixtureWeights]]: keep each row independently
+    * with its key's mixture rate, deterministically in the row id
+    * (`hash60(id) < floor(rate · 2⁶⁰)` — the numeric twin of the
+    * hex-threshold samplers above, needed here because the rate is
+    * data-dependent). In expectation each key contributes
+    * `rate × avail ≈ share × mixture_total` tokens — the standard
+    * Bernoulli realization of a mixture plan (exact per-key budgets
+    * are [[sampleTokenBudget]]'s job). The rate table is
+    * #domains-sized: AQE broadcasts the join; the sample itself stays
+    * one map-side scan.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, keyCol: String,
+                    tokensCol: String, target: Seq[(String, Double)]): DataFrame = {
+    val rates = mixtureWeights(df, keyCol, tokensCol, target)
+      .select(col(keyCol), col("rate"))
+    df.join(broadcast(rates), keyCol)
+      .where(hashKey60(col(idCol)) <
+        floor(col("rate") * lit(1152921504606846976.0)).cast("long"))
+      .drop("rate")
+  }
+
   def capPerKey(df: DataFrame, keyCol: String, idCol: String,
                 maxPerKey: Int, saltBuckets: Int = 16): DataFrame = {
     require(maxPerKey > 0, s"maxPerKey must be positive: $maxPerKey")

@@ -515,6 +515,94 @@ object TextAnalysis {
         concat_ws(" ", col("_c")).as("chunk_text"))
   }
 
+  /** Gopher-style quality-rule filter (Rae et al. 2021 §A1.1, the
+    * standard web-corpus document filter), composed from the metrics
+    * the kernels above already produce — one map-side scan, zero
+    * shuffle, so filtering a 100 TB corpus costs exactly one pass.
+    *
+    * Emits the measured metrics, one boolean per rule, and the
+    * conjunction `keep`, so a pipeline can either filter on `keep` or
+    * audit per-rule rejection rates:
+    *   - r_length:   minTokens ≤ n_tokens ≤ maxTokens
+    *   - r_word_len: mean word length in [3, 10]
+    *   - r_alpha:    ≥ 80% of words contain an alphabetic character
+    *   - r_stop:     ≥ 2 distinct common English stopwords
+    *   - r_rep:      duplicate-2-gram fraction ≤ 0.2 AND top-word
+    *                 fraction ≤ 0.3 (boilerplate/SEO-spam screen)
+    *
+    * Float parity: every fraction is an integer-count ratio (or the
+    * kernels' already-oracle-parity repetition fractions), so both
+    * engines derive bit-identical doubles and the threshold compares
+    * cannot disagree. Zero-token documents fail r_length and report
+    * zeroed metrics.
+    */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+                   minTokens: Int = 50, maxTokens: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val n = size(col("_toks"))
+    val nD = n.cast("double")
+    val stopset = stopwords("en")
+    df.select(col(idCol).as("doc_id"), tokens(t).as("_toks"),
+        repetitionStats(t).as("_rep"))
+      .withColumn("n_tokens", n.cast("long"))
+      .withColumn("mean_word_len",
+        when(n > 0, aggregate(col("_toks"), lit(0L), (a, x) => a + length(x))
+          .cast("double") / nD).otherwise(lit(0.0)))
+      .withColumn("alpha_frac",
+        when(n > 0, size(filter(col("_toks"), x => x.rlike("[a-z]")))
+          .cast("double") / nD).otherwise(lit(0.0)))
+      .withColumn("n_stopwords",
+        size(array_intersect(array_distinct(col("_toks")),
+          array(stopset.map(lit): _*))).cast("long"))
+      .withColumn("dup_2gram_frac", col("_rep.dup_2gram_frac"))
+      .withColumn("top_word_frac", col("_rep.top_word_frac"))
+      .withColumn("r_length",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+      .withColumn("r_word_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("r_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("r_stop", col("n_stopwords") >= 2L)
+      .withColumn("r_rep",
+        col("dup_2gram_frac") <= 0.2 && col("top_word_frac") <= 0.3)
+      .withColumn("keep",
+        col("r_length") && col("r_word_len") && col("r_alpha") &&
+          col("r_stop") && col("r_rep"))
+      .drop("_toks", "_rep")
+  }
+
+  /** First-occurrence novelty score: for each document, the fraction
+    * of its distinct word `n`-grams whose global first occurrence
+    * (minimum doc id over the corpus) is this document — the
+    * self-information signal curation pipelines use to rank documents
+    * by how much new n-gram mass they contribute (low novelty ≈
+    * boilerplate or near-duplicate of earlier data; the streaming
+    * analogue of a Bloom-filter novelty gate).
+    *
+    * Scale shape: one shingle explode (native WordShingles kernel,
+    * per-doc distinct) → a (gram → min doc) aggregate → one equi-join
+    * back on gram → per-doc counts. Both aggregates combine map-side;
+    * the join is a plain shuffle equi-join on the gram key — no
+    * broadcast of corpus-sized state, no driver involvement. Documents
+    * with fewer than `n` tokens have a single shorter gram (the
+    * whole-text shingle), never zero, so every row scores.
+    */
+  def noveltyScore(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    val spread = df.sparkSession.sparkContext.defaultParallelism
+    val docGram = df.repartition(spread, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextExpressions.word_shingles(
+          col(textCol), n, dedup = true)).as("gram"))
+    val firstSeen = docGram.groupBy("gram").agg(min("doc_id").as("first_doc"))
+    docGram.join(firstSeen, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_frac",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** Convenience: annotate a corpus with the full analysis bundle
     * (fused kernel for the stats, LangIdExpr for the language).
     */

@@ -28,6 +28,15 @@ object OpsQueries {
        |  THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
        |  ELSE [array_to_string(toks, ' ')] END""".stripMargin
 
+  /** Target source mixture for the sample_mixture_* queries. */
+  private val MixTarget: Seq[(String, Double)] =
+    Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+
+  /** The same mixture as a DuckDB CASE over `source`. */
+  private val mixShareSql: String =
+    MixTarget.map { case (k, s) => s"WHEN '$k' THEN $s" }
+      .mkString("CASE source ", " ", " ELSE 0.0 END")
+
   /** DuckDB replica of Similarity.lshBucket (8 planes, 64 dims): CTE
     * chain ending in `b(vec_id, bucket)`.
     */
@@ -1246,6 +1255,117 @@ object OpsQueries {
               |         '${graft.ops.Sampling.thresholdHex(0.9)}' THEN 'val'
               |       ELSE 'test' END AS split
               |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // source-mixture planning: the largest exact-proportion corpus
+    // achievable without upsampling (T = min avail_k/share_k) and each
+    // source's resulting keep-rate — #domains-sized output, one
+    // map-side token aggregate + a broadcast 1-row min
+    Q("sample_mixture_weights",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val d = s.table("documents")
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        graft.ops.Sampling.mixtureWeights(d, "source", "n_tokens", MixTarget)
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH d AS (SELECT source,
+              |  CAST(len($oracleToks) AS BIGINT) AS n_tokens FROM documents),
+              |a AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_avail,
+              |        $mixShareSql AS target_share
+              |      FROM d GROUP BY source),
+              |t AS (SELECT MIN(CAST(n_tokens_avail AS DOUBLE) / target_share) AS mt
+              |      FROM a WHERE target_share > 0)
+              |SELECT a.source, a.n_tokens_avail, a.target_share,
+              |       COALESCE(t.mt, 0.0) AS mixture_total,
+              |       a.target_share * COALESCE(t.mt, 0.0) AS n_tokens_take,
+              |       CASE WHEN a.n_tokens_avail > 0
+              |            THEN LEAST(a.target_share * COALESCE(t.mt, 0.0)
+              |                         / CAST(a.n_tokens_avail AS DOUBLE), 1.0)
+              |            ELSE 0.0 END AS rate
+              |FROM a CROSS JOIN t ORDER BY source""".stripMargin)),
+
+    // the apply half: Bernoulli-realize the mixture plan — keep each
+    // row iff hash60(id) < floor(rate·2^60), rates broadcast-joined
+    Q("sample_mixture_draw",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val d = s.table("documents")
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        graft.ops.Sampling.mixtureSample(d, "doc_id", "source", "n_tokens", MixTarget)
+          .select(col("doc_id"), col("source"), col("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source,
+              |  CAST(len($oracleToks) AS BIGINT) AS n_tokens FROM documents),
+              |a AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_avail,
+              |        $mixShareSql AS target_share
+              |      FROM d GROUP BY source),
+              |t AS (SELECT MIN(CAST(n_tokens_avail AS DOUBLE) / target_share) AS mt
+              |      FROM a WHERE target_share > 0),
+              |r AS (SELECT a.source,
+              |        CASE WHEN a.n_tokens_avail > 0
+              |             THEN LEAST(a.target_share * COALESCE(t.mt, 0.0)
+              |                          / CAST(a.n_tokens_avail AS DOUBLE), 1.0)
+              |             ELSE 0.0 END AS rate
+              |      FROM a CROSS JOIN t)
+              |SELECT d.doc_id, d.source, d.n_tokens
+              |FROM d JOIN r USING (source)
+              |WHERE CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              |      < CAST(floor(r.rate * 1152921504606846976) AS BIGINT)
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // Gopher-rule document filter: length / mean-word-length / alpha /
+    // stopword / repetition rules with per-rule booleans — one
+    // map-side kernel pass, zero shuffle
+    Q("quality_gopher_filter",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        TextAnalysis.gopherFilter(s.table("documents"), "doc_id", "text",
+            minTokens = 50, maxTokens = 100000)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $oracleToks AS toks FROM documents),
+              |r AS (SELECT doc_id, toks, len(toks) AS n,
+              |  CASE WHEN len(toks) >= 2 THEN [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)] ELSE [] END AS g2
+              |  FROM d),
+              |m AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+              |  CASE WHEN n > 0 THEN CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / n ELSE 0.0 END AS mean_word_len,
+              |  CASE WHEN n > 0 THEN CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / n ELSE 0.0 END AS alpha_frac,
+              |  CAST(len(list_intersect(list_distinct(toks), ['the','a','of','and','to','in','is','that','it','for'])) AS BIGINT) AS n_stopwords,
+              |  CASE WHEN len(g2) > 0 THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) ELSE 0.0 END AS dup_2gram_frac,
+              |  CASE WHEN n > 0 THEN CAST(list_max([len(list_filter(toks, x -> x = t)) for t in list_distinct(toks)]) AS DOUBLE) / n ELSE 0.0 END AS top_word_frac
+              |  FROM r)
+              |SELECT doc_id, n_tokens, mean_word_len, alpha_frac, n_stopwords,
+              |  dup_2gram_frac, top_word_frac,
+              |  (n_tokens >= 50 AND n_tokens <= 100000) AS r_length,
+              |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_word_len,
+              |  (alpha_frac >= 0.8) AS r_alpha,
+              |  (n_stopwords >= 2) AS r_stop,
+              |  (dup_2gram_frac <= 0.2 AND top_word_frac <= 0.3) AS r_rep,
+              |  (n_tokens >= 50 AND n_tokens <= 100000
+              |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+              |   AND alpha_frac >= 0.8 AND n_stopwords >= 2
+              |   AND dup_2gram_frac <= 0.2 AND top_word_frac <= 0.3) AS keep
+              |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // first-occurrence novelty: fraction of each doc's distinct
+    // 3-grams first seen (min doc id) in that doc — shingle explode →
+    // (gram → min doc) aggregate → equi-join back
+    Q("text_novelty",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        TextAnalysis.noveltyScore(s.table("documents"), "doc_id", "text", n = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $oracleToks AS toks FROM documents),
+              |g0 AS (SELECT doc_id, $oracleShingles AS gs FROM d),
+              |g AS (SELECT doc_id, unnest(gs) AS gram FROM g0),
+              |f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+              |SELECT g.doc_id, COUNT(*) AS n_grams,
+              |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+              |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty_frac
+              |FROM g JOIN f USING (gram)
+              |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)),
 
     // ordered global-redaction chain (sensitive-term + PII masking):
     // codegen'd regexp_replace, one scan, no shuffle — the match

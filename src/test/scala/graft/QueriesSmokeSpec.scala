@@ -9,9 +9,13 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class QueriesSmokeSpec extends AnyFunSuite {
 
+  // scale runs (sf1/sf10 smoke dirs) override the default 4-way local
+  // parallelism — the plan gates are identical, only wall-clock changes
+  private val cpus = sys.env.getOrElse("SPARK_GRAFT_SMOKE_CPUS", "4")
+
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
+    .master(s"local[$cpus]")
+    .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()

@@ -1120,4 +1120,73 @@ class OpsSpec extends AnyFunSuite {
     assert(wdf.exists(_.getLong(0) == -1L))
     assert(wdf.length <= 64 + 1)
   }
+
+  test("gopher filter: each rule rejects its planted violation, good doc passes") {
+    val goodWords = (Seq("the", "of", "and") ++
+      (1 to 60).map(i => s"word$i")).mkString(" ") // 63 tokens, stopwords, varied
+    val d = Seq(
+      (1L, goodWords),                                  // passes everything
+      (2L, "the of tiny doc"),                          // r_length (4 tokens)
+      (3L, ("the of " + "77 88 99 " * 20).trim),        // r_alpha (62 numeric tokens)
+      (4L, ("the of " + "ab cd " * 35).trim),           // r_rep (dup 2-grams)
+      (5L, (1 to 60).map(i => s"w$i").mkString(" ")),   // r_stop (no stopwords)
+      (6L, "")                                          // zero tokens
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilter(d, "doc_id", "text", minTokens = 50)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("r_length") && !out(2L).getAs[Boolean]("keep"))
+    assert(!out(3L).getAs[Boolean]("r_alpha") && out(3L).getAs[Boolean]("r_length"))
+    assert(!out(4L).getAs[Boolean]("r_rep") && !out(4L).getAs[Boolean]("keep"))
+    assert(!out(5L).getAs[Boolean]("r_stop"))
+    assert(out(6L).getAs[Long]("n_tokens") == 0L && !out(6L).getAs[Boolean]("keep"))
+    // integer-ratio metrics: the good doc's mean word length is exact
+    val expectedMean = goodWords.split(" ").map(_.length).sum.toDouble / 63.0
+    assert(out(1L).getAs[Double]("mean_word_len") == expectedMean)
+  }
+
+  test("novelty: exact copy scores 0, fresh doc scores 1, first doc owns its grams") {
+    val d = Seq(
+      (1L, "a b c d e"),     // grams first seen here
+      (2L, "a b c d e"),     // exact copy → nothing novel
+      (3L, "x y z w q"),     // all-new grams
+      (4L, "c d e x y z")    // mix: "c d e"/"x y z" seen, middle bridges new
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScore(d, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("novelty_frac") == 1.0)
+    assert(out(2L).getAs[Double]("novelty_frac") == 0.0)
+    assert(out(3L).getAs[Double]("novelty_frac") == 1.0)
+    val m = out(4L)
+    // 4 grams: "c d e" (doc 1's), "x y z" (doc 3's), "d e x", "e x y" novel
+    assert(m.getAs[Long]("n_grams") == 4L && m.getAs[Long]("n_novel") == 2L)
+    assert(m.getAs[Double]("novelty_frac") == 0.5)
+  }
+
+  test("mixture: weights solve the no-upsampling LP, draw realizes the rates") {
+    val rows = (1 to 10).map(i => (i.toLong, "A", 10L)) ++        // 100 tokens
+      (11 to 13).map(i => (i.toLong, "B", 10L)) ++                // 30
+      (14 to 20).map(i => (i.toLong, "C", 10L)) ++                // 70
+      Seq((21L, "D", 40L))                                        // untargeted
+    val d = rows.toDF("doc_id", "source", "n_tokens")
+    val target = Seq("A" -> 0.5, "B" -> 0.25, "C" -> 0.25)
+    val w = Sampling.mixtureWeights(d, "source", "n_tokens", target)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // T = min(100/.5, 30/.25, 70/.25) = 120 — B is the binding source
+    assert(w("A").getAs[Double]("mixture_total") == 120.0)
+    assert(w("A").getAs[Double]("n_tokens_take") == 60.0)
+    assert(w("A").getAs[Double]("rate") == 0.6)
+    assert(w("B").getAs[Double]("rate") == 1.0)
+    assert(w("C").getAs[Double]("rate") == 30.0 / 70.0)
+    assert(w("D").getAs[Double]("rate") == 0.0)
+    val drawn = Sampling.mixtureSample(d, "doc_id", "source", "n_tokens", target)
+      .collect()
+    // rate-1 source kept whole, rate-0 source dropped whole
+    assert(drawn.count(_.getAs[String]("source") == "B") == 3)
+    assert(!drawn.exists(_.getAs[String]("source") == "D"))
+    // deterministic: a re-run draws the identical id set
+    val again = Sampling.mixtureSample(d, "doc_id", "source", "n_tokens", target)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(again == drawn.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+  }
 }
