@@ -603,6 +603,62 @@ object TextAnalysis {
         col("n_novel").cast("double") / col("n_grams").cast("double"))
   }
 
+  /** Per-group document-length profile: doc/token totals plus exact
+    * interpolated token-count percentiles — the size histogram every
+    * curation report opens with (and the input to choosing packing
+    * seqLen, budget caps and length-filter thresholds).
+    *
+    * Scale shape: one map-side tokenize pass → one groupBy(key). The
+    * exact `percentile` aggregate buffers one counts-map per group —
+    * bounded by DISTINCT token counts per group (≪ rows; counts
+    * concentrate), the standard exact form at #groups ≈ #domains
+    * scale. Both engines define the percentile as linear interpolation
+    * at rank p·(n−1) over integer counts, so the doubles are
+    * bit-identical.
+    */
+  def lengthStats(df: DataFrame, keyCol: String, textCol: String,
+                  percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val pctCols = percentiles.zipWithIndex.map { case (p, i) =>
+      element_at(col("_pct"), i + 1).as(s"p${(p * 100).round}_tokens")
+    }
+    df.select(col(keyCol), tokenCount(col(textCol)).as("_n"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_n")).cast("long").as("n_tokens"),
+        min(col("_n")).cast("long").as("min_tokens"),
+        max(col("_n")).cast("long").as("max_tokens"),
+        percentile(col("_n"),
+          array(percentiles.map(lit): _*)).as("_pct"))
+      .select(col(keyCol) +: col("n_docs") +: col("n_tokens") +:
+        col("min_tokens") +: col("max_tokens") +: pctCols: _*)
+  }
+
+  /** Corpus vocabulary report (one row): vocabulary size, hapax count
+    * (terms seen once — the Zipf tail a tokenizer-vocab decision cares
+    * about), total token mass and the share held by the top `k` terms
+    * (head concentration ≈ boilerplate risk).
+    *
+    * Scale shape: one explode → term counts (map-side combine) → two
+    * 1-row aggregates, one over the full vocab, one over a bounded
+    * top-k (TakeOrderedAndProject) — attached by a 1-row crossJoin.
+    * Share = integer-sum ratio → bit-identical across engines.
+    */
+  def vocabReport(df: DataFrame, textCol: String, k: Int = 10): DataFrame = {
+    val spread = df.sparkSession.sparkContext.defaultParallelism
+    val counts = df.repartition(spread)
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(
+      count(lit(1)).as("vocab_size"),
+      sum(when(col("c") === 1L, 1L).otherwise(0L)).cast("long").as("n_hapax"),
+      sum(col("c")).cast("long").as("total_tokens"))
+    val topk = counts.orderBy(desc("c"), col("term")).limit(k)
+      .agg(sum(col("c")).cast("long").as(s"top${k}_tokens"))
+    totals.crossJoin(topk)
+      .withColumn(s"top${k}_share",
+        col(s"top${k}_tokens").cast("double") / col("total_tokens").cast("double"))
+  }
+
   /** Convenience: annotate a corpus with the full analysis bundle
     * (fused kernel for the stats, LangIdExpr for the language).
     */

@@ -1367,6 +1367,47 @@ object OpsQueries {
               |FROM g JOIN f USING (gram)
               |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)),
 
+    // per-source document-length profile: totals + exact interpolated
+    // token-count percentiles (both engines: linear interpolation at
+    // rank p·(n−1); ROUND(6) absorbs last-ulp interpolation order)
+    Q("corpus_length_stats",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val st = TextAnalysis.lengthStats(s.table("documents"), "source", "text")
+        st.select(col("source"), col("n_docs"), col("n_tokens"),
+            col("min_tokens"), col("max_tokens"),
+            round(col("p50_tokens"), 6).as("p50_tokens"),
+            round(col("p90_tokens"), 6).as("p90_tokens"),
+            round(col("p99_tokens"), 6).as("p99_tokens"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH d AS (SELECT source, len($oracleToks) AS n FROM documents)
+              |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,
+              |  CAST(MIN(n) AS BIGINT) AS min_tokens, CAST(MAX(n) AS BIGINT) AS max_tokens,
+              |  ROUND(quantile_cont(n, 0.5), 6) AS p50_tokens,
+              |  ROUND(quantile_cont(n, 0.9), 6) AS p90_tokens,
+              |  ROUND(quantile_cont(n, 0.99), 6) AS p99_tokens
+              |FROM d GROUP BY source ORDER BY source""".stripMargin)),
+
+    // corpus vocabulary report: vocab size, hapax count, head
+    // concentration — term counts → two 1-row aggregates (full vocab
+    // + bounded top-k), attached by a 1-row crossJoin
+    Q("corpus_vocab_report",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        TextAnalysis.vocabReport(s.table("documents"), "text", k = 10)
+      },
+      Some(s"""WITH t AS (SELECT unnest($oracleToks) AS term FROM documents),
+              |c AS (SELECT term, COUNT(*) AS c FROM t GROUP BY term),
+              |tot AS (SELECT COUNT(*) AS vocab_size,
+              |        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+              |        CAST(SUM(c) AS BIGINT) AS total_tokens FROM c),
+              |tk AS (SELECT CAST(SUM(c) AS BIGINT) AS top10_tokens
+              |       FROM (SELECT c FROM c ORDER BY c DESC, term LIMIT 10))
+              |SELECT tot.vocab_size, tot.n_hapax, tot.total_tokens, tk.top10_tokens,
+              |       CAST(tk.top10_tokens AS DOUBLE) / tot.total_tokens AS top10_share
+              |FROM tot CROSS JOIN tk""".stripMargin)),
+
     // ordered global-redaction chain (sensitive-term + PII masking):
     // codegen'd regexp_replace, one scan, no shuffle — the match
     // count comes from the pre-redaction text

@@ -223,4 +223,28 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(keyed2(spark.table("stream_capped").collect())
       == keyed2(CurationStreams.scoreWithModel(corpus, model).collect()))
   }
+
+  test("gopher filter runs unchanged on a stream, byte-identical to batch") {
+    graft.core.Tables.registerAll(spark, dir)
+    val docs = spark.table("documents")
+    val src = java.nio.file.Files.createTempDirectory("graft_gopher_src").toString
+    docs.write.mode("overwrite").parquet(src)
+
+    // the filter is a stateless map-side projection, so the SAME
+    // operator call compiles into a streaming plan with no changes
+    val q = graft.ops.TextAnalysis.gopherFilter(
+        spark.readStream.schema(docs.schema).parquet(src), "doc_id", "text")
+      .writeStream.format("memory").queryName("stream_gopher")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[Long]("doc_id") -> r.toSeq.tail).toMap
+    val streamed = keyed(spark.table("stream_gopher").collect())
+    val batch = keyed(
+      graft.ops.TextAnalysis.gopherFilter(docs, "doc_id", "text").collect())
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
 }
