@@ -387,6 +387,75 @@ final class Graft(val spark: SparkSession, stateDir: String) {
   def quantize(df: DataFrame, vecCol: String = "embedding"): DataFrame =
     graft.ops.Similarity.quantizeInt8(df, vecCol)
 
+  /** Maximal cross-document duplicated token spans (substring-level
+    * dedup) and its apply half (cut the spans, keep the docs).
+    */
+  def duplicateSpans(df: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", n: Int = 5): DataFrame =
+    graft.ops.Dedup.duplicateSpans(df, idCol, textCol, n)
+
+  def removeDuplicateSpans(df: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text", n: Int = 5): DataFrame =
+    graft.ops.Dedup.removeDuplicateSpans(df, idCol, textCol, n)
+
+  /** Sliding-window passage chunking (RAG/embedding prep). */
+  def chunkPassages(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", chunkSize: Int = 64,
+                    stride: Int = 48): DataFrame =
+    graft.ops.TextAnalysis.chunkPassages(df, idCol, textCol, chunkSize, stride)
+
+  /** Token-budget sampling / concat-and-split sequence packing. */
+  def sampleTokenBudget(df: DataFrame, idCol: String, tokensCol: String,
+                        budget: Long, keyCols: Seq[String] = Nil): DataFrame =
+    graft.ops.Sampling.sampleTokenBudget(df, idCol, tokensCol, budget, keyCols)
+
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    seqLen: Int, keyCols: Seq[String] = Nil): DataFrame =
+    graft.ops.Sampling.packSequences(df, idCol, tokensCol, seqLen, keyCols)
+
+  /** Source-mixture planning (largest exact-proportion corpus with no
+    * upsampling) and its deterministic Bernoulli draw.
+    */
+  def mixturePlan(df: DataFrame, keyCol: String, tokensCol: String,
+                  target: Seq[(String, Double)]): DataFrame =
+    graft.ops.Sampling.mixtureWeights(df, keyCol, tokensCol, target)
+
+  def mixtureDraw(df: DataFrame, idCol: String, keyCol: String,
+                  tokensCol: String, target: Seq[(String, Double)]): DataFrame =
+    graft.ops.Sampling.mixtureSample(df, idCol, keyCol, tokensCol, target)
+
+  /** Gopher-rule quality filter with per-rule audit booleans. */
+  def gopherFilter(df: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    graft.ops.TextAnalysis.gopherFilter(df, idCol, textCol)
+
+  /** First-occurrence n-gram novelty scoring. */
+  def noveltyScore(df: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", n: Int = 3): DataFrame =
+    graft.ops.TextAnalysis.noveltyScore(df, idCol, textCol, n)
+
+  /** Corpus reports: per-group length percentiles / vocabulary stats. */
+  def lengthStats(df: DataFrame, keyCol: String,
+                  textCol: String = "text"): DataFrame =
+    graft.ops.TextAnalysis.lengthStats(df, keyCol, textCol)
+
+  def vocabReport(df: DataFrame, textCol: String = "text",
+                  k: Int = 10): DataFrame =
+    graft.ops.TextAnalysis.vocabReport(df, textCol, k)
+
+  /** BPE: train merge rules on the corpus / apply them as subword
+    * segmentation (adds a `subwords` array column).
+    */
+  def bpeTrain(df: DataFrame, textCol: String = "text",
+               merges: Int = 8, minPairCount: Long = 2L): DataFrame =
+    graft.ops.Bpe.trainMerges(df, textCol, merges, minPairCount)
+
+  def bpeEncode(df: DataFrame, mergeRules: Seq[(String, String)],
+                textCol: String = "text"): DataFrame =
+    df.withColumn("subwords",
+      graft.ops.Bpe.encodeSubwords(org.apache.spark.sql.functions.col(textCol),
+        mergeRules))
+
   /** Export a registered table to parquet, optionally z-order
     * clustered on its centroid columns for spatially-pruned reads.
     */

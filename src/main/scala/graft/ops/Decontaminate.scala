@@ -49,4 +49,33 @@ object Decontaminate {
     overlap(docs, bench, idCol, textCol, n, minHits)
       .where(!col("contaminated"))
       .drop("n_hits", "contaminated")
+
+  /** The eval set collapsed to a ONE-ROW distinct-gram array — the
+    * broadcastable model form (same pattern as the streaming LM's
+    * one-row model: an eval corpus is megabytes, so the array is
+    * dimension-table-sized). Train once offline, reuse across batches
+    * and streams.
+    */
+  def benchGramRow(bench: DataFrame, textCol: String, n: Int = 3): DataFrame =
+    bench.select(explode(Dedup.shingles(col(textCol), n)).as("_g"))
+      .agg(collect_set(col("_g")).as("bench_grams"))
+
+  /** [[overlap]] against a pre-collapsed [[benchGramRow]]: a pure
+    * map-side projection after the one-row broadcast crossJoin —
+    * stateless, so the SAME call compiles into a streaming ingest plan
+    * (Append mode, no watermark, no state store), where the join form
+    * would need a per-doc aggregation. Annotates, never filters.
+    * Distinct-gram hit counts are identical to [[overlap]]'s
+    * (`array_intersect` of the doc's distinct shingles with the
+    * distinct eval set).
+    */
+  def overlapWithGramRow(docs: DataFrame, gramRow: DataFrame,
+                         textCol: String, n: Int = 3,
+                         minHits: Int = 1): DataFrame =
+    docs.crossJoin(broadcast(gramRow))
+      .withColumn("n_hits",
+        size(array_intersect(Dedup.shingles(col(textCol), n),
+          col("bench_grams"))).cast("long"))
+      .withColumn("contaminated", col("n_hits") >= minHits)
+      .drop("bench_grams")
 }

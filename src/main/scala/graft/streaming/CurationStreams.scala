@@ -104,6 +104,26 @@ object CurationStreams {
       .drop("lp_map", "lp_unseen")
   }
 
+  /** Start a benchmark-decontamination ingest stream: every arriving
+    * document annotated with its eval-set n-gram overlap
+    * (`n_hits`/`contaminated`) against a pre-collapsed one-row gram
+    * set ([[graft.ops.Decontaminate.benchGramRow]]) — the stream-side
+    * twin of the batch inverted-index join, stateless by construction.
+    */
+  def startDecontaminatedStream(
+      spark: SparkSession, sourceDir: String, queryName: String,
+      schema: StructType, gramRow: DataFrame,
+      n: Int = 3, minHits: Int = 1): StreamingQuery = {
+    val src = spark.readStream.schema(schema).parquet(sourceDir)
+    graft.ops.Decontaminate.overlapWithGramRow(src, gramRow, "text", n, minHits)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Start a scored ingest stream from a parquet directory source into
     * a named memory sink.
     */

@@ -224,6 +224,33 @@ class EventStreamsSpec extends AnyFunSuite {
       == keyed2(CurationStreams.scoreWithModel(corpus, model).collect()))
   }
 
+  test("streaming decontamination equals the batch inverted-index join") {
+    graft.core.Tables.registerAll(spark, dir)
+    val docs = spark.table("documents")
+    val bench = docs.where(org.apache.spark.sql.functions.col("source") === "src0")
+    val corpus = docs.where(org.apache.spark.sql.functions.col("source") =!= "src0")
+    val gramRow = graft.ops.Decontaminate.benchGramRow(bench, "text", n = 3)
+
+    // the one-row-gram-set form matches the join form doc-for-doc
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Boolean]("contaminated")))).toMap
+    val viaJoin = keyed(graft.ops.Decontaminate.overlap(
+      corpus, bench, "doc_id", "text", n = 3, minHits = 2).collect())
+    val viaRow = keyed(graft.ops.Decontaminate.overlapWithGramRow(
+      corpus, gramRow, "text", n = 3, minHits = 2).collect())
+    assert(viaJoin.nonEmpty && viaRow == viaJoin)
+    assert(viaJoin.values.exists(_._2)) // fixture plants real overlap
+
+    // and the SAME projection runs as a stateless ingest stream
+    val src = java.nio.file.Files.createTempDirectory("graft_decon_src").toString
+    corpus.write.mode("overwrite").parquet(src)
+    val q = CurationStreams.startDecontaminatedStream(
+      spark, src, "stream_decon", corpus.schema, gramRow, n = 3, minHits = 2)
+    q.awaitTermination(120000)
+    assert(keyed(spark.table("stream_decon").collect()) == viaJoin)
+  }
+
   test("gopher filter runs unchanged on a stream, byte-identical to batch") {
     graft.core.Tables.registerAll(spark, dir)
     val docs = spark.table("documents")
