@@ -424,10 +424,11 @@ final class Graft(val spark: SparkSession, stateDir: String) {
                   tokensCol: String, target: Seq[(String, Double)]): DataFrame =
     graft.ops.Sampling.mixtureSample(df, idCol, keyCol, tokensCol, target)
 
-  /** Gopher-rule quality filter with per-rule audit booleans. */
-  def gopherFilter(df: DataFrame, idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame =
-    graft.ops.TextAnalysis.gopherFilter(df, idCol, textCol)
+  /** Gopher-rule quality filter with per-rule audit booleans
+    * (annotates — filter on `keep`).
+    */
+  def gopherFilter(df: DataFrame, textCol: String = "text"): DataFrame =
+    graft.ops.TextAnalysis.gopherFilter(df, textCol)
 
   /** First-occurrence n-gram novelty scoring. */
   def noveltyScore(df: DataFrame, idCol: String = "doc_id",

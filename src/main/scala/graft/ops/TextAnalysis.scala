@@ -535,15 +535,20 @@ object TextAnalysis {
     * engines derive bit-identical doubles and the threshold compares
     * cannot disagree. Zero-token documents fail r_length and report
     * zeroed metrics.
+    *
+    * ANNOTATES, never projects: every input column passes through
+    * (the scoreWithModel convention), so the filter drops into a
+    * pipeline as `gopherFilter(df, "text").where(col("keep"))` with
+    * ids/sources/bodies intact.
     */
-  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+  def gopherFilter(df: DataFrame, textCol: String,
                    minTokens: Int = 50, maxTokens: Int = 100000): DataFrame = {
     val t = col(textCol)
     val n = size(col("_toks"))
     val nD = n.cast("double")
     val stopset = stopwords("en")
-    df.select(col(idCol).as("doc_id"), tokens(t).as("_toks"),
-        repetitionStats(t).as("_rep"))
+    df.withColumn("_toks", tokens(t))
+      .withColumn("_rep", repetitionStats(t))
       .withColumn("n_tokens", n.cast("long"))
       .withColumn("mean_word_len",
         when(n > 0, aggregate(col("_toks"), lit(0L), (a, x) => a + length(x))

@@ -37,6 +37,14 @@ object OpsQueries {
     MixTarget.map { case (k, s) => s"WHEN '$k' THEN $s" }
       .mkString("CASE source ", " ", " ELSE 0.0 END")
 
+  /** Mixture for the end-to-end pipeline (src0 is the bench corpus). */
+  private val MixTargetPipe: Seq[(String, Double)] =
+    Seq("src1" -> 0.4, "src2" -> 0.3, "src3" -> 0.3)
+
+  private val mixShareSqlPipe: String =
+    MixTargetPipe.map { case (k, s) => s"WHEN '$k' THEN $s" }
+      .mkString("CASE source ", " ", " ELSE 0.0 END")
+
   /** DuckDB replica of Similarity.lshBucket (8 planes, 64 dims): CTE
     * chain ending in `b(vec_id, bucket)`.
     */
@@ -1320,8 +1328,12 @@ object OpsQueries {
     Q("quality_gopher_filter",
       (s, dir) => {
         Tables.registerAll(s, dir)
-        TextAnalysis.gopherFilter(s.table("documents"), "doc_id", "text",
+        TextAnalysis.gopherFilter(s.table("documents"), "text",
             minTokens = 50, maxTokens = 100000)
+          .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+            col("alpha_frac"), col("n_stopwords"), col("dup_2gram_frac"),
+            col("top_word_frac"), col("r_length"), col("r_word_len"),
+            col("r_alpha"), col("r_stop"), col("r_rep"), col("keep"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH d AS (SELECT doc_id, $oracleToks AS toks FROM documents),
@@ -1536,6 +1548,77 @@ object OpsQueries {
               |       ELSE 'test' END AS split
               |FROM e WHERE doc_id NOT IN (SELECT doc_id FROM contam)
               |ORDER BY doc_id""".stripMargin)),
+
+    // the full curation composition with the round's operators: Gopher
+    // quality rules → exact-dup drop → benchmark decontamination →
+    // source-mixture Bernoulli draw (rates computed on the SURVIVING
+    // corpus) → train/val/test split — one plan end-to-end
+    Q("pipeline_curate_mix",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val docs = s.table("documents")
+        val bench = docs.where(col("source") === "src0")
+        val corpus = docs.where(col("source") =!= "src0")
+        val kept = TextAnalysis.gopherFilter(corpus, "text")
+          .where(col("keep"))
+          .select(corpus.columns.map(col): _*)
+        val deduped = Dedup.dropExactDuplicates(kept, "doc_id", "text")
+        val clean = graft.ops.Decontaminate.drop(deduped, bench, "doc_id", "text",
+            n = 3, minHits = 4)
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        val mixed = graft.ops.Sampling.mixtureSample(
+          clean, "doc_id", "source", "n_tokens", MixTargetPipe)
+        graft.ops.Sampling.splitAssign(mixed, "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1), restLabel = "test")
+          .select(col("doc_id"), col("source"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, text, source, $oracleToks AS toks FROM documents WHERE source <> 'src0'),
+              |rr AS (SELECT doc_id, toks, len(toks) AS n,
+              |  CASE WHEN len(toks) >= 2 THEN [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)] ELSE [] END AS g2
+              |  FROM t),
+              |mm AS (SELECT doc_id,
+              |  (n >= 50 AND n <= 100000
+              |   AND CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / n >= 3.0
+              |   AND CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / n <= 10.0
+              |   AND CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / n >= 0.8
+              |   AND len(list_intersect(list_distinct(toks), ['the','a','of','and','to','in','is','that','it','for'])) >= 2
+              |   AND (len(g2) = 0 OR CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) <= 0.2)
+              |   AND CAST(list_max([len(list_filter(toks, x -> x = y)) for y in list_distinct(toks)]) AS DOUBLE) / n <= 0.3) AS keep
+              |  FROM rr WHERE n > 0),
+              |q AS (SELECT t.* FROM t JOIN mm USING (doc_id) WHERE mm.keep),
+              |e AS (
+              |  SELECT q.* FROM q
+              |  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS m FROM q GROUP BY 1) k
+              |    ON md5(q.text) = k.h AND q.doc_id = k.m),
+              |bt AS (SELECT doc_id, $oracleToks AS toks FROM documents WHERE source = 'src0'),
+              |bg AS (SELECT DISTINCT unnest($oracleShingles) AS gram FROM bt),
+              |dg AS (SELECT doc_id, unnest($oracleShingles) AS gram FROM e),
+              |contam AS (
+              |  SELECT dg.doc_id FROM dg JOIN bg USING (gram)
+              |  GROUP BY dg.doc_id HAVING COUNT(*) >= 4),
+              |c AS (SELECT doc_id, source, len(toks) AS n_tokens FROM e
+              |      WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+              |a AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS avail,
+              |        $mixShareSqlPipe AS share
+              |      FROM c GROUP BY source),
+              |tm AS (SELECT MIN(CAST(avail AS DOUBLE) / share) AS mt FROM a WHERE share > 0),
+              |rt AS (SELECT a.source,
+              |        CASE WHEN a.avail > 0
+              |             THEN LEAST(a.share * COALESCE(tm.mt, 0.0) / CAST(a.avail AS DOUBLE), 1.0)
+              |             ELSE 0.0 END AS rate
+              |      FROM a CROSS JOIN tm)
+              |SELECT c.doc_id, c.source,
+              |  CASE WHEN substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 15) <
+              |         '${graft.ops.Sampling.thresholdHex(0.8)}' THEN 'train'
+              |       WHEN substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 15) <
+              |         '${graft.ops.Sampling.thresholdHex(0.9)}' THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM c JOIN rt USING (source)
+              |WHERE CAST(CONCAT('0x', substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              |      < CAST(floor(rt.rate * 1152921504606846976) AS BIGINT)
+              |ORDER BY c.doc_id""".stripMargin)),
 
     // symmetric int8 quantization of the embedding corpus: scale,
     // integer checksum, saturation count and max reconstruction error.

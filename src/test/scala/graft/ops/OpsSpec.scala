@@ -1132,7 +1132,7 @@ class OpsSpec extends AnyFunSuite {
       (5L, (1 to 60).map(i => s"w$i").mkString(" ")),   // r_stop (no stopwords)
       (6L, "")                                          // zero tokens
     ).toDF("doc_id", "text")
-    val out = TextAnalysis.gopherFilter(d, "doc_id", "text", minTokens = 50)
+    val out = TextAnalysis.gopherFilter(d, "text", minTokens = 50)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(out(1L).getAs[Boolean]("keep"))
     assert(!out(2L).getAs[Boolean]("r_length") && !out(2L).getAs[Boolean]("keep"))

@@ -260,7 +260,7 @@ class EventStreamsSpec extends AnyFunSuite {
     // the filter is a stateless map-side projection, so the SAME
     // operator call compiles into a streaming plan with no changes
     val q = graft.ops.TextAnalysis.gopherFilter(
-        spark.readStream.schema(docs.schema).parquet(src), "doc_id", "text")
+        spark.readStream.schema(docs.schema).parquet(src), "text")
       .writeStream.format("memory").queryName("stream_gopher")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -270,7 +270,7 @@ class EventStreamsSpec extends AnyFunSuite {
       rows.map(r => r.getAs[Long]("doc_id") -> r.toSeq.tail).toMap
     val streamed = keyed(spark.table("stream_gopher").collect())
     val batch = keyed(
-      graft.ops.TextAnalysis.gopherFilter(docs, "doc_id", "text").collect())
+      graft.ops.TextAnalysis.gopherFilter(docs, "text").collect())
     assert(batch.nonEmpty)
     assert(streamed == batch)
   }
