@@ -105,6 +105,68 @@ object TextExpressions {
     ColumnBridge.column(WordShingles(
       ColumnBridge.expression(org.apache.spark.sql.functions.lower(text)), n, dedup))
 
+  /** BPE subword encoding: tokenize (same [a-z0-9]-run contract as
+    * WordShingles), then for each token replay the merge list in rank
+    * order — each rule as ONE leftmost non-overlapping pass over the
+    * symbol array (exactly the `replace` semantics of the
+    * double-space-separated declarative form and the DuckDB oracle,
+    * including its no-rescan-after-replacement behavior) — and emit
+    * the flat subword array. One pass, zero regex, no per-token
+    * string-join/split round-trips: the declarative chain costs
+    * O(merges) interpreted replaces over a rebuilt separator string
+    * per token and dominated the encode query's CPU.
+    */
+  case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "bpe_encode"
+
+    override protected def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val len = s.length
+      val out = new java.util.ArrayList[Any]()
+      var i = 0
+      var syms = new java.util.ArrayList[String]()
+      var next = new java.util.ArrayList[String]()
+      while (i < len) {
+        val c = s.charAt(i)
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+          val start = i
+          i += 1
+          while (i < len && {
+            val d = s.charAt(i); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+          }) i += 1
+          // one symbol per character, then replay the merges
+          syms.clear()
+          var j = start
+          while (j < i) { syms.add(String.valueOf(s.charAt(j))); j += 1 }
+          merges.foreach { case (a, b) =>
+            if (syms.size > 1) {
+              next.clear()
+              var k = 0
+              while (k < syms.size) {
+                if (k + 1 < syms.size && syms.get(k) == a && syms.get(k + 1) == b) {
+                  next.add(a + b); k += 2
+                } else { next.add(syms.get(k)); k += 1 }
+              }
+              val t = syms; syms = next; next = t
+            }
+          }
+          var m = 0
+          while (m < syms.size) { out.add(UTF8String.fromString(syms.get(m))); m += 1 }
+        } else i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Column API: `bpe_encode(lower(text), merges)`. */
+  def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeEncodeExpr(
+      ColumnBridge.expression(org.apache.spark.sql.functions.lower(text)), merges))
+
   /** Shingle hash array: the 60-bit MD5 prefix of every (non-
     * deduplicated) shingle, exactly
     * `conv(substring(md5(shingle), 1, 15), 16, 10)` — i.e. the first

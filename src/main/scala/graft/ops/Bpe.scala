@@ -85,12 +85,23 @@ object Bpe {
 
   /** Apply a trained merge list to a text column: tokenize, segment
     * each word by replaying the merges in rank order, and return the
-    * flat subword array. A pure chained-`replace` projection —
-    * map-side, codegen'd, no shuffle — sized for merge lists up to a
-    * few hundred (one expression per merge); larger vocabularies
-    * would batch the chain across sequential projections.
+    * flat subword array. Runs as the native `BpeEncodeExpr` kernel —
+    * one pass over the string, a symbol-array scan per merge rule —
+    * map-side, no shuffle; the declarative chained-`replace` form
+    * below is the parity reference (it rebuilds and re-scans the
+    * separator string once per merge per token, which dominated the
+    * encode query's CPU).
     */
   def encodeSubwords(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.TextExpressions.bpe_encode(text, merges)
+
+  /** The declarative formulation encodeSubwords replaced — kept as the
+    * parity reference for the property suite; semantics contract:
+    * each merge is one leftmost non-overlapping `replace` on the
+    * double-space symbol string, applied in rank order.
+    */
+  private[graft] def encodeSubwordsDeclarative(text: Column,
+                                               merges: Seq[(String, String)]): Column =
     flatten(transform(TextAnalysis.tokens(text), w => {
       val segmented = merges.foldLeft(symInit(w)) { case (acc, (a, b)) =>
         replace(acc, lit(s" $a  $b "), lit(s" $a$b "))

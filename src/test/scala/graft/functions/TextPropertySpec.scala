@@ -202,4 +202,32 @@ class TextPropertySpec extends AnyFunSuite {
     }
     texts.unpersist()
   }
+
+  test("BpeEncodeExpr matches the declarative chained-replace formulation on random input") {
+    import spark.implicits._
+    val r = new Random(20260815L)
+    val texts = ((0 until 300).map(_ => genText(r)) ++
+      Seq("", " ", "aaaa", "abab abba", "banana bandana", "xxxxxx"))
+      .toDF("text")
+    texts.cache().count()
+    // merge lists exercising cascades (later rules over earlier merged
+    // symbols) and same-rule repeats ("a a" on runs)
+    val mergeLists = Seq(
+      Seq("a" -> "a"),
+      Seq("a" -> "b", "ab" -> "a", "b" -> "a"),
+      Seq("a" -> "n", "b" -> "an", "ban" -> "an", "x" -> "x", "xx" -> "xx"),
+      Seq("1" -> "2", "e" -> "r", "t" -> "h"))
+    mergeLists.foreach { merges =>
+      val rows = texts.select(col("text"),
+          graft.functions.TextExpressions.bpe_encode(col("text"), merges).as("kern"),
+          graft.ops.Bpe.encodeSubwordsDeclarative(col("text"), merges).as("decl"))
+        .collect()
+      rows.foreach { row =>
+        assert(row.getSeq[String](1) == row.getSeq[String](2),
+          s"merges=$merges text=${row.getString(0).take(60)} " +
+            s"kern=${row.getSeq[String](1)} decl=${row.getSeq[String](2)}")
+      }
+    }
+    texts.unpersist()
+  }
 }
