@@ -444,6 +444,29 @@ final class Graft(val spark: SparkSession, stateDir: String) {
                   k: Int = 10): DataFrame =
     graft.ops.TextAnalysis.vocabReport(df, textCol, k)
 
+  /** Leakage-safe split: near-duplicate clusters (from `pairs`) are
+    * assigned to train/val/test as a unit.
+    */
+  def sampleSplitLeakageSafe(df: DataFrame, idCol: String, pairs: DataFrame,
+                             splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1),
+                             restLabel: String = "test"): DataFrame =
+    graft.ops.Sampling.splitAssignByCluster(df, idCol, pairs,
+      splits = splits, restLabel = restLabel)
+
+  /** One-row curation funnel report: doc/token survival through
+    * quality → exact dedup → decontamination, in one corpus pass.
+    */
+  def curationFunnel(docs: DataFrame, bench: DataFrame,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.ops.TextAnalysis.curationFunnel(docs, bench, idCol, textCol)
+
+  /** Hybrid lexical+dense retrieval: BM25 ∪ cosine top-k fused by
+    * reciprocal rank.
+    */
+  def searchHybrid(docs: DataFrame, emb: DataFrame, queryTerms: Seq[String],
+                   queryVec: DataFrame, k: Int = 10): DataFrame =
+    graft.ops.Retrieval.hybridTopK(docs, emb, queryTerms, queryVec, k = k)
+
   /** BPE: train merge rules on the corpus / apply them as subword
     * segmentation (adds a `subwords` array column).
     */

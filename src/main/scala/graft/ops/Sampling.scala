@@ -76,6 +76,33 @@ object Sampling {
     df.withColumn(splitCol, cased)
   }
 
+  /** Leakage-safe split: like [[splitAssign]], but rows connected by
+    * `pairs` (near-duplicate edges from any Dedup pair generator) are
+    * hashed on their duplicate-CLUSTER id, so a near-duplicate family
+    * can never straddle train/test — the eval-leakage failure mode a
+    * per-document hash split has by construction (a doc and its 99%
+    * twin land in different splits with probability 2·p·(1−p)).
+    * Rows in no pair keep their own id as the cluster. Adds
+    * `cluster_id` and `splitCol`.
+    *
+    * 100 TB design: cluster assignment is [[Components]]' O(log n)
+    * join rounds over the (already-blocked) edge set; the assignment
+    * join is a plain equi-join on the id, and the split itself stays
+    * a map-side CASE over md5(cluster_id).
+    */
+  def splitAssignByCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+                           aCol: String = "id_a", bCol: String = "id_b",
+                           splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1),
+                           restLabel: String = "test",
+                           splitCol: String = "split"): DataFrame = {
+    val comp = Components.connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("node", idCol)
+    val clustered = df.join(comp, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster"), col(idCol)))
+      .drop("cluster")
+    splitAssign(clustered, "cluster_id", splits, restLabel, splitCol)
+  }
+
   /** Frequency capping: keep at most `maxPerKey` rows per `keyCol`
     * (the per-domain / per-source cap every crawl-curation pipeline
     * applies so one hot domain cannot dominate the corpus). The kept

@@ -664,6 +664,42 @@ object TextAnalysis {
         col(s"top${k}_tokens").cast("double") / col("total_tokens").cast("double"))
   }
 
+  /** One-row curation funnel report: documents and tokens surviving
+    * each stage of the standard curation pipeline — input → Gopher
+    * quality → exact dedup → benchmark decontamination (the stage
+    * order of `pipeline_curate_mix`) — computed as FLAGS on a single
+    * corpus pass, so the report costs one scan plus one
+    * fingerprint-keyed shuffle instead of one pipeline run per stage.
+    * The exact-dup canonical keeper is the minimum id among QUALITY
+    * SURVIVORS of its md5(text) group (dropping low-quality docs
+    * first must not delete a group's only good copy), and
+    * decontamination hits count against the broadcast eval gram set.
+    */
+  def curationFunnel(docs: DataFrame, bench: DataFrame,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     n: Int = 3, minHits: Int = 4): DataFrame = {
+    val gram = Decontaminate.benchGramRow(bench, textCol, n)
+    val flagged = Decontaminate.overlapWithGramRow(
+      gopherFilter(docs, textCol), gram, textCol, n, minHits)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col(textCol)))
+    val canon = col("keep") &&
+      col(idCol) === min(when(col("keep"), col(idCol))).over(w)
+    val clean = canon && !col("contaminated")
+    flagged.withColumn("_canon", canon).withColumn("_clean", clean)
+      .agg(
+        count(lit(1)).as("n_input"),
+        sum(col("n_tokens")).cast("long").as("tokens_input"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_quality"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L)).cast("long")
+          .as("tokens_quality"),
+        sum(when(col("_canon"), 1L).otherwise(0L)).cast("long").as("n_dedup"),
+        sum(when(col("_canon"), col("n_tokens")).otherwise(0L)).cast("long")
+          .as("tokens_dedup"),
+        sum(when(col("_clean"), 1L).otherwise(0L)).cast("long").as("n_clean"),
+        sum(when(col("_clean"), col("n_tokens")).otherwise(0L)).cast("long")
+          .as("tokens_clean"))
+  }
+
   /** Convenience: annotate a corpus with the full analysis bundle
     * (fused kernel for the stats, LangIdExpr for the language).
     */

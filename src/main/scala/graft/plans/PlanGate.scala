@@ -19,10 +19,13 @@ object PlanGate {
   /** True when the subtree's cardinality provably collapses to one
     * row: descending through cardinality-preserving unary nodes, the
     * first cardinality-defining node is a global (no grouping keys)
-    * aggregate. Generate/Expand multiply rows → not one-row.
+    * aggregate or a LIMIT ≤ 1. Generate/Expand multiply rows → not
+    * one-row.
     */
   def oneRowSubtree(p: SparkPlan): Boolean = p match {
     case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+    case l: org.apache.spark.sql.execution.GlobalLimitExec => l.limit <= 1
+    case l: org.apache.spark.sql.execution.LocalTableScanExec => l.rows.length <= 1
     case r: ReusedExchangeExec => oneRowSubtree(r.child)
     case _: GenerateExec | _: ExpandExec => false
     case u: UnaryExecNode => oneRowSubtree(u.child)

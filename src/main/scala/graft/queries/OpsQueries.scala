@@ -1654,5 +1654,131 @@ object OpsQueries {
              |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS q_sat,
              |  ROUND(list_aggregate([abs(e[i] - qv[i] * scale) for i in generate_series(1, len(e))], 'max'), 6) AS q_err
              |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // hybrid lexical+dense retrieval: BM25 top-k ∪ cosine top-k fused
+    // by reciprocal rank (1/(60+r)); postings filtered to the query
+    // terms map-side, both branches end in TakeOrderedAndProject
+    Q("search_hybrid_rrf",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        graft.ops.Retrieval.hybridTopK(
+            s.table("documents"), s.table("embeddings"),
+            Seq("spark", "merge", "window"),
+            s.table("embeddings").where(col("vec_id") === 7),
+            k = 15)
+          .select(col("id").as("doc_id"), col("r_bm25"), col("r_cos"),
+            round(col("rrf_score"), 9).as("rrf_score"))
+          .orderBy(col("rrf_score").desc, col("doc_id"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id AS id, $oracleToks AS toks,
+              |         CAST(len($oracleToks) AS DOUBLE) AS doclen
+              |  FROM documents),
+              |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(doclen) AS avgdl FROM base),
+              |tf AS (
+              |  SELECT id, doclen, term, CAST(COUNT(*) AS DOUBLE) AS tf
+              |  FROM (SELECT id, doclen,
+              |          unnest(list_filter(toks, t -> list_contains(['spark','merge','window'], t))) AS term
+              |        FROM base)
+              |  GROUP BY id, doclen, term),
+              |dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+              |bm AS (
+              |  SELECT id, SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+              |               / (tf + 1.2 * (0.25 + 0.75 * doclen / avgdl))) AS _score
+              |  FROM tf JOIN dft USING (term) CROSS JOIN stats GROUP BY id),
+              |bmtop AS (
+              |  SELECT id, ROW_NUMBER() OVER (ORDER BY ROUND(_score, 9) DESC, id) AS r_bm25
+              |  FROM bm QUALIFY r_bm25 <= 15),
+              |qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 7),
+              |cs AS (
+              |  SELECT e.vec_id AS id, ${oracleCosine("e.embedding", "q.v")} AS cosine
+              |  FROM embeddings e CROSS JOIN qv q),
+              |costop AS (
+              |  SELECT id, ROW_NUMBER() OVER (ORDER BY ROUND(cosine, 9) DESC, id) AS r_cos
+              |  FROM cs QUALIFY r_cos <= 15)
+              |SELECT COALESCE(b.id, c.id) AS doc_id, b.r_bm25, c.r_cos,
+              |       ROUND(COALESCE(1.0 / (60.0 + b.r_bm25), 0.0)
+              |             + COALESCE(1.0 / (60.0 + c.r_cos), 0.0), 9) AS rrf_score
+              |FROM bmtop b FULL OUTER JOIN costop c ON b.id = c.id
+              |ORDER BY rrf_score DESC, doc_id LIMIT 15""".stripMargin)),
+
+    // leakage-safe split: near-duplicate clusters (minhash pairs →
+    // connected components) are hashed as a UNIT, so a duplicate
+    // family never straddles train/test
+    Q("sample_split_leakage_safe",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val docs = s.table("documents")
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+            k = 16, bands = 4, n = 3, threshold = 0.25)
+        graft.ops.Sampling.splitAssignByCluster(docs, "doc_id", pairs,
+            splits = Seq("train" -> 0.8, "val" -> 0.1), restLabel = "test")
+          .select(col("doc_id"), col("cluster_id"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $minhashOracleCtes,
+              |prs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.25),
+              |eg AS (SELECT id_a AS a, id_b AS b FROM prs UNION SELECT id_b, id_a FROM prs),
+              |walk(node, lbl) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT e.b, w.lbl FROM walk w JOIN eg e ON e.a = w.node),
+              |comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node)
+              |SELECT doc_id, cluster_id,
+              |  CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15) <
+              |         '${graft.ops.Sampling.thresholdHex(0.8)}' THEN 'train'
+              |       WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15) <
+              |         '${graft.ops.Sampling.thresholdHex(0.9)}' THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM comp ORDER BY doc_id""".stripMargin)),
+
+    // one-row curation funnel: doc/token survival through quality →
+    // exact dedup → decontamination, as flags on ONE corpus pass
+    Q("report_curation_funnel",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val docs = s.table("documents")
+        TextAnalysis.curationFunnel(
+          docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, text, $oracleToks AS toks FROM documents WHERE source <> 'src0'),
+              |rr AS (SELECT doc_id, toks, len(toks) AS n,
+              |  CASE WHEN len(toks) >= 2 THEN [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)] ELSE [] END AS g2
+              |  FROM t),
+              |mm AS (SELECT doc_id,
+              |  (n >= 50 AND n <= 100000
+              |   AND CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / n >= 3.0
+              |   AND CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / n <= 10.0
+              |   AND CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / n >= 0.8
+              |   AND len(list_intersect(list_distinct(toks), ['the','a','of','and','to','in','is','that','it','for'])) >= 2
+              |   AND (len(g2) = 0 OR CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) <= 0.2)
+              |   AND CAST(list_max([len(list_filter(toks, x -> x = y)) for y in list_distinct(toks)]) AS DOUBLE) / n <= 0.3) AS keep
+              |  FROM rr WHERE n > 0),
+              |f AS (
+              |  SELECT t.doc_id, t.text, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+              |         COALESCE(mm.keep, FALSE) AS keep
+              |  FROM t LEFT JOIN mm USING (doc_id)),
+              |canon AS (
+              |  SELECT doc_id, n_tokens, keep,
+              |         (keep AND doc_id = MIN(CASE WHEN keep THEN doc_id END)
+              |            OVER (PARTITION BY md5(text))) AS is_canon
+              |  FROM f),
+              |bt AS (SELECT doc_id, $oracleToks AS toks FROM documents WHERE source = 'src0'),
+              |bg AS (SELECT DISTINCT unnest($oracleShingles) AS gram FROM bt),
+              |dg AS (SELECT doc_id, unnest($oracleShingles) AS gram FROM t),
+              |hits AS (
+              |  SELECT doc_id, COUNT(*) AS nh FROM dg JOIN bg USING (gram) GROUP BY doc_id)
+              |SELECT
+              |  CAST(COUNT(*) AS BIGINT) AS n_input,
+              |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_input,
+              |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+              |  CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_quality,
+              |  CAST(SUM(CASE WHEN is_canon THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+              |  CAST(SUM(CASE WHEN is_canon THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_dedup,
+              |  CAST(SUM(CASE WHEN is_canon AND COALESCE(h.nh, 0) < 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+              |  CAST(SUM(CASE WHEN is_canon AND COALESCE(h.nh, 0) < 4 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_clean
+              |FROM canon LEFT JOIN hits h USING (doc_id)""".stripMargin)),
   )
 }

@@ -1189,4 +1189,67 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
     assert(again == drawn.map(_.getAs[Long]("doc_id")).sorted.toSeq)
   }
+
+  test("leakage-safe split: duplicate families move as a unit, singletons keep own hash") {
+    val d = (1L to 40L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+    // two families: {1,2,3} (via a chain) and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val res = Sampling.splitAssignByCluster(d, "doc_id", pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[String]("split")))).toMap
+    // family members share cluster AND split — no straddling possible
+    assert(Seq(1L, 2L, 3L).map(res(_)._1).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(res(_)._2).distinct.size == 1)
+    assert(Seq(10L, 11L).map(res(_)._1).distinct == Seq(10L))
+    assert(Seq(10L, 11L).map(res(_)._2).distinct.size == 1)
+    // un-paired rows: own id as cluster, split identical to the plain
+    // per-id assignment (the leakage-safe form degrades to splitAssign)
+    val plain = Sampling.splitAssign(d, "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    (4L to 9L).foreach { i =>
+      assert(res(i)._1 == i && res(i)._2 == plain(i))
+    }
+  }
+
+  test("curation funnel: one-pass flags match the composed pipeline stage by stage") {
+    // 60 tokens: 4 stopwords + 56 unique seed-words — passes every
+    // Gopher rule (length, word length, alpha, stopwords, repetition)
+    def body(seed: String): String =
+      "the a of and" + (1 to 56).map(i => f" ${seed}x$i%02d").mkString
+    val corpus = Seq(
+      (1L, body("alpha")),
+      (2L, body("alpha")),                  // exact dup of 1
+      (3L, body("charlie")),
+      (4L, "tiny"),                         // fails gopher length rule
+      (5L, body("echo")),                   // will be contaminated
+      (6L, body("golf"))
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, body("echo"))).toDF("doc_id", "text")
+
+    val f = TextAnalysis.curationFunnel(corpus, bench).collect()(0)
+    def g(c: String): Long = f.getAs[Long](c)
+    // monotone survival
+    assert(g("n_input") >= g("n_quality") && g("n_quality") >= g("n_dedup")
+      && g("n_dedup") >= g("n_clean"))
+    // recompute with the real pipeline stages
+    val kept = TextAnalysis.gopherFilter(corpus, "text").where(col("keep"))
+      .select("doc_id", "text")
+    val deduped = Dedup.dropExactDuplicates(kept, "doc_id", "text")
+    val clean = Decontaminate.drop(deduped, bench, "doc_id", "text", n = 3, minHits = 4)
+    assert(g("n_input") == 6L)
+    assert(g("n_quality") == kept.count())
+    assert(g("n_dedup") == deduped.count())
+    assert(g("n_clean") == clean.count())
+    // token counters track the same stages
+    def toks(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(sum(TextAnalysis.tokenCount(col("text")))).collect()(0).getLong(0)
+    assert(g("tokens_input") == toks(corpus))
+    assert(g("tokens_quality") == toks(kept))
+    assert(g("tokens_dedup") == toks(deduped))
+    assert(g("tokens_clean") == toks(clean))
+    // the planted failures actually exercised each stage
+    assert(g("n_quality") == 5L) // doc 4 failed quality
+    assert(g("n_dedup") == 4L)   // doc 2 was the exact dup
+    assert(g("n_clean") == 3L)   // doc 5 was contaminated
+  }
 }
