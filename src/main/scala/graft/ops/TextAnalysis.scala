@@ -672,15 +672,16 @@ object TextAnalysis {
     * fingerprint-keyed shuffle instead of one pipeline run per stage.
     * The exact-dup canonical keeper is the minimum id among QUALITY
     * SURVIVORS of its md5(text) group (dropping low-quality docs
-    * first must not delete a group's only good copy), and
-    * decontamination hits count against the broadcast eval gram set.
+    * first must not delete a group's only good copy). Contamination
+    * flags come from [[Decontaminate.overlap]]'s inverted-index JOIN —
+    * not the one-row gram-array form, whose per-row array_intersect
+    * degrades quadratically once the eval gram set stops being tiny.
     */
   def curationFunnel(docs: DataFrame, bench: DataFrame,
                      idCol: String = "doc_id", textCol: String = "text",
                      n: Int = 3, minHits: Int = 4): DataFrame = {
-    val gram = Decontaminate.benchGramRow(bench, textCol, n)
-    val flagged = Decontaminate.overlapWithGramRow(
-      gopherFilter(docs, textCol), gram, textCol, n, minHits)
+    val flagged = Decontaminate.overlap(
+      gopherFilter(docs, textCol), bench, idCol, textCol, n, minHits)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col(textCol)))
     val canon = col("keep") &&
       col(idCol) === min(when(col("keep"), col(idCol))).over(w)
