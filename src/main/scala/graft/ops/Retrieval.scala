@@ -38,17 +38,22 @@ object Retrieval {
     val qs = terms.map(_.toLowerCase).distinct
     require(qs.nonEmpty, "bm25Scores needs at least one query term")
     val termArr = array(qs.map(lit): _*)
+    // one narrow per-doc projection (id, doclen, query-term tokens) is
+    // pinned and shared by the stats and postings branches — without
+    // it each branch re-runs the corpus scan + tokenize (the same
+    // recompute the text scorers paid before their class table was
+    // materialized once). The term filter runs inside this projection,
+    // so non-matching tokens never survive the map side.
     val base = docs.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("_toks"))
-      .withColumn("doclen", size(col("_toks")).cast("double"))
+      .select(col("id"), size(col("_toks")).cast("double").as("doclen"),
+        filter(col("_toks"), t => array_contains(termArr, t)).as("_qtoks"))
+      .localCheckpoint()
     // one-row corpus stats — broadcast, never a shuffle of the corpus
     val stats = base.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("doclen")).as("avgdl"))
-    // (doc, query-term) postings: the term filter runs inside the scan
-    // projection, so non-matching tokens never leave the map side
     val tf = base
-      .select(col("id"), col("doclen"),
-        explode(filter(col("_toks"), t => array_contains(termArr, t))).as("term"))
+      .select(col("id"), col("doclen"), explode(col("_qtoks")).as("term"))
       .groupBy("id", "doclen", "term").agg(count(lit(1)).cast("double").as("tf"))
     // per-term document frequency: ≤ |terms| rows
     val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
