@@ -467,6 +467,18 @@ final class Graft(val spark: SparkSession, stateDir: String) {
                    queryVec: DataFrame, k: Int = 10): DataFrame =
     graft.ops.Retrieval.hybridTopK(docs, emb, queryTerms, queryVec, k = k)
 
+  /** BM25 as train-offline / score-the-stream: one-row model of the
+    * corpus statistics, then stateless per-row scoring (works on
+    * batch and streaming DataFrames alike).
+    */
+  def bm25Train(docs: DataFrame, terms: Seq[String],
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.ops.Retrieval.bm25Model(docs, idCol, textCol, terms)
+
+  def bm25Score(docs: DataFrame, model: DataFrame,
+                textCol: String = "text"): DataFrame =
+    graft.ops.Retrieval.scoreWithBm25Model(docs, model, textCol)
+
   /** BPE: train merge rules on the corpus / apply them as subword
     * segmentation (adds a `subwords` array column).
     */

@@ -66,6 +66,66 @@ object Retrieval {
       .groupBy("id").agg(sum(col("_w")).as("_score"))
   }
 
+  /** Offline half of streaming BM25 scoring: collapse the corpus
+    * statistics a BM25 scorer needs — doc count, average doc length,
+    * per-query-term document frequency — into a ONE-ROW model
+    * (`bm_terms`/`bm_dfs` term-sorted arrays + `n_docs`/`avgdl`),
+    * the same train-offline/score-the-stream pattern as the unigram
+    * LM and decontamination models. Bounded by |terms| regardless of
+    * corpus size. Terms no document contains are absent (they carry
+    * no postings in [[bm25Scores]] either).
+    */
+  def bm25Model(docs: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String]): DataFrame = {
+    val qs = terms.map(_.toLowerCase).distinct
+    require(qs.nonEmpty, "bm25Model needs at least one query term")
+    val termArr = array(qs.map(lit): _*)
+    val base = docs.select(TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(size(col("_toks")).cast("double").as("doclen"),
+        array_distinct(filter(col("_toks"), t => array_contains(termArr, t))).as("_qterms"))
+    val stats = base.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("doclen")).as("avgdl"))
+    base.select(explode(col("_qterms")).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      .agg(sort_array(collect_list(struct(col("term"), col("df")))).as("_td"))
+      .crossJoin(broadcast(stats))
+      .select(
+        transform(col("_td"), e => e("term")).as("bm_terms"),
+        transform(col("_td"), e => e("df")).as("bm_dfs"),
+        col("n_docs"), col("avgdl"))
+  }
+
+  /** Online half: annotate documents with their BM25 score against a
+    * [[bm25Model]] row. The model broadcasts into a stream-static
+    * cross join and the per-term tf counting is a per-row expression
+    * over the token array — STATELESS, so the same call compiles into
+    * an Append-mode streaming plan with no watermark or state store,
+    * batch ≡ streaming byte-identically. Annotates, never filters:
+    * every row passes through with `_score` (0.0 when no term
+    * matches) and `matched`. Scores agree with [[bm25Scores]] to
+    * summation-order ulps (the batch form sums postings in shuffle
+    * order, this form in term-sorted order).
+    */
+  def scoreWithBm25Model(docs: DataFrame, model: DataFrame,
+                         textCol: String = "text",
+                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    docs.crossJoin(broadcast(model))
+      .withColumn("_doclen", size(toks).cast("double"))
+      .withColumn("_score",
+        aggregate(zip_with(col("bm_terms"), col("bm_dfs"), (t, d) => struct(t.as("t"), d.as("d"))),
+          lit(0.0d), (acc, e) => {
+            val tf = size(filter(toks, x => x === e("t"))).cast("double")
+            acc + when(tf > 0,
+              log((col("n_docs") - e("d") + lit(0.5)) / (e("d") + lit(0.5)) + lit(1.0))
+                * tf * lit(k1 + 1.0)
+                / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_doclen") / col("avgdl"))))
+              .otherwise(lit(0.0d))
+          }))
+      .withColumn("matched", col("_score") > 0.0)
+      .drop("bm_terms", "bm_dfs", "n_docs", "avgdl", "_doclen")
+  }
+
   /** (id, cosine) of every corpus vector against the single query
     * vector in `queryVec` (first row of its `vecCol`) — a map-side
     * scan with a one-row broadcast, ending wherever the caller's

@@ -124,6 +124,25 @@ object CurationStreams {
       .start()
   }
 
+  /** Start a BM25-scored ingest stream: every arriving document
+    * annotated with its relevance to a fixed query against a
+    * pre-trained [[graft.ops.Retrieval.bm25Model]] one-row model —
+    * the streaming twin of [[graft.ops.Retrieval.bm25Scores]]
+    * (stateless per-row expression over the broadcast model, Append
+    * mode, batch ≡ streaming).
+    */
+  def startBm25ScoredStream(
+      spark: SparkSession, sourceDir: String, queryName: String,
+      schema: StructType, model: DataFrame): StreamingQuery = {
+    val src = spark.readStream.schema(schema).parquet(sourceDir)
+    graft.ops.Retrieval.scoreWithBm25Model(src, model).writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Start a scored ingest stream from a parquet directory source into
     * a named memory sink.
     */

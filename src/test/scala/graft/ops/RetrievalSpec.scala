@@ -61,6 +61,27 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 model scoring: matches the postings form, annotates non-matches") {
+    val model = Retrieval.bm25Model(docs, "doc_id", "text", Seq("spark", "query"))
+    val scored = Retrieval.scoreWithBm25Model(docs, model)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("_score"), r.getAs[Boolean]("matched")))).toMap
+    // every input row survives (annotate, never filter)
+    assert(scored.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(!scored(3L)._2 && scored(3L)._1 == 0.0)
+    assert(!scored(5L)._2 && scored(5L)._1 == 0.0)
+    // matched rows agree with the postings/shuffle form to 6 dp
+    val postings = Retrieval.bm25Scores(docs, "doc_id", "text", Seq("spark", "query"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("_score")).toMap
+    assert(postings.keySet == scored.filter(_._2._2).keySet)
+    postings.foreach { case (id, s) =>
+      assert(math.abs(s - scored(id)._1) < 1e-6, s"doc $id: $s vs ${scored(id)._1}")
+    }
+    // the model row is bounded by the query, not the corpus
+    val m = model.head()
+    assert(m.getAs[Seq[String]]("bm_terms").toSet == Set("spark", "query"))
+  }
+
   test("hybrid RRF: missing-list rank contributes zero, ties break by id") {
     // query vector orthogonal to everything except docs 3 → dense list
     // is {3 first}; lexical list is {2} ("tuning") — doc 2 and doc 3

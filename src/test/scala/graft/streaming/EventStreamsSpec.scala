@@ -175,6 +175,29 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming BM25 scoring against a trained model equals batch") {
+    graft.core.Tables.registerAll(spark, dir)
+    val docs = spark.table("documents")
+    val model = graft.ops.Retrieval.bm25Model(docs, "doc_id", "text",
+      Seq("spark", "merge", "window"))
+    val src = java.nio.file.Files.createTempDirectory("graft_bm25_src").toString
+    docs.write.mode("overwrite").parquet(src)
+
+    val q = CurationStreams.startBm25ScoredStream(
+      spark, src, "stream_bm25", docs.schema, model)
+    q.awaitTermination(120000)
+
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("_score"), r.getAs[Boolean]("matched")))).toMap
+    val streamed = keyed(spark.table("stream_bm25").collect())
+    val batch = keyed(graft.ops.Retrieval.scoreWithBm25Model(docs, model).collect())
+    assert(batch.nonEmpty && batch.exists(_._2._2))
+    assert(streamed == batch) // stateless scoring → byte-identical
+    // row set preserved: scoring annotates, never filters
+    assert(batch.keySet == docs.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("LM vocabulary cap: beyond-cap terms score as unseen; batch stays streaming-identical") {
     import spark.implicits._
     // 'alpha' dominates, 'beta' second; cap=2 keeps exactly those
