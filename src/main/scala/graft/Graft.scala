@@ -467,6 +467,15 @@ final class Graft(val spark: SparkSession, stateDir: String) {
                    queryVec: DataFrame, k: Int = 10): DataFrame =
     graft.ops.Retrieval.hybridTopK(docs, emb, queryTerms, queryVec, k = k)
 
+  /** LSH calibration report: estimate-vs-exact Jaccard per estimate
+    * bucket over the candidate pairs — picks bands/threshold for a
+    * production dedup run.
+    */
+  def dedupLshCalibration(df: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text",
+                          k: Int = 16, bands: Int = 4, n: Int = 3): DataFrame =
+    graft.ops.Dedup.lshCalibration(df, idCol, textCol, k, bands, n)
+
   /** BM25 as train-offline / score-the-stream: one-row model of the
     * corpus statistics, then stateless per-row scoring (works on
     * batch and streaming DataFrames alike).

@@ -290,6 +290,42 @@ object Dedup {
     estimatePairs(cand, wide, wide, k, threshold)
   }
 
+  /** LSH calibration report: for every LSH candidate pair, the
+    * k-minhash Jaccard ESTIMATE is compared against the EXACT
+    * shingle-set Jaccard, aggregated per estimate bucket (est·k is an
+    * exact integer 0..k) — the report that picks bands/threshold for
+    * a production dedup run (how many candidates does each estimate
+    * level admit, how many are true ≥0.25 near-dups, how far off is
+    * the estimate). Returns (est_bucket, n_pairs, n_exact_ge_025,
+    * sum_abs_err); a band collision implies ≥ k/bands matching seeds,
+    * so buckets start at k/bands.
+    *
+    * 100 TB design: exact Jaccard is computed ONLY for LSH candidates
+    * (pair-bounded, never all-pairs) via a gram equi-join; the error
+    * sum is 12-dp-rounded DECIMAL — order-independent, engine-exact.
+    */
+  def lshCalibration(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
+    val cand = minhashLshPairs(df, idCol, textCol, k, bands, n, threshold = 0.0)
+    val sh = shingleRows(df, idCol, textCol, Nil, n)
+    val sizes = sh.groupBy("_id").agg(count(lit(1)).as("_sz"))
+    val inter = cand.select("id_a", "id_b")
+      .join(sh.select(col("_id").as("id_a"), col("_s")), "id_a")
+      .join(sh.select(col("_id").as("id_b"), col("_s")), Seq("id_b", "_s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"))
+    cand
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col("_id").as("id_a"), col("_sz").as("_sza")), "id_a")
+      .join(sizes.select(col("_id").as("id_b"), col("_sz").as("_szb")), "id_b")
+      .withColumn("_i", coalesce(col("_inter"), lit(0L)).cast("double"))
+      .withColumn("_j", col("_i") / (col("_sza") + col("_szb") - col("_i")))
+      .groupBy((col("est_jaccard") * k).cast("int").as("est_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("_j") >= 0.25, 1L).otherwise(0L)).cast("long").as("n_exact_ge_025"),
+        round(sum(round(abs(col("est_jaccard") - col("_j")), 12)
+          .cast("decimal(38,15)")).cast("double"), 6).as("sum_abs_err"))
+  }
+
   /** The banded (band, band_hash) LSH bucket rows of a wide signature
     * table.
     */

@@ -1780,5 +1780,36 @@ object OpsQueries {
               |  CAST(SUM(CASE WHEN is_canon AND COALESCE(h.nh, 0) < 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
               |  CAST(SUM(CASE WHEN is_canon AND COALESCE(h.nh, 0) < 4 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_clean
               |FROM canon LEFT JOIN hits h USING (doc_id)""".stripMargin)),
+
+    // LSH calibration: estimate-vs-exact Jaccard per estimate bucket
+    // over the candidate pairs — the bands/threshold-selection report
+    Q("report_lsh_calibration",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        Dedup.lshCalibration(s.table("documents"), "doc_id", "text",
+            k = 16, bands = 4, n = 3)
+          .orderBy(col("est_bucket"))
+      },
+      Some(s"""WITH $minhashOracleCtes,
+              |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+              |iv AS (
+              |  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS iv
+              |  FROM cand c
+              |  JOIN sh sa ON sa.doc_id = c.id_a
+              |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+              |  GROUP BY c.id_a, c.id_b),
+              |j AS (
+              |  SELECT e.est_jaccard,
+              |         CAST(COALESCE(iv.iv, 0) AS DOUBLE)
+              |           / (sa.sz + sb.sz - COALESCE(iv.iv, 0)) AS jac
+              |  FROM est e
+              |  LEFT JOIN iv USING (id_a, id_b)
+              |  JOIN sz sa ON sa.doc_id = e.id_a
+              |  JOIN sz sb ON sb.doc_id = e.id_b)
+              |SELECT CAST(est_jaccard * 16 AS INT) AS est_bucket,
+              |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              |  CAST(SUM(CASE WHEN jac >= 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_ge_025,
+              |  ROUND(CAST(SUM(CAST(ROUND(abs(est_jaccard - jac), 12) AS DECIMAL(38,15))) AS DOUBLE), 6) AS sum_abs_err
+              |FROM j GROUP BY 1 ORDER BY est_bucket""".stripMargin)),
   )
 }

@@ -1190,6 +1190,23 @@ class OpsSpec extends AnyFunSuite {
     assert(again == drawn.map(_.getAs[Long]("doc_id")).sorted.toSeq)
   }
 
+  test("lsh calibration: buckets start at k/bands, exact dups land in the top bucket") {
+    val cal = Dedup.lshCalibration(docs, "doc_id", "text", k = 16, bands = 4)
+      .collect().map(r => r.getAs[Int]("est_bucket") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_exact_ge_025"),
+          r.getAs[Double]("sum_abs_err")))).toMap
+    // a band collision implies >= 4 of 16 matching seeds
+    assert(cal.keySet.forall(_ >= 4))
+    // docs 1/2 are exact duplicates: est 16/16, exact jaccard 1 → zero error
+    assert(cal.contains(16) && cal(16)._1 >= 1L && cal(16)._2 >= 1L)
+    // bucket totals cover exactly the candidate set
+    val nCand = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 16, bands = 4, threshold = 0.0).count()
+    assert(cal.values.map(_._1).sum == nCand)
+    // error mass is bounded: |est - exact| <= 1 per pair
+    cal.foreach { case (_, (n, _, errSum)) => assert(errSum >= 0.0 && errSum <= n) }
+  }
+
   test("leakage-safe split: duplicate families move as a unit, singletons keep own hash") {
     val d = (1L to 40L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
     // two families: {1,2,3} (via a chain) and {10,11}
