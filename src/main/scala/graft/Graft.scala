@@ -460,6 +460,11 @@ final class Graft(val spark: SparkSession, stateDir: String) {
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     graft.ops.TextAnalysis.curationFunnel(docs, bench, idCol, textCol)
 
+  /** Per-group funnel: one survival row per `keyCol` value. */
+  def curationFunnelBy(docs: DataFrame, bench: DataFrame, keyCol: String,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.ops.TextAnalysis.curationFunnelBy(docs, bench, keyCol, idCol, textCol)
+
   /** Hybrid lexical+dense retrieval: BM25 ∪ cosine top-k fused by
     * reciprocal rank.
     */

@@ -679,27 +679,47 @@ object TextAnalysis {
     */
   def curationFunnel(docs: DataFrame, bench: DataFrame,
                      idCol: String = "doc_id", textCol: String = "text",
-                     n: Int = 3, minHits: Int = 4): DataFrame = {
+                     n: Int = 3, minHits: Int = 4): DataFrame =
+    funnelFlags(docs, bench, idCol, textCol, n, minHits)
+      .agg(funnelAggs.head, funnelAggs.tail: _*)
+
+  /** Per-group [[curationFunnel]]: one funnel row per `keyCol` value
+    * (per-source / per-domain survival — the table a curation
+    * dashboard shows). Exact-dup groups and decontamination still
+    * evaluate over the WHOLE corpus, so a cross-source duplicate
+    * counts as a duplicate in the loser's source row.
+    */
+  def curationFunnelBy(docs: DataFrame, bench: DataFrame, keyCol: String,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       n: Int = 3, minHits: Int = 4): DataFrame =
+    funnelFlags(docs, bench, idCol, textCol, n, minHits)
+      .groupBy(col(keyCol))
+      .agg(funnelAggs.head, funnelAggs.tail: _*)
+
+  private def funnelFlags(docs: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int, minHits: Int): DataFrame = {
     val flagged = Decontaminate.overlap(
       gopherFilter(docs, textCol), bench, idCol, textCol, n, minHits)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col(textCol)))
     val canon = col("keep") &&
       col(idCol) === min(when(col("keep"), col(idCol))).over(w)
-    val clean = canon && !col("contaminated")
-    flagged.withColumn("_canon", canon).withColumn("_clean", clean)
-      .agg(
-        count(lit(1)).as("n_input"),
-        sum(col("n_tokens")).cast("long").as("tokens_input"),
-        sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_quality"),
-        sum(when(col("keep"), col("n_tokens")).otherwise(0L)).cast("long")
-          .as("tokens_quality"),
-        sum(when(col("_canon"), 1L).otherwise(0L)).cast("long").as("n_dedup"),
-        sum(when(col("_canon"), col("n_tokens")).otherwise(0L)).cast("long")
-          .as("tokens_dedup"),
-        sum(when(col("_clean"), 1L).otherwise(0L)).cast("long").as("n_clean"),
-        sum(when(col("_clean"), col("n_tokens")).otherwise(0L)).cast("long")
-          .as("tokens_clean"))
+    flagged.withColumn("_canon", canon)
+      .withColumn("_clean", canon && !col("contaminated"))
   }
+
+  private def funnelAggs: Seq[Column] = Seq(
+    count(lit(1)).as("n_input"),
+    sum(col("n_tokens")).cast("long").as("tokens_input"),
+    sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_quality"),
+    sum(when(col("keep"), col("n_tokens")).otherwise(0L)).cast("long")
+      .as("tokens_quality"),
+    sum(when(col("_canon"), 1L).otherwise(0L)).cast("long").as("n_dedup"),
+    sum(when(col("_canon"), col("n_tokens")).otherwise(0L)).cast("long")
+      .as("tokens_dedup"),
+    sum(when(col("_clean"), 1L).otherwise(0L)).cast("long").as("n_clean"),
+    sum(when(col("_clean"), col("n_tokens")).otherwise(0L)).cast("long")
+      .as("tokens_clean"))
 
   /** Convenience: annotate a corpus with the full analysis bundle
     * (fused kernel for the stats, LangIdExpr for the language).

@@ -1781,6 +1781,57 @@ object OpsQueries {
               |  CAST(SUM(CASE WHEN is_canon AND COALESCE(h.nh, 0) < 4 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_clean
               |FROM canon LEFT JOIN hits h USING (doc_id)""".stripMargin)),
 
+    // per-source curation funnel: the same one-pass flags, one row per
+    // source (dup groups / contamination still corpus-global)
+    Q("report_funnel_by_source",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val docs = s.table("documents")
+        TextAnalysis.curationFunnelBy(
+            docs.where(col("source") =!= "src0"),
+            docs.where(col("source") === "src0"), "source")
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, text, source, $oracleToks AS toks FROM documents WHERE source <> 'src0'),
+              |rr AS (SELECT doc_id, toks, len(toks) AS n,
+              |  CASE WHEN len(toks) >= 2 THEN [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)] ELSE [] END AS g2
+              |  FROM t),
+              |mm AS (SELECT doc_id,
+              |  (n >= 50 AND n <= 100000
+              |   AND CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / n >= 3.0
+              |   AND CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / n <= 10.0
+              |   AND CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / n >= 0.8
+              |   AND len(list_intersect(list_distinct(toks), ['the','a','of','and','to','in','is','that','it','for'])) >= 2
+              |   AND (len(g2) = 0 OR CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) <= 0.2)
+              |   AND CAST(list_max([len(list_filter(toks, x -> x = y)) for y in list_distinct(toks)]) AS DOUBLE) / n <= 0.3) AS keep
+              |  FROM rr WHERE n > 0),
+              |f AS (
+              |  SELECT t.doc_id, t.text, t.source, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+              |         COALESCE(mm.keep, FALSE) AS keep
+              |  FROM t LEFT JOIN mm USING (doc_id)),
+              |canon AS (
+              |  SELECT doc_id, source, n_tokens, keep,
+              |         (keep AND doc_id = MIN(CASE WHEN keep THEN doc_id END)
+              |            OVER (PARTITION BY md5(text))) AS is_canon
+              |  FROM f),
+              |bt AS (SELECT doc_id, $oracleToks AS toks FROM documents WHERE source = 'src0'),
+              |bg AS (SELECT DISTINCT unnest($oracleShingles) AS gram FROM bt),
+              |dg AS (SELECT doc_id, unnest($oracleShingles) AS gram FROM t),
+              |hits AS (
+              |  SELECT doc_id, COUNT(*) AS nh FROM dg JOIN bg USING (gram) GROUP BY doc_id)
+              |SELECT source,
+              |  CAST(COUNT(*) AS BIGINT) AS n_input,
+              |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_input,
+              |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+              |  CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_quality,
+              |  CAST(SUM(CASE WHEN is_canon THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+              |  CAST(SUM(CASE WHEN is_canon THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_dedup,
+              |  CAST(SUM(CASE WHEN is_canon AND COALESCE(h.nh, 0) < 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+              |  CAST(SUM(CASE WHEN is_canon AND COALESCE(h.nh, 0) < 4 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_clean
+              |FROM canon LEFT JOIN hits h USING (doc_id)
+              |GROUP BY source ORDER BY source""".stripMargin)),
+
     // LSH calibration: estimate-vs-exact Jaccard per estimate bucket
     // over the candidate pairs — the bands/threshold-selection report
     Q("report_lsh_calibration",

@@ -1268,5 +1268,17 @@ class OpsSpec extends AnyFunSuite {
     assert(g("n_quality") == 5L) // doc 4 failed quality
     assert(g("n_dedup") == 4L)   // doc 2 was the exact dup
     assert(g("n_clean") == 3L)   // doc 5 was contaminated
+
+    // per-source form partitions the same flags: rows sum to the global
+    val bySrc = TextAnalysis.curationFunnelBy(
+      corpus.withColumn("source", when(col("doc_id") <= 3L, "sA").otherwise("sB")),
+      bench, "source").collect()
+    assert(bySrc.length == 2)
+    Seq("n_input", "tokens_input", "n_quality", "n_dedup", "n_clean").foreach { c =>
+      assert(bySrc.map(_.getAs[Long](c)).sum == g(c), s"column $c")
+    }
+    // the exact-dup loss lands in the source that held the dup (doc 2 ∈ sA)
+    val sA = bySrc.find(_.getAs[String]("source") == "sA").get
+    assert(sA.getAs[Long]("n_quality") - sA.getAs[Long]("n_dedup") == 1L)
   }
 }
