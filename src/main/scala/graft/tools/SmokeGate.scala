@@ -17,9 +17,14 @@ object SmokeGate {
     val only = args.lift(1).map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // shuffle partitions default to the core count (the local-mode
+    // convention everywhere in this repo) but are overridable: at the
+    // synthetic 100× scale a 32-partition shuffle of a 10⁸-pair stream
+    // spills, which a real cluster (partitions ∝ executors) never sees
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
