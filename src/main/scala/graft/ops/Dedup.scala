@@ -319,7 +319,10 @@ object Dedup {
       .join(sizes.select(col("_id").as("id_b"), col("_sz").as("_szb")), "id_b")
       .withColumn("_i", coalesce(col("_inter"), lit(0L)).cast("double"))
       .withColumn("_j", col("_i") / (col("_sza") + col("_szb") - col("_i")))
-      .groupBy((col("est_jaccard") * k).cast("int").as("est_bucket"))
+      // round before the cast: est·k is mathematically integral but the
+      // double m/k·k can sit one ulp below the integer for non-power-of-2
+      // k, where a bare cast truncates into the wrong bucket
+      .groupBy(round(col("est_jaccard") * k).cast("int").as("est_bucket"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("_j") >= 0.25, 1L).otherwise(0L)).cast("long").as("n_exact_ge_025"),
         round(sum(round(abs(col("est_jaccard") - col("_j")), 12)

@@ -80,9 +80,12 @@ object Retrieval {
     val qs = terms.map(_.toLowerCase).distinct
     require(qs.nonEmpty, "bm25Model needs at least one query term")
     val termArr = array(qs.map(lit): _*)
+    // pinned like bm25Scores' base: stats and the df aggregate are two
+    // consumers — without the pin each re-runs the corpus tokenize
     val base = docs.select(TextAnalysis.tokens(col(textCol)).as("_toks"))
       .select(size(col("_toks")).cast("double").as("doclen"),
         array_distinct(filter(col("_toks"), t => array_contains(termArr, t))).as("_qterms"))
+      .localCheckpoint()
     val stats = base.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("doclen")).as("avgdl"))
     base.select(explode(col("_qterms")).as("term"))
@@ -109,13 +112,17 @@ object Retrieval {
   def scoreWithBm25Model(docs: DataFrame, model: DataFrame,
                          textCol: String = "text",
                          k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
     docs.crossJoin(broadcast(model))
-      .withColumn("_doclen", size(toks).cast("double"))
+      // materialize the token array ONCE per row: inlining the tokens()
+      // expression would re-tokenize inside every per-term filter lambda
+      // (T+1 tokenizations per row — subexpression elimination does not
+      // reach into HOF lambda bodies)
+      .withColumn("_toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn("_doclen", size(col("_toks")).cast("double"))
       .withColumn("_score",
         aggregate(zip_with(col("bm_terms"), col("bm_dfs"), (t, d) => struct(t.as("t"), d.as("d"))),
           lit(0.0d), (acc, e) => {
-            val tf = size(filter(toks, x => x === e("t"))).cast("double")
+            val tf = size(filter(col("_toks"), x => x === e("t"))).cast("double")
             acc + when(tf > 0,
               log((col("n_docs") - e("d") + lit(0.5)) / (e("d") + lit(0.5)) + lit(1.0))
                 * tf * lit(k1 + 1.0)
@@ -123,7 +130,7 @@ object Retrieval {
               .otherwise(lit(0.0d))
           }))
       .withColumn("matched", col("_score") > 0.0)
-      .drop("bm_terms", "bm_dfs", "n_docs", "avgdl", "_doclen")
+      .drop("bm_terms", "bm_dfs", "n_docs", "avgdl", "_toks", "_doclen")
   }
 
   /** (id, cosine) of every corpus vector against the single query
@@ -139,10 +146,14 @@ object Retrieval {
     val q = queryVec.select(col(vecCol).as("_qv")).limit(1)
       .agg(first(col("_qv")).as("_qv"))
       .withColumn("_qn", Similarity.norm(col("_qv")))
+    // zero-norm guard: 0/0 would be NaN, and NaN sorts ABOVE every real
+    // score in a descending order — a zero (empty/OOV) embedding would
+    // hijack rank 1. NULL instead: desc ordering puts nulls last.
+    val denom = Similarity.norm(col(vecCol)) * col("_qn")
     emb.crossJoin(broadcast(q))
       .select(col(idCol).as("id"),
-        (Similarity.dot(col(vecCol), col("_qv"))
-          / (Similarity.norm(col(vecCol)) * col("_qn"))).as("cosine"))
+        when(denom > 0.0, Similarity.dot(col(vecCol), col("_qv")) / denom)
+          .as("cosine"))
   }
 
   /** Reciprocal-rank-fusion hybrid top-k: BM25 top-k ∪ cosine top-k,

@@ -95,11 +95,13 @@ object Sampling {
                            splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1),
                            restLabel: String = "test",
                            splitCol: String = "split"): DataFrame = {
+    // internal alias for the component label: a bare "cluster" would
+    // collide (ambiguous reference) with any same-named input column
     val comp = Components.connectedComponents(pairs, aCol, bCol)
-      .withColumnRenamed("node", idCol)
+      .select(col("node").as(idCol), col("cluster").as("_sabc_lbl"))
     val clustered = df.join(comp, Seq(idCol), "left")
-      .withColumn("cluster_id", coalesce(col("cluster"), col(idCol)))
-      .drop("cluster")
+      .withColumn("cluster_id", coalesce(col("_sabc_lbl"), col(idCol)))
+      .drop("_sabc_lbl")
     splitAssign(clustered, "cluster_id", splits, restLabel, splitCol)
   }
 

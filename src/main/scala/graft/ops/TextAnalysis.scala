@@ -680,7 +680,7 @@ object TextAnalysis {
   def curationFunnel(docs: DataFrame, bench: DataFrame,
                      idCol: String = "doc_id", textCol: String = "text",
                      n: Int = 3, minHits: Int = 4): DataFrame =
-    funnelFlags(docs, bench, idCol, textCol, n, minHits)
+    funnelFlags(docs, bench, idCol, textCol, n, minHits, Nil)
       .agg(funnelAggs.head, funnelAggs.tail: _*)
 
   /** Per-group [[curationFunnel]]: one funnel row per `keyCol` value
@@ -692,19 +692,27 @@ object TextAnalysis {
   def curationFunnelBy(docs: DataFrame, bench: DataFrame, keyCol: String,
                        idCol: String = "doc_id", textCol: String = "text",
                        n: Int = 3, minHits: Int = 4): DataFrame =
-    funnelFlags(docs, bench, idCol, textCol, n, minHits)
+    funnelFlags(docs, bench, idCol, textCol, n, minHits, Seq(keyCol))
       .groupBy(col(keyCol))
       .agg(funnelAggs.head, funnelAggs.tail: _*)
 
   private def funnelFlags(docs: DataFrame, bench: DataFrame,
                           idCol: String, textCol: String,
-                          n: Int, minHits: Int): DataFrame = {
+                          n: Int, minHits: Int,
+                          extraCols: Seq[String]): DataFrame = {
     val flagged = Decontaminate.overlap(
       gopherFilter(docs, textCol), bench, idCol, textCol, n, minHits)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col(textCol)))
+    // project to the digest + the handful of flag columns BEFORE the
+    // window: partitioning on an inline md5(text) would drag the raw
+    // text (and every gopher annotation) through the exchange, where
+    // the aggregate only needs these few narrow columns
+    val narrow = flagged.select(
+      (Seq(col(idCol), md5(col(textCol)).as("_fp"), col("n_tokens"),
+        col("keep"), col("contaminated")) ++ extraCols.map(col)): _*)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_fp"))
     val canon = col("keep") &&
       col(idCol) === min(when(col("keep"), col(idCol))).over(w)
-    flagged.withColumn("_canon", canon)
+    narrow.withColumn("_canon", canon)
       .withColumn("_clean", canon && !col("contaminated"))
   }
 

@@ -1857,7 +1857,7 @@ object OpsQueries {
               |  LEFT JOIN iv USING (id_a, id_b)
               |  JOIN sz sa ON sa.doc_id = e.id_a
               |  JOIN sz sb ON sb.doc_id = e.id_b)
-              |SELECT CAST(est_jaccard * 16 AS INT) AS est_bucket,
+              |SELECT CAST(ROUND(est_jaccard * 16) AS INT) AS est_bucket,
               |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
               |  CAST(SUM(CASE WHEN jac >= 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_ge_025,
               |  ROUND(CAST(SUM(CAST(ROUND(abs(est_jaccard - jac), 12) AS DECIMAL(38,15))) AS DOUBLE), 6) AS sum_abs_err

@@ -61,6 +61,17 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("zero-norm embedding scores null cosine and never enters the dense top-k") {
+    val embZ = emb.union(Seq((9L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val cs = Retrieval.cosineScores(embZ, "vec_id", "embedding", embZ.where($"vec_id" === 1))
+      .collect().map(r => r.getAs[Long]("id") -> Option(r.get(1))).toMap
+    assert(cs(9L).isEmpty) // null, not NaN — NaN would sort above rank 1
+    val res = Retrieval.hybridTopK(docs, embZ, Seq("spark"),
+      embZ.where($"vec_id" === 1), k = 3).collect()
+    assert(!res.exists(_.getAs[Long]("id") == 9L))
+    assert(res.head.getAs[Long]("id") == 1L) // the true best still wins
+  }
+
   test("bm25 model scoring: matches the postings form, annotates non-matches") {
     val model = Retrieval.bm25Model(docs, "doc_id", "text", Seq("spark", "query"))
     val scored = Retrieval.scoreWithBm25Model(docs, model)

@@ -32,4 +32,4 @@ for q, t1, t2, t3 in rows:
           f"{t2/t1 if t1>0 else 0:.1f}x | {t3/t2 if t2>0 else 0:.1f}x |")
 s1, s2, s3 = (sum(r[i] for r in rows) for i in (1, 2, 3))
 print(f"| **total ({len(rows)} queries)** | **{s1:.2f}** | **{s2:.2f}** | "
-      f"**{s3:.2f}** | **{s2/s1:.1f}x** | **{s3/s2:.1f}x** |")
+      f"**{s3:.2f}** | **{s2/s1 if s1 > 0 else 0:.1f}x** | **{s3/s2 if s2 > 0 else 0:.1f}x** |")
