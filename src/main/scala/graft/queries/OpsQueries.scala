@@ -1241,9 +1241,12 @@ object OpsQueries {
               |  COALESCE(SUM(n_tokens) OVER (
               |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id
               |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb FROM d)
-              |SELECT doc_id, n_tokens, cumb // 512 AS seq_id, cumb % 512 AS seq_offset,
-              |  CASE WHEN n_tokens <= 0 THEN 0
-              |       ELSE ((cumb + n_tokens - 1) // 512) - (cumb // 512) + 1 END AS n_seqs
+              |SELECT doc_id, n_tokens,
+              |  CAST(cumb // 512 AS BIGINT) AS seq_id,
+              |  CAST(cumb % 512 AS BIGINT) AS seq_offset,
+              |  CAST(CASE WHEN n_tokens <= 0 THEN 0
+              |       ELSE ((cumb + n_tokens - 1) // 512) - (cumb // 512) + 1 END
+              |    AS BIGINT) AS n_seqs
               |FROM c ORDER BY doc_id""".stripMargin)),
 
     // disjoint deterministic train/val/test assignment — pure
