@@ -59,19 +59,23 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
-    // quiet shutdown, then emit the JSON exactly ONCE on stdout, plus
-    // a file copy. A second stderr print looked like belt-and-braces
-    // but it is what truncated the driver's tail capture (two ~2 KB
-    // lines racing into one interleaved tail) — single-stream output
-    // is what parses.
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
+    // the driver's log capture keeps only the TAIL of stdout; at 122
+    // queries the full per-query map (~3 KB) gets truncated from the
+    // front and fails to parse. So: full map → bench_out.json, and the
+    // LAST stdout line is a short (<500 B) summary that always survives
+    // a tail capture — the 10 slowest queries inline, the rest in the
+    // file.
+    val slow = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val summary = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"agg":"min","n_queries":${results.size},"queries":$slow,"queries_file":"bench_out.json","sf":"$sfDir"}"""
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
-    println(line)
+    println(summary)
     System.out.flush()
   }
 }
