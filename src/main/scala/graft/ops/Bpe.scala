@@ -37,20 +37,54 @@ object Bpe {
       array_join(filter(split(w, ""), c => length(c) > 0), "  "),
       lit("  "))
 
-  /** Corpus word-frequency table: (w, freq) — the single corpus scan. */
-  def wordCounts(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+  /** Corpus word-frequency table: (w, freq) — the single corpus scan.
+    * The cheap doc rows spread across the cores BEFORE the tokenize +
+    * explode (a single-file corpus is one input partition, which
+    * would serialize the heaviest map work; at scale the shuffle
+    * moves doc rows, never token rows).
+    */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame = {
+    val spread = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(spread, col(textCol))
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
+  }
 
   /** Train `numMerges` BPE merges; returns (merge_rank, lhs, rhs,
     * merged, pair_count) ordered by rank. Stops early when no pair
     * reaches `minPairCount`.
+    *
+    * Job economy (round 9): one pair-count aggregate can safely
+    * commit SEVERAL sequential merges when the greedy order is
+    * provable from the collected top-K alone. After accepting the
+    * argmax p1=(a1,b1), the next candidate p2 (in (count desc, a, b)
+    * order) is still the true round-2 argmax iff (i) its symbols are
+    * disjoint from every accepted pair's — so its own count is
+    * untouched — and (ii) no pair that could FEED a new pair past c2
+    * exists: every post-merge pair (x,a1b1) / (a1b1,y) occurrence
+    * needs a pre-merge (x,a1) / (b1,y) adjacency, so its count is
+    * bounded by that feeder's pre-merge count. All feeders with
+    * count >= c2 are visible in the sorted top-K (a truncated list —
+    * K-th count >= c2 — is treated as unsafe), so "no visible feeder
+    * of any accepted pair with count >= c2" makes the batch EXACTLY
+    * the sequential greedy prefix. Typical corpora batch 2–4 merges
+    * per aggregate; adversarial ones (every top pair chained) fall
+    * back to one merge per job, never to a wrong order.
+    *
+    * The per-round pin is a LAZY localCheckpoint: the next round's
+    * aggregate materializes it inside its own job (no standalone
+    * materialization job per round — the single-consumer chain has
+    * none of the multi-branch race that forces the eager pin in the
+    * text scorers), and lineage still stays flat across rounds so a
+    * production-length merge loop cannot accrete a thousand-replace
+    * plan.
     */
   def trainMerges(df: DataFrame, textCol: String, numMerges: Int,
                   minPairCount: Long = 2L): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
     val spark = df.sparkSession
     import spark.implicits._
+    val topK = 64
     var cur = wordCounts(df, textCol)
       .select(col("freq"), symInit(col("w")).as("s"))
       .localCheckpoint(true)
@@ -68,16 +102,38 @@ object Bpe {
         .agg(sum("freq").as("c"))
         .where(col("c") >= minPairCount)
         .orderBy(desc("c"), col("a"), col("b"))
-        .limit(1)
+        .limit(topK)
         .collect()
       if (top.isEmpty) exhausted = true
       else {
-        val (a, b, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
-        merges += ((r.toLong, a, b, a + b, c))
-        cur = cur
-          .withColumn("s", replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")))
-          .localCheckpoint(true)
-        r += 1
+        val cand = top.map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+        val truncated = cand.length == topK
+        val accepted = scala.collection.mutable.ArrayBuffer(cand.head)
+        var i = 1
+        var safeRun = true
+        while (safeRun && i < cand.length && r + accepted.size < numMerges) {
+          val (ai, bi, ci) = cand(i)
+          // unseen pairs all have count <= the K-th listed count; if
+          // that could reach ci an invisible feeder may exist
+          val visible = !(truncated && cand.last._3 >= ci)
+          val disjoint = accepted.forall { case (aj, bj, _) =>
+            ai != aj && ai != bj && bi != aj && bi != bj }
+          val noBigFeeder = !cand.exists { case (qa, qb, qc) =>
+            qc >= ci && accepted.exists { case (aj, bj, _) =>
+              qa == bj || qb == aj } }
+          if (visible && disjoint && noBigFeeder) { accepted += cand(i); i += 1 }
+          else safeRun = false // greedy order beyond here is unprovable this round
+        }
+        if (sys.env.contains("GRAFT_BPE_DEBUG"))
+          System.err.println(s"[bpe] round=$r batch=${accepted.size} cand=${cand.length}")
+        accepted.foreach { case (a, b, c) =>
+          merges += ((r.toLong, a, b, a + b, c)); r += 1
+        }
+        // disjoint symbols → the replaces commute; chain them in one
+        // map-side projection and re-pin lazily
+        cur = accepted.foldLeft(cur) { case (d, (a, b, _)) =>
+          d.withColumn("s", replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")))
+        }.localCheckpoint()
       }
     }
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
