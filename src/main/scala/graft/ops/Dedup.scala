@@ -174,14 +174,22 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         posexplode(graft.functions.TextExpressions.shingle_hashes(col(textCol), n))
           .as(Seq("gpos", "gh")))
-      // the dup-set branch and the position probe both consume this;
-      // one materialization instead of two explode scans (see
-      // TextAnalysis.tfIdfTopTerms for the recompute lesson)
-      .localCheckpoint(true)
-    val dupCond =
-      if (crossDocOnly) countDistinct(col("doc_id")) >= 2 else count(lit(1)) >= 2
-    val dup = grams.groupBy("gh").agg(dupCond.as("_d")).where(col("_d")).select("gh")
-    val hits = grams.join(dup, "gh").select("doc_id", "gpos")
+    // duplicated-gram detection rides as window aggregates on the ONE
+    // gh shuffle the position probe pays anyway (round 9): cross-doc
+    // duplication is min(doc_id)≠max(doc_id) over the gram's
+    // partition (a windowed countDistinct, which Spark lacks, is not
+    // needed for a ≥2 test), within-doc is a plain windowed count.
+    // This replaces the previous groupBy(gh)+equi-join — one exchange
+    // of full gram rows instead of a partial-agg exchange PLUS a join
+    // probe exchange — and with a single consumer the gram table no
+    // longer needs its eager checkpoint. Hot-gram skew buffers one
+    // window partition; Spark's window buffer spills, same as the
+    // join reducer it replaces.
+    val wgh = Window.partitionBy("gh")
+    val isDup =
+      if (crossDocOnly) min(col("doc_id")).over(wgh) =!= max(col("doc_id")).over(wgh)
+      else count(lit(1)).over(wgh) >= 2
+    val hits = grams.withColumn("_d", isDup).where(col("_d")).select("doc_id", "gpos")
     val w = Window.partitionBy("doc_id").orderBy("gpos")
     // covers [gpos, gpos+n-1]; merge marks that overlap or touch
     val prev = lag(col("gpos"), 1).over(w)
