@@ -134,9 +134,15 @@ object Retrieval {
   }
 
   /** (id, cosine) of every corpus vector against the single query
-    * vector in `queryVec` (first row of its `vecCol`) — a map-side
-    * scan with a one-row broadcast, ending wherever the caller's
-    * ORDER BY/LIMIT puts it.
+    * vector in `queryVec` — a map-side scan with a one-row broadcast,
+    * ending wherever the caller's ORDER BY/LIMIT puts it.
+    *
+    * CONTRACT: `queryVec` must hold exactly one row (pre-filter to
+    * one id, as every call site here does). A multi-row input is NOT
+    * detectable at plan time without an extra job, and the limit(1)
+    * that enforces the one-row shape would pick a partition-order-
+    * dependent row — so passing several rows is unspecified, not a
+    * deterministic "first".
     */
   def cosineScores(emb: DataFrame, idCol: String, vecCol: String,
                    queryVec: DataFrame): DataFrame = {

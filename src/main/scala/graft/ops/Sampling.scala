@@ -95,6 +95,12 @@ object Sampling {
                            splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1),
                            restLabel: String = "test",
                            splitCol: String = "split"): DataFrame = {
+    // the two output columns must not silently overwrite same-named
+    // input columns (the internal _sabc_lbl alias gets the same care)
+    require(!df.columns.contains("cluster_id"),
+      "splitAssignByCluster adds a 'cluster_id' column; the input already has one")
+    require(!df.columns.contains(splitCol),
+      s"splitAssignByCluster adds a '$splitCol' column; the input already has one")
     // internal alias for the component label: a bare "cluster" would
     // collide (ambiguous reference) with any same-named input column
     val comp = Components.connectedComponents(pairs, aCol, bCol)

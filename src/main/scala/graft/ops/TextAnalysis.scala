@@ -706,9 +706,15 @@ object TextAnalysis {
     // window: partitioning on an inline md5(text) would drag the raw
     // text (and every gopher annotation) through the exchange, where
     // the aggregate only needs these few narrow columns
+    // extraCols already in the narrow projection (a group key of
+    // idCol / n_tokens / keep / contaminated) must not be selected
+    // twice — the duplicate would fail downstream resolution with an
+    // ambiguous-column error
+    val base = Seq(idCol, "n_tokens", "keep", "contaminated")
     val narrow = flagged.select(
       (Seq(col(idCol), md5(col(textCol)).as("_fp"), col("n_tokens"),
-        col("keep"), col("contaminated")) ++ extraCols.map(col)): _*)
+        col("keep"), col("contaminated")) ++
+        extraCols.filterNot(base.contains).map(col)): _*)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_fp"))
     val canon = col("keep") &&
       col(idCol) === min(when(col("keep"), col(idCol))).over(w)

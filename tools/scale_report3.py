@@ -13,9 +13,17 @@ import json, sys, re
 def load_many(paths):
     out = {}
     for p in paths.split(","):
-        txt = open(p).read()
-        for m in re.finditer(r'\{"gate".*\}', txt):
-            q = json.loads(m.group(0))["queries"]
+        # parse line-by-line: a greedy cross-line regex would swallow
+        # trailing text after a JSON object and break json.loads; a
+        # malformed line skips quietly instead of killing the report
+        for line in open(p):
+            line = line.strip()
+            if not line.startswith('{"gate"'):
+                continue
+            try:
+                q = json.loads(line)["queries"]
+            except (json.JSONDecodeError, KeyError):
+                continue
             for k, v in q.items():
                 out[k] = min(out.get(k, 1e18), v)
     return out
