@@ -424,6 +424,20 @@ final class Graft(val spark: SparkSession, stateDir: String) {
                   tokensCol: String, target: Seq[(String, Double)]): DataFrame =
     graft.ops.Sampling.mixtureSample(df, idCol, keyCol, tokensCol, target)
 
+  /** Temperature-smoothed mixture plan: q_k ∝ p_k^α (α<1 upweights
+    * tail sources) with per-key take/rate for a token budget.
+    */
+  def mixtureTemperature(df: DataFrame, keyCol: String, tokensCol: String,
+                         alpha: Double, totalTokens: Long): DataFrame =
+    graft.ops.Sampling.mixtureTemperature(df, keyCol, tokensCol, alpha, totalTokens)
+
+  /** Quality-aware canonical selection over a near-dup pair set:
+    * per duplicate cluster keep the (scoreCol DESC, id ASC) best row.
+    */
+  def dedupCanonicalByScore(df: DataFrame, idCol: String, scoreCol: String,
+                            pairs: DataFrame): DataFrame =
+    graft.ops.Dedup.canonicalByScore(df, idCol, scoreCol, pairs)
+
   /** Gopher-rule quality filter with per-rule audit booleans
     * (annotates — filter on `keep`).
     */
@@ -499,6 +513,13 @@ final class Graft(val spark: SparkSession, stateDir: String) {
   def bpeTrain(df: DataFrame, textCol: String = "text",
                merges: Int = 8, minPairCount: Long = 2L): DataFrame =
     graft.ops.Bpe.trainMerges(df, textCol, merges, minPairCount)
+
+  /** Tokenizer fertility report (subwords/word, chars/subword) per
+    * corpus slice under a trained merge list.
+    */
+  def bpeFertility(df: DataFrame, keyCol: String, textCol: String,
+                   mergeRules: Seq[(String, String)]): DataFrame =
+    graft.ops.Bpe.fertilityReport(df, keyCol, textCol, mergeRules)
 
   def bpeEncode(df: DataFrame, mergeRules: Seq[(String, String)],
                 textCol: String = "text"): DataFrame =

@@ -151,6 +151,39 @@ object Bpe {
   def encodeSubwords(text: Column, merges: Seq[(String, String)]): Column =
     graft.functions.TextExpressions.bpe_encode(text, merges)
 
+  /** Tokenizer fertility report: how well a trained merge list
+    * compresses each slice of the corpus — the standard tokenizer
+    * evaluation (fertility = subwords per word, Ács 2019; chars per
+    * subword as the compression ratio). Returns one row per `keyCol`
+    * value: (key, n_words, n_subwords, n_chars, fertility,
+    * chars_per_subword). High-fertility slices are the ones a
+    * vocabulary underserves (more sequence length per word of text).
+    *
+    * 100 TB design: the encode kernel is map-side (no shuffle); the
+    * report is one #keys-sized hash aggregate with map-side combine.
+    * Doc rows spread across cores before the encode — by id-ish text
+    * hash, NOT by the handful-of-values key column, which would
+    * serialize each slice into one task.
+    */
+  def fertilityReport(df: DataFrame, keyCol: String, textCol: String,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val spread = df.sparkSession.sparkContext.defaultParallelism
+    val subs = encodeSubwords(col(textCol), merges)
+    val words = TextAnalysis.tokens(col(textCol))
+    df.repartition(spread, col(textCol))
+      .select(col(keyCol),
+        size(words).cast("long").as("_w"),
+        size(subs).cast("long").as("_s"),
+        aggregate(subs, lit(0L), (acc, x) => acc + length(x)).as("_c"))
+      .groupBy(col(keyCol))
+      .agg(sum("_w").as("n_words"), sum("_s").as("n_subwords"),
+        sum("_c").as("n_chars"))
+      .withColumn("fertility",
+        round(col("n_subwords").cast("double") / col("n_words"), 6))
+      .withColumn("chars_per_subword",
+        round(col("n_chars").cast("double") / col("n_subwords"), 6))
+  }
+
   /** The declarative formulation encodeSubwords replaced — kept as the
     * parity reference for the property suite; semantics contract:
     * each merge is one leftmost non-overlapping `replace` on the

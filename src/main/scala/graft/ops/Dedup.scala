@@ -482,6 +482,38 @@ object Dedup {
       col(idCol) === col("_drop"), "left_anti")
   }
 
+  /** Quality-aware canonical selection: assign every row its
+    * duplicate cluster (connected components over the near-dup pair
+    * set; singletons cluster on their own id) and pick the cluster's
+    * representative by (scoreCol DESC, id ASC) — the keep-the-best
+    * policy (longest / highest-quality copy) production curation
+    * pipelines use instead of the arbitrary keep-min-id. Returns
+    * (id, score, cluster_id, canonical_id, is_canonical) for every
+    * input row; filter `is_canonical` for the deduplicated corpus.
+    *
+    * 100 TB design: [[Components.connectedComponents]] is O(log n)
+    * pointer-jumping join rounds over the edge set alone; the
+    * assignment join is a plain id equi-join (AQE broadcasts the
+    * component table when the duplicate set is small); the
+    * representative choice is one window whose partitions are
+    * duplicate clusters — bounded by cluster size, never corpus-wide.
+    */
+  def canonicalByScore(df: DataFrame, idCol: String, scoreCol: String,
+                       pairs: DataFrame, aCol: String = "id_a",
+                       bCol: String = "id_b"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = Components.connectedComponents(pairs, aCol, bCol)
+      .select(col("node").as(idCol), col("cluster").as("_cbs_lbl"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("score").desc, col(idCol))
+    df.select(col(idCol), col(scoreCol).as("score"))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("_cbs_lbl"), col(idCol)))
+      .drop("_cbs_lbl")
+      .withColumn("canonical_id", first(col(idCol)).over(w))
+      .withColumn("is_canonical", col(idCol) === col("canonical_id"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with k-means,
     * compare pairs only WITHIN a cluster, and drop the larger id of

@@ -290,6 +290,42 @@ object Sampling {
       .drop("rate")
   }
 
+  /** Temperature-smoothed mixture plan (the multilingual-LM sampling
+    * rule of Conneau & Lample 2019 §3.1 / mT5 §3.2): sample key k
+    * with probability q_k ∝ p_k^α where p_k is its share of available
+    * tokens — α<1 flattens the distribution toward the tail sources,
+    * α=1 is proportional. Since q_k = availₖ^α / Σ availⱼ^α, the
+    * normalizer needs no second pass. Returns per key:
+    * (key, n_tokens_avail, p_raw, q_temp, n_tokens_take, rate) for a
+    * `totalTokens` budget, rate capped at 1 (no upsampling here —
+    * q_temp states the TARGET; oversubscribed tails surface as
+    * rate=1 rows whose take exceeds avail so the caller can lower
+    * the budget or accept the shortfall).
+    *
+    * 100 TB design: one #keys-sized aggregate with map-side combine;
+    * the two totals attach as a broadcast 1-row table; doubles round
+    * to 6 dp so libm pow ulps cannot diverge across engines.
+    */
+  def mixtureTemperature(df: DataFrame, keyCol: String, tokensCol: String,
+                         alpha: Double, totalTokens: Long): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive: $alpha")
+    require(totalTokens >= 0, s"totalTokens must be >= 0: $totalTokens")
+    val avail = df.groupBy(col(keyCol))
+      .agg(sum(col(tokensCol)).cast("long").as("n_tokens_avail"))
+      .localCheckpoint()
+    val pa = pow(col("n_tokens_avail").cast("double"), lit(alpha))
+    val tots = avail.agg(sum(col("n_tokens_avail")).cast("double").as("_t"),
+      sum(pa).as("_ta"))
+    val qTemp = pa / col("_ta")
+    avail.crossJoin(broadcast(tots))
+      .select(col(keyCol), col("n_tokens_avail"),
+        round(col("n_tokens_avail") / col("_t"), 6).as("p_raw"),
+        round(qTemp, 6).as("q_temp"),
+        round(qTemp * totalTokens, 3).as("n_tokens_take"),
+        round(least(qTemp * totalTokens / col("n_tokens_avail").cast("double"),
+          lit(1.0)), 6).as("rate"))
+  }
+
   def capPerKey(df: DataFrame, keyCol: String, idCol: String,
                 maxPerKey: Int, saltBuckets: Int = 16): DataFrame = {
     require(maxPerKey > 0, s"maxPerKey must be positive: $maxPerKey")

@@ -1325,6 +1325,84 @@ object OpsQueries {
               |      < CAST(floor(r.rate * 1152921504606846976) AS BIGINT)
               |ORDER BY d.doc_id""".stripMargin)),
 
+    // temperature-smoothed mixture plan (q_k ∝ p_k^α, the
+    // multilingual-LM sampling rule) for a 20k-token budget at α=0.5
+    Q("sample_mixture_temperature",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val d = s.table("documents")
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        graft.ops.Sampling.mixtureTemperature(d, "source", "n_tokens",
+            alpha = 0.5, totalTokens = 20000L)
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH d AS (SELECT source,
+              |  CAST(len($oracleToks) AS BIGINT) AS n_tokens FROM documents),
+              |a AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_avail
+              |      FROM d GROUP BY source),
+              |t AS (SELECT CAST(SUM(n_tokens_avail) AS DOUBLE) AS tt,
+              |             SUM(POWER(CAST(n_tokens_avail AS DOUBLE), 0.5)) AS ta FROM a)
+              |SELECT a.source, a.n_tokens_avail,
+              |  ROUND(a.n_tokens_avail / t.tt, 6) AS p_raw,
+              |  ROUND(POWER(CAST(a.n_tokens_avail AS DOUBLE), 0.5) / t.ta, 6) AS q_temp,
+              |  ROUND(POWER(CAST(a.n_tokens_avail AS DOUBLE), 0.5) / t.ta * 20000, 3) AS n_tokens_take,
+              |  ROUND(LEAST(POWER(CAST(a.n_tokens_avail AS DOUBLE), 0.5) / t.ta * 20000
+              |                / CAST(a.n_tokens_avail AS DOUBLE), 1.0), 6) AS rate
+              |FROM a CROSS JOIN t ORDER BY source""".stripMargin)),
+
+    // quality-aware canonical selection: keep the LONGEST copy of each
+    // near-dup cluster (score = token count), not the min-id one
+    Q("dedup_canonical_best",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val docs = s.table("documents")
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+            k = 16, bands = 4, n = 3, threshold = 0.25)
+        val scored = docs
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        Dedup.canonicalByScore(scored, "doc_id", "n_tokens", pairs)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $minhashOracleCtes,
+              |prs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.25),
+              |eg AS (SELECT id_a AS a, id_b AS b FROM prs UNION SELECT id_b, id_a FROM prs),
+              |walk(node, lbl) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT e.b, w.lbl FROM walk w JOIN eg e ON e.a = w.node),
+              |comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node),
+              |sc AS (SELECT doc_id, CAST(len($oracleToks) AS BIGINT) AS score FROM documents)
+              |SELECT sc.doc_id, sc.score, comp.cluster_id,
+              |  FIRST_VALUE(sc.doc_id) OVER (PARTITION BY comp.cluster_id
+              |    ORDER BY sc.score DESC, sc.doc_id) AS canonical_id,
+              |  sc.doc_id = FIRST_VALUE(sc.doc_id) OVER (PARTITION BY comp.cluster_id
+              |    ORDER BY sc.score DESC, sc.doc_id) AS is_canonical
+              |FROM sc JOIN comp USING (doc_id) ORDER BY sc.doc_id""".stripMargin)),
+
+    // tokenizer fertility: subwords/word + chars/subword per source
+    // under the corpus-trained 8-merge vocabulary
+    Q("text_bpe_fertility",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val docs = s.table("documents")
+        val merges = graft.ops.Bpe.trainMerges(docs, "text", numMerges = 8)
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.ops.Bpe.fertilityReport(docs, "source", "text", merges)
+          .orderBy(col("source"))
+      },
+      Some(bpeOracle(8, carryWord = true) +
+        s""",
+           |seg AS (SELECT w, len(string_split(trim(s), '  ')) AS n_sub FROM w8),
+           |tok AS (SELECT source, unnest(toks) AS w
+           |        FROM (SELECT source, $oracleToks AS toks FROM documents))
+           |SELECT tok.source, COUNT(*) AS n_words,
+           |  CAST(SUM(seg.n_sub) AS BIGINT) AS n_subwords,
+           |  CAST(SUM(len(tok.w)) AS BIGINT) AS n_chars,
+           |  ROUND(CAST(SUM(seg.n_sub) AS DOUBLE) / COUNT(*), 6) AS fertility,
+           |  ROUND(CAST(SUM(len(tok.w)) AS DOUBLE) / SUM(seg.n_sub), 6) AS chars_per_subword
+           |FROM tok JOIN seg USING (w) GROUP BY tok.source
+           |ORDER BY tok.source""".stripMargin)),
+
     // Gopher-rule document filter: length / mean-word-length / alpha /
     // stopword / repetition rules with per-rule booleans — one
     // map-side kernel pass, zero shuffle

@@ -1281,4 +1281,74 @@ class OpsSpec extends AnyFunSuite {
     val sA = bySrc.find(_.getAs[String]("source") == "sA").get
     assert(sA.getAs[Long]("n_quality") - sA.getAs[Long]("n_dedup") == 1L)
   }
+
+  test("mixture temperature: alpha=0.5 flattens toward the tail source") {
+    val d = Seq((1L, "A", 100L), (2L, "B", 400L)).toDF("doc_id", "source", "n_tokens")
+    val out = Sampling.mixtureTemperature(d, "source", "n_tokens",
+        alpha = 0.5, totalTokens = 300L)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // p = (0.2, 0.8); avail^0.5 = (10, 20) → q = (1/3, 2/3)
+    assert(out("A").getAs[Double]("p_raw") == 0.2)
+    assert(out("A").getAs[Double]("q_temp") == 0.333333)
+    assert(out("B").getAs[Double]("q_temp") == 0.666667)
+    // takes 100/200 of the 300 budget; A is fully consumed (rate 1)
+    assert(out("A").getAs[Double]("n_tokens_take") == 100.0)
+    assert(out("A").getAs[Double]("rate") == 1.0)
+    assert(out("B").getAs[Double]("rate") == 0.5)
+    // alpha=1 degenerates to proportional sampling
+    val prop = Sampling.mixtureTemperature(d, "source", "n_tokens", 1.0, 300L)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(prop("B").getAs[Double]("q_temp") == prop("B").getAs[Double]("p_raw"))
+  }
+
+  test("canonical by score keeps the best-scored row per cluster") {
+    val d = Seq((1L, 10L), (2L, 30L), (3L, 20L), (5L, 7L))
+      .toDF("doc_id", "n_tokens")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.canonicalByScore(d, "doc_id", "n_tokens", pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // cluster {1,2,3}: doc 2 has the top score → canonical for all three
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out(id).getAs[Long]("canonical_id") == 2L)
+      assert(out(id).getAs[Boolean]("is_canonical") == (id == 2L))
+    }
+    // unpaired rows are their own singleton cluster
+    assert(out(5L).getAs[Long]("cluster_id") == 5L &&
+      out(5L).getAs[Boolean]("is_canonical"))
+    // score ties break to the smaller id
+    val tied = Dedup.canonicalByScore(
+      Seq((7L, 5L), (8L, 5L)).toDF("doc_id", "n_tokens"), "doc_id", "n_tokens",
+      Seq((7L, 8L)).toDF("id_a", "id_b")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    assert(tied(7L) == 7L && tied(8L) == 7L)
+  }
+
+  test("fertility report: subwords per word under a merge list") {
+    val d = Seq((1L, "K", "ab ab c"), (2L, "K", "abc")).toDF("doc_id", "source", "text")
+    val out = Bpe.fertilityReport(d, "source", "text", Seq(("a", "b")))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // words: ab, ab, c, abc → subwords: [ab], [ab], [c], [ab, c]
+    assert(out("K").getAs[Long]("n_words") == 4L)
+    assert(out("K").getAs[Long]("n_subwords") == 5L)
+    assert(out("K").getAs[Long]("n_chars") == 8L)
+    assert(out("K").getAs[Double]("fertility") == 1.25)
+    assert(out("K").getAs[Double]("chars_per_subword") == 1.6)
+    // empty merge list: every character stands alone
+    val none = Bpe.fertilityReport(d, "source", "text", Nil).collect().head
+    assert(none.getAs[Long]("n_subwords") == none.getAs[Long]("n_chars"))
+  }
+
+  test("bpe encode: ill-formed merge lists fall back to replay semantics") {
+    // rank 0 references rank 1's output — the priority loop would
+    // merge (b,c) first and then (a,bc); the replay contract says
+    // rank 0 is a no-op because "bc" does not exist yet
+    val d = Seq((1L, "abc")).toDF("doc_id", "text")
+    val ill = Seq(("a", "bc"), ("b", "c"))
+    val got = d.select(Bpe.encodeSubwords(col("text"), ill).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(got == Seq("a", "bc"))
+    val decl = d.select(graft.ops.Bpe.encodeSubwordsDeclarative(col("text"), ill).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(got == decl)
+  }
 }
