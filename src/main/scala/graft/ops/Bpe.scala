@@ -116,8 +116,16 @@ object Bpe {
           // unseen pairs all have count <= the K-th listed count; if
           // that could reach ci an invisible feeder may exist
           val visible = !(truncated && cand.last._3 >= ci)
+          // disjoint also from each accepted pair's OUTPUT string: a
+          // merged "ab" can coincide with a pre-existing "ab" symbol
+          // (two merge paths can build the same string), and then a
+          // candidate mentioning that symbol would gain occurrences
+          // from the batch-mate's merge — its pre-batch count would
+          // no longer be its sequential count
           val disjoint = accepted.forall { case (aj, bj, _) =>
-            ai != aj && ai != bj && bi != aj && bi != bj }
+            val mj = aj + bj
+            ai != aj && ai != bj && bi != aj && bi != bj &&
+              ai != mj && bi != mj }
           val noBigFeeder = !cand.exists { case (qa, qb, qc) =>
             qc >= ci && accepted.exists { case (aj, bj, _) =>
               qa == bj || qb == aj } }
