@@ -413,6 +413,27 @@ final class Graft(val spark: SparkSession, stateDir: String) {
                     seqLen: Int, keyCols: Seq[String] = Nil): DataFrame =
     graft.ops.Sampling.packSequences(df, idCol, tokensCol, seqLen, keyCols)
 
+  /** Packing-efficiency report: fill rate + document fragmentation
+    * per candidate sequence length, off one shared prefix sum.
+    */
+  def packEfficiency(df: DataFrame, idCol: String, tokensCol: String,
+                     seqLens: Seq[Int], keyCols: Seq[String] = Nil): DataFrame =
+    graft.ops.Sampling.packEfficiencyReport(df, idCol, tokensCol, seqLens, keyCols)
+
+  /** Curriculum ordering: deterministic easiest-first training order
+    * (`curriculum_rank`) with NTILE-semantics `stage` buckets —
+    * ROW_NUMBER/NTILE semantics without a global sort.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, difficultyCol: String,
+                      stages: Int): DataFrame =
+    graft.ops.Sampling.curriculumOrder(df, idCol, difficultyCol, stages)
+
+  /** Classifier evaluation: per-decile reliability diagram +
+    * AUC/Brier/accuracy over `ops.Classifier.score` output.
+    */
+  def classifierCalibration(scored: DataFrame, buckets: Int = 10): DataFrame =
+    graft.ops.Classifier.evalReport(scored, buckets)
+
   /** Source-mixture planning (largest exact-proportion corpus with no
     * upsampling) and its deterministic Bernoulli draw.
     */

@@ -124,4 +124,58 @@ object Classifier {
       .select(col("doc_id"), col("y").as("label"),
         prob.as("prob"), (prob >= 0.5).as("pred"))
   }
+
+  /** Reliability-diagram + ranking-metric report over [[score]]'s
+    * output — the "is the quality filter calibrated, and does it
+    * rank?" evaluation run before a classifier gates a corpus. One
+    * row per probability bucket (`bucket`, `n`, `avg_prob`,
+    * `pos_rate`: a calibrated model has pos_rate ≈ avg_prob per
+    * bucket) with the corpus-level `auc` (tie-corrected Mann–Whitney
+    * rank sum), `brier` (mean squared probability error) and
+    * `accuracy` (@0.5) attached as constant columns.
+    *
+    * 100 TB design: AUC needs every row's rank but NOT a global sort
+    * — probabilities are 6-dp-rounded by [[score]], so ranks
+    * aggregate per DISTINCT probability (map-side combine to
+    * ≤10⁶+1 rows), average tie ranks come from a window over that
+    * small table, and the positive rank mass collapses to one row.
+    * The scored table is pinned once (localCheckpoint) so the three
+    * aggregate branches don't re-run the margin aggregate. Float
+    * parity: rank sums are exact multiples of ½ accumulated as
+    * DECIMAL(38,15); avg/brier contributions round to 12 dp first
+    * (the module rule); outputs at 6 dp. Requires both classes
+    * present (AUC is undefined otherwise).
+    */
+  def evalReport(scored: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val sc = scored.select(col("doc_id"), col("label").cast("double").as("y"),
+        col("prob").cast("double").as("prob"))
+      .localCheckpoint(true)
+    val perB = sc
+      .withColumn("bucket",
+        least(floor(col("prob") * buckets), lit(buckets - 1)).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec(round(col("prob"), 12))).cast("double") /
+          count(lit(1)), 6).as("avg_prob"),
+        round(sum(col("y")) / count(lit(1)), 6).as("pos_rate"))
+    val wr = Window.orderBy(col("prob"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = sc.groupBy("prob")
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+      .withColumn("cumb", coalesce(sum(col("cnt")).over(wr), lit(0L)))
+    val aucRow = ranked
+      .agg(sum(dec(col("pos") * (col("cumb") + (col("cnt") + 1) / lit(2.0))))
+          .cast("double").as("srp"),
+        sum(col("pos")).as("n1"), sum(col("cnt")).cast("double").as("nn"))
+      .select(round((col("srp") - col("n1") * (col("n1") + 1) / lit(2.0)) /
+        (col("n1") * (col("nn") - col("n1"))), 6).as("auc"))
+    val glRow = sc.agg(
+      round(sum(when((col("prob") >= 0.5) === (col("y") === 1.0), 1L)
+        .otherwise(0L)).cast("double") / count(lit(1)), 6).as("accuracy"),
+      round(sum(dec(round((col("prob") - col("y")) * (col("prob") - col("y")), 12)))
+        .cast("double") / count(lit(1)), 6).as("brier"))
+    perB.crossJoin(broadcast(aucRow)).crossJoin(broadcast(glRow))
+  }
 }

@@ -215,6 +215,53 @@ object Sampling {
       .drop("_cum_before")
   }
 
+  /** Packing-efficiency report: for each candidate sequence length,
+    * how well concat-and-split packing ([[packSequences]]) fills the
+    * training sequences and how much document fragmentation it causes
+    * — the two numbers a tokenize-and-pack job is tuned on (fill rate
+    * ↑ with longer sequences, but so does the share of documents cut
+    * across a boundary, which costs cross-document attention noise).
+    * One row per (key group ×) `seq_len`: `n_docs`, `n_tokens`,
+    * `n_seqs` (= ⌈tokens/len⌉ — only the final sequence is padded
+    * under concat-split), `fill_rate` (tokens / (n_seqs·len), 6 dp),
+    * `n_split_docs` (documents whose token span crosses a sequence
+    * boundary) and `split_rate` (6 dp).
+    *
+    * 100 TB design: ONE shared distributed prefix sum (the
+    * [[packSequences]] core) serves every candidate length — the
+    * per-length placement is pure map-side arithmetic on the same
+    * `_cum_before`, exploded |seqLens|× and collapsed by a single
+    * map-side-combined aggregate. Costing k candidate lengths is one
+    * corpus scan, not k.
+    */
+  def packEfficiencyReport(df: DataFrame, idCol: String, tokensCol: String,
+                           seqLens: Seq[Int], keyCols: Seq[String] = Nil): DataFrame = {
+    require(seqLens.nonEmpty, "seqLens must be non-empty")
+    require(seqLens.forall(_ > 0), s"seqLens must be positive: $seqLens")
+    require(seqLens.distinct.size == seqLens.size, s"duplicate seqLens: $seqLens")
+    val keyCs = keyCols.map(col)
+    val t = col(tokensCol).cast("long")
+    withCumBefore(df, idCol, tokensCol, keyCols)
+      .select(keyCs :+ col("_cum_before") :+ t.as("_t")
+        :+ explode(array(seqLens.map(l => lit(l.toLong)): _*)).as("seq_len"): _*)
+      .withColumn("_crosses",
+        (col("_t") > 0) &&
+          (expr("(_cum_before + _t - 1) div seq_len") > expr("_cum_before div seq_len")))
+      .groupBy(keyCs :+ col("seq_len"): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_t")).as("n_tokens"),
+        sum(when(col("_crosses"), 1L).otherwise(0L)).as("n_split_docs"))
+      .withColumn("n_seqs", expr("(n_tokens + seq_len - 1) div seq_len"))
+      .withColumn("fill_rate",
+        when(col("n_seqs") > 0,
+          round(col("n_tokens").cast("double") /
+            (col("n_seqs") * col("seq_len")).cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("split_rate",
+        round(col("n_split_docs").cast("double") / col("n_docs").cast("double"), 6))
+  }
+
   /** 60-bit numeric form of [[hashKey]] (both engines parse the same
     * 15 hex chars, so the value is engine-identical).
     */
@@ -324,6 +371,65 @@ object Sampling {
         round(qTemp * totalTokens, 3).as("n_tokens_take"),
         round(least(qTemp * totalTokens / col("n_tokens_avail").cast("double"),
           lit(1.0)), 6).as("rate"))
+  }
+
+  /** Curriculum ordering: a deterministic global training order that
+    * presents documents easiest-first (Bengio et al. 2009 curriculum
+    * learning; the short-to-long sequence schedules of
+    * Shortformer-style training), shuffled WITHIN a difficulty class
+    * by the id hash so each stage stays i.i.d. Emits
+    * `curriculum_rank` (1-based position in the (difficulty,
+    * id-hash, id) total order) and `stage` (1..`stages`, exact NTILE
+    * semantics: the first N mod k stages take one extra row).
+    *
+    * `difficultyCol` is expected to be a low-cardinality ordinal
+    * (token count, length bucket, perplexity decile …) — round or
+    * bucket continuous scores first; the offset table below is
+    * (#difficulties × 256)-sized.
+    *
+    * 100 TB design: a global ROW_NUMBER would sort the corpus in one
+    * task. This is the [[sampleTokenBudget]] two-level prefix sum
+    * keyed by difficulty first: per-(difficulty, 256 id-hash-prefix
+    * bucket) counts cumulate in a window over the tiny offset table,
+    * the within-bucket rank is a window bounded at ~1/256 of one
+    * difficulty class, the offset re-attaches via a broadcast
+    * equi-join, and the stage split needs only the broadcast 1-row
+    * corpus count — ROW_NUMBER/NTILE semantics with no global sort.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, difficultyCol: String,
+                      stages: Int): DataFrame = {
+    require(stages > 0, s"stages must be positive: $stages")
+    val clash = Seq("curriculum_rank", "stage").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has column(s): ${clash.mkString(", ")}")
+    import org.apache.spark.sql.expressions.Window
+    val withB = df
+      .withColumn("_h", hashKey(col(idCol)))
+      .withColumn("_b", substring(col("_h"), 1, 2))
+    val wOff = Window.orderBy(col(difficultyCol), col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withB.groupBy(col(difficultyCol), col("_b"))
+      .agg(count(lit(1)).as("_bc"))
+      .withColumn("_off", coalesce(sum(col("_bc")).over(wOff), lit(0L)))
+      .drop("_bc")
+    val wIn = Window.partitionBy(col(difficultyCol), col("_b"))
+      .orderBy(col("_h"), col(idCol))
+    val nRow = broadcast(df.agg(count(lit(1)).as("_n")))
+    withB.join(offs, Seq(difficultyCol, "_b"))
+      .withColumn("curriculum_rank",
+        col("_off") + row_number().over(wIn).cast("long"))
+      .crossJoin(nRow)
+      .withColumn("_base", expr(s"_n div $stages"))
+      .withColumn("_rem", expr(s"_n % $stages"))
+      .withColumn("_cut", col("_rem") * (col("_base") + 1))
+      // NTILE: ranks ≤ _cut fall in the first _rem (base+1)-sized
+      // stages; the rest split into base-sized stages. When N < k the
+      // otherwise-branch is never taken (its div-by-zero never runs).
+      .withColumn("stage",
+        when(col("curriculum_rank") <= col("_cut"),
+          expr("(curriculum_rank - 1) div (_base + 1) + 1"))
+          .otherwise(expr("_rem + (curriculum_rank - 1 - _cut) div _base + 1")))
+      .drop("_h", "_b", "_off", "_n", "_base", "_rem", "_cut")
   }
 
   def capPerKey(df: DataFrame, keyCol: String, idCol: String,

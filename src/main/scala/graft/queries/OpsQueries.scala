@@ -1201,6 +1201,47 @@ object OpsQueries {
               |       (ROUND(1 / (1 + exp(-marg)), 6) >= 0.5) AS pred
               |FROM mf ORDER BY doc_id""".stripMargin)),
 
+    // the evaluate half: reliability diagram (per-decile calibration)
+    // + AUC/Brier/accuracy over the trained model's scores — AUC via
+    // the tie-corrected rank sum aggregated per DISTINCT 6-dp
+    // probability, never a global sort
+    Q("quality_classifier_calibration",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val db = graft.ops.Classifier.featurize(
+          s.table("documents"), "doc_id", "text",
+          col("source") === "src0", LrDims)
+        val (w, bias) = graft.ops.Classifier.trainWeights(db, LrDims, LrSteps, LrRate)
+        val scored = graft.ops.Classifier.score(db, w, bias)
+        graft.ops.Classifier.evalReport(scored, buckets = 10).orderBy("bucket")
+      },
+      // sc is MATERIALIZED: DuckDB inlines plain CTEs per reference,
+      // and sc (referenced by perb/pr/gl) closes over the whole
+      // unrolled-GD chain — without the hint the oracle re-runs
+      // training once per reference
+      Some(s"""WITH ${logRegCtes(LrDims, LrSteps, LrRate)},
+              |sc AS MATERIALIZED (SELECT doc_id, y, ROUND(1 / (1 + exp(-marg)), 6) AS prob FROM mf),
+              |perb AS (SELECT CAST(LEAST(FLOOR(prob * 10), 9) AS BIGINT) AS bucket,
+              |    COUNT(*) AS n,
+              |    ROUND(CAST(SUM(CAST(ROUND(prob, 12) AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*), 6) AS avg_prob,
+              |    ROUND(SUM(y) / COUNT(*), 6) AS pos_rate
+              |  FROM sc GROUP BY 1),
+              |pr AS (SELECT prob, COUNT(*) AS cnt, SUM(y) AS pos FROM sc GROUP BY prob),
+              |rk AS (SELECT cnt, pos,
+              |    COALESCE(SUM(cnt) OVER (ORDER BY prob
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+              |  FROM pr),
+              |ax AS (SELECT
+              |    CAST(SUM(CAST(pos * (cumb + (cnt + 1) / 2.0) AS DECIMAL(38,15))) AS DOUBLE) AS srp,
+              |    SUM(pos) AS n1, CAST(SUM(cnt) AS DOUBLE) AS nn FROM rk),
+              |auct AS (SELECT ROUND((srp - n1 * (n1 + 1) / 2.0) / (n1 * (nn - n1)), 6) AS auc FROM ax),
+              |gl AS (SELECT
+              |    ROUND(SUM(CASE WHEN (prob >= 0.5) = (y = 1) THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS accuracy,
+              |    ROUND(CAST(SUM(CAST(ROUND((prob - y) * (prob - y), 12) AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*), 6) AS brier
+              |  FROM sc)
+              |SELECT bucket, CAST(n AS BIGINT) AS n, avg_prob, pos_rate, auc, brier, accuracy
+              |FROM perb CROSS JOIN auct CROSS JOIN gl ORDER BY bucket""".stripMargin)),
+
     // token-budget sampling: fill each source's budget in
     // deterministic hash order (distributed two-level prefix sum)
     Q("sample_token_budget",
@@ -1248,6 +1289,68 @@ object OpsQueries {
               |       ELSE ((cumb + n_tokens - 1) // 512) - (cumb // 512) + 1 END
               |    AS BIGINT) AS n_seqs
               |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // packing-efficiency report: fill rate + document fragmentation
+    // for three candidate sequence lengths off ONE shared prefix sum
+    // (per-length placement is map-side arithmetic on the same
+    // _cum_before)
+    Q("report_pack_efficiency",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val d = s.table("documents")
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        graft.ops.Sampling.packEfficiencyReport(d, "doc_id", "n_tokens",
+            seqLens = Seq(128, 256, 512))
+          .select(col("seq_len"), col("n_docs"), col("n_tokens"),
+            col("n_split_docs"), col("n_seqs"), col("fill_rate"),
+            col("split_rate"))
+          .orderBy(col("seq_len"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+              |  CAST(len($oracleToks) AS BIGINT) AS n_tokens FROM documents),
+              |c AS (SELECT doc_id, n_tokens,
+              |  COALESCE(SUM(n_tokens) OVER (
+              |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb FROM d),
+              |l AS (SELECT unnest([128, 256, 512]) AS seq_len),
+              |g AS (SELECT seq_len, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+              |    SUM(CASE WHEN n_tokens > 0
+              |          AND (cumb + n_tokens - 1) // seq_len > cumb // seq_len
+              |        THEN 1 ELSE 0 END) AS n_split_docs
+              |  FROM c CROSS JOIN l GROUP BY seq_len)
+              |SELECT CAST(seq_len AS BIGINT) AS seq_len,
+              |  CAST(n_docs AS BIGINT) AS n_docs,
+              |  CAST(n_tokens AS BIGINT) AS n_tokens,
+              |  CAST(n_split_docs AS BIGINT) AS n_split_docs,
+              |  CAST((n_tokens + seq_len - 1) // seq_len AS BIGINT) AS n_seqs,
+              |  ROUND(CAST(n_tokens AS DOUBLE) /
+              |    (CAST((n_tokens + seq_len - 1) // seq_len AS DOUBLE) * seq_len), 6) AS fill_rate,
+              |  ROUND(CAST(n_split_docs AS DOUBLE) / n_docs, 6) AS split_rate
+              |FROM g ORDER BY seq_len""".stripMargin)),
+
+    // curriculum ordering: easiest-first deterministic training order
+    // (difficulty = token count) with NTILE-semantics stages — the
+    // two-level prefix-sum rank, never a global sort
+    Q("sample_curriculum_order",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val d = s.table("documents")
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("difficulty"))
+        graft.ops.Sampling.curriculumOrder(d, "doc_id", "difficulty", stages = 4)
+          .select(col("doc_id"), col("difficulty"),
+            col("curriculum_rank"), col("stage"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+              |  CAST(len($oracleToks) AS BIGINT) AS difficulty FROM documents)
+              |SELECT doc_id, difficulty,
+              |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS curriculum_rank,
+              |  CAST(NTILE(4) OVER w AS BIGINT) AS stage
+              |FROM d
+              |WINDOW w AS (ORDER BY difficulty,
+              |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id)
+              |ORDER BY doc_id""".stripMargin)),
 
     // disjoint deterministic train/val/test assignment — pure
     // map-side CASE over the md5 hex threshold, no shuffle

@@ -1351,4 +1351,87 @@ class OpsSpec extends AnyFunSuite {
       .collect().head.getSeq[String](0)
     assert(got == decl)
   }
+
+  test("pack efficiency: agrees with packSequences per candidate length") {
+    val d = Seq((1L, 100L), (2L, 600L), (3L, 0L), (4L, 512L), (5L, 1L),
+      (6L, 300L), (7L, 77L)).toDF("doc_id", "n")
+    val rep = Sampling.packEfficiencyReport(d, "doc_id", "n",
+        seqLens = Seq(128, 512))
+      .collect().map(r => r.getAs[Long]("seq_len") -> r).toMap
+    assert(rep.keySet == Set(128L, 512L))
+    for (len <- Seq(128, 512)) {
+      // reference: the per-doc placement map from packSequences
+      val pl = Sampling.packSequences(d, "doc_id", "n", seqLen = len).collect()
+      val tot = pl.map(_.getAs[Long]("n")).sum
+      val nSeqs = (tot + len - 1) / len
+      val split = pl.count(_.getAs[Long]("n_seqs") >= 2L)
+      val r = rep(len.toLong)
+      assert(r.getAs[Long]("n_docs") == 7L && r.getAs[Long]("n_tokens") == tot)
+      assert(r.getAs[Long]("n_seqs") == nSeqs)
+      assert(r.getAs[Long]("n_split_docs") == split)
+      assert(math.abs(r.getAs[Double]("fill_rate") -
+        BigDecimal(tot.toDouble / (nSeqs * len))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+      assert(r.getAs[Double]("split_rate") ==
+        BigDecimal(split.toDouble / 7)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // keyed: packing (and so fragmentation) is per key group
+    val keyed = d.withColumn("k", (col("doc_id") % 2).cast("string"))
+    val byK = Sampling.packEfficiencyReport(keyed, "doc_id", "n",
+      seqLens = Seq(512), keyCols = Seq("k")).collect()
+    assert(byK.length == 2 && byK.map(_.getAs[Long]("n_tokens")).sum == 1590L)
+  }
+
+  test("curriculum order: matches the single-window ROW_NUMBER/NTILE reference") {
+    import org.apache.spark.sql.expressions.Window
+    val d = (1L to 30L).map(i => (i, i % 5)).toDF("doc_id", "difficulty")
+    val got = Sampling.curriculumOrder(d, "doc_id", "difficulty", stages = 4)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("curriculum_rank"), r.getAs[Long]("stage"))).toMap
+    val w = Window.orderBy(col("difficulty"),
+      Sampling.hashKey(col("doc_id")), col("doc_id"))
+    val want = d.select(col("doc_id"),
+        row_number().over(w).cast("long").as("rk"),
+        ntile(4).over(w).cast("long").as("st"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+    // 30 rows / 4 stages -> NTILE gives the first 2 stages 8 rows
+    val sizes = got.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes == Map(1L -> 8, 2L -> 8, 3L -> 7, 4L -> 7))
+    // N < stages: every row its own stage, no div-by-zero
+    val tiny = Sampling.curriculumOrder(
+        Seq((1L, 0L), (2L, 1L)).toDF("doc_id", "difficulty"),
+        "doc_id", "difficulty", stages = 5)
+      .collect().map(r => (r.getAs[Long]("curriculum_rank"), r.getAs[Long]("stage")))
+    assert(tiny.toSet == Set((1L, 1L), (2L, 2L)))
+    // output-column collision is an error, not a silent overwrite
+    assertThrows[IllegalArgumentException] {
+      Sampling.curriculumOrder(d.withColumn("stage", lit(1)),
+        "doc_id", "difficulty", stages = 2)
+    }
+  }
+
+  test("classifier calibration: hand-checked AUC/Brier/accuracy with a tie") {
+    // pairs: (.9 beats .5), (.9 beats .1), (.5 ties .5), (.5 beats .1)
+    // -> AUC = 3.5/4; acc: the neg at .5 predicts positive -> 3/4
+    val scored = Seq(
+      (1L, 1.0, 0.9), (2L, 1.0, 0.5), (3L, 0.0, 0.5), (4L, 0.0, 0.1)
+    ).toDF("doc_id", "label", "prob")
+    val rep = Classifier.evalReport(scored, buckets = 10).collect()
+    assert(rep.nonEmpty)
+    val head = rep.head
+    assert(head.getAs[Double]("auc") == 0.875)
+    assert(head.getAs[Double]("accuracy") == 0.75)
+    assert(head.getAs[Double]("brier") == 0.13)
+    // the prob=0.5 bucket holds one pos and one neg
+    val b5 = rep.find(_.getAs[Long]("bucket") == 5L).get
+    assert(b5.getAs[Long]("n") == 2L &&
+      b5.getAs[Double]("pos_rate") == 0.5 &&
+      b5.getAs[Double]("avg_prob") == 0.5)
+    // metrics are constant across bucket rows
+    assert(rep.map(_.getAs[Double]("auc")).distinct.length == 1)
+  }
 }
