@@ -452,6 +452,23 @@ final class Graft(val spark: SparkSession, stateDir: String) {
                          alpha: Double, totalTokens: Long): DataFrame =
     graft.ops.Sampling.mixtureTemperature(df, keyCol, tokensCol, alpha, totalTokens)
 
+  /** Data-constrained epoch planning: distribute a token budget at
+    * the target mixture with at most `maxEpochs` repeats per key;
+    * capped keys freeze and the rest water-fill (closed form).
+    */
+  def epochPlan(df: DataFrame, keyCol: String, tokensCol: String,
+                target: Seq[(String, Double)], budgetTokens: Long,
+                maxEpochs: Double): DataFrame =
+    graft.ops.Sampling.epochPlan(df, keyCol, tokensCol, target,
+      budgetTokens, maxEpochs)
+
+  /** Source-pair similarity report: exact shingle-set Jaccard next to
+    * the k-seed minhash estimate for every overlapping key pair.
+    */
+  def sourceSimilarity(df: DataFrame, keyCol: String, textCol: String,
+                       k: Int = 16, n: Int = 3): DataFrame =
+    graft.ops.Dedup.sourceSimilarity(df, keyCol, textCol, k, n)
+
   /** Quality-aware canonical selection over a near-dup pair set:
     * per duplicate cluster keep the (scoreCol DESC, id ASC) best row.
     */

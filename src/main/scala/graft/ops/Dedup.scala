@@ -645,4 +645,66 @@ object Dedup {
       }
     pairs.withColumn("sim", round(sim, 6)).select("id_a", "id_b", "sim")
   }
+
+  /** Corpus-similarity report between sources/domains: for every key
+    * pair sharing at least one word n-gram, the EXACT shingle-set
+    * Jaccard (from distinct-gram sizes — integer-derived, bit-exact)
+    * next to the k-seed minhash ESTIMATE (the sketch a production run
+    * would keep when the exact pass is too expensive) — the table a
+    * mixture designer reads to spot near-duplicate sources before
+    * weighting them independently (reference scope: extension
+    * surface; cf. the per-document [[lshCalibration]]).
+    *
+    * 100 TB design: one corpus shingle pass → distinct (key, gram)
+    * rows (map-side combine; grams hash to 60-bit md5 prefixes mod
+    * 2³¹−1, the [[minhashSignaturesWide]] scheme, so no gram strings
+    * shuffle); the exact intersection is a gram-keyed inverted-index
+    * equi-join (pair-bounded, never #keys² over the corpus), sizes
+    * and signatures are per-key aggregates (#keys × k rows), and the
+    * estimate joins signatures on (seed, sig) agreement — every join
+    * an equi-join, nothing quadratic in corpus size. Zero-overlap key
+    * pairs are omitted by construction (their exact Jaccard is 0 and
+    * the output stays sparse in #keys).
+    */
+  def sourceSimilarity(df: DataFrame, keyCol: String, textCol: String,
+                       k: Int = 16, n: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    // distinct (key, gram-hash): the three consumers (sizes, exact
+    // intersection, signatures) read it — pin one materialization
+    val dist = df
+      .select(col(keyCol).cast("string").as("_k"),
+        explode(graft.functions.TextExpressions.shingle_hashes(col(textCol), n)).as("h60"))
+      .select(col("_k"), (col("h60") % MinhashP).as("h"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = dist.groupBy("_k").agg(count(lit(1)).as("_ng"))
+    val common = dist.as("a").join(dist.as("b"),
+        col("a.h") === col("b.h") && col("a._k") < col("b._k"))
+      .groupBy(col("a._k").as("key_a"), col("b._k").as("key_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val sigAggs = (0 until k).map(i =>
+      min((lit(2L * i + 1) * col("h") + lit(1000003L * i + 12345L)) % MinhashP).as(s"sig$i"))
+    val sig = dist.groupBy("_k").agg(sigAggs.head, sigAggs.tail: _*)
+      .select(col("_k"), explode(array((0 until k).map(s =>
+          struct(lit(s).as("seed"), col(s"sig$s").as("sig"))): _*)).as("x"))
+      .select(col("_k"), col("x.seed").as("seed"), col("x.sig").as("sig"))
+    // seed-agreement via (seed, sig) equi-join: pairs with zero
+    // agreeing seeds simply don't appear (estimate 0) — no #keys²
+    // nested loop anywhere in the plan
+    val agree = sig.as("x").join(sig.as("y"),
+        col("x.seed") === col("y.seed") && col("x.sig") === col("y.sig") &&
+          col("x._k") < col("y._k"))
+      .groupBy(col("x._k").as("key_a"), col("y._k").as("key_b"))
+      .agg(count(lit(1)).as("_na"))
+    common
+      .join(sizes.select(col("_k").as("key_a"), col("_ng").as("n_grams_a")), "key_a")
+      .join(sizes.select(col("_k").as("key_b"), col("_ng").as("n_grams_b")), "key_b")
+      .join(agree, Seq("key_a", "key_b"), "left")
+      .select(col("key_a"), col("key_b"),
+        col("n_grams_a"), col("n_grams_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n_grams_a") + col("n_grams_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"),
+        round(coalesce(col("_na"), lit(0L)).cast("double") / k, 6).as("est_jaccard"))
+  }
 }

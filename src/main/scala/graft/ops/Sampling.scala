@@ -450,4 +450,92 @@ object Sampling {
       .where(col("_rn") <= maxPerKey)
       .drop("_rn")
   }
+
+  /** Data-constrained epoch planning (the Muennighoff et al. 2023
+    * "scaling data-constrained LMs" regime): distribute a token
+    * budget over keys at the target mixture, but no key may repeat
+    * its data more than `maxEpochs` times — capped keys freeze at
+    * `avail × maxEpochs` and their unmet share redistributes over the
+    * uncapped keys AT THE TARGET PROPORTIONS (exact water-filling,
+    * not best-effort). Output per key: `n_tokens_avail`,
+    * `target_share`, `cap_tokens`, `n_tokens_take`, `epochs`
+    * (take/avail — the repeat factor a data loader applies), and
+    * `capped`. Keys outside the target take 0.
+    *
+    * The fixed point is computed in CLOSED FORM, no iteration: with
+    * keys ordered by `r_k = cap_k / share_k` ascending, capping
+    * exactly the first i keys is self-consistent iff
+    * `r_i ≤ λ_i ≤ r_{i+1}` where `λ_i = (B − Σ_{j≤i} cap_j) /
+    * (1 − Σ_{j≤i} share_j)` is the implied water level (`take_k =
+    * min(cap_k, share_k·λ)`); λ_0 = B covers the no-cap case and an
+    * absent valid boundary means the budget exceeds every cap (all
+    * keys capped). One window over the #keys-sized plan table, one
+    * 1-row broadcast — never a corpus-sized shuffle and never a
+    * driver loop, so re-planning a 10⁶-domain mixture is one job.
+    * Float parity: the prefix sums run in the window's total order
+    * and every engine walks the same IEEE arithmetic — the oracle
+    * replays the identical closed form.
+    */
+  def epochPlan(df: DataFrame, keyCol: String, tokensCol: String,
+                target: Seq[(String, Double)], budgetTokens: Long,
+                maxEpochs: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val total = target.map(_._2).sum
+    require(target.nonEmpty && math.abs(total - 1.0) < 1e-9,
+      s"target shares must sum to 1, got $total")
+    require(target.map(_._1).distinct.size == target.size, "duplicate target keys")
+    require(target.forall(_._2 > 0), "target shares must be positive")
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0: $budgetTokens")
+    require(maxEpochs > 0, s"maxEpochs must be positive: $maxEpochs")
+    val shareExpr = target.foldLeft(lit(0.0)) { case (acc, (kk, s)) =>
+      when(col(keyCol) === kk, lit(s)).otherwise(acc)
+    }
+    val b = lit(budgetTokens.toDouble)
+    val avail = df.groupBy(col(keyCol))
+      .agg(sum(col(tokensCol)).cast("long").as("n_tokens_avail"))
+      .withColumn("target_share", shareExpr)
+      .localCheckpoint()
+    val act = avail.where(col("target_share") > 0)
+      .withColumn("cap_tokens",
+        col("n_tokens_avail").cast("double") * lit(maxEpochs))
+      .withColumn("_r", col("cap_tokens") / col("target_share"))
+    val ord = Window.orderBy(col("_r"), col(keyCol))
+    val wCum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // λ_i per candidate boundary; boundary i is valid iff the sandwich
+    // r_i ≤ λ_i ≤ r_{i+1} holds (λ_0 = B is checked against min r via
+    // the same predicate on a prepended zero-cap sentinel-free form:
+    // B ≤ r_1 ⟺ no row has r < B ⟺ the no-cap case needs no boundary
+    // row — expressed below as the B-fallback when B ≤ min(_r))
+    val lamRows = act
+      .withColumn("_cum_cap", sum(col("cap_tokens")).over(wCum))
+      .withColumn("_cum_share", sum(col("target_share")).over(wCum))
+      .withColumn("_next_r", lead(col("_r"), 1).over(ord))
+      .withColumn("_lam",
+        when(col("_cum_share") < 1.0 - 1e-12,
+          (b - col("_cum_cap")) / (lit(1.0) - col("_cum_share"))))
+    val lamStar = lamRows.agg(
+      min(when(col("_lam").isNotNull && col("_r") <= col("_lam") &&
+          (col("_next_r").isNull || col("_lam") <= col("_next_r")),
+        col("_lam"))).as("_lam_star"),
+      min(col("_r")).as("_min_r"))
+      .select(when(b <= col("_min_r"), b)
+        .otherwise(col("_lam_star")).as("_lam_star"))
+    // _lam_star NULL ⟺ budget ≥ every cap ⟺ take = cap everywhere
+    val take = least(col("cap_tokens"),
+      coalesce(col("target_share") * col("_lam_star"), col("cap_tokens")))
+    act.crossJoin(broadcast(lamStar))
+      .select(col(keyCol), col("n_tokens_avail"), col("target_share"),
+        round(col("cap_tokens"), 3).as("cap_tokens"),
+        round(take, 3).as("n_tokens_take"),
+        round(when(col("n_tokens_avail") > 0,
+            take / col("n_tokens_avail").cast("double")).otherwise(lit(0.0)), 6)
+          .as("epochs"),
+        (col("_lam_star").isNull ||
+          col("target_share") * col("_lam_star") >= col("cap_tokens")).as("capped"))
+      .unionByName(avail.where(col("target_share") <= 0)
+        .select(col(keyCol), col("n_tokens_avail"), lit(0.0).as("target_share"),
+          round(col("n_tokens_avail").cast("double") * lit(maxEpochs), 3).as("cap_tokens"),
+          lit(0.0).as("n_tokens_take"), lit(0.0).as("epochs"),
+          lit(false).as("capped")))
+  }
 }

@@ -2046,5 +2046,104 @@ object OpsQueries {
               |  CAST(SUM(CASE WHEN jac >= 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_ge_025,
               |  ROUND(CAST(SUM(CAST(ROUND(abs(est_jaccard - jac), 12) AS DECIMAL(38,15))) AS DOUBLE), 6) AS sum_abs_err
               |FROM j GROUP BY 1 ORDER BY est_bucket""".stripMargin)),
+
+    // source-pair similarity report: exact shingle-set Jaccard
+    // (inverted-index gram join) next to the 16-seed minhash estimate
+    // — the "are two sources near-copies?" table a mixture designer
+    // reads before weighting them independently
+    Q("report_source_similarity",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        Dedup.sourceSimilarity(s.table("documents"), "source", "text",
+            k = 16, n = 3)
+          .orderBy(col("key_a"), col("key_b"))
+      },
+      Some(s"""WITH d AS (SELECT source, $oracleToks AS toks FROM documents),
+              |s2 AS (SELECT source, $oracleShingles AS shs FROM d),
+              |sh0 AS (SELECT source, unnest(shs) AS s FROM s2),
+              |dist AS (SELECT DISTINCT source,
+              |    (('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS h FROM sh0),
+              |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ng FROM dist GROUP BY source),
+              |cm AS (SELECT a.source AS key_a, b.source AS key_b,
+              |         CAST(COUNT(*) AS BIGINT) AS n_common
+              |       FROM dist a JOIN dist b ON a.h = b.h AND a.source < b.source
+              |       GROUP BY 1, 2),
+              |sig AS (SELECT source, seed,
+              |         MIN(((2*seed + 1) * h + 1000003*seed + 12345) % 2147483647) AS sig
+              |       FROM dist, (SELECT unnest(generate_series(0, 15)) AS seed)
+              |       GROUP BY source, seed),
+              |ag AS (SELECT x.source AS key_a, y.source AS key_b,
+              |         CAST(COUNT(*) AS BIGINT) AS na
+              |       FROM sig x JOIN sig y
+              |         ON x.seed = y.seed AND x.sig = y.sig AND x.source < y.source
+              |       GROUP BY 1, 2)
+              |SELECT cm.key_a, cm.key_b, sa.ng AS n_grams_a, sb.ng AS n_grams_b,
+              |       cm.n_common,
+              |       ROUND(CAST(cm.n_common AS DOUBLE)
+              |         / CAST(sa.ng + sb.ng - cm.n_common AS DOUBLE), 6) AS jaccard,
+              |       ROUND(CAST(COALESCE(ag.na, 0) AS DOUBLE) / 16, 6) AS est_jaccard
+              |FROM cm
+              |JOIN sz sa ON sa.source = cm.key_a
+              |JOIN sz sb ON sb.source = cm.key_b
+              |LEFT JOIN ag ON ag.key_a = cm.key_a AND ag.key_b = cm.key_b
+              |ORDER BY cm.key_a, cm.key_b""".stripMargin)),
+
+    // data-constrained epoch planning: a 7000-token budget at the
+    // mixture target with at most 2 epochs per source — capped
+    // sources freeze, the rest water-fill at target proportions
+    // (closed-form fixed point, no iteration)
+    Q("sample_epoch_plan",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val d = s.table("documents")
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        graft.ops.Sampling.epochPlan(d, "source", "n_tokens", MixTarget,
+            budgetTokens = 7000L, maxEpochs = 2.0)
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH d AS (SELECT source,
+              |  CAST(len($oracleToks) AS BIGINT) AS n_tokens FROM documents),
+              |a AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_avail,
+              |        $mixShareSql AS target_share
+              |      FROM d GROUP BY source),
+              |act AS (SELECT source, n_tokens_avail, target_share,
+              |          CAST(n_tokens_avail AS DOUBLE) * 2.0 AS cap_tokens,
+              |          CAST(n_tokens_avail AS DOUBLE) * 2.0 / target_share AS r
+              |        FROM a WHERE target_share > 0),
+              |lam AS (SELECT source, r,
+              |          SUM(cap_tokens) OVER w AS cum_cap,
+              |          SUM(target_share) OVER w AS cum_share,
+              |          LEAD(r) OVER (ORDER BY r, source) AS next_r
+              |        FROM act
+              |        WINDOW w AS (ORDER BY r, source
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              |l2 AS (SELECT r, next_r,
+              |         CASE WHEN cum_share < 1.0 - 1e-12
+              |              THEN (7000.0 - cum_cap) / (1.0 - cum_share) END AS lam_i
+              |       FROM lam),
+              |ls AS (SELECT MIN(CASE WHEN lam_i IS NOT NULL AND r <= lam_i
+              |                        AND (next_r IS NULL OR lam_i <= next_r)
+              |                   THEN lam_i END) AS lam_star,
+              |              MIN(r) AS min_r FROM l2),
+              |lf AS (SELECT CASE WHEN 7000.0 <= min_r THEN 7000.0
+              |                   ELSE lam_star END AS lam_star FROM ls)
+              |SELECT act.source, act.n_tokens_avail, act.target_share,
+              |       ROUND(act.cap_tokens, 3) AS cap_tokens,
+              |       ROUND(LEAST(act.cap_tokens,
+              |         COALESCE(act.target_share * lf.lam_star, act.cap_tokens)), 3) AS n_tokens_take,
+              |       ROUND(CASE WHEN act.n_tokens_avail > 0
+              |            THEN LEAST(act.cap_tokens,
+              |                   COALESCE(act.target_share * lf.lam_star, act.cap_tokens))
+              |                 / CAST(act.n_tokens_avail AS DOUBLE)
+              |            ELSE 0.0 END, 6) AS epochs,
+              |       (lf.lam_star IS NULL
+              |         OR act.target_share * lf.lam_star >= act.cap_tokens) AS capped
+              |FROM act CROSS JOIN lf
+              |UNION ALL
+              |SELECT source, n_tokens_avail, 0.0 AS target_share,
+              |       ROUND(CAST(n_tokens_avail AS DOUBLE) * 2.0, 3) AS cap_tokens,
+              |       0.0 AS n_tokens_take, 0.0 AS epochs, FALSE AS capped
+              |FROM a WHERE target_share <= 0
+              |ORDER BY source""".stripMargin)),
   )
 }

@@ -1434,4 +1434,62 @@ class OpsSpec extends AnyFunSuite {
     // metrics are constant across bucket rows
     assert(rep.map(_.getAs[Double]("auc")).distinct.length == 1)
   }
+
+  test("source similarity: exact jaccard + minhash estimate per overlapping pair") {
+    val d = Seq(
+      (1L, "a b c d e f", "kA"),
+      (2L, "a b c d x y", "kB"),
+      (3L, "z z z q q q w w w", "kC"),
+      (4L, "a b c d e f", "kD")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceSimilarity(d, "source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // kC shares no gram with anyone — zero-overlap pairs are omitted
+    assert(out.keySet == Set(("kA", "kB"), ("kA", "kD"), ("kB", "kD")))
+    val ab = out(("kA", "kB"))
+    // grams(A) = {abc,bcd,cde,def}, grams(B) = {abc,bcd,cdx,dxy}
+    assert(ab.getAs[Long]("n_grams_a") == 4L && ab.getAs[Long]("n_grams_b") == 4L)
+    assert(ab.getAs[Long]("n_common") == 2L)
+    assert(ab.getAs[Double]("jaccard") == 0.333333)
+    val est = ab.getAs[Double]("est_jaccard")
+    assert(est >= 0.0 && est <= 1.0)
+    // identical gram sets: exact AND estimate are exactly 1
+    val ad = out(("kA", "kD"))
+    assert(ad.getAs[Double]("jaccard") == 1.0 &&
+      ad.getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("epoch plan: water-filling caps and redistributes at target shares") {
+    val d = Seq((1L, "A", 1000L), (2L, "B", 1000L), (3L, "C", 2000L),
+        (4L, "D", 500L))
+      .toDF("doc_id", "key", "n_tokens")
+    val target = Seq("A" -> 0.5, "B" -> 0.3, "C" -> 0.2)
+    def plan(b: Long) = Sampling.epochPlan(d, "key", "n_tokens", target, b, 2.0)
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    // caps: A 2000, B 2000, C 4000; r = cap/share: A 4000, B 6667, C 20000
+    // budget under min r — nothing caps, takes at exact target shares
+    val p3 = plan(3000L)
+    assert(p3("A").getAs[Double]("n_tokens_take") == 1500.0 &&
+      !p3("A").getAs[Boolean]("capped"))
+    assert(p3("B").getAs[Double]("epochs") == 0.9)
+    assert(p3("D").getAs[Double]("n_tokens_take") == 0.0 &&
+      p3("D").getAs[Double]("target_share") == 0.0)
+    // A caps at 2 epochs; B/C water-fill the remaining 3000 at 3:2
+    val p5 = plan(5000L)
+    assert(p5("A").getAs[Boolean]("capped") &&
+      p5("A").getAs[Double]("epochs") == 2.0)
+    assert(p5("B").getAs[Double]("n_tokens_take") == 1800.0 &&
+      !p5("B").getAs[Boolean]("capped"))
+    assert(p5("C").getAs[Double]("n_tokens_take") == 1200.0)
+    // feasible budgets are spent exactly
+    assert(Seq("A", "B", "C").map(k => p5(k).getAs[Double]("n_tokens_take")).sum == 5000.0)
+    // budget == Σcaps: the λ = r tie — everything capped, exact spend
+    val p8 = plan(8000L)
+    assert(Seq("A", "B", "C").forall(k => p8(k).getAs[Boolean]("capped")))
+    assert(Seq("A", "B", "C").map(k => p8(k).getAs[Double]("n_tokens_take")).sum == 8000.0)
+    // infeasible budget freezes every key at its cap
+    val p10 = plan(10000L)
+    assert(p10("C").getAs[Double]("n_tokens_take") == 4000.0 &&
+      p10("C").getAs[Boolean]("capped"))
+  }
 }
