@@ -44,8 +44,9 @@ object Bpe {
     * moves doc rows, never token rows).
     */
   def wordCounts(df: DataFrame, textCol: String): DataFrame = {
-    val spread = df.sparkSession.sparkContext.defaultParallelism
-    df.repartition(spread, col(textCol))
+    // round-robin, not hash-on-text: identical documents would all
+    // hash to one task on a duplicate-heavy (pre-dedup) corpus
+    Spread.ifNarrow(df)
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
   }
@@ -175,10 +176,10 @@ object Bpe {
     */
   def fertilityReport(df: DataFrame, keyCol: String, textCol: String,
                       merges: Seq[(String, String)]): DataFrame = {
-    val spread = df.sparkSession.sparkContext.defaultParallelism
     val subs = encodeSubwords(col(textCol), merges)
     val words = TextAnalysis.tokens(col(textCol))
-    df.repartition(spread, col(textCol))
+    // round-robin, not hash-on-text (see wordCounts)
+    Spread.ifNarrow(df)
       .select(col(keyCol),
         size(words).cast("long").as("_w"),
         size(subs).cast("long").as("_s"),

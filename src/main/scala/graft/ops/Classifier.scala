@@ -44,13 +44,12 @@ object Classifier {
     */
   def featurize(df: DataFrame, idCol: String, textCol: String,
                 label: Column, dims: Int): DataFrame = {
-    val spread = df.sparkSession.sparkContext.defaultParallelism
     // rlike guard masks the kernel's join-all fallback on token-free
     // text (see dsirLogWeights)
     val hs = when(lower(col(textCol)).rlike("[a-z0-9]"),
         graft.functions.TextExpressions.shingle_hashes(col(textCol), 1))
       .otherwise(array().cast("array<long>"))
-    df.repartition(spread, col(idCol))
+    Spread.ifNarrow(df, col(idCol))
       .select(col(idCol).as("doc_id"), label.cast("double").as("y"), hs.as("hs"))
       .where(size(col("hs")) > 0)
       .select(col("doc_id"), col("y"),

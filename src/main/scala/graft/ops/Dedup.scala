@@ -168,8 +168,7 @@ object Dedup {
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      n: Int = 8, crossDocOnly: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spread = df.sparkSession.sparkContext.defaultParallelism
-    val grams = df.repartition(spread, col(idCol))
+    val grams = Spread.ifNarrow(df, col(idCol))
       .where(size(TextAnalysis.tokens(col(textCol))) >= n)
       .select(col(idCol).as("doc_id"),
         posexplode(graft.functions.TextExpressions.shingle_hashes(col(textCol), n))

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Guarded input spreading for the heavy map stages (tokenize /
+  * explode / hash kernels).
+  *
+  * A single-file local fixture arrives as ONE input partition, which
+  * would serialize the heaviest map work onto one core — only then is
+  * a pre-spread exchange worth paying, and it moves cheap doc rows,
+  * never token/gram rows. A real scan that is already wide (at least
+  * `defaultParallelism` partitions — the 100 TB case, where the scan
+  * has thousands of input splits) passes through UNTOUCHED: the
+  * unconditional form would full-shuffle the raw-text corpus before
+  * doing any work AND collapse its parallelism down to the local core
+  * count — the one cost BASELINE.md documents as unpayable at scale.
+  *
+  * Key choice: pass the doc-id column when downstream per-doc
+  * aggregates should inherit the clustering (their exchange is then
+  * free); pass no key for round-robin when nothing downstream groups
+  * by doc. NEVER key on the text column itself: a duplicate-heavy
+  * (pre-dedup) corpus hashes identical documents into one task,
+  * recreating exactly the single-task skew the spread exists to fix.
+  *
+  * The guard reads the physical partition count off the planned RDD —
+  * planning only, no job runs.
+  */
+object Spread {
+
+  /** `df` spread across `defaultParallelism` partitions iff it is
+    * narrower than that; identity otherwise. Round-robin when `keys`
+    * is empty, hash on `keys` otherwise.
+    */
+  def ifNarrow(df: DataFrame, keys: Column*): DataFrame = {
+    val spread = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= spread) df
+    else if (keys.isEmpty) df.repartition(spread)
+    else df.repartition(spread, keys: _*)
+  }
+}

@@ -199,10 +199,10 @@ object TextAnalysis {
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 5, minTermLen: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spread = df.sparkSession.sparkContext.defaultParallelism
     // spread the doc rows before the token explode (single-file
-    // inputs would otherwise serialize it; see dsirLogWeights)
-    val toks = df.repartition(spread, col(idCol))
+    // inputs would otherwise serialize it; see dsirLogWeights);
+    // guarded: an already-wide scan passes through untouched
+    val toks = Spread.ifNarrow(df, col(idCol))
       .select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("term"))
       .where(length(col("term")) >= minTermLen)
@@ -252,10 +252,10 @@ object TextAnalysis {
     * single final cast to double rounds avg_nll and ppl to 6 dp.
     */
   def lmPerplexity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spread = df.sparkSession.sparkContext.defaultParallelism
     // spread the doc rows before the token explode (single-file
-    // inputs would otherwise serialize it; see dsirLogWeights)
-    val toks = df.repartition(spread, col(idCol))
+    // inputs would otherwise serialize it; see dsirLogWeights);
+    // guarded: an already-wide scan passes through untouched
+    val toks = Spread.ifNarrow(df, col(idCol))
       .select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("term"))
     // materialization point (see tfIdfTopTerms): vocab and the probe
@@ -303,8 +303,7 @@ object TextAnalysis {
   def bigramPerplexity(df: DataFrame, idCol: String, textCol: String,
                        lambda: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spread = df.sparkSession.sparkContext.defaultParallelism
-    val seq = df.repartition(spread, col(idCol))
+    val seq = Spread.ifNarrow(df, col(idCol))
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), explode(transform(col("_toks"),
         (x, i) => struct(x.as("term"),
@@ -387,26 +386,25 @@ object TextAnalysis {
         .otherwise(array().cast("array<long>"))
       flatten(array(uni, bi))
     }
-    // repartition the (cheap) doc rows before the (heavy) hash
-    // explode: a small corpus arrives as one file = one partition,
-    // which would serialize the md5 chain; at scale the shuffle moves
-    // only doc rows, never gram rows. Explicit partition count: AQE
+    // spread the (cheap) doc rows before the (heavy) hash explode: a
+    // small corpus arrives as one file = one partition, which would
+    // serialize the md5 chain; an already-wide scan passes through
+    // untouched (Spread.ifNarrow). Explicit partition count: AQE
     // would coalesce a column-only repartition of a few thousand tiny
     // doc rows back to one partition.
-    val spread = raw.sparkSession.sparkContext.defaultParallelism
     // the eager localCheckpoint is the materialization point (see
     // tfIdfTopTerms): rawB and the contrib probe reuse one stored
     // class table instead of each re-running the md5 gram explode;
     // the preserved doc_id partitioning makes the terminal per-doc
     // aggregate exchange-free
-    val docB = raw.repartition(spread, col(idCol))
+    val docB = Spread.ifNarrow(raw, col(idCol))
       .select(col(idCol).as("doc_id"),
         explode(gramHashes(col(textCol))).as("h"))
       .select(col("doc_id"), (col("h") % buckets).as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
     val rawB = docB.groupBy("b").agg(sum("c").as("cr"))
-    val tgtB = target.repartition(spread, col(idCol))
+    val tgtB = Spread.ifNarrow(target, col(idCol))
       .select(explode(gramHashes(col(textCol))).as("h"))
       .select((col("h") % buckets).as("b"))
       .groupBy("b").agg(count(lit(1)).as("ct"))
@@ -472,8 +470,7 @@ object TextAnalysis {
     */
   def topNgrams(df: DataFrame, idCol: String, textCol: String,
                 n: Int = 3, k: Int = 20): DataFrame = {
-    val spread = df.sparkSession.sparkContext.defaultParallelism
-    val docGram = df.repartition(spread, col(idCol))
+    val docGram = Spread.ifNarrow(df, col(idCol))
       .select(col(idCol).as("doc_id"),
         explode(graft.functions.TextExpressions.word_shingles(
           col(textCol), n, dedup = false)).as("gram"))
@@ -593,8 +590,7 @@ object TextAnalysis {
     */
   def noveltyScore(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3): DataFrame = {
-    val spread = df.sparkSession.sparkContext.defaultParallelism
-    val docGram = df.repartition(spread, col(idCol))
+    val docGram = Spread.ifNarrow(df, col(idCol))
       .select(col(idCol).as("doc_id"),
         explode(graft.functions.TextExpressions.word_shingles(
           col(textCol), n, dedup = true)).as("gram"))
@@ -649,8 +645,7 @@ object TextAnalysis {
     * Share = integer-sum ratio → bit-identical across engines.
     */
   def vocabReport(df: DataFrame, textCol: String, k: Int = 10): DataFrame = {
-    val spread = df.sparkSession.sparkContext.defaultParallelism
-    val counts = df.repartition(spread)
+    val counts = Spread.ifNarrow(df)
       .select(explode(tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("c"))
     val totals = counts.agg(

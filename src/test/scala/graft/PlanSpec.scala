@@ -78,6 +78,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
   }
 
+  test("already-wide inputs are not re-shuffled before tokenize (guarded spread)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val n = spark.sparkContext.defaultParallelism
+    def exchanges(p: String): Int =
+      p.linesIterator.count(_.trim.stripPrefix("+- ").startsWith("Exchange"))
+    // a pre-partitioned (100 TB-shaped) input passes through the
+    // guard untouched: no round-robin, no extra exchange before the
+    // tokenize/explode — the only shuffle is the aggregate's own
+    val wide = docs.repartition(n + 2, col("doc_id"))
+    assert(graft.ops.Spread.ifNarrow(wide).rdd.getNumPartitions == n + 2,
+      "guard must be an identity on an already-wide input")
+    val pWide = graft.ops.Bpe.wordCounts(wide, "text")
+      .queryExecution.executedPlan.toString
+    assert(exchanges(pWide) - exchanges(wide.queryExecution.executedPlan.toString) == 1,
+      s"wide input must pay ONLY the aggregate exchange:\n$pWide")
+    assert(!pWide.toLowerCase.contains("roundrobin"),
+      "guarded spread must not round-robin a wide input")
+    // a single-partition local fixture still spreads (round-robin,
+    // never hash-on-text: duplicate docs must not collapse to one task)
+    val pNarrow = graft.ops.Bpe.wordCounts(docs.coalesce(1), "text")
+      .queryExecution.executedPlan.toString
+    assert(pNarrow.toLowerCase.contains("roundrobin"),
+      s"narrow input must spread round-robin:\n$pNarrow")
+  }
+
   test("bench queries produce no driver-side collects in their plans") {
     // every declared query is a DataFrame — materialization strategy
     // stays with the caller; spot-check that heavy ops build lazily
