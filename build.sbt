@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse the LAST stdout line of
+// `sbt "runMain graft.Bench"` as bare JSON; sbt's default output
+// strategy routes forked-process output through its logger, which
+// prefixes every line with "[info] " and breaks that parse. Inherit
+// sbt's stdout instead so program output arrives verbatim.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
