@@ -28,7 +28,10 @@ object Decontaminate {
     */
   def overlap(docs: DataFrame, bench: DataFrame, idCol: String,
               textCol: String, n: Int = 3, minHits: Int = 1): DataFrame = {
-    val benchGrams = bench
+    // the eval set usually arrives as ONE file = one partition; its
+    // shingle explode would serialize on a single core (guarded:
+    // an already-wide bench passes through)
+    val benchGrams = Spread.ifNarrow(bench)
       .select(explode(Dedup.shingles(col(textCol), n)).as("_gram"))
       .distinct()
     // shingleRows emits per-doc DISTINCT grams and benchGrams is
@@ -57,7 +60,8 @@ object Decontaminate {
     * and streams.
     */
   def benchGramRow(bench: DataFrame, textCol: String, n: Int = 3): DataFrame =
-    bench.select(explode(Dedup.shingles(col(textCol), n)).as("_g"))
+    Spread.ifNarrow(bench)
+      .select(explode(Dedup.shingles(col(textCol), n)).as("_g"))
       .agg(collect_set(col("_g")).as("bench_grams"))
 
   /** [[overlap]] against a pre-collapsed [[benchGramRow]]: a pure

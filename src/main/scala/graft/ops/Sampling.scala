@@ -289,7 +289,8 @@ object Sampling {
     * engines on integer-derived inputs — bit-identical.
     */
   def mixtureWeights(df: DataFrame, keyCol: String, tokensCol: String,
-                     target: Seq[(String, Double)]): DataFrame = {
+                     target: Seq[(String, Double)],
+                     pin: Boolean = true): DataFrame = {
     val total = target.map(_._2).sum
     require(target.nonEmpty && math.abs(total - 1.0) < 1e-9,
       s"target shares must sum to 1, got $total")
@@ -297,13 +298,19 @@ object Sampling {
     val shareExpr = target.foldLeft(lit(0.0)) { case (acc, (k, s)) =>
       when(col(keyCol) === k, lit(s)).otherwise(acc)
     }
-    // #keys-sized; pin one materialization so the min branch and the
-    // output branch (and a mixtureSample caller) don't re-scan the
-    // corpus once each
-    val avail = df.groupBy(col(keyCol))
+    // #keys-sized. `pin` (default) materializes it once so the min
+    // branch and the output branch don't each re-scan the corpus —
+    // right when the weights table IS the query. A composition that
+    // consumes df AGAIN in the same job (mixtureSample's outer join)
+    // passes pin=false: there the eager checkpoint would run a whole
+    // SEPARATE job over df's upstream chain, while in the single job
+    // ReuseExchange already shares the chain's top exchange between
+    // the rate branches and the outer scan (the r8→r9
+    // pipeline_curate_mix regression, VERDICT r9 #3).
+    val availRaw = df.groupBy(col(keyCol))
       .agg(sum(col(tokensCol)).cast("long").as("n_tokens_avail"))
       .withColumn("target_share", shareExpr)
-      .localCheckpoint()
+    val avail = if (pin) availRaw.localCheckpoint() else availRaw
     val tmax = avail.where(col("target_share") > 0)
       .agg(min(col("n_tokens_avail").cast("double") / col("target_share"))
         .as("mixture_total"))
@@ -329,7 +336,7 @@ object Sampling {
     */
   def mixtureSample(df: DataFrame, idCol: String, keyCol: String,
                     tokensCol: String, target: Seq[(String, Double)]): DataFrame = {
-    val rates = mixtureWeights(df, keyCol, tokensCol, target)
+    val rates = mixtureWeights(df, keyCol, tokensCol, target, pin = false)
       .select(col(keyCol), col("rate"))
     df.join(broadcast(rates), keyCol)
       .where(hashKey60(col(idCol)) <

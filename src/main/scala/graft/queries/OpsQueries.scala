@@ -1696,7 +1696,11 @@ object OpsQueries {
         Tables.registerAll(s, dir)
         val docs = s.table("documents")
         val bench = docs.where(col("source") === "src0")
-        val q = docs.where(col("source") =!= "src0")
+        // spread before the heavy per-row repetition/token kernels
+        // (single-file fixture = one task otherwise; identity on a
+        // wide real scan)
+        val q = graft.ops.Spread.ifNarrow(
+            docs.where(col("source") =!= "src0"), col("doc_id"))
           .withColumn("_r", TextAnalysis.repetitionStats(col("text")))
           .where(col("_r.n_tokens") >= 25 && col("_r.dup_word_frac") <= 0.55)
           .drop("_r")
@@ -1742,14 +1746,28 @@ object OpsQueries {
         Tables.registerAll(s, dir)
         val docs = s.table("documents")
         val bench = docs.where(col("source") === "src0")
-        val corpus = docs.where(col("source") =!= "src0")
+        // the chain below is all broadcast joins — nothing ever
+        // re-spreads a single-file fixture, so the heavy tokenize/
+        // gram stages would run in ONE task (StageProfile showed a
+        // 1.5 s single-task stage). Guarded: a wide real scan passes
+        // through untouched.
+        val corpus = graft.ops.Spread.ifNarrow(
+          docs.where(col("source") =!= "src0"), col("doc_id"))
         val kept = TextAnalysis.gopherFilter(corpus, "text")
           .where(col("keep"))
           .select(corpus.columns.map(col): _*)
         val deduped = Dedup.dropExactDuplicates(kept, "doc_id", "text")
+        // pin the surviving corpus ONCE: mixtureSample consumes it
+        // twice (the rate aggregate and the outer Bernoulli scan) and
+        // the quality→dedup→decontaminate chain above is the whole
+        // query's cost — without the pin each consumer re-runs it.
+        // At scale this materialization is the curated snapshot a real
+        // pipeline persists anyway before drawing the mixture.
         val clean = graft.ops.Decontaminate.drop(deduped, bench, "doc_id", "text",
             n = 3, minHits = 4)
           .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+          .select(col("doc_id"), col("source"), col("n_tokens"))
+          .localCheckpoint(true)
         val mixed = graft.ops.Sampling.mixtureSample(
           clean, "doc_id", "source", "n_tokens", MixTargetPipe)
         graft.ops.Sampling.splitAssign(mixed, "doc_id",
