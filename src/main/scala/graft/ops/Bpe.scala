@@ -51,6 +51,16 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("freq"))
   }
 
+  /** Word-frequency table sliced by a key column: (key, w, freq).
+    * The one corpus scan that serves BOTH the trainer (sum away the
+    * key → global counts) and the fertility report — callers pin it
+    * once instead of re-scanning the corpus per consumer.
+    */
+  def keyedWordCounts(df: DataFrame, keyCol: String, textCol: String): DataFrame =
+    Spread.ifNarrow(df)
+      .select(col(keyCol), explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .groupBy(col(keyCol), col("w")).agg(count(lit(1)).as("freq"))
+
   /** Train `numMerges` BPE merges; returns (merge_rank, lhs, rhs,
     * merged, pair_count) ordered by rank. Stops early when no pair
     * reaches `minPairCount`.
@@ -81,12 +91,20 @@ object Bpe {
     * plan.
     */
   def trainMerges(df: DataFrame, textCol: String, numMerges: Int,
-                  minPairCount: Long = 2L): DataFrame = {
+                  minPairCount: Long = 2L): DataFrame =
+    trainMergesFromWordCounts(wordCounts(df, textCol), numMerges, minPairCount)
+
+  /** [[trainMerges]] from a pre-built (w, freq) table — lets a caller
+    * that also needs word counts for another consumer (the fertility
+    * report) pay the corpus scan once.
+    */
+  def trainMergesFromWordCounts(wordCounts: DataFrame, numMerges: Int,
+                                minPairCount: Long = 2L): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
-    val spark = df.sparkSession
+    val spark = wordCounts.sparkSession
     import spark.implicits._
     val topK = 64
-    var cur = wordCounts(df, textCol)
+    var cur = wordCounts
       .select(col("freq"), symInit(col("w")).as("s"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
@@ -168,25 +186,33 @@ object Bpe {
     * chars_per_subword). High-fertility slices are the ones a
     * vocabulary underserves (more sequence length per word of text).
     *
-    * 100 TB design: the encode kernel is map-side (no shuffle); the
-    * report is one #keys-sized hash aggregate with map-side combine.
-    * Doc rows spread across cores before the encode — by id-ish text
-    * hash, NOT by the handful-of-values key column, which would
-    * serialize each slice into one task.
+    * 100 TB design: fertility is a WORD-level statistic, so it
+    * aggregates from the (key, w, freq) word-count table — each
+    * distinct word is encoded ONCE and weighted by its frequency,
+    * instead of re-encoding every token instance of a 100 TB corpus.
+    * Encode cost is vocabulary-bounded; the report is one #keys-sized
+    * hash aggregate with map-side combine. A key group with no tokens
+    * contributes no words and therefore no row (matching a word-level
+    * reference that groups over exploded tokens).
     */
   def fertilityReport(df: DataFrame, keyCol: String, textCol: String,
-                      merges: Seq[(String, String)]): DataFrame = {
-    val subs = encodeSubwords(col(textCol), merges)
-    val words = TextAnalysis.tokens(col(textCol))
-    // round-robin, not hash-on-text (see wordCounts)
-    Spread.ifNarrow(df)
-      .select(col(keyCol),
-        size(words).cast("long").as("_w"),
+                      merges: Seq[(String, String)]): DataFrame =
+    fertilityFromWordCounts(keyedWordCounts(df, keyCol, textCol), keyCol, merges)
+
+  /** [[fertilityReport]] from a pre-built (key, w, freq) table (see
+    * [[keyedWordCounts]]) — the form that shares one corpus scan with
+    * the trainer when the merges are trained on the same corpus.
+    */
+  def fertilityFromWordCounts(wc: DataFrame, keyCol: String,
+                              merges: Seq[(String, String)]): DataFrame = {
+    val subs = encodeSubwords(col("w"), merges)
+    wc.select(col(keyCol), col("freq"),
         size(subs).cast("long").as("_s"),
-        aggregate(subs, lit(0L), (acc, x) => acc + length(x)).as("_c"))
+        length(col("w")).cast("long").as("_c"))
       .groupBy(col(keyCol))
-      .agg(sum("_w").as("n_words"), sum("_s").as("n_subwords"),
-        sum("_c").as("n_chars"))
+      .agg(sum(col("freq")).as("n_words"),
+        sum(col("freq") * col("_s")).cast("long").as("n_subwords"),
+        sum(col("freq") * col("_c")).cast("long").as("n_chars"))
       .withColumn("fertility",
         round(col("n_subwords").cast("double") / col("n_words"), 6))
       .withColumn("chars_per_subword",

@@ -1488,9 +1488,14 @@ object OpsQueries {
       (s, dir) => {
         Tables.registerAll(s, dir)
         val docs = s.table("documents")
-        val merges = graft.ops.Bpe.trainMerges(docs, "text", numMerges = 8)
+        // ONE corpus scan: the keyed word-count table feeds both the
+        // trainer (key summed away) and the fertility aggregate
+        val wcKey = graft.ops.Bpe.keyedWordCounts(docs, "source", "text")
+          .localCheckpoint(true)
+        val wc = wcKey.groupBy(col("w")).agg(sum(col("freq")).as("freq"))
+        val merges = graft.ops.Bpe.trainMergesFromWordCounts(wc, numMerges = 8)
           .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-        graft.ops.Bpe.fertilityReport(docs, "source", "text", merges)
+        graft.ops.Bpe.fertilityFromWordCounts(wcKey, "source", merges)
           .orderBy(col("source"))
       },
       Some(bpeOracle(8, carryWord = true) +
