@@ -50,11 +50,13 @@ object FtsIndex {
       .select(col("id").cast("string").as("id"),
         lower(coalesce(col("search_name"), lit(""))).as("txt"))
 
-    val stemUdf = udf((t: String) => Porter.stem(t))
     val rawTerms = docs
       .select(col("id"), explode(split(col("txt"), "[^a-z0-9]+")).as("term"))
       .where(length(col("term")) > 0)
-    val terms = if (stem) rawTerms.withColumn("term", stemUdf(col("term"))) else rawTerms
+    val terms =
+      if (stem) rawTerms.withColumn("term",
+        graft.functions.TextExpressions.porter_stem(col("term")))
+      else rawTerms
     if (stem) stemmed.add(table) else stemmed.remove(table)
 
     val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
