@@ -406,7 +406,9 @@ object Sampling {
   def curriculumOrder(df: DataFrame, idCol: String, difficultyCol: String,
                       stages: Int): DataFrame = {
     require(stages > 0, s"stages must be positive: $stages")
-    val clash = Seq("curriculum_rank", "stage").filter(df.columns.contains)
+    val clash = Seq("curriculum_rank", "stage",
+        "_h", "_b", "_bc", "_off", "_n", "_base", "_rem", "_cut", "_dj", "_bj")
+      .filter(df.columns.contains)
     require(clash.isEmpty,
       s"input already has column(s): ${clash.mkString(", ")}")
     import org.apache.spark.sql.expressions.Window
@@ -419,10 +421,17 @@ object Sampling {
       .agg(count(lit(1)).as("_bc"))
       .withColumn("_off", coalesce(sum(col("_bc")).over(wOff), lit(0L)))
       .drop("_bc")
+      .withColumnRenamed(difficultyCol, "_dj").withColumnRenamed("_b", "_bj")
     val wIn = Window.partitionBy(col(difficultyCol), col("_b"))
       .orderBy(col("_h"), col(idCol))
     val nRow = broadcast(df.agg(count(lit(1)).as("_n")))
-    withB.join(offs, Seq(difficultyCol, "_b"))
+    // null-safe equality: a NULL difficulty class still ranks (as its
+    // own class, first in the difficulty order — Spark's
+    // asc-nulls-first window order) instead of being dropped by a
+    // null-rejecting equi-join
+    withB.join(offs,
+        col(difficultyCol) <=> col("_dj") && col("_b") === col("_bj"))
+      .drop("_dj", "_bj")
       .withColumn("curriculum_rank",
         col("_off") + row_number().over(wIn).cast("long"))
       .crossJoin(nRow)
@@ -497,12 +506,27 @@ object Sampling {
     val shareExpr = target.foldLeft(lit(0.0)) { case (acc, (kk, s)) =>
       when(col(keyCol) === kk, lit(s)).otherwise(acc)
     }
+    require(!Seq("_tk", "_ts").contains(keyCol),
+      s"keyCol collides with an internal column: $keyCol")
+    val spark = df.sparkSession
+    import spark.implicits._
     val b = lit(budgetTokens.toDouble)
     val avail = df.groupBy(col(keyCol))
       .agg(sum(col(tokensCol)).cast("long").as("n_tokens_avail"))
       .withColumn("target_share", shareExpr)
       .localCheckpoint()
-    val act = avail.where(col("target_share") > 0)
+    // every target key participates in the water-filling even when df
+    // has no rows for it (avail 0 → cap 0 → capped immediately, its
+    // share redistributes over the rest at target proportions);
+    // without this a missing key's share would silently under-spend
+    // the budget with no `capped` indicator
+    val tgtDf = target.toDF("_tk", "_ts")
+    val act = tgtDf
+      .join(avail.where(col("target_share") > 0),
+        col("_tk") === col(keyCol), "left")
+      .select(col("_tk").as(keyCol),
+        coalesce(col("n_tokens_avail"), lit(0L)).as("n_tokens_avail"),
+        col("_ts").as("target_share"))
       .withColumn("cap_tokens",
         col("n_tokens_avail").cast("double") * lit(maxEpochs))
       .withColumn("_r", col("cap_tokens") / col("target_share"))

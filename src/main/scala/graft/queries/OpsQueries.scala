@@ -37,6 +37,12 @@ object OpsQueries {
     MixTarget.map { case (k, s) => s"WHEN '$k' THEN $s" }
       .mkString("CASE source ", " ", " ELSE 0.0 END")
 
+  /** The mixture as a VALUES list (epoch planning enumerates target
+    * keys so one missing from the corpus still participates).
+    */
+  private val mixValuesSql: String =
+    MixTarget.map { case (k, s) => s"('$k', $s)" }.mkString(", ")
+
   /** Mixture for the end-to-end pipeline (src0 is the bench corpus). */
   private val MixTargetPipe: Seq[(String, Double)] =
     Seq("src1" -> 0.4, "src2" -> 0.3, "src3" -> 0.3)
@@ -1323,9 +1329,13 @@ object OpsQueries {
               |  CAST(n_tokens AS BIGINT) AS n_tokens,
               |  CAST(n_split_docs AS BIGINT) AS n_split_docs,
               |  CAST((n_tokens + seq_len - 1) // seq_len AS BIGINT) AS n_seqs,
-              |  ROUND(CAST(n_tokens AS DOUBLE) /
-              |    (CAST((n_tokens + seq_len - 1) // seq_len AS DOUBLE) * seq_len), 6) AS fill_rate,
-              |  ROUND(CAST(n_split_docs AS DOUBLE) / n_docs, 6) AS split_rate
+              |  CASE WHEN (n_tokens + seq_len - 1) // seq_len > 0
+              |       THEN ROUND(CAST(n_tokens AS DOUBLE) /
+              |         (CAST((n_tokens + seq_len - 1) // seq_len AS DOUBLE) * seq_len), 6)
+              |       ELSE 0.0 END AS fill_rate,
+              |  CASE WHEN n_docs > 0
+              |       THEN ROUND(CAST(n_split_docs AS DOUBLE) / n_docs, 6)
+              |       ELSE 0.0 END AS split_rate
               |FROM g ORDER BY seq_len""".stripMargin)),
 
     // curriculum ordering: easiest-first deterministic training order
@@ -2129,10 +2139,13 @@ object OpsQueries {
               |a AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_avail,
               |        $mixShareSql AS target_share
               |      FROM d GROUP BY source),
-              |act AS (SELECT source, n_tokens_avail, target_share,
-              |          CAST(n_tokens_avail AS DOUBLE) * 2.0 AS cap_tokens,
-              |          CAST(n_tokens_avail AS DOUBLE) * 2.0 / target_share AS r
-              |        FROM a WHERE target_share > 0),
+              |tk AS (SELECT * FROM (VALUES $mixValuesSql) t(source, target_share)),
+              |act AS (SELECT tk.source,
+              |          COALESCE(a.n_tokens_avail, 0) AS n_tokens_avail,
+              |          tk.target_share,
+              |          CAST(COALESCE(a.n_tokens_avail, 0) AS DOUBLE) * 2.0 AS cap_tokens,
+              |          CAST(COALESCE(a.n_tokens_avail, 0) AS DOUBLE) * 2.0 / tk.target_share AS r
+              |        FROM tk LEFT JOIN a ON tk.source = a.source),
               |lam AS (SELECT source, r,
               |          SUM(cap_tokens) OVER w AS cum_cap,
               |          SUM(target_share) OVER w AS cum_share,

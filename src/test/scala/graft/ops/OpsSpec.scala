@@ -1492,4 +1492,32 @@ class OpsSpec extends AnyFunSuite {
     assert(p10("C").getAs[Double]("n_tokens_take") == 4000.0 &&
       p10("C").getAs[Boolean]("capped"))
   }
+
+  test("epoch plan: a target key with no corpus rows caps at 0 and redistributes") {
+    val d = Seq((1L, "A", 1000L), (2L, "B", 1000L)).toDF("doc_id", "key", "n_tokens")
+    val target = Seq("A" -> 0.5, "B" -> 0.3, "C" -> 0.2) // C absent from d
+    val p = Sampling.epochPlan(d, "key", "n_tokens", target, 2000L, 2.0)
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    // C appears, visibly capped at 0; its 0.2 share redistributes over
+    // A/B at 5:3 so the budget is still spent exactly
+    assert(p.contains("C"))
+    assert(p("C").getAs[Long]("n_tokens_avail") == 0L &&
+      p("C").getAs[Double]("n_tokens_take") == 0.0 &&
+      p("C").getAs[Boolean]("capped"))
+    assert(p("A").getAs[Double]("n_tokens_take") == 1250.0)
+    assert(p("B").getAs[Double]("n_tokens_take") == 750.0)
+    assert(Seq("A", "B", "C").map(k => p(k).getAs[Double]("n_tokens_take")).sum == 2000.0)
+  }
+
+  test("curriculum order: NULL difficulty ranks as its own first class, not dropped") {
+    val d = Seq((1L, Some(2L)), (2L, None), (3L, Some(1L)), (4L, None))
+      .toDF("doc_id", "difficulty")
+    val got = Sampling.curriculumOrder(d, "doc_id", "difficulty", stages = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("curriculum_rank")).toMap
+    // all four rows rank (no null-join drop); nulls order first
+    assert(got.size == 4)
+    val nullRanks = Set(got(2L), got(4L))
+    assert(nullRanks == Set(1L, 2L), s"null rows must rank first: $got")
+    assert(got(3L) == 3L && got(1L) == 4L)
+  }
 }
