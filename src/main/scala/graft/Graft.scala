@@ -292,6 +292,36 @@ final class Graft(val spark: SparkSession, stateDir: String) {
                     n: Int = 3, minHits: Int = 1): DataFrame =
     graft.ops.Decontaminate.drop(docs, bench, idCol, textCol, n, minHits)
 
+  /** Contamination matrix: per (corpus slice × benchmark slice)
+    * contaminated-doc counts and rates, zero cells included.
+    */
+  def contaminationMatrix(docs: DataFrame, bench: DataFrame,
+                          idCol: String = "doc_id",
+                          docKeyCol: String = "source",
+                          benchKeyCol: String = "bench_id",
+                          textCol: String = "text",
+                          n: Int = 3, minHits: Int = 1): DataFrame =
+    graft.ops.Decontaminate.reportBySlice(docs, bench, idCol, docKeyCol,
+      benchKeyCol, textCol, n, minHits)
+
+  /** Exact per-key discrete quantiles (PERCENTILE_DISC semantics)
+    * without a global sort, and the matching keep-at-or-below /
+    * at-or-above filter.
+    */
+  def quantiles(df: DataFrame, keyCol: String, valueCol: String,
+                qs: Seq[Double]): DataFrame =
+    graft.ops.Quantiles.quantileByKey(df, keyCol, valueCol, qs)
+
+  def quantileFilter(df: DataFrame, keyCol: String, valueCol: String,
+                     q: Double, keepBelow: Boolean = true): DataFrame =
+    graft.ops.Quantiles.quantileFilter(df, keyCol, valueCol, q, keepBelow)
+
+  /** Exact-duplicate cluster-size histogram (n_clusters, n_docs,
+    * n_excess_docs per cluster size).
+    */
+  def duplicationProfile(df: DataFrame, textCol: String = "text"): DataFrame =
+    graft.ops.Dedup.duplicationProfile(df, textCol)
+
   /** Deterministic (hash-threshold) sample — reproducible across
     * runs, engines and repartitioning; optional per-stratum rates.
     */

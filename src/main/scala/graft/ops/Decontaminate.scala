@@ -46,6 +46,56 @@ object Decontaminate {
       .withColumn("contaminated", col("n_hits") >= minHits)
   }
 
+  /** Contamination matrix: one row per (corpus slice × benchmark
+    * slice) with `n_docs` (corpus slice size), `n_contaminated`
+    * (docs sharing >= `minHits` distinct `n`-grams with THAT
+    * benchmark slice) and `contamination_rate` — the per-benchmark
+    * breakdown an eval-integrity review wants before trusting scores
+    * (a single pooled rate hides which benchmark leaked into which
+    * source).
+    *
+    * Scale shape: same inverted-index equi-join as [[overlap]], with
+    * the benchmark key riding the gram rows — the corpus token
+    * stream never shuffles (only matching grams reach the exchange),
+    * the (doc × benchKey) hit table is a partial-aggregated
+    * equi-join output, and the final matrix is (#slices ×
+    * #benchmarks)-sized. Slice totals attach by broadcast.
+    */
+  def reportBySlice(docs: DataFrame, bench: DataFrame, idCol: String,
+                    docKeyCol: String, benchKeyCol: String,
+                    textCol: String, n: Int = 3,
+                    minHits: Int = 1): DataFrame = {
+    val benchGrams = Spread.ifNarrow(bench)
+      .select(col(benchKeyCol).as("_bk"),
+        explode(Dedup.shingles(col(textCol), n)).as("_gram"))
+      .distinct()
+    // per-doc distinct grams ⋈ per-slice distinct grams → the
+    // distinct-hit count per (doc, benchmark slice)
+    val hits = Dedup.shingleRows(docs, idCol, textCol, Seq(docKeyCol), n)
+      .join(benchGrams, col("_s") === col("_gram"))
+      .groupBy(col("_id"), col(docKeyCol), col("_bk"))
+      .agg(count(lit(1)).as("_nh"))
+      .where(col("_nh") >= minHits)
+      .groupBy(col(docKeyCol), col("_bk"))
+      .agg(count(lit(1)).as("n_contaminated"))
+    val slices = docs.groupBy(col(docKeyCol)).agg(count(lit(1)).as("n_docs"))
+    // bounded collect: #benchmarks is an eval-suite count (dozens) —
+    // the same class as the classifier's ≤dims collects; exploding
+    // literals keeps the zero-cell enumeration off the BNLJ path the
+    // plan gate forbids
+    val benchKeys = bench.select(col(benchKeyCol)).distinct()
+      .collect().map(_.get(0))
+    slices
+      .select(col(docKeyCol), col("n_docs"),
+        explode(array(benchKeys.map(lit).toIndexedSeq: _*)).as("_bk"))
+      .join(hits, Seq(docKeyCol, "_bk"), "left")
+      .select(col(docKeyCol), col("_bk").as(benchKeyCol + "_bench"),
+        col("n_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination_rate",
+        round(col("n_contaminated").cast("double") / col("n_docs"), 6))
+  }
+
   /** Keep only uncontaminated documents (the apply step). */
   def drop(docs: DataFrame, bench: DataFrame, idCol: String,
            textCol: String, n: Int = 3, minHits: Int = 1): DataFrame =

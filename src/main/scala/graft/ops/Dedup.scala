@@ -54,6 +54,26 @@ object Dedup {
     df.select((col(idCol).as("_id") +: extraCols.map(col)) :+
       explode(shingleArray(col(textCol), n, dedup = distinct)).as("_s"): _*)
 
+  /** Duplication profile: the exact-duplicate cluster-size histogram
+    * — one row per cluster size with `n_clusters`, `n_docs` (rows in
+    * clusters of that size) and `n_excess_docs` (rows a dedup pass
+    * would remove) — the "how duplicated is this corpus" summary that
+    * decides whether a dedup stage is worth scheduling at all.
+    *
+    * Scale shape: two hash aggregates — digest-only rows cross the
+    * first exchange (never text), the second input is
+    * #distinct-digest-sized, and the output is histogram-sized
+    * (#distinct cluster sizes). Nothing is corpus-wide after the
+    * first map pass.
+    */
+  def duplicationProfile(df: DataFrame, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("_digest"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .withColumn("n_excess_docs", (col("cluster_size") - 1) * col("n_clusters"))
+
   /** Exact duplicate groups by content digest: (digest, dup_count,
     * canonical_id = min id).
     */

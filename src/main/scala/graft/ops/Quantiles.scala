@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact per-key quantiles and quantile filtering at corpus scale —
+  * the "drop everything above the 90th-percentile perplexity per
+  * language" selection rule of quality-filtered pretraining corpora
+  * (CCNet-style perplexity bucketing, Wenzek et al. 2020), computed
+  * WITHOUT a global sort.
+  *
+  * Distributed shape: the corpus first collapses to a (key, value,
+  * count) table — one hash aggregate with map-side combine, bounded
+  * by #distinct values, not rows (token counts, rounded scores and
+  * integer features compact by orders of magnitude). The quantile is
+  * then a running-count scan of that table: value v is the
+  * q-quantile iff it is the smallest v whose cumulative count
+  * reaches rank max(1, ceil(q·n)) — the PERCENTILE_DISC definition
+  * (smallest value whose CDF reaches q), verified against DuckDB
+  * `quantile_disc` on real data including tie cases. The per-key window runs over the COMPACTED
+  * table, so the one ordered scan is #distinct-sized; for continuous
+  * scores callers round to a fixed precision first (the standard
+  * bucketing trade — 6 dp keeps 10⁶ buckets per unit range).
+  *
+  * Float parity: ranks are computed as ceil(q·n) in IEEE double in
+  * both engines; values never interpolate (disc), so outputs are
+  * exact input values.
+  */
+object Quantiles {
+
+  /** One row per (key, q): (key, q, quantile, n) where `quantile` is
+    * the discrete q-quantile of `valueCol` within the key group and
+    * `n` the group's row count. `qs` must be in [0, 1].
+    */
+  def quantileByKey(df: DataFrame, keyCol: String, valueCol: String,
+                    qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "qs must be non-empty")
+    require(qs.forall(q => q >= 0.0 && q <= 1.0), s"qs must be in [0,1]: $qs")
+    require(qs.distinct.size == qs.size, s"duplicate qs: $qs")
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(col(keyCol)).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(keyCol))
+    // compacted (key, value, count) + running/total counts in one
+    // window pass over the #distinct-sized table
+    val vc = df.groupBy(col(keyCol), col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum(col("_c")).over(wCum))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+    // the target 1-based rank per q; the quantile is the smallest
+    // value whose cumulative count reaches it
+    val qCol = explode(array(qs.map(lit): _*)).as("q")
+    vc.select(col(keyCol), col("_v"), col("_c"), col("_cum"), col("_n"), qCol)
+      .withColumn("_rank",
+        greatest(ceil(col("_n").cast("double") * col("q")), lit(1L)).cast("long"))
+      .where(col("_cum") >= col("_rank") &&
+        (col("_cum") - col("_c")) < col("_rank"))
+      .select(col(keyCol), col("q"), col("_v").as("quantile"), col("_n").as("n"))
+  }
+
+  /** Keep rows at or below (`keepBelow`, the perplexity-filter
+    * direction) or at or above their key's discrete q-quantile of
+    * `valueCol`. The #keys-sized threshold table broadcast-joins
+    * back; the corpus itself never shuffles.
+    */
+  def quantileFilter(df: DataFrame, keyCol: String, valueCol: String,
+                     q: Double, keepBelow: Boolean = true): DataFrame = {
+    val thr = quantileByKey(df, keyCol, valueCol, Seq(q))
+      .select(col(keyCol).as("_qk"), col("quantile").as("_thr"))
+    val cond =
+      if (keepBelow) col(valueCol) <= col("_thr") else col(valueCol) >= col("_thr")
+    df.join(broadcast(thr), col(keyCol) === col("_qk"))
+      .where(cond)
+      .drop("_qk", "_thr")
+  }
+}

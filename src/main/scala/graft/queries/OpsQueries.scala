@@ -2181,5 +2181,100 @@ object OpsQueries {
               |       0.0 AS n_tokens_take, 0.0 AS epochs, FALSE AS capped
               |FROM a WHERE target_share <= 0
               |ORDER BY source""".stripMargin)),
+
+    // exact per-key token-count quantiles WITHOUT a global sort: the
+    // corpus compacts to (key, value, count), the quantile is a
+    // running-count scan of that table (quantile_disc semantics)
+    Q("quality_quantile_report",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val d = s.table("documents")
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        graft.ops.Quantiles.quantileByKey(d, "source", "n_tokens",
+            Seq(0.1, 0.5, 0.9))
+          .groupBy(col("source"))
+          .agg(max(when(col("q") === 0.1, col("quantile"))).as("q10"),
+            max(when(col("q") === 0.5, col("quantile"))).as("q50"),
+            max(when(col("q") === 0.9, col("quantile"))).as("q90"),
+            max(col("n")).as("n_docs"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH d AS (SELECT source,
+              |  CAST(len($oracleToks) AS BIGINT) AS n_tokens FROM documents)
+              |SELECT source,
+              |  quantile_disc(n_tokens, 0.1) AS q10,
+              |  quantile_disc(n_tokens, 0.5) AS q50,
+              |  quantile_disc(n_tokens, 0.9) AS q90,
+              |  COUNT(*) AS n_docs
+              |FROM d GROUP BY source ORDER BY source""".stripMargin)),
+
+    // the apply half: per-key quantile threshold as a broadcast join —
+    // CCNet-style "keep at or below the slice's 0.9 length quantile"
+    Q("quality_quantile_filter",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val d = s.table("documents")
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+          .select(col("doc_id"), col("source"), col("n_tokens"))
+        graft.ops.Quantiles.quantileFilter(d, "source", "n_tokens",
+            q = 0.9, keepBelow = true)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source,
+              |  CAST(len($oracleToks) AS BIGINT) AS n_tokens FROM documents),
+              |t AS (SELECT source, quantile_disc(n_tokens, 0.9) AS thr
+              |      FROM d GROUP BY source)
+              |SELECT d.doc_id, d.source, d.n_tokens
+              |FROM d JOIN t USING (source)
+              |WHERE d.n_tokens <= t.thr
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // contamination matrix: which benchmark slice leaked into which
+    // corpus source (src0's lang values act as the benchmark suite)
+    Q("report_contamination_matrix",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val docs = s.table("documents")
+        val bench = docs.where(col("source") === "src0")
+        val corpus = docs.where(col("source") =!= "src0")
+        graft.ops.Decontaminate.reportBySlice(corpus, bench,
+            "doc_id", "source", "lang", "text", n = 3, minHits = 2)
+          .orderBy(col("source"), col("lang_bench"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, $oracleToks AS toks
+              |           FROM documents WHERE source <> 'src0'),
+              |bt AS (SELECT lang, $oracleToks AS toks
+              |       FROM documents WHERE source = 'src0'),
+              |bg AS (SELECT DISTINCT lang AS bk, unnest($oracleShingles) AS gram FROM bt),
+              |dg AS (SELECT doc_id, source, unnest($oracleShingles) AS gram FROM t),
+              |h AS (SELECT dg.source, dg.doc_id, bg.bk, COUNT(*) AS nh
+              |      FROM dg JOIN bg ON dg.gram = bg.gram GROUP BY 1, 2, 3),
+              |c AS (SELECT source, bk, COUNT(*) AS n_contaminated
+              |      FROM h WHERE nh >= 2 GROUP BY 1, 2),
+              |sl AS (SELECT source, COUNT(*) AS n_docs FROM t GROUP BY source),
+              |k AS (SELECT DISTINCT lang AS bk FROM documents WHERE source = 'src0')
+              |SELECT sl.source, k.bk AS lang_bench, sl.n_docs,
+              |  COALESCE(c.n_contaminated, 0) AS n_contaminated,
+              |  ROUND(CAST(COALESCE(c.n_contaminated, 0) AS DOUBLE) / sl.n_docs, 6)
+              |    AS contamination_rate
+              |FROM sl CROSS JOIN k
+              |LEFT JOIN c ON c.source = sl.source AND c.bk = k.bk
+              |ORDER BY sl.source, lang_bench""".stripMargin)),
+
+    // duplication profile: exact-dup cluster-size histogram — the
+    // "is a dedup stage worth scheduling" summary
+    Q("report_duplication_profile",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        Dedup.duplicationProfile(s.table("documents"), "text")
+          .orderBy(col("cluster_size"))
+      },
+      Some("""WITH g AS (SELECT md5(text) AS d, COUNT(*) AS cluster_size
+             |           FROM documents GROUP BY 1)
+             |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+             |  COUNT(*) AS n_clusters,
+             |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_excess_docs
+             |FROM g GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)),
   )
 }

@@ -1509,6 +1509,64 @@ class OpsSpec extends AnyFunSuite {
     assert(Seq("A", "B", "C").map(k => p(k).getAs[Double]("n_tokens_take")).sum == 2000.0)
   }
 
+  test("quantiles: PERCENTILE_DISC semantics incl. ties and q=0/1") {
+    val d = Seq(("a", 1L), ("a", 1L), ("a", 1L), ("a", 4L),
+        ("b", 10L), ("b", 20L), ("b", 30L), ("b", 40L), ("b", 50L))
+      .toDF("k", "v")
+    val got = Quantiles.quantileByKey(d, "k", "v", Seq(0.0, 0.5, 0.9, 1.0))
+      .collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Double]("q")) ->
+        r.getAs[Long]("quantile")).toMap
+    // reference: smallest v whose cumulative count >= max(1, ceil(q*n))
+    def ref(vs: Seq[Long], q: Double): Long = {
+      val rank = math.max(1, math.ceil(q * vs.size).toLong)
+      vs.sorted.apply(rank.toInt - 1)
+    }
+    val va = Seq(1L, 1L, 1L, 4L); val vb = Seq(10L, 20L, 30L, 40L, 50L)
+    for (q <- Seq(0.0, 0.5, 0.9, 1.0)) {
+      assert(got(("a", q)) == ref(va, q), s"a q=$q")
+      assert(got(("b", q)) == ref(vb, q), s"b q=$q")
+    }
+    // the tie group: q=0.5 of [1,1,1,4] is 1, q=1.0 is 4
+    assert(got(("a", 0.5)) == 1L && got(("a", 1.0)) == 4L)
+    // filter keeps at-or-below the per-key threshold
+    val kept = Quantiles.quantileFilter(d, "k", "v", q = 0.5)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("v")))
+    assert(kept.toSet == Set(("a", 1L), ("b", 10L), ("b", 20L), ("b", 30L)))
+  }
+
+  test("contamination matrix reports zero cells and per-slice rates") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta shared phrase here", "x"),
+      (2L, "totally clean document nothing shared at all", "x"),
+      (3L, "another clean unrelated piece of writing", "y")
+    ).toDF("doc_id", "text", "source")
+    val bench = Seq(
+      ("b1", "alpha beta gamma delta shared phrase here too"),
+      ("b2", "quite disjoint benchmark question content")
+    ).toDF("bench_id", "text")
+    val got = Decontaminate.reportBySlice(corpus, bench,
+        "doc_id", "source", "bench_id", "text", n = 3, minHits = 2)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("bench_id_bench")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_contaminated"),
+          r.getAs[Double]("contamination_rate"))).toMap
+    assert(got.size == 4) // full 2x2 matrix, zero cells included
+    assert(got(("x", "b1")) == ((2L, 1L, 0.5)))
+    assert(got(("x", "b2")) == ((2L, 0L, 0.0)))
+    assert(got(("y", "b1")) == ((1L, 0L, 0.0)))
+    assert(got(("y", "b2")) == ((1L, 0L, 0.0)))
+  }
+
+  test("duplication profile: cluster-size histogram with excess counts") {
+    val got = Dedup.duplicationProfile(docs, "text").collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_excess_docs"))).toMap
+    // docs: one exact-dup pair (1,2), five singletons
+    assert(got == Map(1L -> ((5L, 5L, 0L)), 2L -> ((1L, 2L, 1L))))
+  }
+
   test("curriculum order: NULL difficulty ranks as its own first class, not dropped") {
     val d = Seq((1L, Some(2L)), (2L, None), (3L, Some(1L)), (4L, None))
       .toDF("doc_id", "difficulty")
