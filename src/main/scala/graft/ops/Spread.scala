@@ -22,8 +22,11 @@ import org.apache.spark.sql.{Column, DataFrame}
   * (pre-dedup) corpus hashes identical documents into one task,
   * recreating exactly the single-task skew the spread exists to fix.
   *
-  * The guard reads the physical partition count off the planned RDD —
-  * planning only, no job runs.
+  * The guard reads the physical partition count off the planned RDD.
+  * On a plain scan/filter input (every call site in this library)
+  * that is planning only — no job runs. Passing a DataFrame with
+  * upstream shuffles would make AQE finalize those stages eagerly to
+  * answer the probe; spread raw inputs, not mid-pipeline ones.
   */
 object Spread {
 
