@@ -28,10 +28,11 @@ object Decontaminate {
     */
   def overlap(docs: DataFrame, bench: DataFrame, idCol: String,
               textCol: String, n: Int = 3, minHits: Int = 1): DataFrame = {
-    // the eval set usually arrives as ONE file = one partition; its
-    // shingle explode would serialize on a single core (guarded:
-    // an already-wide bench passes through)
-    val benchGrams = Spread.ifNarrow(bench)
+    // NO pre-spread on the eval side: a benchmark set is megabytes by
+    // definition, its one-partition explode is cheaper than the
+    // exchange a spread would add (measured: +0.65 s per funnel query
+    // at sf0.1 for zero benefit)
+    val benchGrams = bench
       .select(explode(Dedup.shingles(col(textCol), n)).as("_gram"))
       .distinct()
     // shingleRows emits per-doc DISTINCT grams and benchGrams is
@@ -65,7 +66,7 @@ object Decontaminate {
                     docKeyCol: String, benchKeyCol: String,
                     textCol: String, n: Int = 3,
                     minHits: Int = 1): DataFrame = {
-    val benchGrams = Spread.ifNarrow(bench)
+    val benchGrams = bench
       .select(col(benchKeyCol).as("_bk"),
         explode(Dedup.shingles(col(textCol), n)).as("_gram"))
       .distinct()
@@ -110,7 +111,7 @@ object Decontaminate {
     * and streams.
     */
   def benchGramRow(bench: DataFrame, textCol: String, n: Int = 3): DataFrame =
-    Spread.ifNarrow(bench)
+    bench
       .select(explode(Dedup.shingles(col(textCol), n)).as("_g"))
       .agg(collect_set(col("_g")).as("bench_grams"))
 
