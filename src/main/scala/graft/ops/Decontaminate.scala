@@ -28,11 +28,11 @@ object Decontaminate {
     */
   def overlap(docs: DataFrame, bench: DataFrame, idCol: String,
               textCol: String, n: Int = 3, minHits: Int = 1): DataFrame = {
-    // NO pre-spread on the eval side: a benchmark set is megabytes by
-    // definition, its one-partition explode is cheaper than the
-    // exchange a spread would add (measured: +0.65 s per funnel query
-    // at sf0.1 for zero benefit)
-    val benchGrams = bench
+    // size-gated eval-side spread: a small eval set's one-partition
+    // explode is cheaper than an exchange, but once the benchmark
+    // slice reaches tens of MB the single-task explode dominates the
+    // query (see Spread.ifNarrowAndBig)
+    val benchGrams = Spread.ifNarrowAndBig(bench)
       .select(explode(Dedup.shingles(col(textCol), n)).as("_gram"))
       .distinct()
     // shingleRows emits per-doc DISTINCT grams and benchGrams is
@@ -66,7 +66,7 @@ object Decontaminate {
                     docKeyCol: String, benchKeyCol: String,
                     textCol: String, n: Int = 3,
                     minHits: Int = 1): DataFrame = {
-    val benchGrams = bench
+    val benchGrams = Spread.ifNarrowAndBig(bench)
       .select(col(benchKeyCol).as("_bk"),
         explode(Dedup.shingles(col(textCol), n)).as("_gram"))
       .distinct()
@@ -111,7 +111,7 @@ object Decontaminate {
     * and streams.
     */
   def benchGramRow(bench: DataFrame, textCol: String, n: Int = 3): DataFrame =
-    bench
+    Spread.ifNarrowAndBig(bench)
       .select(explode(Dedup.shingles(col(textCol), n)).as("_g"))
       .agg(collect_set(col("_g")).as("bench_grams"))
 
