@@ -317,10 +317,23 @@ final class Graft(val spark: SparkSession, stateDir: String) {
     graft.ops.Quantiles.quantileFilter(df, keyCol, valueCol, q, keepBelow)
 
   /** Exact-duplicate cluster-size histogram (n_clusters, n_docs,
-    * n_excess_docs per cluster size).
+    * n_excess_docs per cluster size), and its near-duplicate
+    * companion over the MinHash-LSH duplicate graph's components.
     */
   def duplicationProfile(df: DataFrame, textCol: String = "text"): DataFrame =
     graft.ops.Dedup.duplicationProfile(df, textCol)
+
+  def nearDupProfile(df: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", k: Int = 16, bands: Int = 4,
+                     n: Int = 3, threshold: Double = 0.25): DataFrame =
+    graft.ops.Dedup.nearDupProfile(df, idCol, textCol, k, bands, n, threshold)
+
+  /** Per-slice distribution shift: unigram KL(slice ‖ corpus) in
+    * nats, with slice token/vocab totals.
+    */
+  def divergenceReport(df: DataFrame, keyCol: String = "source",
+                       textCol: String = "text"): DataFrame =
+    graft.ops.TextAnalysis.divergenceReport(df, keyCol, textCol)
 
   /** Deterministic (hash-threshold) sample — reproducible across
     * runs, engines and repartitioning; optional per-stratum rates.

@@ -74,6 +74,31 @@ object Dedup {
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
       .withColumn("n_excess_docs", (col("cluster_size") - 1) * col("n_clusters"))
 
+  /** [[duplicationProfile]] for NEAR duplicates: the cluster-size
+    * histogram of the MinHash-LSH duplicate graph's connected
+    * components (docs in no pair count as singleton clusters) — the
+    * near-dup companion to the exact-dup profile, sized the same way
+    * a dedup pass with [[Components.connectedComponents]] would
+    * actually group the corpus.
+    *
+    * Scale shape: the banded LSH pair join (never all-pairs) +
+    * O(log n) pointer-jumping rounds, then two histogram-sized
+    * aggregates; nothing corpus-wide after the signature scan.
+    */
+  def nearDupProfile(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 16, bands: Int = 4, n: Int = 3,
+                     threshold: Double = 0.25): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, k, bands, n, threshold)
+    val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+    df.select(col(idCol))
+      .join(comp.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .select(coalesce(col("cluster"), col(idCol)).as("_cid"))
+      .groupBy(col("_cid")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .withColumn("n_excess_docs", (col("cluster_size") - 1) * col("n_clusters"))
+  }
+
   /** Exact duplicate groups by content digest: (digest, dup_count,
     * canonical_id = min id).
     */

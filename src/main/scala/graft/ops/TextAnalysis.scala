@@ -644,6 +644,49 @@ object TextAnalysis {
     * top-k (TakeOrderedAndProject) — attached by a 1-row crossJoin.
     * Share = integer-sum ratio → bit-identical across engines.
     */
+  /** Per-slice distribution-shift report: KL(P_key ‖ Q_corpus) of the
+    * unigram term distributions, in nats — the standard domain-shift
+    * screen over a mixed corpus (a slice whose vocabulary usage
+    * diverges from the pool is a candidate for its own mixture key or
+    * for exclusion). Returns one row per key: (key, n_tokens,
+    * vocab_size, kl_nats). KL is finite by construction: every term
+    * of P_key exists in Q_corpus.
+    *
+    * Scale shape: ONE (key, term) aggregate off the token explode;
+    * the global term table derives from it (no second corpus scan),
+    * per-key totals attach by broadcast, the corpus total as a 1-row
+    * broadcast. Float parity: the log factors to
+    * ln c − ln n_k − ln c_t + ln n (no c·n product to overflow at
+    * 10¹⁴ tokens); per-term contributions round to 12 dp and sum as
+    * DECIMAL(38,15) — exact, order-independent — with one final
+    * 6-dp double cast (the [[lmPerplexity]] contract).
+    */
+  def divergenceReport(df: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    val kt = Spread.ifNarrow(df)
+      .select(col(keyCol), explode(tokens(col(textCol))).as("_t"))
+      .groupBy(col(keyCol), col("_t")).agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true)
+    val keyTot = kt.groupBy(col(keyCol))
+      .agg(sum(col("_c")).as("_nk"), count(lit(1)).as("vocab_size"))
+    val termTot = kt.groupBy(col("_t")).agg(sum(col("_c")).as("_ct"))
+    val corpusTot = broadcast(termTot.agg(sum(col("_ct")).as("_n")))
+    val contrib = kt
+      .join(termTot, "_t")
+      .join(broadcast(keyTot), Seq(keyCol))
+      .crossJoin(corpusTot)
+      .withColumn("_kl",
+        round((col("_c").cast("double") / col("_nk")) *
+          (log(col("_c").cast("double")) - log(col("_nk").cast("double")) -
+            log(col("_ct").cast("double")) + log(col("_n").cast("double"))), 12)
+          .cast("decimal(38,15)"))
+    contrib.groupBy(col(keyCol))
+      .agg(max(col("_nk")).as("n_tokens"), max(col("vocab_size")).as("vocab_size"),
+        sum(col("_kl")).as("_skl"))
+      .select(col(keyCol), col("n_tokens").cast("long").as("n_tokens"),
+        col("vocab_size").cast("long").as("vocab_size"),
+        round(col("_skl").cast("double"), 6).as("kl_nats"))
+  }
+
   def vocabReport(df: DataFrame, textCol: String, k: Int = 10): DataFrame = {
     val counts = Spread.ifNarrow(df)
       .select(explode(tokens(col(textCol))).as("term"))

@@ -2261,6 +2261,56 @@ object OpsQueries {
               |LEFT JOIN c ON c.source = sl.source AND c.bk = k.bk
               |ORDER BY sl.source, lang_bench""".stripMargin)),
 
+    // near-dup companion: cluster-size histogram of the MinHash-LSH
+    // duplicate graph's connected components (singletons included)
+    Q("report_neardup_profile",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        Dedup.nearDupProfile(s.table("documents"), "doc_id", "text",
+            k = 16, bands = 4, n = 3, threshold = 0.25)
+          .orderBy(col("cluster_size"))
+      },
+      Some(s"""WITH RECURSIVE $minhashOracleCtes,
+              |prs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.25),
+              |eg AS (SELECT id_a AS a, id_b AS b FROM prs UNION SELECT id_b, id_a FROM prs),
+              |walk(node, lbl) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT e.b, w.lbl FROM walk w JOIN eg e ON e.a = w.node),
+              |comp AS (SELECT node, MIN(lbl) AS cid FROM walk GROUP BY node),
+              |cs AS (SELECT cid, COUNT(*) AS cluster_size FROM comp GROUP BY cid)
+              |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+              |  COUNT(*) AS n_clusters,
+              |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_excess_docs
+              |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)),
+
+    // distribution-shift screen: unigram KL(source || corpus) in nats
+    Q("report_source_divergence",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        TextAnalysis.divergenceReport(s.table("documents"), "source", "text")
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH d AS (SELECT source, unnest($oracleToks) AS t FROM documents),
+              |kt AS (SELECT source, t, COUNT(*) AS c FROM d GROUP BY 1, 2),
+              |ktot AS (SELECT source, SUM(c) AS nk, COUNT(*) AS vocab_size
+              |         FROM kt GROUP BY source),
+              |tt AS (SELECT t, SUM(c) AS ct FROM kt GROUP BY t),
+              |nn AS (SELECT SUM(ct) AS n FROM tt),
+              |con AS (SELECT kt.source,
+              |  CAST(ROUND((CAST(kt.c AS DOUBLE) / ktot.nk) *
+              |    (ln(CAST(kt.c AS DOUBLE)) - ln(CAST(ktot.nk AS DOUBLE))
+              |     - ln(CAST(tt.ct AS DOUBLE)) + ln(CAST(nn.n AS DOUBLE))), 12)
+              |    AS DECIMAL(38,15)) AS klc
+              |  FROM kt JOIN tt USING (t) JOIN ktot USING (source) CROSS JOIN nn)
+              |SELECT con.source,
+              |  CAST(MAX(ktot.nk) AS BIGINT) AS n_tokens,
+              |  CAST(MAX(ktot.vocab_size) AS BIGINT) AS vocab_size,
+              |  ROUND(CAST(SUM(con.klc) AS DOUBLE), 6) AS kl_nats
+              |FROM con JOIN ktot USING (source)
+              |GROUP BY con.source ORDER BY con.source""".stripMargin)),
+
     // duplication profile: exact-dup cluster-size histogram — the
     // "is a dedup stage worth scheduling" summary
     Q("report_duplication_profile",

@@ -1567,6 +1567,34 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((5L, 5L, 0L)), 2L -> ((1L, 2L, 1L))))
   }
 
+  test("near-dup profile: token-identical docs cluster, singletons counted") {
+    val got = Dedup.nearDupProfile(docs, "doc_id", "text",
+        k = 16, bands = 4, n = 3, threshold = 0.25).collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_excess_docs"))).toMap
+    // every doc lands in exactly one cluster
+    assert(got.values.map(_._2).sum == 7L)
+    // docs 1/2/4 tokenize identically (jaccard 1) -> one cluster >= 3
+    val big = got.keys.max
+    assert(big >= 3L, s"expected a >=3 cluster: $got")
+    assert(got(big)._3 == (big - 1) * got(big)._1)
+  }
+
+  test("divergence report: hand-checked unigram KL to the corpus") {
+    val d = Seq(("A", "x x y"), ("B", "y")).toDF("k", "text")
+    val got = TextAnalysis.divergenceReport(d, "k", "text").collect()
+      .map(r => r.getAs[String]("k") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab_size"),
+          r.getAs[Double]("kl_nats"))).toMap
+    // corpus: x 2, y 2 (n=4). P_A=(2/3,1/3) vs Q=(1/2,1/2):
+    // KL = 2/3 ln(4/3) + 1/3 ln(2/3) = 0.056633; P_B=(y:1): ln 2
+    assert(got("A")._1 == 3L && got("A")._2 == 2L)
+    assert(math.abs(got("A")._3 - 0.056633) < 1e-6, got("A").toString)
+    assert(got("B")._1 == 1L && got("B")._2 == 1L)
+    assert(math.abs(got("B")._3 - 0.693147) < 1e-6, got("B").toString)
+  }
+
   test("curriculum order: NULL difficulty ranks as its own first class, not dropped") {
     val d = Seq((1L, Some(2L)), (2L, None), (3L, Some(1L)), (4L, None))
       .toDF("doc_id", "difficulty")
