@@ -608,6 +608,58 @@ final class Graft(val spark: SparkSession, stateDir: String) {
       graft.ops.Bpe.encodeSubwords(org.apache.spark.sql.functions.col(textCol),
         mergeRules))
 
+  /** Embedding-space decontamination: nearest-benchmark cosine per
+    * corpus row (`bench_id`, `bench_cosine`, `contaminated`) — the
+    * paraphrase-leakage screen the n-gram test misses.
+    */
+  def contaminationSemantic(docs: DataFrame, bench: DataFrame,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            threshold: Double = 0.9): DataFrame =
+    graft.ops.Decontaminate.semanticOverlap(docs, bench, idCol, vecCol, threshold)
+
+  /** Drop rows whose nearest benchmark vector scores ≥ threshold. */
+  def decontaminateSemantic(docs: DataFrame, bench: DataFrame,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            threshold: Double = 0.9): DataFrame =
+    graft.ops.Decontaminate.semanticDrop(docs, bench, idCol, vecCol, threshold)
+
+  /** Hard-negative mining: per query vector, the top-k most-similar
+    * corpus vectors with a different label.
+    */
+  def mineHardNegatives(corpus: DataFrame, queries: DataFrame,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        labelCol: String = "label", k: Int = 10): DataFrame =
+    graft.ops.Similarity.hardNegativesTopK(corpus, queries, idCol, vecCol, labelCol, k)
+
+  /** k-NN label-purity report per label over a bounded probe set —
+    * the embedding-space label-noise screen.
+    */
+  def knnLabelPurity(corpus: DataFrame, probes: DataFrame,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     labelCol: String = "label", k: Int = 10): DataFrame =
+    graft.ops.Similarity.knnLabelPurity(corpus, probes, idCol, vecCol, labelCol, k)
+
+  /** Cluster-balanced diversity sampling: nearest-centroid assignment
+    * plus a deterministic per-cluster cap.
+    */
+  def sampleClusterBalanced(df: DataFrame, centroids: DataFrame,
+                            maxPerCluster: Int, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame =
+    graft.ops.Sampling.clusterBalancedSample(df, idCol, vecCol, centroids, maxPerCluster)
+
+  /** Per-key quantile bucketing (CCNet head/middle/tail split). */
+  def bucketByQuantile(df: DataFrame, keyCol: String, valueCol: String,
+                       qs: Seq[Double], bucketCol: String = "bucket"): DataFrame =
+    graft.ops.Quantiles.bucketByKey(df, keyCol, valueCol, qs, bucketCol)
+
+  /** Zipf-law fit of the corpus unigram distribution — slope /
+    * intercept of ln(freq) on ln(rank) over the vocabulary.
+    */
+  def zipfFit(df: DataFrame, textCol: String = "text"): DataFrame =
+    graft.ops.TextAnalysis.zipfFit(df, textCol)
+
   /** Export a registered table to parquet, optionally z-order
     * clustered on its centroid columns for spatially-pruned reads.
     */

@@ -104,6 +104,53 @@ object Decontaminate {
       .where(!col("contaminated"))
       .drop("n_hits", "contaminated")
 
+  /** Embedding-space (semantic) decontamination: annotate `docs`
+    * with the nearest BENCHMARK vector (`bench_id`, `bench_cosine`)
+    * and `contaminated` = cosine ≥ threshold — catching the
+    * paraphrased eval leakage an n-gram [[overlap]] test misses
+    * (same motivation as SemDeDup's cosine criterion, applied
+    * corpus-vs-benchmark instead of corpus-vs-itself).
+    *
+    * Scale shape mirrors [[graft.ops.Similarity.assignClusters]]: the
+    * benchmark set is an eval suite — bounded by construction — so
+    * its vectors collect once and ship as plan literals; the argmax
+    * is then a pure per-row projection over the corpus scan: no join,
+    * no shuffle, no exchange of the corpus at any size. Ties on
+    * cosine break to the LARGEST bench id (greatest-struct
+    * semantics, mirrored in the oracle). For benchmark sets beyond
+    * the plan-literal envelope (≫ a few thousand vectors), block the
+    * comparison through [[graft.ops.Dedup.embeddingNearDupPairs]]'s
+    * LSH-bucket join instead.
+    */
+  def semanticOverlap(docs: DataFrame, bench: DataFrame, idCol: String,
+                      vecCol: String, threshold: Double): DataFrame = {
+    val refs = bench
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    require(refs.nonEmpty, "semanticOverlap: empty benchmark set")
+    val v = col(vecCol).cast("array<double>")
+    val scored = refs.map { case (bi, bv) =>
+      struct(Similarity.cosine(v, array(bv.map(lit).toIndexedSeq: _*)).as("c"),
+        lit(bi).as("bi"))
+    }
+    val best = if (scored.length == 1) scored.head
+               else greatest(scored.toIndexedSeq: _*)
+    docs.withColumn("_best", best)
+      .withColumn("bench_id", col("_best.bi"))
+      .withColumn("bench_cosine", col("_best.c"))
+      .withColumn("contaminated", col("_best.c") >= threshold)
+      .drop("_best")
+  }
+
+  /** Keep only semantically-uncontaminated documents (the apply
+    * step of [[semanticOverlap]]).
+    */
+  def semanticDrop(docs: DataFrame, bench: DataFrame, idCol: String,
+                   vecCol: String, threshold: Double): DataFrame =
+    semanticOverlap(docs, bench, idCol, vecCol, threshold)
+      .where(!col("contaminated"))
+      .drop("bench_id", "bench_cosine", "contaminated")
+
   /** The eval set collapsed to a ONE-ROW distinct-gram array — the
     * broadcastable model form (same pattern as the streaming LM's
     * one-row model: an eval corpus is megabytes, so the array is

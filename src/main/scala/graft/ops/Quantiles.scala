@@ -58,6 +58,40 @@ object Quantiles {
       .select(col(keyCol), col("q"), col("_v").as("quantile"), col("_n").as("n"))
   }
 
+  /** Per-key quantile bucketing — the CCNet head/middle/tail split
+    * (Wenzek et al. 2020): appends `bucketCol` where bucket `i` means
+    * the row's value is ≤ the key's `qs(i)` discrete quantile (first
+    * matching threshold wins; values above every threshold land in
+    * bucket `qs.length`). With qs = (1/3, 2/3): 0 = head, 1 = middle,
+    * 2 = tail. Because the thresholds are PERCENTILE_DISC values
+    * (actual data values) and the comparison is ≤, every key's rows
+    * split so bucket 0 holds at least ceil(n/3) rows — the CCNet
+    * convention.
+    *
+    * Scale: thresholds come from [[quantileByKey]]'s compacted-table
+    * scan, pivot to one #keys-sized wide row each, and broadcast-join
+    * back; the corpus itself never shuffles and the bucket label is a
+    * per-row CASE over plan columns.
+    */
+  def bucketByKey(df: DataFrame, keyCol: String, valueCol: String,
+                  qs: Seq[Double], bucketCol: String = "bucket"): DataFrame = {
+    require(qs == qs.sorted, s"qs must be ascending: $qs")
+    require(!df.columns.contains(bucketCol),
+      s"bucketByKey: input already has a '$bucketCol' column")
+    val aggs = qs.zipWithIndex.map { case (q, i) =>
+      max(when(col("q") === q, col("quantile"))).as(s"_t$i")
+    }
+    val thr = quantileByKey(df, keyCol, valueCol, qs)
+      .groupBy(col(keyCol).as("_qk"))
+      .agg(aggs.head, aggs.tail: _*)
+    val bucket = qs.indices.foldRight(lit(qs.length)) { (i, acc) =>
+      when(col(valueCol) <= col(s"_t$i"), lit(i)).otherwise(acc)
+    }
+    df.join(broadcast(thr), col(keyCol) === col("_qk"))
+      .withColumn(bucketCol, bucket.cast("long"))
+      .drop("_qk" +: qs.indices.map(i => s"_t$i"): _*)
+  }
+
   /** Keep rows at or below (`keepBelow`, the perplexity-filter
     * direction) or at or above their key's discrete q-quantile of
     * `valueCol`. The #keys-sized threshold table broadcast-joins

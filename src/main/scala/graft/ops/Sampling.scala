@@ -467,6 +467,29 @@ object Sampling {
       .drop("_rn")
   }
 
+  /** Cluster-balanced diversity sampling: assign every row to its
+    * nearest centroid (plan-literal argmax via
+    * [[graft.ops.Similarity.assignClusters]] — no join, no shuffle of
+    * the corpus) and keep at most `maxPerCluster` rows per cluster
+    * through the salted deterministic cap. The distributed stand-in
+    * for k-center / facility-location subset selection: coverage
+    * comes from the centroid partition (every region of embedding
+    * space keeps representatives), boundedness from the per-cluster
+    * cap — dense regions can no longer dominate the sample the way
+    * they do under uniform row sampling. Output keeps the appended
+    * `cent_id` so downstream stages can stratify on it.
+    */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+                            centroids: DataFrame, maxPerCluster: Int,
+                            centIdCol: String = "cent_id",
+                            centVecCol: String = "centroid"): DataFrame = {
+    require(!df.columns.contains("cent_id"),
+      "clusterBalancedSample: input already has a 'cent_id' column")
+    capPerKey(
+      graft.ops.Similarity.assignClusters(df, vecCol, centroids, centIdCol, centVecCol),
+      "cent_id", idCol, maxPerCluster)
+  }
+
   /** Data-constrained epoch planning (the Muennighoff et al. 2023
     * "scaling data-constrained LMs" regime): distribute a token
     * budget over keys at the target mixture, but no key may repeat

@@ -43,7 +43,8 @@ object Similarity {
     * (hash of nn_id), not partition-derived, so the plan is
     * deterministic under any physical partitioning.
     */
-  private def topKPerQuery(pairs: DataFrame, k: Int, fanout: Int = 32): DataFrame = {
+  private def topKPerQuery(pairs: DataFrame, k: Int, fanout: Int = 32,
+                           extra: Seq[String] = Nil): DataFrame = {
     val salted = pairs.withColumn("_salt", pmod(hash(col("nn_id")), lit(fanout)))
     val w1 = Window.partitionBy(col("query_id"), col("_salt"))
       .orderBy(desc("cosine"), col("nn_id"))
@@ -52,7 +53,7 @@ object Similarity {
     val w2 = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("nn_id"))
     survivors.withColumn("rank", row_number().over(w2))
       .where(col("rank") <= k)
-      .select("query_id", "rank", "nn_id", "cosine")
+      .select(("query_id" +: "rank" +: "nn_id" +: "cosine" +: extra).map(col): _*)
   }
 
   /** Exact top-k neighbors for each query vector (brute force).
@@ -71,6 +72,64 @@ object Similarity {
       .where(if (includeSelf) lit(true) else col("nn_id") =!= col("query_id"))
       .withColumn("cosine", dot(col("q_vec"), col("nn_vec")) / (col("q_norm") * col("nn_norm")))
     topKPerQuery(pairs, k)
+  }
+
+  /** Hard-negative mining for contrastive / retrieval training: for
+    * each query vector, the top-k most-similar corpus vectors whose
+    * `labelCol` DIFFERS from the query's — the "close but wrong"
+    * examples a dual-encoder trains against (in-batch negatives'
+    * stronger offline form). Same plan shape as [[bruteForceTopK]]:
+    * the query batch broadcasts (training mines negatives one batch
+    * at a time — the query side is bounded by construction), the
+    * corpus scans once with no shuffle, and the per-query top-k runs
+    * through the salted two-stage funnel. Output: (query_id, rank,
+    * nn_id, cosine, nn_label).
+    */
+  def hardNegativesTopK(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, labelCol: String,
+                        k: Int = 10): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"), col(labelCol).as("nn_label"),
+      col(vecCol).as("nn_vec"), norm(col(vecCol)).as("nn_norm"))
+    val q = queries.select(col(idCol).as("query_id"), col(labelCol).as("q_label"),
+      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"))
+    val pairs = c.crossJoin(broadcast(q))
+      .where(col("nn_id") =!= col("query_id") &&
+        !(col("nn_label") <=> col("q_label")))
+      .withColumn("cosine", dot(col("q_vec"), col("nn_vec")) / (col("q_norm") * col("nn_norm")))
+    topKPerQuery(pairs, k, extra = Seq("nn_label"))
+  }
+
+  /** k-NN label-purity report — the embedding-space label-noise
+    * screen (confident-learning flavor): for a bounded probe sample,
+    * how often do a vector's k nearest neighbors share its label?
+    * One row per label: `n_probes`, `n_pairs` (ranked neighbor rows,
+    * ≤ k·n_probes), `n_same` and `purity` = n_same/n_pairs. A label
+    * whose purity sits far below the others marks a slice whose
+    * labels disagree with the embedding geometry (noisy labels or an
+    * incoherent class).
+    *
+    * Scale: `probes` must be a bounded sample (it broadcasts against
+    * the corpus scan — the exact-kNN baseline's linear-scan shape);
+    * purity is integer-exact (one double division per label at the
+    * end), so partial-agg order cannot move the report.
+    */
+  def knnLabelPurity(corpus: DataFrame, probes: DataFrame,
+                     idCol: String, vecCol: String, labelCol: String,
+                     k: Int = 10): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"), col(labelCol).as("nn_label"),
+      col(vecCol).as("nn_vec"), norm(col(vecCol)).as("nn_norm"))
+    val q = probes.select(col(idCol).as("query_id"), col(labelCol).as("q_label"),
+      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"))
+    val pairs = c.crossJoin(broadcast(q))
+      .where(col("nn_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("q_vec"), col("nn_vec")) / (col("q_norm") * col("nn_norm")))
+    topKPerQuery(pairs, k, extra = Seq("nn_label", "q_label"))
+      .groupBy(col("q_label").as("label"))
+      .agg(countDistinct(col("query_id")).as("n_probes"),
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("nn_label") <=> col("q_label"), 1L).otherwise(0L)).as("n_same"))
+      .withColumn("purity",
+        round(col("n_same").cast("double") / col("n_pairs"), 6))
   }
 
   /** Deterministic md5-derived ±1 hyperplane weight for (plane, dim):

@@ -687,6 +687,47 @@ object TextAnalysis {
         round(col("_skl").cast("double"), 6).as("kl_nats"))
   }
 
+  /** Zipf-law fit of the corpus unigram distribution: least-squares
+    * slope/intercept of ln(freq) against ln(rank) over the full
+    * vocabulary — the corpus-health screen (natural text sits near
+    * slope −1; synthetic, boilerplate-heavy, or template-generated
+    * corpora bend away from it; Zipf 1949, Piantadosi 2014).
+    *
+    * Scale shape: one corpus token aggregate compacts to the
+    * #vocab-sized (term, cnt) table; the rank assignment is the one
+    * ordered pass over THAT table (bounded by vocab, not corpus —
+    * same envelope as the AUC rank table); the regression reduces to
+    * four sums. Float parity: each per-term ln-contribution rounds to
+    * 12 dp and sums as DECIMAL(38,15) — exact and order-independent —
+    * so partial-agg order cannot move the fit; the closed-form
+    * slope/intercept then run in identical IEEE double on any engine.
+    */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = Spread.ifNarrow(df)
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val ranked = vocab.withColumn("_r",
+      row_number().over(Window.orderBy(desc("cnt"), col("term"))))
+    val x = log(col("_r").cast("double"))
+    val y = log(col("cnt").cast("double"))
+    val dec = "decimal(38,15)"
+    val sums = ranked.select(
+        round(x, 12).cast(dec).as("_x"), round(y, 12).cast(dec).as("_y"),
+        round(x * y, 12).cast(dec).as("_xy"), round(x * x, 12).cast(dec).as("_xx"),
+        col("cnt"))
+      .agg(count(lit(1)).as("vocab_size"), sum(col("cnt")).as("n_tokens"),
+        sum(col("_x")).cast("double").as("_sx"), sum(col("_y")).cast("double").as("_sy"),
+        sum(col("_xy")).cast("double").as("_sxy"), sum(col("_xx")).cast("double").as("_sxx"))
+    val n = col("vocab_size").cast("double")
+    val slope = (n * col("_sxy") - col("_sx") * col("_sy")) /
+      (n * col("_sxx") - col("_sx") * col("_sx"))
+    sums.select(col("vocab_size").cast("long").as("vocab_size"),
+      col("n_tokens").cast("long").as("n_tokens"),
+      round(slope, 6).as("zipf_slope"),
+      round((col("_sy") - slope * col("_sx")) / n, 6).as("zipf_intercept"))
+  }
+
   def vocabReport(df: DataFrame, textCol: String, k: Int = 10): DataFrame = {
     val counts = Spread.ifNarrow(df)
       .select(explode(tokens(col(textCol))).as("term"))

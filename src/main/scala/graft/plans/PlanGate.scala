@@ -56,5 +56,7 @@ object PlanGate {
   val intentionalLinearScan: Set[String] = Set(
     "ann_bruteforce_topk",     // exact baseline: broadcast queries × corpus scan
     "ann_ivf_topk",            // corpus × broadcast centroid set (k rows)
-    "ann_ivf_train_centroids") // same, inside the trainer
+    "ann_ivf_train_centroids", // same, inside the trainer
+    "mine_hard_negatives",     // broadcast query batch × corpus scan (exact mining)
+    "report_knn_purity")       // broadcast probe sample × corpus scan (exact kNN)
 }

@@ -2326,5 +2326,184 @@ object OpsQueries {
              |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
              |  CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_excess_docs
              |FROM g GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)),
+
+    // embedding-space decontamination: nearest-benchmark cosine per
+    // corpus vector (bench = vec_id < 10, plan-literal argmax — the
+    // paraphrase leakage the n-gram test misses)
+    Q("decontaminate_semantic",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val emb = s.table("embeddings")
+        graft.ops.Decontaminate.semanticOverlap(
+            emb.where(col("vec_id") >= 10), emb.where(col("vec_id") < 10),
+            "vec_id", "embedding", threshold = 0.3)
+          .selectExpr("vec_id", "bench_id", "ROUND(bench_cosine, 6) AS bench_cosine",
+            "contaminated")
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH b AS (SELECT vec_id AS bid, embedding AS bv FROM embeddings WHERE vec_id < 10),
+              |c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+              |sc AS (SELECT c.vec_id, b.bid, ${oracleCosine("c.cv", "b.bv")} AS cos
+              |       FROM c CROSS JOIN b),
+              |r AS (SELECT vec_id, bid, cos,
+              |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, bid DESC) AS rn
+              |      FROM sc)
+              |SELECT vec_id, bid AS bench_id, ROUND(cos, 6) AS bench_cosine,
+              |       cos >= 0.3 AS contaminated
+              |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    // hard-negative mining: per query, top-k most-similar vectors
+    // with a DIFFERENT label (contrastive-training negatives)
+    Q("mine_hard_negatives",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val emb = s.table("embeddings")
+        graft.ops.Similarity.hardNegativesTopK(emb, emb.where(col("vec_id") < 5),
+            "vec_id", "embedding", "label", k = 10)
+          .selectExpr("query_id", "rank", "nn_id", "ROUND(cosine, 6) AS cosine",
+            "CAST(nn_label AS BIGINT) AS nn_label")
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, label AS ql, embedding AS qv
+              |           FROM embeddings WHERE vec_id < 5),
+              |c AS (SELECT vec_id AS nn_id, label AS nl, embedding AS cv FROM embeddings),
+              |scored AS (
+              |  SELECT query_id, nn_id, nl, ${oracleCosine("qv", "cv")} AS cos
+              |  FROM q CROSS JOIN c
+              |  WHERE nn_id != query_id AND nl IS DISTINCT FROM ql),
+              |ranked AS (
+              |  SELECT query_id, nn_id, nl, cos,
+              |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS rank
+              |  FROM scored)
+              |SELECT query_id, rank, nn_id, ROUND(cos, 6) AS cosine,
+              |       CAST(nl AS BIGINT) AS nn_label
+              |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // k-NN label purity per label over a bounded probe set — the
+    // embedding-space label-noise screen
+    Q("report_knn_purity",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val emb = s.table("embeddings")
+        graft.ops.Similarity.knnLabelPurity(emb, emb.where(col("vec_id") < 50),
+            "vec_id", "embedding", "label", k = 10)
+          .selectExpr("CAST(label AS BIGINT) AS label", "n_probes", "n_pairs",
+            "n_same", "purity")
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, label AS ql, embedding AS qv
+              |           FROM embeddings WHERE vec_id < 50),
+              |c AS (SELECT vec_id AS nn_id, label AS nl, embedding AS cv FROM embeddings),
+              |scored AS (
+              |  SELECT query_id, ql, nn_id, nl, ${oracleCosine("qv", "cv")} AS cos
+              |  FROM q CROSS JOIN c WHERE nn_id != query_id),
+              |ranked AS (
+              |  SELECT query_id, ql, nl,
+              |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS rnk
+              |  FROM scored)
+              |SELECT CAST(ql AS BIGINT) AS label,
+              |       COUNT(DISTINCT query_id) AS n_probes,
+              |       COUNT(*) AS n_pairs,
+              |       CAST(SUM(CASE WHEN nl IS NOT DISTINCT FROM ql THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+              |       ROUND(CAST(SUM(CASE WHEN nl IS NOT DISTINCT FROM ql THEN 1 ELSE 0 END) AS DOUBLE)
+              |             / COUNT(*), 6) AS purity
+              |FROM ranked WHERE rnk <= 10
+              |GROUP BY ql ORDER BY label""".stripMargin)),
+
+    // cluster-balanced diversity sampling: nearest-centroid
+    // assignment (trained IVF codebook) + deterministic per-cluster
+    // cap — dense embedding regions can't dominate the sample
+    Q("sample_cluster_balanced",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val emb = s.table("embeddings")
+        val cents = graft.ops.Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+          k = 4, iters = 2)
+        graft.ops.Sampling.clusterBalancedSample(emb, "vec_id", "embedding",
+            cents, maxPerCluster = 30)
+          .selectExpr("vec_id", "CAST(cent_id AS BIGINT) AS cent_id")
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH ${trainCtes(4, 2, 64)},
+              |asg AS (
+              |  SELECT vec_id, ci FROM (
+              |    SELECT e.vec_id, c.ci,
+              |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              |             ORDER BY ${oracleCosine("e.embedding", "c.cv")} DESC, c.ci DESC) AS rn
+              |    FROM embeddings e CROSS JOIN cent2 c)
+              |  WHERE rn = 1)
+              |SELECT vec_id, CAST(ci AS BIGINT) AS cent_id FROM asg
+              |QUALIFY ROW_NUMBER() OVER (PARTITION BY ci
+              |  ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 15), vec_id) <= 30
+              |ORDER BY vec_id""".stripMargin)),
+
+    // CCNet-style per-language perplexity bucketing: quartile split
+    // of avg_nll within each language (0 = head, 1 = middle, 2 = tail)
+    Q("sample_perplexity_buckets",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val docs = s.table("documents")
+        val ppl = TextAnalysis.lmPerplexity(docs, "doc_id", "text")
+          .select(col("doc_id"), col("avg_nll"))
+        val d = docs.select(col("doc_id"), col("lang")).join(ppl, "doc_id")
+        graft.ops.Quantiles.bucketByKey(d, "lang", "avg_nll", Seq(0.25, 0.75))
+          .select(col("doc_id"), col("lang"), col("avg_nll"), col("bucket"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $oracleToks AS toks FROM documents),
+              |tfc AS (
+              |  SELECT doc_id, term, COUNT(*) AS tf
+              |  FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+              |  GROUP BY doc_id, term),
+              |vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tfc GROUP BY term),
+              |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_total, COUNT(*) AS v_size FROM vocab),
+              |contrib AS (
+              |  SELECT t.doc_id, t.tf,
+              |         CAST(ROUND(t.tf * ln((v.cnt + 1.0) / (tot.t_total + tot.v_size)), 12) AS DECIMAL(38,15)) AS lp
+              |  FROM tfc t JOIN vocab v USING (term) CROSS JOIN tot),
+              |agg AS (
+              |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, CAST(SUM(lp) AS DOUBLE) AS slp
+              |  FROM contrib GROUP BY doc_id),
+              |nll AS (
+              |  SELECT dd.doc_id, dd.lang, ROUND(-a.slp / a.n_tokens, 6) AS avg_nll
+              |  FROM documents dd JOIN agg a USING (doc_id)),
+              |thr AS (
+              |  SELECT lang, quantile_disc(avg_nll, 0.25) AS t0,
+              |         quantile_disc(avg_nll, 0.75) AS t1
+              |  FROM nll GROUP BY lang)
+              |SELECT n.doc_id, n.lang, n.avg_nll,
+              |       CAST(CASE WHEN n.avg_nll <= t.t0 THEN 0
+              |                 WHEN n.avg_nll <= t.t1 THEN 1
+              |                 ELSE 2 END AS BIGINT) AS bucket
+              |FROM nll n JOIN thr t USING (lang)
+              |ORDER BY n.doc_id""".stripMargin)),
+
+    // Zipf-law fit of the corpus unigram distribution (ln freq vs
+    // ln rank least squares) — the corpus-health screen
+    Q("report_zipf_fit",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        TextAnalysis.zipfFit(s.table("documents"), "text")
+      },
+      Some(s"""WITH v AS (
+              |  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+              |  FROM (SELECT unnest($oracleToks) AS term FROM documents)
+              |  GROUP BY term),
+              |r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rnk FROM v),
+              |c AS (SELECT cnt,
+              |  CAST(ROUND(ln(CAST(rnk AS DOUBLE)), 12) AS DECIMAL(38,15)) AS x,
+              |  CAST(ROUND(ln(CAST(cnt AS DOUBLE)), 12) AS DECIMAL(38,15)) AS y,
+              |  CAST(ROUND(ln(CAST(rnk AS DOUBLE)) * ln(CAST(cnt AS DOUBLE)), 12) AS DECIMAL(38,15)) AS xy,
+              |  CAST(ROUND(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE)), 12) AS DECIMAL(38,15)) AS xx
+              |  FROM r),
+              |s AS (SELECT COUNT(*) AS vocab_size, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+              |        CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+              |        CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx
+              |      FROM c)
+              |SELECT vocab_size, n_tokens,
+              |  ROUND((vocab_size * sxy - sx * sy) / (vocab_size * sxx - sx * sx), 6) AS zipf_slope,
+              |  ROUND((sy - ((vocab_size * sxy - sx * sy) / (vocab_size * sxx - sx * sx)) * sx)
+              |        / vocab_size, 6) AS zipf_intercept
+              |FROM s""".stripMargin)),
   )
 }

@@ -1595,6 +1595,115 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(got("B")._3 - 0.693147) < 1e-6, got("B").toString)
   }
 
+  test("semantic decontamination: cosine-near benchmark rows flag and drop") {
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),   // identical to bench 1
+      (11L, Array(0.9f, 0.1f, 0.0f)),   // close to bench 1
+      (12L, Array(0.0f, 0.0f, 1.0f))    // orthogonal to both
+    ).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Decontaminate.semanticOverlap(corpus, bench, "vec_id", "embedding", 0.95)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("bench_id"), r.getAs[Double]("bench_cosine"),
+          r.getAs[Boolean]("contaminated"))).toMap
+    assert(got(10L)._1 == 1L && math.abs(got(10L)._2 - 1.0) < 1e-9 && got(10L)._3)
+    assert(got(11L)._1 == 1L && got(11L)._3) // cos ≈ 0.994
+    assert(got(12L)._2 == 0.0 && !got(12L)._3)
+    val kept = Decontaminate.semanticDrop(corpus, bench, "vec_id", "embedding", 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(12L))
+  }
+
+  test("hard negatives: top-k excludes same-label and self") {
+    val emb = Seq(
+      (1L, 0, Array(1.0f, 0.0f)),
+      (2L, 0, Array(0.99f, 0.14f)),  // same label as query — excluded
+      (3L, 1, Array(0.9f, 0.44f)),   // different label, close
+      (4L, 1, Array(0.0f, 1.0f)),    // different label, far
+      (5L, 2, Array(0.95f, 0.31f))   // different label, closest
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.hardNegativesTopK(emb, emb.where($"vec_id" === 1L),
+        "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("nn_id"),
+        r.getAs[Int]("nn_label")))
+    assert(got.length == 2)
+    assert(got.map(_._2).toSet == Set(5L, 3L)) // 2 excluded (same label)
+    assert(got.find(_._1 == 1).get._2 == 5L)   // closest different-label first
+    assert(got.forall(_._3 != 0))
+  }
+
+  test("knn label purity: clean clusters score 1, mixed score below") {
+    val emb = Seq(
+      (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(0.99f, 0.1f)),
+      (3L, 0, Array(0.98f, 0.2f)),
+      (4L, 1, Array(0.0f, 1.0f)), (5L, 1, Array(0.1f, 0.99f)),
+      (6L, 0, Array(0.05f, 1.0f))  // label-0 row sitting in the label-1 region
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.knnLabelPurity(emb, emb, "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_probes"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("n_same"), r.getAs[Double]("purity"))).toMap
+    assert(got(0)._1 == 4L && got(1)._1 == 2L)
+    // label 1's neighbors include the planted label-0 intruder
+    assert(got(1)._4 < 1.0)
+    // purity is n_same / n_pairs exactly
+    val (_, np, ns, p) = got(0)
+    assert(p == math.rint(ns.toDouble / np * 1e6) / 1e6)
+  }
+
+  test("cluster-balanced sample: per-cluster cap holds, assignment rides along") {
+    val emb = (0 until 40).map { i =>
+      val v = if (i % 2 == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+      .toDF("cent_id", "centroid")
+    val got = Sampling.clusterBalancedSample(emb, "vec_id", "embedding", cents, 5)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cent_id")))
+    assert(got.length == 10)
+    val byCluster = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byCluster == Map(0L -> 5, 1L -> 5))
+    // assignment is the argmax centroid
+    assert(got.forall { case (id, c) => c == (id % 2) })
+  }
+
+  test("quantile buckets: per-key thresholds split head/middle/tail") {
+    val d = (1 to 12).map(i => ("a", i.toLong, i.toLong)) ++
+      Seq(("b", 100L, 13L), ("b", 200L, 14L))
+    val df = d.toDF("k", "v", "id")
+    val got = Quantiles.bucketByKey(df, "k", "v", Seq(0.25, 0.75))
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("v")) ->
+        r.getAs[Long]("bucket")).toMap
+    // key a, n=12: q25 -> rank ceil(3)=3 -> v=3; q75 -> rank 9 -> v=9
+    assert(got(("a", 3L)) == 0L && got(("a", 4L)) == 1L)
+    assert(got(("a", 9L)) == 1L && got(("a", 10L)) == 2L)
+    // key b, n=2: q25 -> rank 1 -> 100; q75 -> rank 2 -> 200
+    assert(got(("b", 100L)) == 0L && got(("b", 200L)) == 1L)
+  }
+
+  test("zipf fit: exact power-law frequencies recover the slope") {
+    // freq(rank) = 64 / 2^(rank-1): ln f = ln 64 - ln 2 * ... not a
+    // pure zipf in rank — build freq = round(c * rank^-1) exactly:
+    // ranks 1,2,4,8 with freqs 8,4,2,1 -> ln f = ln 8 - 1.0 * ln rank
+    val words = Seq("a" -> 8, "b" -> 4, "c" -> 2, "d" -> 1)
+      .flatMap { case (w, n) => Seq.fill(n)(w) }
+    val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfFit(df, "text").collect().head
+    assert(r.getAs[Long]("vocab_size") == 4L)
+    assert(r.getAs[Long]("n_tokens") == 15L)
+    // freqs 8,4,2,1 at ranks 1,2,3,4: regression of ln f on ln r has
+    // slope (Σ ln r ln f avg-centered): compute expected in-test
+    val xs = Seq(1.0, 2.0, 3.0, 4.0).map(math.log)
+    val ys = Seq(8.0, 4.0, 2.0, 1.0).map(math.log)
+    val n = 4.0
+    val slope = (n * xs.zip(ys).map { case (x, y) => x * y }.sum - xs.sum * ys.sum) /
+      (n * xs.map(x => x * x).sum - xs.sum * xs.sum)
+    assert(math.abs(r.getAs[Double]("zipf_slope") - math.rint(slope * 1e6) / 1e6) < 1e-9)
+  }
+
   test("curriculum order: NULL difficulty ranks as its own first class, not dropped") {
     val d = Seq((1L, Some(2L)), (2L, None), (3L, Some(1L)), (4L, None))
       .toDF("doc_id", "difficulty")
