@@ -2445,7 +2445,11 @@ object OpsQueries {
         val docs = s.table("documents")
         val ppl = TextAnalysis.lmPerplexity(docs, "doc_id", "text")
           .select(col("doc_id"), col("avg_nll"))
+        // pin the scored (id, key, score) table once: bucketByKey
+        // consumes it twice (threshold derivation + final join), and
+        // re-running the whole LM chain per branch doubles the query
         val d = docs.select(col("doc_id"), col("lang")).join(ppl, "doc_id")
+          .localCheckpoint(true)
         graft.ops.Quantiles.bucketByKey(d, "lang", "avg_nll", Seq(0.25, 0.75))
           .select(col("doc_id"), col("lang"), col("avg_nll"), col("bucket"))
           .orderBy(col("doc_id"))
