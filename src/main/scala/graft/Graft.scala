@@ -660,6 +660,35 @@ final class Graft(val spark: SparkSession, stateDir: String) {
   def zipfFit(df: DataFrame, textCol: String = "text"): DataFrame =
     graft.ops.TextAnalysis.zipfFit(df, textCol)
 
+  /** Apply an epoch plan: materialize per-key repeat factors as
+    * deterministic training copies (the data-loader schedule).
+    */
+  def epochApply(docs: DataFrame, plan: DataFrame, idCol: String = "doc_id",
+                 keyCol: String = "source"): DataFrame =
+    graft.ops.Sampling.epochApply(docs, plan, idCol, keyCol)
+
+  /** Per-key z-score ensemble of integer quality signals into one
+    * blended scalar.
+    */
+  def qualityBlend(df: DataFrame, keyCol: String, signalCols: Seq[String],
+                   blendCol: String = "quality_blend"): DataFrame =
+    graft.ops.Classifier.zscoreBlend(df, keyCol, signalCols, blendCol)
+
+  /** Embedding-drift report: per-label centroid vs the global corpus
+    * centroid, as a cosine.
+    */
+  def embeddingDrift(df: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame =
+    graft.ops.Similarity.embeddingDriftReport(df, labelCol, vecCol)
+
+  /** ANN recall@k evaluation: IVF vs the exact brute-force ground
+    * truth on a bounded query set.
+    */
+  def annRecall(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                k: Int = 10, nprobe: Int = 2): DataFrame =
+    graft.ops.Similarity.annRecallReport(corpus, queries, centroids, idCol, vecCol, k, nprobe)
+
   /** Export a registered table to parquet, optionally z-order
     * clustered on its centroid columns for spatially-pruned reads.
     */

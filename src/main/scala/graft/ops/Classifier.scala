@@ -177,4 +177,43 @@ object Classifier {
         .cast("double") / count(lit(1)), 6).as("brier"))
     perB.crossJoin(broadcast(aucRow)).crossJoin(broadcast(glRow))
   }
+
+  /** Per-key z-score ensemble of integer quality signals — the
+    * DataComp/Dolma-style blend of heterogeneous filters into ONE
+    * scalar: each signal standardizes within its `keyCol` slice
+    * (so "long for English" and "long for code" normalize
+    * separately) and the blend is their unweighted mean. Signals
+    * must be integer-valued columns (token counts, distinct-token
+    * counts, char lengths, rule-violation counts): per-key Σx and
+    * Σx² then run as exact DECIMAL(38,0) sums — order-independent
+    * and overflow-free at 10¹² rows × 10⁸-squared magnitudes — and
+    * μ, σ, z and the blend are a handful of IEEE-double ops any
+    * engine replays bit-identically. Zero-variance signals
+    * contribute z = 0. The stats table is #keys-sized and
+    * broadcast-joins back; the corpus never shuffles.
+    */
+  def zscoreBlend(df: DataFrame, keyCol: String, signalCols: Seq[String],
+                  blendCol: String = "quality_blend"): DataFrame = {
+    require(signalCols.nonEmpty, "zscoreBlend: no signal columns")
+    require(!df.columns.contains(blendCol),
+      s"zscoreBlend: input already has a '$blendCol' column")
+    val di = "decimal(38,0)"
+    val aggs = signalCols.flatMap { c =>
+      Seq(sum(col(c).cast(di)).as(s"_s_$c"),
+        // square in DECIMAL, not LONG: a 10¹⁰-magnitude signal would
+        // overflow the 63-bit product before the cast
+        sum(col(c).cast(di) * col(c).cast(di)).as(s"_ss_$c"))
+    } :+ count(lit(1)).as("_n")
+    val stats = df.groupBy(col(keyCol).as("_zk")).agg(aggs.head, aggs.tail: _*)
+    val joined = df.join(broadcast(stats), col(keyCol) === col("_zk"))
+    val n = col("_n").cast("double")
+    val zs = signalCols.map { c =>
+      val mu = col(s"_s_$c").cast("double") / n
+      val sd = sqrt(col(s"_ss_$c").cast("double") / n - mu * mu)
+      when(sd > 0, (col(c).cast("double") - mu) / sd).otherwise(lit(0.0))
+    }
+    joined
+      .withColumn(blendCol, round(zs.reduce(_ + _) / lit(signalCols.size.toDouble), 6))
+      .drop("_zk" :: "_n" :: signalCols.flatMap(c => Seq(s"_s_$c", s"_ss_$c")).toList: _*)
+  }
 }

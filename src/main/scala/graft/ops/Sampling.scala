@@ -467,6 +467,50 @@ object Sampling {
       .drop("_rn")
   }
 
+  /** Apply an [[epochPlan]]: materialize per-key repeat factors as
+    * actual training copies — every row repeats `floor(epochs)` times,
+    * plus one extra copy for the deterministic id-hash fraction
+    * `epochs − floor(epochs)` of rows, so each key's realized token
+    * count matches `n_tokens_take` in expectation and the copy set is
+    * bit-stable across runs, engines and repartitionings (the repeat
+    * schedule a data loader consumes). The hash is salted ("#epoch")
+    * so the extra-copy decision is independent of any earlier
+    * [[deterministicSample]] keep decision on the same ids.
+    *
+    * Scale shape: the plan is #keys-sized and collects once (the same
+    * bounded class as the mixture tables); repeat counts ride as a
+    * plan CASE, so the corpus pays one map-side `explode(sequence)` —
+    * no join, no shuffle. Keys absent from the plan (or with
+    * epochs = 0) emit nothing.
+    */
+  def epochApply(docs: DataFrame, plan: DataFrame, idCol: String,
+                 keyCol: String): DataFrame = {
+    val max = 1L << 60
+    val rows = plan.select(col(keyCol).cast("string"), col("epochs").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    require(rows.nonEmpty, "epochApply: empty plan")
+    val fullCol = rows.foldLeft(lit(0L)) { case (acc, (k, e)) =>
+      when(col(keyCol) === k, lit(math.floor(e).toLong)).otherwise(acc)
+    }
+    // 60-bit hex cutoff for the fractional epoch, floor semantics
+    val thrCol = rows.foldLeft(lit("0")) { case (acc, (k, e)) =>
+      val cut = math.min(max, math.floor((e - math.floor(e)) * max.toDouble).toLong)
+      when(col(keyCol) === k, lit(f"$cut%015x")).otherwise(acc)
+    }
+    docs
+      .withColumn("_full", fullCol)
+      .withColumn("_extra",
+        when(substring(md5(concat(col(idCol).cast("string"), lit("#epoch"))), 1, 15)
+          < thrCol, 1L).otherwise(0L))
+      // sequence(1, 0) would COUNT DOWN ([1,0] — Spark infers step −1
+      // when start > stop); a NULL explodes to no rows, which is the
+      // drop we want for zero-copy keys
+      .withColumn("copy", explode(
+        when(col("_full") + col("_extra") > 0,
+          sequence(lit(1L), col("_full") + col("_extra")))))
+      .drop("_full", "_extra")
+  }
+
   /** Cluster-balanced diversity sampling: assign every row to its
     * nearest centroid (plan-literal argmax via
     * [[graft.ops.Similarity.assignClusters]] — no join, no shuffle of

@@ -132,6 +132,74 @@ object Similarity {
         round(col("n_same").cast("double") / col("n_pairs"), 6))
   }
 
+  /** ANN recall evaluation: [[ivfTopK]] against the exact
+    * [[bruteForceTopK]] ground truth on the same bounded query set —
+    * the overlap@k report that picks nprobe/codebook size before a
+    * production ANN run trusts the index. One row: `n_queries`, `k`,
+    * `avg_recall` (= Σ overlap / Σ truth-set size, integer-exact) and
+    * `min_recall` (the worst query — averages hide tail misses).
+    * Cost: two linear scans of the corpus against the broadcast query
+    * batch (the evaluation IS the exact baseline, run once per index
+    * configuration, not per production query).
+    */
+  def annRecallReport(corpus: DataFrame, queries: DataFrame,
+                      centroids: DataFrame, idCol: String, vecCol: String,
+                      k: Int = 10, nprobe: Int = 2): DataFrame = {
+    // the ground truth is consumed twice (overlap join + truth
+    // counts); pinned eagerly so the exact corpus scan runs ONCE —
+    // the pinned table is #queries × k rows, bounded by construction
+    val bf = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("nn_id"))
+      .localCheckpoint(true)
+    val iv = ivfTopK(corpus, queries, centroids, idCol, vecCol, k, nprobe)
+      .select(col("query_id"), col("nn_id"))
+    val hits = bf.join(iv, Seq("query_id", "nn_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("_hit"))
+    bf.groupBy(col("query_id")).agg(count(lit(1)).as("_true"))
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("_hit", coalesce(col("_hit"), lit(0L)))
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(col("_hit")).cast("double") / sum(col("_true")), 6).as("avg_recall"),
+        round(min(col("_hit").cast("double") / col("_true")), 6).as("min_recall"))
+      .withColumn("k", lit(k.toLong))
+      .select(col("n_queries"), col("k"), col("avg_recall"), col("min_recall"))
+  }
+
+  /** Embedding-drift report: per-label mean vector vs the global
+    * corpus mean, as a cosine — the embedding-space distribution-
+    * shift screen (a slice whose centroid points away from the
+    * corpus marks domain drift, an ingestion bug, or an encoder
+    * version mismatch). One corpus explode feeds a (label, dim)
+    * DECIMAL(38,15)-sum table — #labels × dims rows, exact and
+    * order-independent — and the global centroid derives from THAT
+    * table (no second corpus pass); the centroid cosine then sums
+    * 12-dp-rounded per-dim contributions, so any engine replays the
+    * identical arithmetic. Output: (label, n_vecs, drift_cosine).
+    */
+  def embeddingDriftReport(df: DataFrame, labelCol: String,
+                           vecCol: String): DataFrame = {
+    val dec = "decimal(38,15)"
+    val pe = df.select(col(labelCol).as("label"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("_pos", "_val")))
+    // per-(label, dim) exact sums; pinned once — the global roll-up
+    // and the per-label branch both read it (multi-branch ⇒ eager)
+    val per = pe.groupBy(col("label"), col("_pos"))
+      .agg(sum(col("_val").cast(dec)).as("_sl"), count(lit(1)).as("_nl"))
+      .localCheckpoint(true)
+    val glob = per.groupBy(col("_pos"))
+      .agg(sum(col("_sl")).as("_sg"), sum(col("_nl")).as("_ng"))
+    val j = per.join(broadcast(glob), "_pos")
+      .withColumn("_ml", col("_sl").cast("double") / col("_nl"))
+      .withColumn("_mg", col("_sg").cast("double") / col("_ng"))
+    j.groupBy(col("label"))
+      .agg(max(col("_nl")).cast("long").as("n_vecs"),
+        sum(round(col("_ml") * col("_mg"), 12).cast(dec)).cast("double").as("_dot"),
+        sum(round(col("_ml") * col("_ml"), 12).cast(dec)).cast("double").as("_l2"),
+        sum(round(col("_mg") * col("_mg"), 12).cast(dec)).cast("double").as("_g2"))
+      .select(col("label"), col("n_vecs"),
+        round(col("_dot") / (sqrt(col("_l2")) * sqrt(col("_g2"))), 6).as("drift_cosine"))
+  }
+
   /** Deterministic md5-derived ±1 hyperplane weight for (plane, dim):
     * +1 when the first hex nibble of md5("plane|dim") is even.
     * Computed at plan time (the weights are constants) and shipped as

@@ -58,5 +58,6 @@ object PlanGate {
     "ann_ivf_topk",            // corpus × broadcast centroid set (k rows)
     "ann_ivf_train_centroids", // same, inside the trainer
     "mine_hard_negatives",     // broadcast query batch × corpus scan (exact mining)
-    "report_knn_purity")       // broadcast probe sample × corpus scan (exact kNN)
+    "report_knn_purity",       // broadcast probe sample × corpus scan (exact kNN)
+    "report_ann_recall")       // IVF + exact baseline over the broadcast query set
 }

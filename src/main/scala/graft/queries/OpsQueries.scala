@@ -2482,6 +2482,202 @@ object OpsQueries {
               |FROM nll n JOIN thr t USING (lang)
               |ORDER BY n.doc_id""".stripMargin)),
 
+    // the apply half of epoch planning: materialize per-key repeat
+    // factors as deterministic training copies (floor(epochs) full
+    // copies + an id-hash fraction getting one extra)
+    Q("sample_epoch_apply",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val docs = s.table("documents")
+        val d = docs.withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        val plan = graft.ops.Sampling.epochPlan(d, "source", "n_tokens", MixTarget,
+          budgetTokens = 7000L, maxEpochs = 2.0)
+        graft.ops.Sampling.epochApply(docs.select(col("doc_id"), col("source")),
+            plan, "doc_id", "source")
+          .orderBy(col("doc_id"), col("copy"))
+      },
+      Some(s"""WITH d AS (SELECT source,
+              |  CAST(len($oracleToks) AS BIGINT) AS n_tokens FROM documents),
+              |a AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_avail,
+              |        $mixShareSql AS target_share
+              |      FROM d GROUP BY source),
+              |tk AS (SELECT * FROM (VALUES $mixValuesSql) t(source, target_share)),
+              |act AS (SELECT tk.source,
+              |          COALESCE(a.n_tokens_avail, 0) AS n_tokens_avail,
+              |          tk.target_share,
+              |          CAST(COALESCE(a.n_tokens_avail, 0) AS DOUBLE) * 2.0 AS cap_tokens,
+              |          CAST(COALESCE(a.n_tokens_avail, 0) AS DOUBLE) * 2.0 / tk.target_share AS r
+              |        FROM tk LEFT JOIN a ON tk.source = a.source),
+              |lam AS (SELECT source, r,
+              |          SUM(cap_tokens) OVER w AS cum_cap,
+              |          SUM(target_share) OVER w AS cum_share,
+              |          LEAD(r) OVER (ORDER BY r, source) AS next_r
+              |        FROM act
+              |        WINDOW w AS (ORDER BY r, source
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              |l2 AS (SELECT r, next_r,
+              |         CASE WHEN cum_share < 1.0 - 1e-12
+              |              THEN (7000.0 - cum_cap) / (1.0 - cum_share) END AS lam_i
+              |       FROM lam),
+              |ls AS (SELECT MIN(CASE WHEN lam_i IS NOT NULL AND r <= lam_i
+              |                        AND (next_r IS NULL OR lam_i <= next_r)
+              |                   THEN lam_i END) AS lam_star,
+              |              MIN(r) AS min_r FROM l2),
+              |lf AS (SELECT CASE WHEN 7000.0 <= min_r THEN 7000.0
+              |                   ELSE lam_star END AS lam_star FROM ls),
+              |pl AS (SELECT act.source,
+              |         ROUND(CASE WHEN act.n_tokens_avail > 0
+              |              THEN LEAST(act.cap_tokens,
+              |                     COALESCE(act.target_share * lf.lam_star, act.cap_tokens))
+              |                   / CAST(act.n_tokens_avail AS DOUBLE)
+              |              ELSE 0.0 END, 6) AS epochs
+              |       FROM act CROSS JOIN lf),
+              |ap AS (SELECT dd.doc_id, dd.source,
+              |         CAST(FLOOR(pl.epochs) AS BIGINT)
+              |         + CASE WHEN substr(md5(CAST(dd.doc_id AS VARCHAR) || '#epoch'), 1, 15)
+              |                     < lower(lpad(to_hex(CAST(FLOOR(
+              |                         (pl.epochs - FLOOR(pl.epochs)) * 1152921504606846976.0)
+              |                       AS BIGINT)), 15, '0'))
+              |                THEN 1 ELSE 0 END AS ncop
+              |       FROM documents dd JOIN pl USING (source))
+              |SELECT doc_id, source, unnest(generate_series(1, ncop)) AS copy
+              |FROM ap WHERE ncop > 0
+              |ORDER BY doc_id, copy""".stripMargin)),
+
+    // per-language z-score ensemble of three integer quality signals
+    // (token count, distinct-token count, char length)
+    Q("quality_score_blend",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        // pin the derived signal table once — zscoreBlend consumes it
+        // twice (stats + join) and the tokenize would re-run per branch
+        val d = s.table("documents").select(col("doc_id"), col("lang"), col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          size(array_distinct(TextAnalysis.tokens(col("text")))).cast("long").as("n_types"))
+          .localCheckpoint(true)
+        graft.ops.Classifier.zscoreBlend(d, "lang", Seq("n_tokens", "n_types", "n_chars"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_types"),
+            col("n_chars"), col("quality_blend"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang, n_chars,
+              |  CAST(len($oracleToks) AS BIGINT) AS n_tokens,
+              |  CAST(len(list_distinct($oracleToks)) AS BIGINT) AS n_types
+              |  FROM documents),
+              |st AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+              |         SUM(n_tokens) AS s1, SUM(n_tokens * n_tokens) AS ss1,
+              |         SUM(n_types) AS s2, SUM(n_types * n_types) AS ss2,
+              |         SUM(n_chars) AS s3, SUM(n_chars * n_chars) AS ss3
+              |       FROM d GROUP BY lang)
+              |SELECT d.doc_id, d.lang, d.n_tokens, d.n_types, d.n_chars,
+              |  ROUND((
+              |    (CASE WHEN sqrt(CAST(ss1 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)) > 0
+              |          THEN (CAST(d.n_tokens AS DOUBLE) - CAST(s1 AS DOUBLE)/n)
+              |               / sqrt(CAST(ss1 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+              |          ELSE 0.0 END)
+              |    + (CASE WHEN sqrt(CAST(ss2 AS DOUBLE)/n - (CAST(s2 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)) > 0
+              |            THEN (CAST(d.n_types AS DOUBLE) - CAST(s2 AS DOUBLE)/n)
+              |                 / sqrt(CAST(ss2 AS DOUBLE)/n - (CAST(s2 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n))
+              |            ELSE 0.0 END)
+              |    + (CASE WHEN sqrt(CAST(ss3 AS DOUBLE)/n - (CAST(s3 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n)) > 0
+              |            THEN (CAST(d.n_chars AS DOUBLE) - CAST(s3 AS DOUBLE)/n)
+              |                 / sqrt(CAST(ss3 AS DOUBLE)/n - (CAST(s3 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n))
+              |            ELSE 0.0 END)
+              |  ) / 3.0, 6) AS quality_blend
+              |FROM d JOIN st USING (lang)
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // embedding-space distribution shift: per-label centroid vs the
+    // global corpus centroid, as a cosine
+    Q("report_embedding_drift",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        graft.ops.Similarity.embeddingDriftReport(s.table("embeddings"),
+            "label", "embedding")
+          .selectExpr("CAST(label AS BIGINT) AS label", "n_vecs", "drift_cosine")
+          .orderBy(col("label"))
+      },
+      Some("""WITH pe AS (
+             |  SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+             |         CAST(unnest(embedding) AS DOUBLE) AS v
+             |  FROM embeddings),
+             |per AS (SELECT label, pos, SUM(CAST(v AS DECIMAL(38,15))) AS sl,
+             |          COUNT(*) AS nl
+             |        FROM pe GROUP BY label, pos),
+             |gl AS (SELECT pos, SUM(sl) AS sg, SUM(nl) AS ng FROM per GROUP BY pos),
+             |j AS (SELECT label, per.pos, nl,
+             |        CAST(sl AS DOUBLE) / nl AS ml,
+             |        CAST(sg AS DOUBLE) / ng AS mg
+             |      FROM per JOIN gl USING (pos)),
+             |a AS (SELECT label, MAX(nl) AS n_vecs,
+             |        CAST(SUM(CAST(ROUND(ml * mg, 12) AS DECIMAL(38,15))) AS DOUBLE) AS dt,
+             |        CAST(SUM(CAST(ROUND(ml * ml, 12) AS DECIMAL(38,15))) AS DOUBLE) AS l2,
+             |        CAST(SUM(CAST(ROUND(mg * mg, 12) AS DECIMAL(38,15))) AS DOUBLE) AS g2
+             |      FROM j GROUP BY label)
+             |SELECT CAST(label AS BIGINT) AS label, CAST(n_vecs AS BIGINT) AS n_vecs,
+             |  ROUND(dt / (sqrt(l2) * sqrt(g2)), 6) AS drift_cosine
+             |FROM a ORDER BY label""".stripMargin)),
+
+    // ANN index evaluation: IVF recall@k against the exact
+    // brute-force ground truth on the same query set
+    Q("report_ann_recall",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val emb = s.table("embeddings")
+        graft.ops.Similarity.annRecallReport(
+          emb,
+          emb.where(col("vec_id") >= 3 && col("vec_id") < 8),
+          emb.where(col("vec_id") < 3),
+          "vec_id", "embedding", k = 10, nprobe = 2)
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 3),
+              |corpus AS (SELECT vec_id AS nn_id, embedding AS nv FROM embeddings),
+              |cassign AS (
+              |  SELECT nn_id, cent_id FROM (
+              |    SELECT nn_id, cent_id,
+              |           ROW_NUMBER() OVER (PARTITION BY nn_id ORDER BY cc DESC, cent_id DESC) AS rn
+              |    FROM (SELECT nn_id, cent_id, ${oracleCosine("nv", "cv")} AS cc
+              |          FROM corpus CROSS JOIN cent))
+              |  WHERE rn = 1),
+              |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+              |      WHERE vec_id >= 3 AND vec_id < 8),
+              |qassign AS (
+              |  SELECT query_id, cent_id FROM (
+              |    SELECT query_id, cent_id,
+              |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cc DESC, cent_id DESC) AS rn
+              |    FROM (SELECT query_id, cent_id, ${oracleCosine("qv", "cv")} AS cc
+              |          FROM q CROSS JOIN cent))
+              |  WHERE rn <= 2),
+              |ip AS (
+              |  SELECT q.query_id, c.nn_id, ${oracleCosine("q.qv", "c.nv")} AS cos
+              |  FROM corpus c JOIN cassign ca ON c.nn_id = ca.nn_id
+              |  JOIN qassign qa ON ca.cent_id = qa.cent_id
+              |  JOIN q ON q.query_id = qa.query_id
+              |  WHERE c.nn_id != q.query_id),
+              |ivfr AS (
+              |  SELECT query_id, nn_id FROM (
+              |    SELECT query_id, nn_id,
+              |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS rank
+              |    FROM ip)
+              |  WHERE rank <= 10),
+              |bp AS (
+              |  SELECT query_id, nn_id, ${oracleCosine("qv", "nv")} AS cos
+              |  FROM q CROSS JOIN corpus WHERE nn_id != query_id),
+              |bfr AS (
+              |  SELECT query_id, nn_id FROM (
+              |    SELECT query_id, nn_id,
+              |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS rank
+              |    FROM bp)
+              |  WHERE rank <= 10),
+              |h AS (SELECT b.query_id, COUNT(*) AS hit
+              |      FROM bfr b JOIN ivfr i ON b.query_id = i.query_id AND b.nn_id = i.nn_id
+              |      GROUP BY b.query_id),
+              |t AS (SELECT query_id, COUNT(*) AS tru FROM bfr GROUP BY query_id)
+              |SELECT COUNT(*) AS n_queries, CAST(10 AS BIGINT) AS k,
+              |  ROUND(CAST(SUM(COALESCE(h.hit, 0)) AS DOUBLE) / SUM(t.tru), 6) AS avg_recall,
+              |  ROUND(MIN(CAST(COALESCE(h.hit, 0) AS DOUBLE) / t.tru), 6) AS min_recall
+              |FROM t LEFT JOIN h USING (query_id)""".stripMargin)),
+
     // Zipf-law fit of the corpus unigram distribution (ln freq vs
     // ln rank least squares) — the corpus-health screen
     Q("report_zipf_fit",

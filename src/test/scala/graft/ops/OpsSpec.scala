@@ -1704,6 +1704,67 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("zipf_slope") - math.rint(slope * 1e6) / 1e6) < 1e-9)
   }
 
+  test("epoch apply: full copies exact, fractional copies bounded, zero keys drop") {
+    val d = (1 to 20).map(i => (i.toLong, if (i <= 10) "a" else "b"))
+      .toDF("doc_id", "source")
+    val plan = Seq(("a", 2.0), ("b", 0.5), ("c", 3.0)).toDF("source", "epochs")
+    val got = Sampling.epochApply(d, plan, "doc_id", "source")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy")))
+    val byDoc = got.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // source a: exactly 2 copies each, numbered 1..2
+    (1 to 10).foreach(i => assert(byDoc(i.toLong) == Seq(1L, 2L), s"doc $i"))
+    // source b: 0 or 1 copy per doc (hash fraction of 0.5), some of each
+    val bCounts = (11 to 20).map(i => byDoc.get(i.toLong).map(_.size).getOrElse(0))
+    assert(bCounts.forall(c => c == 0 || c == 1))
+    assert(bCounts.sum > 0 && bCounts.sum < 10)
+    // deterministic: a second run selects the same copies
+    val again = Sampling.epochApply(d, plan, "doc_id", "source")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy")))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("zscore blend: hand-checked z ensemble, zero-variance signal contributes 0") {
+    val d = Seq((1L, "a", 1L, 5L), (2L, "a", 3L, 5L)).toDF("id", "k", "x", "c")
+    val got = Classifier.zscoreBlend(d, "k", Seq("x", "c"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("quality_blend")).toMap
+    // x: mean 2, sd 1 -> z = -1, +1; c: zero variance -> z = 0
+    assert(got(1L) == -0.5 && got(2L) == 0.5)
+  }
+
+  test("embedding drift: aligned label tracks global mean, opposed label diverges") {
+    val emb = Seq(
+      (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(1.0f, 0.0f)),
+      (3L, 0, Array(1.0f, 0.0f)),
+      (4L, 1, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.embeddingDriftReport(emb, "label", "embedding")
+      .collect().map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("drift_cosine"))).toMap
+    // global mean = (0.5, 0): label 0 centroid (1,0) -> cos 1;
+    // label 1 centroid (-1,0) -> cos -1
+    assert(got(0)._1 == 3L && got(0)._2 == 1.0)
+    assert(got(1)._1 == 1L && got(1)._2 == -1.0)
+  }
+
+  test("ann recall report: nprobe=k lists reaches recall 1, fields integer-consistent") {
+    val emb = (0 until 30).map { i =>
+      (i.toLong, Array(math.cos(i * 0.21).toFloat, math.sin(i * 0.21).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = emb.where($"vec_id" < 3)
+    val cents = emb.where($"vec_id" >= 27) // 3 centroids
+    val full = Similarity.annRecallReport(emb, queries, cents,
+      "vec_id", "embedding", k = 5, nprobe = 3).collect().head
+    assert(full.getAs[Long]("n_queries") == 3L)
+    assert(full.getAs[Long]("k") == 5L)
+    // probing every list = exact search
+    assert(full.getAs[Double]("avg_recall") == 1.0)
+    assert(full.getAs[Double]("min_recall") == 1.0)
+    val partial = Similarity.annRecallReport(emb, queries, cents,
+      "vec_id", "embedding", k = 5, nprobe = 1).collect().head
+    assert(partial.getAs[Double]("avg_recall") <= 1.0)
+    assert(partial.getAs[Double]("min_recall") <= partial.getAs[Double]("avg_recall"))
+  }
+
   test("curriculum order: NULL difficulty ranks as its own first class, not dropped") {
     val d = Seq((1L, Some(2L)), (2L, None), (3L, Some(1L)), (4L, None))
       .toDF("doc_id", "difficulty")
