@@ -77,14 +77,18 @@ object Tables {
     * timestamp columns pass through with only the NTZ cast.
     */
   private val registeredDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
 
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    // memoized per (session, dir): repeated registration costs footer
-    // reads + plan invalidation on every query — measurable at the
-    // 60-query bench scale
-    val key = System.identityHashCode(spark) + "|" + dir
-    if (registeredDirs.contains(key)) return
+    // memoized on the session's CURRENTLY-registered dir: repeated
+    // registration costs footer reads + plan invalidation on every
+    // query — measurable at the bench scale — but switching dirs MUST
+    // re-register (a keep-forever set left the views pointing at the
+    // previously-registered dir, which silently turned the
+    // EmptyInputSpec zero-row sweep into a single-row sweep for every
+    // query after the first)
+    val key: Integer = System.identityHashCode(spark)
+    if (dir == registeredDirs.get(key)) return
     Engine.prepare(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
@@ -110,6 +114,6 @@ object Tables {
         v.createOrReplaceTempView(n)
       }
     }
-    registeredDirs.add(key)
+    registeredDirs.put(key, dir)
   }
 }

@@ -90,12 +90,16 @@ object Classifier {
       val biasRow = e.agg(sum(dec(col("err"))).as("sb"), count(lit(1)).as("nd"))
         .collect().head
       val nd = biasRow.getLong(1).toDouble
-      gRows.foreach { r =>
-        val b = r.getLong(0).toInt
-        val g = r.getDecimal(1).doubleValue() / nd
-        w(b) = r12(w(b) + lr * g)
+      // empty training set: the aggregates come back (null, 0) — keep
+      // the zero weights instead of dividing by the zero count
+      if (nd > 0) {
+        gRows.foreach { r =>
+          val b = r.getLong(0).toInt
+          val g = r.getDecimal(1).doubleValue() / nd
+          w(b) = r12(w(b) + lr * g)
+        }
+        bias = r12(bias + lr * (biasRow.getDecimal(0).doubleValue() / nd))
       }
-      bias = r12(bias + lr * (biasRow.getDecimal(0).doubleValue() / nd))
     }
     (w, bias)
   }

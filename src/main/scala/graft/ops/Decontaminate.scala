@@ -127,7 +127,11 @@ object Decontaminate {
     val refs = bench
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
-    require(refs.nonEmpty, "semanticOverlap: empty benchmark set")
+    // empty benchmark → nothing can leak: everything uncontaminated
+    if (refs.isEmpty)
+      return docs.withColumn("bench_id", lit(null).cast("long"))
+        .withColumn("bench_cosine", lit(null).cast("double"))
+        .withColumn("contaminated", lit(false))
     val v = col(vecCol).cast("array<double>")
     val scored = refs.map { case (bi, bv) =>
       struct(Similarity.cosine(v, array(bv.map(lit).toIndexedSeq: _*)).as("c"),

@@ -240,7 +240,10 @@ object Similarity {
     val cents = centroids
       .select(col(centIdCol).cast("long"), col(centVecCol).cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
-    require(cents.nonEmpty, "assignClusters: empty centroid set")
+    // empty codebook (an empty corpus trains one) → empty assignment,
+    // schema intact — not a crash on a library user's first empty batch
+    if (cents.isEmpty)
+      return df.where(lit(false)).withColumn("cent_id", lit(null).cast("long"))
     val v = col(vecCol).cast("array<double>")
     val scored = cents.map { case (ci, cv) =>
       struct(cosine(v, array(cv.map(lit): _*)).as("c"), lit(ci).as("ci"))
