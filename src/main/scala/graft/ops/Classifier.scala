@@ -201,6 +201,9 @@ object Classifier {
     require(signalCols.nonEmpty, "zscoreBlend: no signal columns")
     require(!df.columns.contains(blendCol),
       s"zscoreBlend: input already has a '$blendCol' column")
+    val internal = "_zk" :: "_n" :: signalCols.flatMap(c => Seq(s"_s_$c", s"_ss_$c")).toList
+    val clash = internal.filter(df.columns.contains)
+    require(clash.isEmpty, s"zscoreBlend: input columns collide with internals: $clash")
     val di = "decimal(38,0)"
     val aggs = signalCols.flatMap { c =>
       Seq(sum(col(c).cast(di)).as(s"_s_$c"),

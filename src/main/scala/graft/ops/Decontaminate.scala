@@ -124,6 +124,9 @@ object Decontaminate {
     */
   def semanticOverlap(docs: DataFrame, bench: DataFrame, idCol: String,
                       vecCol: String, threshold: Double): DataFrame = {
+    val clash = Seq("_best", "bench_id", "bench_cosine", "contaminated")
+      .filter(docs.columns.contains)
+    require(clash.isEmpty, s"semanticOverlap: input columns collide with outputs: $clash")
     val refs = bench
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)

@@ -78,6 +78,9 @@ object Quantiles {
     require(qs == qs.sorted, s"qs must be ascending: $qs")
     require(!df.columns.contains(bucketCol),
       s"bucketByKey: input already has a '$bucketCol' column")
+    val internal = "_qk" +: qs.indices.map(i => s"_t$i")
+    val clash = internal.filter(df.columns.contains)
+    require(clash.isEmpty, s"bucketByKey: input columns collide with internals: $clash")
     val aggs = qs.zipWithIndex.map { case (q, i) =>
       max(when(col("q") === q, col("quantile"))).as(s"_t$i")
     }

@@ -486,9 +486,13 @@ object Sampling {
   def epochApply(docs: DataFrame, plan: DataFrame, idCol: String,
                  keyCol: String): DataFrame = {
     val max = 1L << 60
+    val clash = Seq("_full", "_extra", "copy").filter(docs.columns.contains)
+    require(clash.isEmpty, s"epochApply: input columns collide with internals: $clash")
     val rows = plan.select(col(keyCol).cast("string"), col("epochs").cast("double"))
       .collect().map(r => (r.getString(0), r.getDouble(1)))
     require(rows.nonEmpty, "epochApply: empty plan")
+    require(rows.map(_._1).distinct.length == rows.length,
+      s"epochApply: duplicate plan keys")
     val fullCol = rows.foldLeft(lit(0L)) { case (acc, (k, e)) =>
       when(col(keyCol) === k, lit(math.floor(e).toLong)).otherwise(acc)
     }

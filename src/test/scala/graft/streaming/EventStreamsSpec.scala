@@ -175,6 +175,38 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming semantic decontamination equals batch (stateless plan-literal argmax)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    graft.core.Tables.registerAll(spark, dir)
+    val emb = spark.table("embeddings")
+    val bench = emb.where(col("vec_id") < 10)
+    val corpus = emb.where(col("vec_id") >= 10)
+    val src = java.nio.file.Files.createTempDirectory("graft_semdec_src").toString
+    corpus.write.mode("overwrite").parquet(src)
+
+    // the benchmark ships as plan literals, so the SAME call compiles
+    // into an Append-mode stream — no join, no state store
+    val stream = spark.readStream.schema(emb.schema).parquet(src)
+    val q = graft.ops.Decontaminate
+      .semanticOverlap(stream, bench, "vec_id", "embedding", threshold = 0.3)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stream_semdec")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("bench_id"), r.getAs[Double]("bench_cosine"),
+          r.getAs[Boolean]("contaminated")))).toMap
+    val streamed = keyed(spark.table("stream_semdec").collect())
+    val batch = keyed(graft.ops.Decontaminate
+      .semanticOverlap(corpus, bench, "vec_id", "embedding", threshold = 0.3).collect())
+    assert(batch.nonEmpty && batch.exists(_._2._3) && batch.exists(!_._2._3))
+    assert(streamed == batch) // stateless scoring → byte-identical
+  }
+
   test("streaming BM25 scoring against a trained model equals batch") {
     graft.core.Tables.registerAll(spark, dir)
     val docs = spark.table("documents")
