@@ -681,6 +681,21 @@ final class Graft(val spark: SparkSession, stateDir: String) {
                      vecCol: String = "embedding"): DataFrame =
     graft.ops.Similarity.embeddingDriftReport(df, labelCol, vecCol)
 
+  /** Keep the n best rows per key by score (top-quality-per-domain
+    * selection).
+    */
+  def sampleTopPerKey(df: DataFrame, keyCol: String, scoreCol: String,
+                      n: Int, idCol: String = "doc_id"): DataFrame =
+    graft.ops.Sampling.topPerKey(df, keyCol, idCol, scoreCol, n)
+
+  /** Length-bucketed inference batching: similar lengths share a
+    * batch, numbered deterministically within their bucket.
+    */
+  def sampleLengthBatches(df: DataFrame, lengthCol: String, batchSize: Int,
+                          bucketWidth: Int = 16,
+                          idCol: String = "doc_id"): DataFrame =
+    graft.ops.Sampling.lengthBatches(df, idCol, lengthCol, batchSize, bucketWidth)
+
   /** ANN recall@k evaluation: IVF vs the exact brute-force ground
     * truth on a bounded query set.
     */

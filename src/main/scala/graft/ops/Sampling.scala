@@ -448,6 +448,78 @@ object Sampling {
       .drop("_h", "_b", "_off", "_n", "_base", "_rem", "_cut")
   }
 
+  /** Length-bucketed inference batching: rows group into fixed-width
+    * length buckets (`lengthCol div bucketWidth` — integer
+    * arithmetic, no float boundary) and number off into batches of
+    * `batchSize` within their bucket, shuffled inside the bucket by
+    * id hash. Batching similar lengths together is the padding-
+    * efficiency move of batch inference/scoring jobs (a batch pads to
+    * its longest member; mixing a 10-token and a 1000-token row
+    * wastes 99% of the compute on pad tokens).
+    *
+    * Exact ROW_NUMBER-within-bucket semantics WITHOUT a per-bucket
+    * hot partition: the rank comes from the (bucket, hash-prefix)
+    * two-level prefix sum (the [[curriculumOrder]] machinery) — 256
+    * salt cells per bucket, each windowed task sorts one cell, the
+    * offset table is #buckets×256 rows. Appends `len_bucket` and
+    * `batch_id` (0-based within bucket).
+    */
+  def lengthBatches(df: DataFrame, idCol: String, lengthCol: String,
+                    batchSize: Int, bucketWidth: Int = 16): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val clash = Seq("len_bucket", "batch_id", "_h", "_b", "_bc", "_off", "_lj", "_bj", "_rk")
+      .filter(df.columns.contains)
+    require(clash.isEmpty, s"lengthBatches: input columns collide with internals: $clash")
+    import org.apache.spark.sql.expressions.Window
+    val withB = df
+      .withColumn("len_bucket", expr(s"$lengthCol div $bucketWidth").cast("long"))
+      .withColumn("_h", hashKey(col(idCol)))
+      .withColumn("_b", substring(col("_h"), 1, 2))
+    val wOff = Window.partitionBy(col("len_bucket")).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withB.groupBy(col("len_bucket"), col("_b"))
+      .agg(count(lit(1)).as("_bc"))
+      .withColumn("_off", coalesce(sum(col("_bc")).over(wOff), lit(0L)))
+      .drop("_bc")
+      .withColumnRenamed("len_bucket", "_lj").withColumnRenamed("_b", "_bj")
+    val wIn = Window.partitionBy(col("len_bucket"), col("_b"))
+      .orderBy(col("_h"), col(idCol))
+    withB.join(offs, col("len_bucket") === col("_lj") && col("_b") === col("_bj"))
+      .drop("_lj", "_bj")
+      .withColumn("_rk", col("_off") + row_number().over(wIn).cast("long"))
+      .withColumn("batch_id", expr(s"(_rk - 1) div $batchSize").cast("long"))
+      .drop("_h", "_b", "_off", "_rk")
+  }
+
+  /** Keep the `n` BEST rows per key by `scoreCol` (descending, ties
+    * to the smaller id) — the "top-100 highest-quality documents per
+    * domain" selection rule. Same salted two-stage funnel as
+    * [[capPerKey]], ordered by score instead of hash: stage 1 ranks
+    * within (key, salt) so a hot key's candidates spread over
+    * `saltBuckets` tasks and each keeps its local top-n (a row's
+    * local rank never exceeds its global rank, so no true top-n row
+    * is discarded); stage 2 ranks the ≤ saltBuckets×n survivors.
+    */
+  def topPerKey(df: DataFrame, keyCol: String, idCol: String,
+                scoreCol: String, n: Int, saltBuckets: Int = 16): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    require(saltBuckets > 0, s"saltBuckets must be positive: $saltBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(desc(scoreCol), col(idCol))
+    val pruned = df
+      .withColumn("_salt", pmod(crc32(col(idCol).cast("string")), lit(saltBuckets)))
+      .withColumn("_rn1", row_number().over(
+        Window.partitionBy(col(keyCol), col("_salt")).orderBy(ord: _*)))
+      .where(col("_rn1") <= n)
+      .drop("_salt", "_rn1")
+    pruned
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(ord: _*)))
+      .where(col("_rn") <= n)
+      .drop("_rn")
+  }
+
   def capPerKey(df: DataFrame, keyCol: String, idCol: String,
                 maxPerKey: Int, saltBuckets: Int = 16): DataFrame = {
     require(maxPerKey > 0, s"maxPerKey must be positive: $maxPerKey")

@@ -2678,6 +2678,48 @@ object OpsQueries {
               |  ROUND(MIN(CAST(COALESCE(h.hit, 0) AS DOUBLE) / t.tru), 6) AS min_recall
               |FROM t LEFT JOIN h USING (query_id)""".stripMargin)),
 
+    // keep the n best rows per key by score (salted two-stage top-n)
+    Q("sample_top_per_source",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val d = s.table("documents")
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+          .select(col("doc_id"), col("source"), col("n_tokens"))
+        graft.ops.Sampling.topPerKey(d, "source", "doc_id", "n_tokens", n = 10)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source,
+              |  CAST(len($oracleToks) AS BIGINT) AS n_tokens FROM documents)
+              |SELECT doc_id, source, n_tokens FROM d
+              |QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+              |  ORDER BY n_tokens DESC, doc_id) <= 10
+              |ORDER BY doc_id""".stripMargin)),
+
+    // length-bucketed inference batching: similar lengths share a
+    // batch (padding efficiency), exact within-bucket numbering from
+    // the two-level prefix sum — never a per-bucket hot partition
+    Q("sample_length_batches",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        // pin the narrow (id, length) projection once: lengthBatches
+        // consumes it twice (offset counts + the rank join) and the
+        // tokenize kernel would re-run per branch
+        val d = s.table("documents")
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+          .select(col("doc_id"), col("n_tokens"))
+          .localCheckpoint(true)
+        graft.ops.Sampling.lengthBatches(d, "doc_id", "n_tokens",
+            batchSize = 32, bucketWidth = 16)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+              |  CAST(len($oracleToks) AS BIGINT) AS n_tokens FROM documents)
+              |SELECT doc_id, n_tokens, n_tokens // 16 AS len_bucket,
+              |  CAST((ROW_NUMBER() OVER (PARTITION BY n_tokens // 16
+              |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id) - 1) // 32
+              |    AS BIGINT) AS batch_id
+              |FROM d ORDER BY doc_id""".stripMargin)),
+
     // Zipf-law fit of the corpus unigram distribution (ln freq vs
     // ln rank least squares) — the corpus-health screen
     Q("report_zipf_fit",

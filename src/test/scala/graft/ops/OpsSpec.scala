@@ -1765,6 +1765,40 @@ class OpsSpec extends AnyFunSuite {
     assert(partial.getAs[Double]("min_recall") <= partial.getAs[Double]("avg_recall"))
   }
 
+  test("top per key: keeps the n best by score, two-stage equals single-window") {
+    val d = (1 to 50).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", (i * 7 % 23).toLong))
+      .toDF("id", "k", "score")
+    val got = Sampling.topPerKey(d, "k", "id", "score", n = 5)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("id"))).toSet
+    // reference: plain single window
+    import org.apache.spark.sql.expressions.Window
+    val ref = d.withColumn("_r", row_number().over(
+        Window.partitionBy($"k").orderBy(desc("score"), $"id")))
+      .where($"_r" <= 5)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("id"))).toSet
+    assert(got == ref && got.size == 10)
+  }
+
+  test("length batches: buckets by width, batch ids dense within bucket") {
+    val d = (1 to 100).map(i => (i.toLong, (i % 40).toLong)).toDF("doc_id", "n_tokens")
+    val got = Sampling.lengthBatches(d, "doc_id", "n_tokens", batchSize = 4, bucketWidth = 16)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("len_bucket"), r.getAs[Long]("batch_id")))
+    assert(got.length == 100)
+    // bucket is integer division
+    assert(got.forall { case (_, n, b, _) => b == n / 16 })
+    // within a bucket, batch sizes are `batchSize` except the last
+    got.groupBy(_._3).foreach { case (_, rows) =>
+      val sizes = rows.groupBy(_._4).map { case (bid, rs) => bid -> rs.length }
+      val maxBatch = sizes.keys.max
+      sizes.foreach { case (bid, sz) =>
+        if (bid < maxBatch) assert(sz == 4) else assert(sz >= 1 && sz <= 4)
+      }
+      // batch ids are dense from 0
+      assert(sizes.keys.toSeq.sorted == (0L to maxBatch))
+    }
+  }
+
   test("curriculum order: NULL difficulty ranks as its own first class, not dropped") {
     val d = Seq((1L, Some(2L)), (2L, None), (3L, Some(1L)), (4L, None))
       .toDF("doc_id", "difficulty")
