@@ -471,6 +471,9 @@ object Sampling {
     val clash = Seq("len_bucket", "batch_id", "_h", "_b", "_bc", "_off", "_lj", "_bj", "_rk")
       .filter(df.columns.contains)
     require(clash.isEmpty, s"lengthBatches: input columns collide with internals: $clash")
+    // contract: lengths are non-negative (integer `div` truncates
+    // toward zero, which only coincides with floor-division bucket
+    // semantics for x ≥ 0)
     import org.apache.spark.sql.expressions.Window
     val withB = df
       .withColumn("len_bucket", expr(s"$lengthCol div $bucketWidth").cast("long"))
