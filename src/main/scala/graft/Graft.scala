@@ -704,6 +704,51 @@ final class Graft(val spark: SparkSession, stateDir: String) {
                 k: Int = 10, nprobe: Int = 2): DataFrame =
     graft.ops.Similarity.annRecallReport(corpus, queries, centroids, idCol, vecCol, k, nprobe)
 
+  /** Balanced shard assignment: serpentine deal over the
+    * heaviest-first rank — near-equal-weight training shards without
+    * bin-packing state or a global sort.
+    */
+  def sampleSnakeShards(df: DataFrame, weightCol: String, nShards: Int,
+                        bandWidth: Int = 16,
+                        idCol: String = "doc_id"): DataFrame =
+    graft.ops.Sampling.snakeShards(df, idCol, weightCol, nShards, bandWidth)
+
+  /** [[sampleSnakeShards]] + write: one parquet directory per shard
+    * (`shard=K/`), each holding a near-equal share of the total
+    * weight — the training-shard writer. The shard column is an
+    * annotation, so the write shuffles nothing extra: rows flow from
+    * the rank join straight into the partitioned sink.
+    */
+  def writeShards(df: DataFrame, path: String, weightCol: String,
+                  nShards: Int, bandWidth: Int = 16,
+                  idCol: String = "doc_id"): Unit =
+    graft.ops.Sampling.snakeShards(df, idCol, weightCol, nShards, bandWidth)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Top-k adjacent-pair collocations by pointwise mutual
+    * information (Church & Hanks 1990).
+    */
+  def textPmiCollocations(df: DataFrame, textCol: String = "text",
+                          minCount: Int = 5, k: Int = 20): DataFrame =
+    graft.ops.TextAnalysis.pmiCollocations(df, textCol, minCount, k)
+
+  /** Deterministic proportional source interleaving (stride
+    * scheduling): annotate each row with the virtual-time key whose
+    * sort order realizes a weighted mixture without random draws.
+    */
+  def sampleInterleaveOrder(df: DataFrame, keyCol: String, weights: DataFrame,
+                            weightCol: String = "q_temp",
+                            idCol: String = "doc_id"): DataFrame =
+    graft.ops.Sampling.interleaveOrder(df, idCol, keyCol, weights, weightCol)
+
+  /** Per-key out-of-vocabulary rate against the corpus top-V unigram
+    * vocabulary (fixed-tokenizer domain-coverage screen).
+    */
+  def reportOovBySource(df: DataFrame, keyCol: String = "source",
+                        textCol: String = "text",
+                        vocabSize: Int = 10): DataFrame =
+    graft.ops.TextAnalysis.oovBySource(df, keyCol, textCol, vocabSize)
+
   /** Export a registered table to parquet, optionally z-order
     * clustered on its centroid columns for spatially-pruned reads.
     */

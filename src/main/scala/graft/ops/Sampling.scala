@@ -495,6 +495,116 @@ object Sampling {
       .drop("_h", "_b", "_off", "_rk")
   }
 
+  /** Balanced shard assignment by serpentine (snake) dealing — the
+    * standard stateless way to write `nShards` training shards with
+    * near-equal weight totals (token or byte counts) without
+    * bin-packing state: rank documents heaviest-first and deal rank
+    * r to shard
+    *   pos = (r-1) mod nShards
+    *   shard = pos                 when (r-1) div nShards is even
+    *   shard = nShards - 1 - pos   otherwise
+    * so each consecutive "deal row" of nShards docs reverses
+    * direction and every shard receives one doc per row — the
+    * per-row weight spread is bounded by the row's max-min doc
+    * weight, which the heaviest-first order makes monotonically
+    * shrinking.
+    *
+    * The rank is the same two-level prefix sum [[lengthBatches]]
+    * uses, with the coarse integer weight band ordered DESCENDING:
+    * the one unpartitioned window runs over #bands×256 count rows
+    * only, and no task sorts more than one (band, md5-prefix) cell —
+    * never a global sort of the corpus. The resulting total order
+    * (band DESC, bucket, md5, id) is weight-descending at band
+    * granularity, which is all the balance argument needs, and is
+    * engine-portable (the DuckDB oracle replays it with ROW_NUMBER).
+    *
+    * Contract: weights are non-negative and non-null (integer `div`
+    * banding, like [[lengthBatches]]). Annotates: every input column
+    * passes through plus `shard`.
+    */
+  def snakeShards(df: DataFrame, idCol: String, weightCol: String,
+                  nShards: Int, bandWidth: Int = 16): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    require(bandWidth > 0, s"bandWidth must be positive: $bandWidth")
+    val clash = Seq("shard", "_wb", "_h", "_b", "_bc", "_off", "_wj", "_bj",
+        "_rk", "_pos")
+      .filter(df.columns.contains)
+    require(clash.isEmpty, s"snakeShards: input columns collide with internals: $clash")
+    import org.apache.spark.sql.expressions.Window
+    val withB = df
+      .withColumn("_wb", expr(s"$weightCol div $bandWidth").cast("long"))
+      .withColumn("_h", hashKey(col(idCol)))
+      .withColumn("_b", substring(col("_h"), 1, 2))
+    val wOff = Window.orderBy(col("_wb").desc, col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withB.groupBy(col("_wb"), col("_b"))
+      .agg(count(lit(1)).as("_bc"))
+      .withColumn("_off", coalesce(sum(col("_bc")).over(wOff), lit(0L)))
+      .drop("_bc")
+      .withColumnRenamed("_wb", "_wj").withColumnRenamed("_b", "_bj")
+    val wIn = Window.partitionBy(col("_wb"), col("_b"))
+      .orderBy(col("_h"), col(idCol))
+    withB.join(offs, col("_wb") === col("_wj") && col("_b") === col("_bj"))
+      .drop("_wj", "_bj")
+      .withColumn("_rk", col("_off") + row_number().over(wIn).cast("long"))
+      .withColumn("_pos", expr(s"(_rk - 1) % $nShards"))
+      .withColumn("shard",
+        when(expr(s"((_rk - 1) div $nShards) % 2") === 0, col("_pos"))
+          .otherwise(lit(nShards - 1) - col("_pos")).cast("long"))
+      .drop("_wb", "_h", "_b", "_off", "_rk", "_pos")
+  }
+
+  /** Deterministic proportional source interleaving by stride
+    * scheduling (Waldspurger & Weihl 1995; the deterministic online
+    * analogue of mixture sampling): a key with weight w emits its
+    * r-th document at virtual time (r − 0.5) / w, so sorting any
+    * slice of the output by `interleave_key` yields an order in
+    * which every prefix contains each key in proportion to its
+    * weight — the training-reader ordering that realizes a mixture
+    * without random draws.
+    *
+    * `weights` is one row per key (compose with [[mixtureWeights]] /
+    * [[mixtureTemperature]] output); keys absent from it are dropped
+    * (only the keys being mixed are ordered — the [[mixtureDraw]]
+    * restriction semantics). The per-key rank is the two-level
+    * prefix sum (md5-prefix sub-buckets; offsets table #keys×256, no
+    * per-key hot partition), the weight join is a #keys-row
+    * broadcast, and the key column is an ANNOTATION — no global sort
+    * happens here; the consumer sorts (or range-partitions) by it.
+    */
+  def interleaveOrder(df: DataFrame, idCol: String, keyCol: String,
+                      weights: DataFrame, weightCol: String): DataFrame = {
+    require(weights.columns.contains(keyCol) && weights.columns.contains(weightCol),
+      s"weights must carry ($keyCol, $weightCol); has ${weights.columns.mkString(", ")}")
+    val clash = Seq("src_rank", "interleave_key",
+        "_h", "_b", "_bc", "_off", "_kj", "_bj", "_kw", "_w")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"interleaveOrder: input columns collide with internals: $clash")
+    import org.apache.spark.sql.expressions.Window
+    val withB = df
+      .withColumn("_h", hashKey(col(idCol)))
+      .withColumn("_b", substring(col("_h"), 1, 2))
+    val wOff = Window.partitionBy(col(keyCol)).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withB.groupBy(col(keyCol), col("_b"))
+      .agg(count(lit(1)).as("_bc"))
+      .withColumn("_off", coalesce(sum(col("_bc")).over(wOff), lit(0L)))
+      .drop("_bc")
+      .withColumnRenamed(keyCol, "_kj").withColumnRenamed("_b", "_bj")
+    val wIn = Window.partitionBy(col(keyCol), col("_b"))
+      .orderBy(col("_h"), col(idCol))
+    val wtab = broadcast(weights.select(col(keyCol).as("_kw"),
+      col(weightCol).cast("double").as("_w")))
+    withB.join(offs, col(keyCol) === col("_kj") && col("_b") === col("_bj"))
+      .drop("_kj", "_bj")
+      .withColumn("src_rank", col("_off") + row_number().over(wIn).cast("long"))
+      .join(wtab, col(keyCol) === col("_kw"))
+      .withColumn("interleave_key",
+        round((col("src_rank").cast("double") - lit(0.5)) / col("_w"), 9))
+      .drop("_h", "_b", "_off", "_kw", "_w")
+  }
+
   /** Keep the `n` BEST rows per key by `scoreCol` (descending, ties
     * to the smaller id) — the "top-100 highest-quality documents per
     * domain" selection rule. Same salted two-stage funnel as

@@ -495,6 +495,73 @@ object TextAnalysis {
     * `sequence` of window starts, slice. No shuffle, no window, no
     * driver involvement; 100 TB chunks exactly as fast as it scans.
     */
+  /** Top-k adjacent-pair collocations by pointwise mutual information
+    * (Church & Hanks 1990) — the classic phrase/collocation miner for
+    * tokenizer and vocabulary curation:
+    *   pmi(a,b) = ln p(a,b) − ln p(a) − ln p(b)
+    * with p(a,b) = c_ab / #bigrams and p(w) = c_w / #tokens, i.e.
+    *   pmi = ln c_ab + 2 ln N − ln M − ln c_a − ln c_b.
+    *
+    * Kept in that log-of-integer-count form (the [[divergenceReport]]
+    * parity pattern): every ln argument is an exact integer-valued
+    * double and both engines evaluate the same left-associated
+    * sum, so the rounded value cannot disagree. Ordering for the
+    * LIMIT is on the ROUNDED pmi (then the words), so near-ties are
+    * engine-stable.
+    *
+    * Scale: two token-keyed aggregations (vocab- and bigram-vocab-
+    * sized), two equi-joins of bigrams to unigram counts, and a
+    * top-k (TakeOrderedAndProject) — no all-pairs work, no global
+    * sort, nothing corpus-sized crosses the wire except the one
+    * gram-count shuffle any count must pay.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Int = 5, k: Int = 20): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(k >= 1, s"k must be >= 1: $k")
+    val d = Spread.ifNarrow(df)
+    // both count tables are pinned eagerly: uni feeds THREE consumers
+    // (the total and both join sides) and bi two — unpinned, each
+    // consumer re-pays the corpus-wide tokenize/explode/shuffle, and
+    // a lazy pin lets the AQE broadcast thread race into the table
+    // and recompute anyway (the measured r9 pin experiment). The pins
+    // store vocab-/bigram-vocab-sized aggregates, never corpus rows.
+    val uni = d.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+      .localCheckpoint(true)
+    // word_shingles(n=2, dedup=false) emits len-1 true bigrams for
+    // docs with >= 2 tokens and a degenerate space-free singleton
+    // below that — the contains-space filter keeps exactly the
+    // bigrams (tokens never contain spaces)
+    val bi = d.select(explode(graft.functions.TextExpressions.word_shingles(
+        col(textCol), 2, dedup = false)).as("gram"))
+      .where(col("gram").contains(" "))
+      .groupBy("gram").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(true)
+    // collapse the two 1-row totals through one final global
+    // aggregate so the downstream broadcast-nested-loop attach has a
+    // provably-one-row build side (the PlanGate contract)
+    val totals = broadcast(
+      uni.agg(sum("cw").as("_n")).crossJoin(bi.agg(sum("c_ab").as("_m")))
+        .agg(first(col("_n")).as("_n"), first(col("_m")).as("_m")))
+    val u1 = uni.withColumnRenamed("w", "_w1").withColumnRenamed("cw", "_c1")
+    val u2 = uni.withColumnRenamed("w", "_w2").withColumnRenamed("cw", "_c2")
+    bi.where(col("c_ab") >= minCount)
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .withColumn("w2", split(col("gram"), " ").getItem(1))
+      .join(u1, col("w1") === col("_w1"))
+      .join(u2, col("w2") === col("_w2"))
+      .crossJoin(totals)
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log(col("c_ab").cast("double"))
+          + lit(2.0) * log(col("_n").cast("double"))
+          - log(col("_m").cast("double"))
+          - log(col("_c1").cast("double"))
+          - log(col("_c2").cast("double")), 6).as("pmi"))
+      .orderBy(desc("pmi"), col("w1"), col("w2"))
+      .limit(k)
+  }
+
   def chunkPassages(df: DataFrame, idCol: String, textCol: String,
                     chunkSize: Int = 64, stride: Int = 48): DataFrame = {
     require(chunkSize >= 1, "chunkSize must be >= 1")
@@ -756,6 +823,36 @@ object TextAnalysis {
     * not the one-row gram-array form, whose per-row array_intersect
     * degrades quadratically once the eval gram set stops being tiny.
     */
+  /** Per-key out-of-vocabulary rate against the corpus top-V unigram
+    * vocabulary — the domain-coverage screen a fixed tokenizer/vocab
+    * implies (a source whose tokens fall outside the reference vocab
+    * fragments badly at training time).
+    *
+    * One corpus tokenize pass: the (key, word) count table is built
+    * once and pinned ((#keys × vocab)-sized, never corpus rows), the
+    * reference vocabulary is derived FROM it (sum over keys, top-V
+    * by count then word), and the OOV split is a broadcast left join
+    * of that bounded table against the V-row vocab.
+    */
+  def oovBySource(df: DataFrame, keyCol: String, textCol: String,
+                  vocabSize: Int = 10): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
+    val kw = Spread.ifNarrow(df)
+      .select(col(keyCol), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col(keyCol), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val vocab = broadcast(kw.groupBy("w").agg(sum("c").as("cw"))
+      .orderBy(desc("cw"), col("w")).limit(vocabSize)
+      .select(col("w").as("_vw")))
+    kw.join(vocab, col("w") === col("_vw"), "left")
+      .groupBy(col(keyCol))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        sum(when(col("_vw").isNull, col("c")).otherwise(lit(0L)))
+          .cast("long").as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+  }
+
   def curationFunnel(docs: DataFrame, bench: DataFrame,
                      idCol: String = "doc_id", textCol: String = "text",
                      n: Int = 3, minHits: Int = 4): DataFrame =

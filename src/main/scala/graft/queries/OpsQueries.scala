@@ -2747,5 +2747,143 @@ object OpsQueries {
               |  ROUND((sy - ((vocab_size * sxy - sx * sy) / (vocab_size * sxx - sx * sx)) * sx)
               |        / vocab_size, 6) AS zipf_intercept
               |FROM s""".stripMargin)),
+
+    // balanced shard assignment: serpentine deal over the heaviest-
+    // first rank (two-level prefix sum — never a global sort); the
+    // write-side partitioner for near-equal-weight training shards
+    Q("sample_shard_snake",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val d = s.table("documents").select(col("doc_id"), col("n_chars"))
+        graft.ops.Sampling.snakeShards(d, "doc_id", "n_chars",
+            nShards = 4, bandWidth = 16)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH r AS (SELECT doc_id, n_chars,
+             |  ROW_NUMBER() OVER (ORDER BY n_chars // 16 DESC,
+             |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id) AS rk
+             |  FROM documents)
+             |SELECT doc_id, n_chars,
+             |  CAST(CASE WHEN ((rk - 1) // 4) % 2 = 0 THEN (rk - 1) % 4
+             |       ELSE 3 - (rk - 1) % 4 END AS BIGINT) AS shard
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // the audit half: per-shard doc/weight totals and the balance
+    // ratio (shard weight vs the perfectly-even share)
+    Q("report_shard_balance",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val d = s.table("documents").select(col("doc_id"), col("n_chars"))
+        // pin the 4-row grouped table: it feeds both the output rows
+        // and the balance denominator, and unpinned each consumer
+        // re-pays the whole snake rank (scan + windows + join)
+        val g = graft.ops.Sampling.snakeShards(d, "doc_id", "n_chars",
+            nShards = 4, bandWidth = 16)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("n_chars_total"))
+          .localCheckpoint(true)
+        g.crossJoin(broadcast(g.agg(sum(col("n_chars_total")).as("_t"))))
+          .select(col("shard"), col("n_docs"), col("n_chars_total"),
+            round(col("n_chars_total").cast("double") * lit(4.0)
+              / col("_t").cast("double"), 6).as("balance"))
+          .orderBy(col("shard"))
+      },
+      Some("""WITH r AS (SELECT doc_id, n_chars,
+             |  ROW_NUMBER() OVER (ORDER BY n_chars // 16 DESC,
+             |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id) AS rk
+             |  FROM documents),
+             |a AS (SELECT CASE WHEN ((rk - 1) // 4) % 2 = 0 THEN (rk - 1) % 4
+             |        ELSE 3 - (rk - 1) % 4 END AS shard,
+             |        COUNT(*) AS n_docs, SUM(n_chars) AS w
+             |      FROM r GROUP BY 1),
+             |t AS (SELECT CAST(SUM(w) AS DOUBLE) AS tot FROM a)
+             |SELECT CAST(shard AS BIGINT) AS shard,
+             |  CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(w AS BIGINT) AS n_chars_total,
+             |  ROUND(CAST(w AS DOUBLE) * 4.0 / tot, 6) AS balance
+             |FROM a, t ORDER BY shard""".stripMargin)),
+
+    // PMI collocation mining (Church & Hanks 1990): top-k adjacent
+    // word pairs by pointwise mutual information — the phrase miner
+    // for tokenizer/vocabulary curation
+    Q("text_pmi_collocations",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        TextAnalysis.pmiCollocations(s.table("documents"), "text",
+          minCount = 5, k = 20)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $oracleToks AS toks FROM documents),
+              |u AS (SELECT w, COUNT(*) AS cw
+              |      FROM (SELECT unnest(toks) AS w FROM d) GROUP BY w),
+              |b AS (SELECT toks[i] AS w1, toks[i + 1] AS w2, COUNT(*) AS c_ab
+              |      FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+              |            FROM d WHERE len(toks) >= 2)
+              |      GROUP BY 1, 2),
+              |t AS (SELECT (SELECT SUM(cw) FROM u) AS n,
+              |             (SELECT SUM(c_ab) FROM b) AS m)
+              |SELECT b.w1, b.w2, CAST(b.c_ab AS BIGINT) AS c_ab,
+              |  ROUND(ln(CAST(b.c_ab AS DOUBLE)) + 2.0 * ln(CAST(t.n AS DOUBLE))
+              |    - ln(CAST(t.m AS DOUBLE)) - ln(CAST(u1.cw AS DOUBLE))
+              |    - ln(CAST(u2.cw AS DOUBLE)), 6) AS pmi
+              |FROM b
+              |JOIN u u1 ON b.w1 = u1.w
+              |JOIN u u2 ON b.w2 = u2.w
+              |CROSS JOIN t
+              |WHERE b.c_ab >= 5
+              |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin)),
+
+    // deterministic proportional interleaving (stride scheduling)
+    // composed with the temperature mixture: the training-reader
+    // order that realizes the mixture without random draws
+    Q("sample_interleave_order",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val d = s.table("documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val w = graft.ops.Sampling.mixtureTemperature(d, "source", "n_chars",
+            alpha = 0.5, totalTokens = 0L)
+          .select(col("source"), col("q_temp"))
+        graft.ops.Sampling.interleaveOrder(d, "doc_id", "source", w, "q_temp")
+          .select(col("doc_id"), col("source"), col("src_rank"),
+            col("interleave_key"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH avail AS (SELECT source,
+             |    CAST(SUM(n_chars) AS BIGINT) AS n_tokens_avail
+             |  FROM documents GROUP BY source),
+             |tots AS (SELECT SUM(POW(CAST(n_tokens_avail AS DOUBLE), 0.5)) AS ta
+             |  FROM avail),
+             |w AS (SELECT source,
+             |    ROUND(POW(CAST(n_tokens_avail AS DOUBLE), 0.5) / ta, 6) AS q_temp
+             |  FROM avail, tots),
+             |r AS (SELECT doc_id, source,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id) AS rk
+             |  FROM documents)
+             |SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS src_rank,
+             |  ROUND((CAST(r.rk AS DOUBLE) - 0.5) / w.q_temp, 9) AS interleave_key
+             |FROM r JOIN w USING (source) ORDER BY doc_id""".stripMargin)),
+
+    // out-of-vocabulary rate per source against the corpus top-V
+    // vocabulary — the fixed-tokenizer domain-coverage screen
+    Q("report_oov_by_source",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        TextAnalysis.oovBySource(s.table("documents"), "source", "text",
+            vocabSize = 10)
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH t AS (SELECT source, unnest($oracleToks) AS w FROM documents),
+              |kw AS (SELECT source, w, COUNT(*) AS c FROM t GROUP BY source, w),
+              |v AS (SELECT w FROM (SELECT w, SUM(c) AS cw FROM kw GROUP BY w
+              |                     ORDER BY cw DESC, w LIMIT 10)),
+              |j AS (SELECT kw.source, kw.c, v.w AS vw
+              |      FROM kw LEFT JOIN v ON kw.w = v.w)
+              |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+              |  CAST(SUM(CASE WHEN vw IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_oov,
+              |  ROUND(CAST(SUM(CASE WHEN vw IS NULL THEN c ELSE 0 END) AS DOUBLE)
+              |        / CAST(SUM(c) AS DOUBLE), 6) AS oov_rate
+              |FROM j GROUP BY source ORDER BY source""".stripMargin)),
   )
 }

@@ -157,4 +157,62 @@ object CurationStreams {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Row type for the stateful dedup stream. */
+  final case class DedupDoc(doc_id: Long, text: String, source: String)
+
+  /** Stateful streaming exact dedup — the ONE curation stage that
+    * genuinely needs state across micro-batches: emit a document only
+    * the first time its content digest is seen, for the life of the
+    * stream. State per digest is a single boolean
+    * (flatMapGroupsWithState, no timeout: seen-forever semantics);
+    * the group key is the md5 hex of the raw text, never the text
+    * itself, so the state store holds 32 bytes per DISTINCT document
+    * regardless of corpus size.
+    *
+    * Keeper rule: within a micro-batch the lowest `doc_id` wins
+    * (exactly [[graft.ops.Dedup.dropExactDuplicates]]'s `min(id)`
+    * rule); across batches the first-arriving batch wins. When ids
+    * arrive in nondecreasing order — the append-only ingest case —
+    * the stream's output set is byte-identical to running the batch
+    * op over the union of all batches, which is what the spec
+    * asserts.
+    */
+  def dedupExact(docs: org.apache.spark.sql.Dataset[DedupDoc])
+      : org.apache.spark.sql.Dataset[DedupDoc] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    docs.groupByKey { d =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(d.text.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }.flatMapGroupsWithState[Boolean, DedupDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      case (_, it, state) =>
+        if (state.exists) Iterator.empty
+        else { state.update(true); Iterator.single(it.minBy(_.doc_id)) }
+    }
+  }
+
+  /** Start the stateful dedup stream from a parquet directory source
+    * into a named memory sink. `maxFilesPerTrigger = 1` makes each
+    * source file its own micro-batch, so cross-batch state is
+    * genuinely exercised by a multi-file directory.
+    */
+  def startExactDedupStream(
+      spark: SparkSession, sourceDir: String, queryName: String,
+      schema: StructType, maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    import spark.implicits._
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .select(col("doc_id").cast("long"), col("text"), col("source"))
+      .as[DedupDoc]
+    dedupExact(src).toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

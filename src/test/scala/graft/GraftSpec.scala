@@ -85,6 +85,24 @@ class GraftSpec extends AnyFunSuite {
     assert(g.dsirSample(docs, tgt, k = 2).count() == 2)
   }
 
+  test("writeShards: one parquet directory per shard, rows partition-complete") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    val docs = (1 to 40).map(i => (i.toLong, "x" * (i % 7 + 1))).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    g.writeShards(docs, out, "n_chars", nShards = 4)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.toSeq == Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 40)
+    assert(back.select("doc_id").distinct().count() == 40)
+    // shard sizes within one (the snake deal property survives the write)
+    val sizes = back.groupBy("shard").count().collect().map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1)
+  }
+
   test("dropArea removes views and indexes") {
     g.loadArea(dataDir, Seq("places/place"))
     g.dropArea(Seq("places/place"))

@@ -110,4 +110,32 @@ class PlanSpec extends AnyFunSuite {
     val df = SparkEntry.queries("dedup_minhash_lsh")(spark, dir)
     assert(df.queryExecution.logical != null) // planning alone must not execute jobs
   }
+
+  test("pmi top-k plans TakeOrderedAndProject (no global sort of the bigram table)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.TextAnalysis.pmiCollocations(docs, "text", minCount = 2, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+  }
+
+  test("snake shards / interleave order: corpus rows never cross a global-sort exchange") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    // the only unpartitioned window in either plan runs over the
+    // bounded offsets table (#bands-or-keys × 256 count rows), so the
+    // corpus-side sorts must all be range-free local window sorts:
+    // no rangepartitioning exchange may appear anywhere
+    val pSnake = graft.ops.Sampling.snakeShards(docs, "doc_id", "n_chars", 4)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!pSnake.contains("rangepartitioning"),
+      "snakeShards must not range-shuffle (global-sort) the corpus")
+    val w = spark.createDataFrame(
+      Seq(("src0", 1.0), ("src1", 2.0))).toDF("source", "q")
+    val pIl = graft.ops.Sampling.interleaveOrder(docs, "doc_id", "source", w, "q")
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!pIl.contains("rangepartitioning"),
+      "interleaveOrder must not range-shuffle (global-sort) the corpus")
+    assert(pIl.contains("broadcast"), "weight join must broadcast")
+  }
 }

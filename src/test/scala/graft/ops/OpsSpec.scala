@@ -1810,4 +1810,103 @@ class OpsSpec extends AnyFunSuite {
     assert(nullRanks == Set(1L, 2L), s"null rows must rank first: $got")
     assert(got(3L) == 3L && got(1L) == 4L)
   }
+
+  test("snake shards: matches the serpentine deal over the reference rank; sizes within one") {
+    val d = (1 to 103).map(i => (i.toLong, (i * 13 % 257).toLong)).toDF("doc_id", "w")
+    val got = Sampling.snakeShards(d, "doc_id", "w", nShards = 4, bandWidth = 16)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
+    assert(got.size == 103 && got.values.forall(s => s >= 0 && s < 4))
+    // shard sizes differ by at most one (a snake deal's defining property)
+    val sizes = got.values.groupBy(identity).map(_._2.size)
+    assert(sizes.max - sizes.min <= 1)
+    // exact match against the reference deal over the documented total
+    // order (band DESC, md5-15-prefix, id)
+    def md5p(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      h.map("%02x".format(_)).mkString.take(15)
+    }
+    val ref = (1 to 103).map(i => (i.toLong, (i * 13 % 257).toLong))
+      .sortBy { case (id, w) => (-(w / 16), md5p(id), id) }
+      .zipWithIndex.map { case ((id, _), i) =>
+        val pos = i % 4
+        id -> (if ((i / 4) % 2 == 0) pos.toLong else (3 - pos).toLong)
+      }.toMap
+    assert(got == ref)
+  }
+
+  test("snake shards: rejects colliding internal columns") {
+    val d = Seq((1L, 2L, 0L)).toDF("doc_id", "w", "shard")
+    intercept[IllegalArgumentException] {
+      Sampling.snakeShards(d, "doc_id", "w", nShards = 2)
+    }
+  }
+
+  test("pmi collocations: hand-computed pmi on a tiny corpus") {
+    val d = Seq((1L, "a b a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    // unigrams a:2 b:3 c:2 d:1 (N=8); bigrams ab:2 ba:1 bc:2 cd:1 (M=6)
+    val got = TextAnalysis.pmiCollocations(d, "text", minCount = 1, k = 10)
+      .collect().map(r => ((r.getAs[String]("w1"), r.getAs[String]("w2")),
+        (r.getAs[Long]("c_ab"), r.getAs[Double]("pmi")))).toMap
+    def pmi(cab: Long, ca: Long, cb: Long): Double =
+      BigDecimal(math.log(cab.toDouble) + 2.0 * math.log(8.0) - math.log(6.0)
+        - math.log(ca.toDouble) - math.log(cb.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set(("a", "b"), ("b", "a"), ("b", "c"), ("c", "d")))
+    assert(got(("a", "b")) == ((2L, pmi(2, 2, 3))))
+    assert(got(("b", "a")) == ((1L, pmi(1, 3, 2))))
+    assert(got(("b", "c")) == ((2L, pmi(2, 3, 2))))
+    assert(got(("c", "d")) == ((1L, pmi(1, 2, 1))))
+  }
+
+  test("pmi collocations: single-token and empty docs contribute no bigrams") {
+    val d = Seq((1L, "x"), (2L, ""), (3L, "x y")).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(d, "text", minCount = 1, k = 10).collect()
+    // one bigram (x,y); unigrams x:2 y:1, N=3, M=1
+    assert(got.length == 1)
+    assert(got.head.getAs[String]("w1") == "x" && got.head.getAs[String]("w2") == "y")
+    assert(got.head.getAs[Long]("c_ab") == 1L)
+  }
+
+  test("interleave order: prefixes carry keys in proportion to weight") {
+    val d = (1 to 120).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
+      .toDF("doc_id", "source") // a:40 docs, b:80 docs
+    val w = Seq(("a", 1.0), ("b", 2.0)).toDF("source", "q")
+    val rows = Sampling.interleaveOrder(d, "doc_id", "source", w, "q")
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("src_rank"),
+        r.getAs[Double]("interleave_key")))
+    assert(rows.length == 120)
+    // per-key ranks dense from 1
+    Seq("a" -> 40, "b" -> 80).foreach { case (s, n) =>
+      assert(rows.filter(_._1 == s).map(_._2).sorted.toSeq == (1L to n))
+    }
+    // key formula
+    assert(rows.forall { case (s, r, k) =>
+      k == BigDecimal((r - 0.5) / (if (s == "a") 1.0 else 2.0))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    })
+    // any prefix of the virtual-time order holds ~1:2 a:b
+    val ordered = rows.sortBy(_._3).take(30)
+    val aCount = ordered.count(_._1 == "a")
+    assert(aCount >= 8 && aCount <= 12, s"expected ~10 'a' in first 30, got $aCount")
+  }
+
+  test("interleave order: keys absent from the weight table are dropped") {
+    val d = Seq((1L, "a"), (2L, "zz")).toDF("doc_id", "source")
+    val w = Seq(("a", 1.0)).toDF("source", "q")
+    val got = Sampling.interleaveOrder(d, "doc_id", "source", w, "q").collect()
+    assert(got.length == 1 && got.head.getAs[Long]("doc_id") == 1L)
+  }
+
+  test("oov by source: rate against the corpus top-V vocabulary") {
+    val d = Seq((1L, "s1", "aa aa bb cc"), (2L, "s2", "aa dd dd dd"))
+      .toDF("doc_id", "source", "text")
+    // corpus counts: aa:3 dd:3 bb:1 cc:1 → top-2 vocab {aa, dd}
+    val got = TextAnalysis.oovBySource(d, "source", "text", vocabSize = 2)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("oov_rate")))).toMap
+    assert(got("s1") == ((4L, 2L, 0.5)))   // bb, cc OOV
+    assert(got("s2") == ((4L, 0L, 0.0)))
+  }
 }

@@ -329,4 +329,45 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("stateful streaming exact dedup: first-seen wins across micro-batches, equals batch on the union") {
+    import org.apache.spark.sql.functions.col
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_dedup_src").toString
+    val mk = (rows: Seq[(Long, String, String)], name: String) => {
+      import spark.implicits._
+      rows.toDF("doc_id", "text", "source")
+        .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/_stage_$name")
+      // move the single part file into the watched dir under a stable name
+      val part = new java.io.File(s"$srcDir/_stage_$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$srcDir/$name.parquet"))
+    }
+    // batch 1: texts A,B,C with a within-batch duplicate of A
+    mk(Seq((1L, "alpha text", "s1"), (2L, "beta text", "s1"),
+      (3L, "gamma text", "s2"), (4L, "alpha text", "s2")), "b1")
+    // batch 2 (later ids): re-sends B and C, introduces D
+    mk(Seq((6L, "beta text", "s2"), (7L, "delta text", "s1"),
+      (8L, "gamma text", "s1")), "b2")
+
+    val schema = spark.read.parquet(s"$srcDir/b1.parquet").schema
+    val q = CurationStreams.startExactDedupStream(
+      spark, srcDir, "stream_dedup", schema)
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_dedup").collect()
+      .map(r => r.getAs[String]("text") -> r.getAs[Long]("doc_id")).toMap
+    // one survivor per distinct text, min-id keeper (ids nondecreasing
+    // across batches → identical to the batch op over the union)
+    assert(streamed == Map("alpha text" -> 1L, "beta text" -> 2L,
+      "gamma text" -> 3L, "delta text" -> 7L))
+    val union = spark.read.parquet(s"$srcDir/b1.parquet", s"$srcDir/b2.parquet")
+    val batch = graft.ops.Dedup.dropExactDuplicates(union, "doc_id", "text")
+      .collect().map(r => r.getAs[String]("text") -> r.getAs[Long]("doc_id")).toMap
+    assert(streamed == batch)
+    // state bounded: one boolean per DISTINCT digest, so re-running the
+    // dedup over a stream with heavy duplication emits no duplicates
+    assert(spark.table("stream_dedup").select(col("text")).distinct().count() ==
+      spark.table("stream_dedup").count())
+  }
 }
