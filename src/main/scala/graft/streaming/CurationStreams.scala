@@ -194,6 +194,70 @@ object CurationStreams {
     }
   }
 
+  /** Row type for the budget-gated stream. */
+  final case class BudgetDoc(doc_id: Long, source: String, n_tokens: Long)
+
+  /** Stateful streaming token-budget admission — the continuous-ingest
+    * twin of [[graft.ops.Sampling.tokenBudget]]: admit a document iff
+    * its key's running token total BEFORE it is still under
+    * `budgetPerKey` (so a positive budget always admits at least one
+    * document per key, the batch rule). State per key is ONE long.
+    *
+    * Order: within a micro-batch documents are admitted in the batch
+    * operator's deterministic (md5(id), id) order — a stream whose
+    * content arrives in one batch is therefore byte-identical to the
+    * batch operator (the spec asserts this); across batches, arrival
+    * order wins (earlier batches spend the budget first). The
+    * per-(key, batch) group is buffered to sort — bounded by the
+    * micro-batch, never the stream.
+    */
+  def tokenBudgetGate(docs: org.apache.spark.sql.Dataset[BudgetDoc],
+                      budgetPerKey: Long)
+      : org.apache.spark.sql.Dataset[BudgetDoc] = {
+    require(budgetPerKey > 0, s"budgetPerKey must be positive: $budgetPerKey")
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    def h(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[Long, BudgetDoc](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state) =>
+          var run = state.getOption.getOrElse(0L)
+          val admitted = it.toVector.sortBy(d => (h(d.doc_id), d.doc_id))
+            .filter { d =>
+              val admit = run < budgetPerKey
+              if (admit) run += d.n_tokens
+              admit
+            }
+          state.update(run)
+          admitted.iterator
+      }
+  }
+
+  /** Start the budget-gated stream from a parquet directory source
+    * (expects doc_id/source/n_tokens columns) into a named memory
+    * sink; one micro-batch per file.
+    */
+  def startTokenBudgetStream(
+      spark: SparkSession, sourceDir: String, queryName: String,
+      schema: StructType, budgetPerKey: Long,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    import spark.implicits._
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .select(col("doc_id").cast("long"), col("source"),
+        col("n_tokens").cast("long"))
+      .as[BudgetDoc]
+    tokenBudgetGate(src, budgetPerKey).toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Start the stateful dedup stream from a parquet directory source
     * into a named memory sink. `maxFilesPerTrigger = 1` makes each
     * source file its own micro-batch, so cross-batch state is

@@ -370,4 +370,54 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(spark.table("stream_dedup").select(col("text")).distinct().count() ==
       spark.table("stream_dedup").count())
   }
+
+  test("stateful streaming token-budget gate: single batch equals the batch operator") {
+    import org.apache.spark.sql.functions.col
+    graft.core.Tables.registerAll(spark, dir)
+    val docs = spark.table("documents")
+      .withColumn("n_tokens",
+        graft.ops.TextAnalysis.tokenCount(col("text")).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_budget_src").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(srcDir)
+
+    val q = CurationStreams.startTokenBudgetStream(
+      spark, srcDir, "stream_budget", docs.schema, budgetPerKey = 200L)
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_budget").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val batch = graft.ops.Sampling.sampleTokenBudget(
+        docs, "doc_id", "n_tokens", budget = 200L, keyCols = Seq("source"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(batch.nonEmpty && batch.size < docs.count())
+    assert(streamed == batch,
+      "one-micro-batch stream must equal the batch token-budget sampler")
+  }
+
+  test("stateful streaming token-budget gate: budget persists across micro-batches") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_budget2_src").toString
+    val mk = (rows: Seq[(Long, String, Long)], name: String) => {
+      rows.toDF("doc_id", "source", "n_tokens")
+        .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/_stage_$name")
+      val part = new java.io.File(s"$srcDir/_stage_$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$srcDir/$name.parquet"))
+    }
+    // batch 1 exhausts source a's budget of 100 (first admitted doc
+    // overshoots to 120); batch 2 re-offers a (must be rejected) and
+    // introduces b (must be admitted)
+    mk(Seq((1L, "a", 120L)), "b1")
+    mk(Seq((2L, "a", 10L), (3L, "b", 50L)), "b2")
+    val schema = spark.read.parquet(s"$srcDir/b1.parquet").schema
+    val q = CurationStreams.startTokenBudgetStream(
+      spark, srcDir, "stream_budget2", schema, budgetPerKey = 100L)
+    q.awaitTermination(120000)
+    val got = spark.table("stream_budget2").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(got == Set(1L, 3L),
+      s"a's budget must be spent by batch 1 and survive into batch 2: $got")
+  }
 }
