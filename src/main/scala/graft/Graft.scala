@@ -732,6 +732,40 @@ final class Graft(val spark: SparkSession, stateDir: String) {
                           minCount: Int = 5, k: Int = 20): DataFrame =
     graft.ops.TextAnalysis.pmiCollocations(df, textCol, minCount, k)
 
+  /** Product-quantization codebooks: m subspaces × k Lloyd-trained
+    * centroids (deterministic, the IVF trainer per slice).
+    */
+  def annPqTrain(corpus: DataFrame, dims: Int, m: Int, k: Int,
+                 iters: Int = 2, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame =
+    graft.ops.Similarity.trainPqCodebooks(corpus, idCol, vecCol, dims, m, k, iters)
+
+  /** PQ encoding: compress each vector to m codes in one map-side
+    * pass (no join, no shuffle).
+    */
+  def annPqEncode(df: DataFrame, codebooks: DataFrame,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame =
+    graft.ops.Similarity.pqEncode(df, idCol, vecCol, codebooks)
+
+  /** PQ asymmetric-distance top-k: score encoded corpus codes against
+    * full-precision queries via a broadcast lookup table.
+    */
+  def annPqTopK(corpus: DataFrame, queries: DataFrame, codebooks: DataFrame,
+                k: Int = 10, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame =
+    graft.ops.Similarity.pqTopK(corpus, queries, idCol, vecCol, codebooks, k)
+
+  /** Two-stage PQ serving: ADC coarse candidates, exact re-rank of
+    * only the k×refineFactor survivors.
+    */
+  def annPqRefineTopK(corpus: DataFrame, queries: DataFrame,
+                      codebooks: DataFrame, k: Int = 10,
+                      refineFactor: Int = 3, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame =
+    graft.ops.Similarity.pqTopKRefined(corpus, queries, idCol, vecCol,
+      codebooks, k, refineFactor)
+
   /** Deterministic proportional source interleaving (stride
     * scheduling): annotate each row with the virtual-time key whose
     * sort order realizes a weighted mixture without random draws.

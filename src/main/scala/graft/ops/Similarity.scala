@@ -517,4 +517,203 @@ object Similarity {
       .withColumn("cosine", dot(col("q_vec"), col("nn_vec")) / (col("q_norm") * col("nn_norm")))
     topKPerQuery(pairs, k)
   }
+
+  // ── product quantization (Jégou, Douze & Schmid 2011) ───────────
+
+  /** PQ codebooks: split the `dims`-dim space into `m` contiguous
+    * subspaces of dims/m and Lloyd-train `k` centroids per subspace —
+    * the SAME deterministic trainer ([[trainIvfCentroids]]) run on
+    * the sliced corpus, so every determinism property (md5 init,
+    * decimal sums, tie-to-larger-index) carries over. Driver cost is
+    * m sequential trains = O(m·iters) jobs, bounded by configuration
+    * like the trainer it wraps. Output: (sub, cent_id, centroid).
+    */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                       dims: Int, m: Int, k: Int, iters: Int = 2): DataFrame = {
+    require(m > 0 && dims > 0 && dims % m == 0,
+      s"dims ($dims) must split evenly into m ($m) subspaces")
+    val w = dims / m
+    val spark = corpus.sparkSession
+    val vecs = corpus.select(col(idCol).as("_vid"),
+      col(vecCol).cast("array<double>").as("_v"))
+    // init: the md5-first k rows seed EVERY subspace (the md5 order is
+    // slice-independent, so this is exactly what m per-slice trainers
+    // would pick) — then all m Lloyd problems advance in ONE
+    // assignment job + ONE bounded sums collect per iteration:
+    // O(iters) jobs independent of m, never m corpus scans
+    val seed = vecs.orderBy(md5(col("_vid").cast("string")), col("_vid"))
+      .limit(k).select(col("_v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    var cents: IndexedSeq[IndexedSeq[Array[Double]]] =
+      (0 until m).map(j => seed.toIndexedSeq.map(_.slice(j * w, j * w + w)))
+    if (seed.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Seq[Double])].toDF("sub", "cent_id", "centroid")
+    }
+    for (_ <- 0 until iters) {
+      val codeCols = (0 until m).map { j =>
+        val sub = slice(col("_v"), j * w + 1, w)
+        val scored = cents(j).zipWithIndex.map { case (cv, ci) =>
+          struct(cosine(sub, array(cv.toSeq.map(lit): _*)).as("c"),
+            lit(ci).as("ci"))
+        }
+        if (scored.length == 1) lit(0)
+        else greatest(scored: _*).getField("ci")
+      }
+      val sums = vecs.withColumn("_codes", array(codeCols: _*))
+        .select(col("_codes"), posexplode(col("_v")).as(Seq("_pos", "_val")))
+        .withColumn("_sub", expr(s"CAST(_pos div $w AS INT)"))
+        .withColumn("_ci", element_at(col("_codes"), col("_sub") + 1))
+        .withColumn("_posw", expr(s"CAST(_pos % $w AS INT)"))
+        .groupBy(col("_sub"), col("_ci"), col("_posw"))
+        .agg(sum(col("_val").cast("decimal(38,15)")).cast("double").as("_s"),
+          count(lit(1)).as("_n"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+      cents = cents.zipWithIndex.map { case (sub, j) =>
+        sub.zipWithIndex.map { case (prev, ci) =>
+          sums.get((j, ci)) match {
+            case Some(rows) =>
+              val arr = prev.clone()
+              rows.foreach { r => arr(r.getInt(2)) = r.getDouble(3) / r.getLong(4) }
+              arr
+            case None => prev
+          }
+        }
+      }
+    }
+    import spark.implicits._
+    // a corpus smaller than k seeds fewer centroids (the per-slice
+    // trainer's behavior) — emit what was trained, never index past it
+    (for (j <- 0 until m; ci <- cents(j).indices)
+      yield (j.toLong, ci.toLong, cents(j)(ci).toSeq))
+      .toDF("sub", "cent_id", "centroid")
+  }
+
+  /** PQ encoding: each vector compresses to `m` small codes — the
+    * argmax-cosine centroid of each slice (tie to the larger index,
+    * the trainer's assignment rule). The codebooks collect to
+    * m×k×(dims/m) plan literals (bounded by configuration, the
+    * [[trainIvfCentroids]] convention), so encoding is ONE map-side
+    * pass with no join and no shuffle: at 100 TB the corpus streams
+    * through once and writes `m` longs per row. Output: every input
+    * column minus the vector, plus `codes: array<long>`.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebooks: DataFrame): DataFrame = {
+    val books = codebooks.select(col("sub"), col("cent_id"), col("centroid"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (s, rows) =>
+        s -> rows.map(r => r.getLong(1) -> r.getSeq[Double](2).toArray)
+          .sortBy(_._1)
+      }
+    // empty codebooks (an empty training corpus) → empty result with
+    // the output schema, not a crash — the degenerate-input contract
+    if (books.isEmpty)
+      return df.where(lit(false))
+        .withColumn("codes", array().cast("array<long>")).drop(vecCol)
+    val m = books.size
+    val w = books(0L).head._2.length
+    val codeCols = (0 until m).map { j =>
+      val sub = slice(col(vecCol), j * w + 1, w)
+      val scored = books(j.toLong).map { case (ci, cv) =>
+        struct(cosine(sub, array(cv.toSeq.map(lit): _*)).as("c"),
+          lit(ci).as("ci"))
+      }
+      val code =
+        if (scored.length == 1) lit(0L)
+        else greatest(scored.toSeq: _*).getField("ci")
+      code.cast("long")
+    }
+    df.withColumn("codes", array(codeCols: _*)).drop(vecCol)
+  }
+
+  /** PQ asymmetric-distance top-k (ADC): score every corpus CODE
+    * vector against full-precision queries without ever touching the
+    * original corpus floats —
+    *   cosine(q, v) ≈ Σⱼ ⟨q_j, c_codes[j]⟩ / (‖q‖ · sqrt(Σⱼ ‖c_codes[j]‖²))
+    * The per-query lookup table (#queries × m × k rows: one dot
+    * product per (query, subspace, centroid)) broadcasts; the encoded
+    * corpus explodes to m rows per vector, equi-joins the LUT on
+    * (sub, code), and a hash aggregate re-assembles per-(query,
+    * vector) sums — n·m·|Q| tiny rows instead of n·|Q|·dims float
+    * work, the PQ speed/size trade. Ranking reuses the salted
+    * two-stage top-k funnel. Output: (query_id, rank, nn_id, cosine)
+    * where cosine is the ADC approximation.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, codebooks: DataFrame, k: Int = 10): DataFrame = {
+    val enc = pqEncode(corpus.select(col(idCol).as("nn_id"), col(vecCol)),
+        "nn_id", vecCol, codebooks)
+      .select(col("nn_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .withColumn("sub", col("sub").cast("long"))
+    // the codebook rides as m×k plan-literal structs (the trainer's
+    // bounded-collect convention) exploded on the query side — an
+    // equi-joinable LUT, never a multi-row nested-loop build side;
+    // ‖c‖² folds driver-side left-to-right (the VecDot order)
+    val books = codebooks.select(col("sub"), col("cent_id"), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      .sortBy(e => (e._1, e._2))
+    // empty codebooks (empty training corpus) → empty ranked result
+    // with the output schema, not a crash
+    if (books.isEmpty)
+      return queries.select(col(idCol).as("query_id")).where(lit(false))
+        .select(col("query_id"), lit(0).as("rank"),
+          col("query_id").as("nn_id"), lit(0.0).as("cosine"))
+    val w = books.head._3.length
+    val entries = books.map { case (s, ci, cv) =>
+      struct(lit(s).as("sub"), lit(ci).as("code"),
+        array(cv.toSeq.map(lit): _*).as("cv"),
+        lit(cv.foldLeft(0.0)((acc, x) => acc + x * x)).as("cn2"))
+    }
+    val lut = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("_q"),
+          norm(col(vecCol)).as("_qn"))
+        .withColumn("_e", explode(array(entries.toSeq: _*)))
+        .select(col("query_id"), col("_qn"),
+          col("_e.sub").as("sub"), col("_e.code").as("code"),
+          dot(slice(col("_q"), (col("_e.sub") * w).cast("int") + 1, lit(w)),
+            col("_e.cv")).as("_d"),
+          col("_e.cn2").as("_cn2")))
+    // the m-addend per-(query, vector) sums go through 12-dp decimal
+    // (the zipfFit parity pattern) so they are exact — independent of
+    // aggregation order, engine and partitioning
+    val dec = "decimal(38,15)"
+    val pairs = enc.join(lut, Seq("sub", "code"))
+      .where(col("nn_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("nn_id"))
+      .agg(sum(round(col("_d"), 12).cast(dec)).cast("double").as("_num"),
+        sum(round(col("_cn2"), 12).cast(dec)).cast("double").as("_vn2"),
+        first(col("_qn")).as("_qn"))
+      .withColumn("cosine", col("_num") / (col("_qn") * sqrt(col("_vn2"))))
+    topKPerQuery(pairs, k)
+  }
+
+  /** The standard two-stage PQ serving path: ADC ranks
+    * `k × refineFactor` coarse candidates from the codes alone, then
+    * ONLY those survivors re-score in full precision (an equi-join
+    * back to the corpus floats — #queries × k × refineFactor rows,
+    * never the corpus) and re-rank exactly. At 100 TB the float
+    * re-read touches a bounded candidate set; everything corpus-sized
+    * stays in code space. Output: (query_id, rank, nn_id, cosine)
+    * with EXACT cosines.
+    */
+  def pqTopKRefined(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, codebooks: DataFrame, k: Int = 10,
+                    refineFactor: Int = 3): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor must be >= 1: $refineFactor")
+    val coarse = pqTopK(corpus, queries, idCol, vecCol, codebooks,
+        k = k * refineFactor)
+      .select(col("query_id"), col("nn_id"))
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("_nv"),
+      norm(col(vecCol)).as("_nn"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("_qv"), norm(col(vecCol)).as("_qn")))
+    val pairs = coarse.join(c, "nn_id").join(q, "query_id")
+      .withColumn("cosine",
+        dot(col("_qv"), col("_nv")) / (col("_qn") * col("_nn")))
+    topKPerQuery(pairs, k)
+  }
 }

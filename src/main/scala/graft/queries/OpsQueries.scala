@@ -117,37 +117,105 @@ object OpsQueries {
     * WITH / trailing comma) — shared by the centroid dump and the
     * SemDeDup drop oracle.
     */
-  private def trainCtes(k: Int, iters: Int, dims: Int): String = {
+  private def trainCtes(k: Int, iters: Int, dims: Int,
+                        src: String = "embeddings", p: String = ""): String = {
     val sb = new StringBuilder
-    sb ++= s"""init AS (
+    sb ++= s"""${p}init AS (
               |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS ci,
               |         embedding
-              |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
-              |cent0 AS (SELECT ci, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM init),
+              |  FROM $src ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+              |${p}cent0 AS (SELECT ci, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM ${p}init),
               |""".stripMargin
     for (t <- 1 to iters) {
-      val prev = s"cent${t - 1}"
-      sb ++= s"""assign$t AS (
+      val prev = s"${p}cent${t - 1}"
+      sb ++= s"""${p}assign$t AS (
                 |  SELECT vec_id, embedding, ci FROM (
                 |    SELECT vec_id, embedding, ci,
                 |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, ci DESC) AS rn
                 |    FROM (SELECT e.vec_id, e.embedding, c.ci, ${oracleCosine("e.embedding", "c.cv")} AS cos
-                |          FROM embeddings e CROSS JOIN $prev c))
+                |          FROM $src e CROSS JOIN $prev c))
                 |  WHERE rn = 1),
-                |sums$t AS (
+                |${p}sums$t AS (
                 |  SELECT ci, d.i AS pos,
                 |         CAST(SUM(CAST(embedding[d.i] AS DECIMAL(38,15))) AS DOUBLE) AS s,
                 |         COUNT(*) AS n
-                |  FROM assign$t, (SELECT unnest(generate_series(1, $dims)) AS i) d
+                |  FROM ${p}assign$t, (SELECT unnest(generate_series(1, $dims)) AS i) d
                 |  GROUP BY ci, d.i),
-                |cent$t AS (
+                |${p}cent$t AS (
                 |  SELECT p.ci, list(COALESCE(s.s / s.n, p.cv[p.pos]) ORDER BY p.pos) AS cv
                 |  FROM (SELECT ci, cv, unnest(generate_series(1, $dims)) AS pos FROM $prev) p
-                |  LEFT JOIN sums$t s ON s.ci = p.ci AND s.pos = p.pos
+                |  LEFT JOIN ${p}sums$t s ON s.ci = p.ci AND s.pos = p.pos
                 |  GROUP BY p.ci),
                 |""".stripMargin
     }
     sb.toString.stripSuffix("\n").stripSuffix(",")
+  }
+
+  /** [[pqCtes]] + the full ADC scoring chain: codebook union, the
+    * per-(query, sub, centroid) dot-product LUT, decimal-exact
+    * subspace sums, and the rank window — ends with
+    * `adcranked(query_id, nn_id, cos, rank)`, shared by the plain
+    * ADC top-k and the refined two-stage query.
+    */
+  private def pqAdcCtes(m: Int = 4, k: Int = 4, iters: Int = 2,
+                        dims: Int = 64): String = {
+    val w = dims / m
+    val cbUnion = (0 until m).map { j =>
+      if (j == 0) s"  SELECT 0 AS sub, ci AS code, cv FROM s0_cent$iters"
+      else s"  UNION ALL SELECT $j, ci, cv FROM s${j}_cent$iters"
+    }.mkString("\n")
+    s"""${pqCtes(m, k, iters, dims)},
+       |cb AS (
+       |$cbUnion),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, b.sub, b.code,
+       |    (SELECT SUM(CAST(ea AS DOUBLE)*CAST(eb AS DOUBLE))
+       |     FROM (SELECT unnest(q.embedding[b.sub*$w+1:b.sub*$w+$w]) ea, unnest(b.cv) eb)) AS d,
+       |    (SELECT SUM(CAST(e AS DOUBLE)*CAST(e AS DOUBLE))
+       |     FROM (SELECT unnest(b.cv) e)) AS cn2
+       |  FROM embeddings q CROSS JOIN cb b WHERE q.vec_id < 5),
+       |adcscore AS (
+       |  SELECT l.query_id, e.vec_id AS nn_id,
+       |    CAST(SUM(CAST(ROUND(l.d, 12) AS DECIMAL(38,15))) AS DOUBLE) AS num,
+       |    CAST(SUM(CAST(ROUND(l.cn2, 12) AS DECIMAL(38,15))) AS DOUBLE) AS vn2
+       |  FROM pqenc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+       |  WHERE e.vec_id <> l.query_id
+       |  GROUP BY l.query_id, e.vec_id),
+       |adcqn AS (
+       |  SELECT vec_id AS query_id,
+       |    sqrt((SELECT SUM(CAST(e AS DOUBLE)*CAST(e AS DOUBLE))
+       |          FROM (SELECT unnest(embedding) e))) AS qn
+       |  FROM embeddings WHERE vec_id < 5),
+       |adcranked AS (
+       |  SELECT s.query_id, s.nn_id, s.num / (q.qn * sqrt(s.vn2)) AS cos,
+       |         ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |           ORDER BY s.num / (q.qn * sqrt(s.vn2)) DESC, s.nn_id) AS rank
+       |  FROM adcscore s JOIN adcqn q USING (query_id))""".stripMargin
+  }
+
+  /** PQ chain: one sliced source + one [[trainCtes]] Lloyd chain per
+    * subspace, plus the per-subspace argmax encoding — ends with
+    * `pqenc(vec_id, sub, code)` and leaves each `s{j}_cent$iters`
+    * codebook CTE available to downstream LUT CTEs.
+    */
+  private def pqCtes(m: Int, k: Int, iters: Int, dims: Int): String = {
+    val w = dims / m
+    val chains = (0 until m).map { j =>
+      val lo = j * w + 1
+      val hi = j * w + w
+      s"""s${j}src AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings),
+         |${trainCtes(k, iters, w, src = s"s${j}src", p = s"s${j}_")}""".stripMargin
+    }.mkString(",\n")
+    val encodes = (0 until m).map { j =>
+      s"""  SELECT vec_id, $j AS sub, ci AS code FROM (
+         |    SELECT vec_id, ci,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, ci DESC) AS rn
+         |    FROM (SELECT e.vec_id, c.ci, ${oracleCosine("e.embedding", "c.cv")} AS cos
+         |          FROM s${j}src e CROSS JOIN s${j}_cent$iters c)) WHERE rn = 1""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""$chains,
+       |pqenc AS (
+       |$encodes)""".stripMargin
   }
 
   private def trainOracleSql(k: Int, iters: Int, dims: Int): String =
@@ -2885,5 +2953,72 @@ object OpsQueries {
               |  ROUND(CAST(SUM(CASE WHEN vw IS NULL THEN c ELSE 0 END) AS DOUBLE)
               |        / CAST(SUM(c) AS DOUBLE), 6) AS oov_rate
               |FROM j GROUP BY source ORDER BY source""".stripMargin)),
+
+    // product quantization (Jégou et al. 2011): per-subspace Lloyd
+    // codebooks + argmax encoding — each 64-float vector compresses
+    // to 4 small codes in one map-side pass
+    Q("ann_pq_encode",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val emb = s.table("embeddings")
+        val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+          dims = 64, m = 4, k = 4, iters = 2)
+        Similarity.pqEncode(emb.select(col("vec_id"), col("embedding")),
+            "vec_id", "embedding", cb)
+          .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+          .selectExpr("vec_id", "CAST(sub AS BIGINT) AS sub", "code")
+          .orderBy(col("vec_id"), col("sub"))
+      },
+      Some(s"""WITH ${pqCtes(m = 4, k = 4, iters = 2, dims = 64)}
+              |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+              |FROM pqenc ORDER BY vec_id, sub""".stripMargin)),
+
+    // PQ asymmetric-distance top-k (ADC): full-precision queries
+    // against the encoded corpus via a broadcast (query, sub, code)
+    // lookup table — never touching the original corpus floats
+    Q("ann_pq_topk",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val emb = s.table("embeddings")
+        val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+          dims = 64, m = 4, k = 4, iters = 2)
+        Similarity.pqTopK(emb, emb.where(col("vec_id") < 5),
+            "vec_id", "embedding", cb, k = 10)
+          .selectExpr("query_id", "rank", "nn_id", "ROUND(cosine, 6) AS cosine")
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH ${pqAdcCtes()}
+              |SELECT query_id, rank, nn_id, ROUND(cos, 6) AS cosine
+              |FROM adcranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // the standard two-stage PQ serving path: ADC ranks 3k coarse
+    // candidates from codes alone, only those re-score exactly
+    Q("ann_pq_refine_topk",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val emb = s.table("embeddings")
+        val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+          dims = 64, m = 4, k = 4, iters = 2)
+        Similarity.pqTopKRefined(emb, emb.where(col("vec_id") < 5),
+            "vec_id", "embedding", cb, k = 10, refineFactor = 3)
+          .selectExpr("query_id", "rank", "nn_id", "ROUND(cosine, 6) AS cosine")
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH ${pqAdcCtes()},
+              |coarse AS (
+              |  SELECT query_id, nn_id FROM adcranked WHERE rank <= 30),
+              |exact AS (
+              |  SELECT c.query_id, c.nn_id,
+              |         ${oracleCosine("qe.embedding", "ne.embedding")} AS cos
+              |  FROM coarse c
+              |  JOIN embeddings qe ON qe.vec_id = c.query_id
+              |  JOIN embeddings ne ON ne.vec_id = c.nn_id),
+              |rranked AS (
+              |  SELECT query_id, nn_id, cos,
+              |         ROW_NUMBER() OVER (PARTITION BY query_id
+              |           ORDER BY cos DESC, nn_id) AS rank
+              |  FROM exact)
+              |SELECT query_id, rank, nn_id, ROUND(cos, 6) AS cosine
+              |FROM rranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
   )
 }

@@ -1898,6 +1898,69 @@ class OpsSpec extends AnyFunSuite {
     assert(got.length == 1 && got.head.getAs[Long]("doc_id") == 1L)
   }
 
+  test("pq: encode emits one in-range code per subspace; topk matches the ADC definition") {
+    // three well-separated clusters in 8 dims
+    val vecs = (0 until 30).map { i =>
+      val arr = Array.fill(8)(0.05f); arr((i % 3) * 2) = 1.0f
+      arr((i % 3) * 2 + 1) = 0.5f + 0.01f * (i / 3); (i.toLong, arr)
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.trainPqCodebooks(vecs, "vec_id", "embedding",
+      dims = 8, m = 2, k = 3, iters = 2)
+    assert(cb.count() == 6) // 2 subspaces × 3 centroids
+    val enc = Similarity.pqEncode(vecs, "vec_id", "embedding", cb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](r.fieldIndex("codes")))
+      .toMap
+    assert(enc.size == 30)
+    assert(enc.values.forall(c => c.length == 2 && c.forall(x => x >= 0 && x < 3)))
+    // ADC reference computed directly from the collected codebooks
+    val books = cb.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      r.getSeq[Double](2).toArray).toMap
+    val raw = (0 until 30).map { i =>
+      val arr = Array.fill(8)(0.05); arr((i % 3) * 2) = 1.0
+      arr((i % 3) * 2 + 1) = 0.5 + 0.01 * (i / 3); i.toLong -> arr
+    }.toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val q = 0L
+    val got = Similarity.pqTopK(vecs, vecs.where($"vec_id" === q),
+        "vec_id", "embedding", cb, k = 5)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("nn_id"))).toSet
+    val qv = raw(q); val qn = math.sqrt(dot(qv, qv))
+    val ref = raw.keys.filter(_ != q).map { v =>
+      val codes = enc(v)
+      val num = (0 until 2).map(j => dot(qv.slice(j * 4, j * 4 + 4),
+        books((j.toLong, codes(j))))).sum
+      val vn2 = (0 until 2).map(j => dot(books((j.toLong, codes(j))),
+        books((j.toLong, codes(j))))).sum
+      v -> num / (qn * math.sqrt(vn2))
+    }.toSeq.sortBy { case (id, c) => (-c, id) }.take(5)
+      .zipWithIndex.map { case ((id, _), i) => (i + 1, id) }.toSet
+    assert(got == ref, s"got $got vs ref $ref")
+    // cluster structure respected: every top-3 neighbor of q shares
+    // q's cluster (same i % 3)
+    assert(got.filter(_._1 <= 3).forall { case (_, id) => id % 3 == q % 3 })
+  }
+
+  test("pq refine: with full-coverage refine factor it equals exact brute force") {
+    val vecs = (0 until 24).map { i =>
+      val arr = Array.fill(8)(0.05f); arr(i % 4) = 1.0f
+      arr((i + 1) % 4) = 0.3f + 0.02f * (i / 4); (i.toLong, arr)
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.trainPqCodebooks(vecs, "vec_id", "embedding",
+      dims = 8, m = 2, k = 3, iters = 2)
+    // refineFactor 8 → 5×8=40 ≥ 23 candidates: the coarse stage keeps
+    // everything, so the exact re-rank must reproduce brute force
+    val refined = Similarity.pqTopKRefined(vecs, vecs.where($"vec_id" < 2),
+        "vec_id", "embedding", cb, k = 5, refineFactor = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("nn_id"), math.round(r.getAs[Double]("cosine") * 1e9)))).toMap
+    val brute = Similarity.bruteForceTopK(vecs, vecs.where($"vec_id" < 2),
+        "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("nn_id"), math.round(r.getAs[Double]("cosine") * 1e9)))).toMap
+    assert(refined.size == 10 && refined == brute)
+  }
+
   test("oov by source: rate against the corpus top-V vocabulary") {
     val d = Seq((1L, "s1", "aa aa bb cc"), (2L, "s2", "aa dd dd dd"))
       .toDF("doc_id", "source", "text")
