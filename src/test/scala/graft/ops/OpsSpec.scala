@@ -1961,6 +1961,40 @@ class OpsSpec extends AnyFunSuite {
     assert(refined.size == 10 && refined == brute)
   }
 
+  test("new rank/deal/encode ops are invariant under physical repartitioning") {
+    val docs = (1 to 80).map(i => (i.toLong, s"src${i % 5}", (i * 37 % 211).toLong))
+      .toDF("doc_id", "source", "w")
+    val vecs = (0 until 40).map { i =>
+      val arr = Array.fill(8)(0.02f); arr(i % 4) = 1.0f; (i.toLong, arr)
+    }.toDF("vec_id", "embedding")
+    def shards(d: org.apache.spark.sql.DataFrame) =
+      Sampling.snakeShards(d, "doc_id", "w", nShards = 3)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
+    assert(shards(docs.repartition(13)) == shards(docs.coalesce(1)))
+    val wts = Seq(("src0", 1.0), ("src1", 2.0), ("src2", 1.5), ("src3", 0.5),
+      ("src4", 1.0)).toDF("source", "q")
+    def il(d: org.apache.spark.sql.DataFrame) =
+      Sampling.interleaveOrder(d, "doc_id", "source", wts, "q")
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("src_rank"), r.getAs[Double]("interleave_key")))).toMap
+    assert(il(docs.repartition(13)) == il(docs.coalesce(1)))
+    val cb = Similarity.trainPqCodebooks(vecs, "vec_id", "embedding",
+      dims = 8, m = 2, k = 3, iters = 2)
+    def codes(d: org.apache.spark.sql.DataFrame) =
+      Similarity.pqEncode(d, "vec_id", "embedding", cb)
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          r.getSeq[Long](r.fieldIndex("codes"))).toMap
+    assert(codes(vecs.repartition(7)) == codes(vecs.coalesce(1)))
+    // the trainer itself is partitioning-invariant (decimal-exact sums)
+    val cb2 = Similarity.trainPqCodebooks(vecs.repartition(7), "vec_id",
+      "embedding", dims = 8, m = 2, k = 3, iters = 2)
+    val a = cb.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      r.getSeq[Double](2)).toMap
+    val b = cb2.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      r.getSeq[Double](2)).toMap
+    assert(a == b)
+  }
+
   test("oov by source: rate against the corpus top-V vocabulary") {
     val d = Seq((1L, "s1", "aa aa bb cc"), (2L, "s2", "aa dd dd dd"))
       .toDF("doc_id", "source", "text")
