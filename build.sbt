@@ -18,6 +18,10 @@ run / fork := true
 // sbt's stdout instead so program output arrives verbatim.
 outputStrategy := Some(StdoutOutput)
 run / outputStrategy := Some(StdoutOutput)
+// ...and suppress the trailing "[success] Total time: ..." summary so
+// the bench JSON is the LAST stdout line under sbt too (a last-line
+// JSON parse works with either `tools/bench.sh` or plain sbt).
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
