@@ -116,4 +116,55 @@ class ScorerPropertySpec extends AnyFunSuite {
       assert(got == refPpl(rows), s"unigram LM mismatch (seed=$seed)")
     }
   }
+
+  test("PQ ADC agrees with a plain-Scala reference across seeds and geometries") {
+    for ((seed, m) <- Seq((11, 1), (12, 2), (13, 4))) {
+      val r = new scala.util.Random(seed)
+      val n = 28 + r.nextInt(12)
+      val raw = (0L until n.toLong).map { i =>
+        i -> Array.fill(8)((r.nextInt(200) - 100) / 100.0f)
+      }
+      val vecs = raw.toDF("vec_id", "embedding")
+      val cb = Similarity.trainPqCodebooks(vecs, "vec_id", "embedding",
+        dims = 8, m = m, k = 3, iters = 2)
+      val books = cb.collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        x.getSeq[Double](2).toArray).toMap
+      val enc = Similarity.pqEncode(vecs, "vec_id", "embedding", cb)
+        .collect().map(x => x.getAs[Long]("vec_id") ->
+          x.getSeq[Long](x.fieldIndex("codes"))).toMap
+      val w = 8 / m
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      val rawD = raw.toMap.view.mapValues(_.map(_.toDouble)).toMap
+      // encode property: every code is the cosine-argmax centroid of
+      // its slice (ties to the larger index)
+      enc.foreach { case (id, codes) =>
+        (0 until m).foreach { j =>
+          val sub = rawD(id).slice(j * w, j * w + w)
+          val best = (0 until 3).map { ci =>
+            val cv = books((j.toLong, ci.toLong))
+            (dot(sub, cv) / (math.sqrt(dot(sub, sub)) * math.sqrt(dot(cv, cv))), ci)
+          }.maxBy(x => (x._1, x._2))._2
+          assert(codes(j) == best.toLong,
+            s"seed=$seed m=$m id=$id sub=$j: code ${codes(j)} != argmax $best")
+        }
+      }
+      // ADC property: pqTopK equals the reference ranking computed
+      // from the collected codes and codebooks alone
+      val q0 = raw.head._1
+      val got = Similarity.pqTopK(vecs, vecs.where($"vec_id" === q0),
+          "vec_id", "embedding", cb, k = 7)
+        .collect().map(x => x.getAs[Int]("rank") -> x.getAs[Long]("nn_id")).toMap
+      val qv = rawD(q0); val qn = math.sqrt(dot(qv, qv))
+      val ref = rawD.keys.filter(_ != q0).map { v =>
+        val num = (0 until m).map(j => dot(qv.slice(j * w, j * w + w),
+          books((j.toLong, enc(v)(j))))).sum
+        val vn2 = (0 until m).map(j => dot(books((j.toLong, enc(v)(j))),
+          books((j.toLong, enc(v)(j))))).sum
+        v -> num / (qn * math.sqrt(vn2))
+      }.toSeq.sortBy { case (id, c) => (-c, id) }.take(7)
+        .zipWithIndex.map { case ((id, _), i) => (i + 1) -> id }.toMap
+      assert(got == ref, s"seed=$seed m=$m: ADC ranking mismatch")
+    }
+  }
 }
