@@ -582,7 +582,14 @@ object Sampling {
     require(clash.isEmpty,
       s"interleaveOrder: input columns collide with internals: $clash")
     import org.apache.spark.sql.expressions.Window
+    // the broadcast weight join runs FIRST: keys drop atomically, so
+    // per-key ranks over the kept rows equal ranks computed before
+    // the drop — and a dropped key's rows never pay the rank windows
+    // (at scale an unweighted source would otherwise still shuffle)
+    val wtab = broadcast(weights.select(col(keyCol).as("_kw"),
+      col(weightCol).cast("double").as("_w")))
     val withB = df
+      .join(wtab, col(keyCol) === col("_kw"))
       .withColumn("_h", hashKey(col(idCol)))
       .withColumn("_b", substring(col("_h"), 1, 2))
     val wOff = Window.partitionBy(col(keyCol)).orderBy(col("_b"))
@@ -594,12 +601,9 @@ object Sampling {
       .withColumnRenamed(keyCol, "_kj").withColumnRenamed("_b", "_bj")
     val wIn = Window.partitionBy(col(keyCol), col("_b"))
       .orderBy(col("_h"), col(idCol))
-    val wtab = broadcast(weights.select(col(keyCol).as("_kw"),
-      col(weightCol).cast("double").as("_w")))
     withB.join(offs, col(keyCol) === col("_kj") && col("_b") === col("_bj"))
       .drop("_kj", "_bj")
       .withColumn("src_rank", col("_off") + row_number().over(wIn).cast("long"))
-      .join(wtab, col(keyCol) === col("_kw"))
       .withColumn("interleave_key",
         round((col("src_rank").cast("double") - lit(0.5)) / col("_w"), 9))
       .drop("_h", "_b", "_off", "_kw", "_w")
