@@ -31,6 +31,10 @@ object Quantiles {
   /** One row per (key, q): (key, q, quantile, n) where `quantile` is
     * the discrete q-quantile of `valueCol` within the key group and
     * `n` the group's row count. `qs` must be in [0, 1].
+    *
+    * NULL values are ignored (the SQL-aggregate convention DuckDB's
+    * `quantile_disc` follows): they count into neither `n` nor any
+    * threshold, and a key whose values are all NULL emits no row.
     */
   def quantileByKey(df: DataFrame, keyCol: String, valueCol: String,
                     qs: Seq[Double]): DataFrame = {
@@ -43,7 +47,8 @@ object Quantiles {
     val wAll = Window.partitionBy(col(keyCol))
     // compacted (key, value, count) + running/total counts in one
     // window pass over the #distinct-sized table
-    val vc = df.groupBy(col(keyCol), col(valueCol).as("_v"))
+    val vc = df.where(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(valueCol).as("_v"))
       .agg(count(lit(1)).as("_c"))
       .withColumn("_cum", sum(col("_c")).over(wCum))
       .withColumn("_n", sum(col("_c")).over(wAll))
@@ -90,8 +95,12 @@ object Quantiles {
     val bucket = qs.indices.foldRight(lit(qs.length)) { (i, acc) =>
       when(col(valueCol) <= col(s"_t$i"), lit(i)).otherwise(acc)
     }
+    // a NULL value compares UNKNOWN against every threshold — label
+    // it NULL explicitly rather than letting it fall through to the
+    // top bucket (thresholds themselves ignore NULLs; quantileByKey)
     df.join(broadcast(thr), col(keyCol) === col("_qk"))
-      .withColumn(bucketCol, bucket.cast("long"))
+      .withColumn(bucketCol,
+        when(col(valueCol).isNull, lit(null)).otherwise(bucket).cast("long"))
       .drop("_qk" +: qs.indices.map(i => s"_t$i"): _*)
   }
 

@@ -488,7 +488,10 @@ object Sampling {
       .withColumnRenamed("len_bucket", "_lj").withColumnRenamed("_b", "_bj")
     val wIn = Window.partitionBy(col("len_bucket"), col("_b"))
       .orderBy(col("_h"), col(idCol))
-    withB.join(offs, col("len_bucket") === col("_lj") && col("_b") === col("_bj"))
+    // null-safe on the derived bucket (the curriculumOrder fix): a
+    // NULL-length row keeps its own NULL bucket instead of silently
+    // vanishing through a null-rejecting equi-join
+    withB.join(offs, col("len_bucket") <=> col("_lj") && col("_b") === col("_bj"))
       .drop("_lj", "_bj")
       .withColumn("_rk", col("_off") + row_number().over(wIn).cast("long"))
       .withColumn("batch_id", expr(s"(_rk - 1) div $batchSize").cast("long"))
@@ -544,7 +547,9 @@ object Sampling {
       .withColumnRenamed("_wb", "_wj").withColumnRenamed("_b", "_bj")
     val wIn = Window.partitionBy(col("_wb"), col("_b"))
       .orderBy(col("_h"), col(idCol))
-    withB.join(offs, col("_wb") === col("_wj") && col("_b") === col("_bj"))
+    // null-safe on the derived band: a NULL-weight row sorts last
+    // (desc = nulls-last on both engines) instead of being dropped
+    withB.join(offs, col("_wb") <=> col("_wj") && col("_b") === col("_bj"))
       .drop("_wj", "_bj")
       .withColumn("_rk", col("_off") + row_number().over(wIn).cast("long"))
       .withColumn("_pos", expr(s"(_rk - 1) % $nShards"))
@@ -582,14 +587,28 @@ object Sampling {
     require(clash.isEmpty,
       s"interleaveOrder: input columns collide with internals: $clash")
     import org.apache.spark.sql.expressions.Window
+    // the #keys-sized weight table collects ONCE (the epochApply
+    // convention — bounded by contract): the duplicate-key guard runs
+    // on the collected rows (a duplicate would silently duplicate
+    // every row of its key and corrupt src_rank), and the broadcast
+    // side rebuilds from them, so a weights table derived from a
+    // corpus aggregate is not re-executed by the check
+    val wsel = weights.select(col(keyCol).as("_kw"),
+      col(weightCol).cast("double").as("_w"))
+    val wrows = wsel.collect()
+    val wkeys = wrows.map(_.get(0)).toSeq
+    require(wkeys.distinct.length == wkeys.length,
+      s"interleaveOrder: duplicate weight keys: ${wkeys.diff(wkeys.distinct).distinct.take(3)}")
     // the broadcast weight join runs FIRST: keys drop atomically, so
     // per-key ranks over the kept rows equal ranks computed before
     // the drop — and a dropped key's rows never pay the rank windows
-    // (at scale an unweighted source would otherwise still shuffle)
-    val wtab = broadcast(weights.select(col(keyCol).as("_kw"),
-      col(weightCol).cast("double").as("_w")))
+    // (at scale an unweighted source would otherwise still shuffle).
+    // Null-safe: a NULL-keyed weights row weights the NULL-key rows
+    // (a key absent from `weights` still drops, NULL included).
+    val wtab = broadcast(df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(wrows: _*), wsel.schema))
     val withB = df
-      .join(wtab, col(keyCol) === col("_kw"))
+      .join(wtab, col(keyCol) <=> col("_kw"))
       .withColumn("_h", hashKey(col(idCol)))
       .withColumn("_b", substring(col("_h"), 1, 2))
     val wOff = Window.partitionBy(col(keyCol)).orderBy(col("_b"))
@@ -601,7 +620,7 @@ object Sampling {
       .withColumnRenamed(keyCol, "_kj").withColumnRenamed("_b", "_bj")
     val wIn = Window.partitionBy(col(keyCol), col("_b"))
       .orderBy(col("_h"), col(idCol))
-    withB.join(offs, col(keyCol) === col("_kj") && col("_b") === col("_bj"))
+    withB.join(offs, col(keyCol) <=> col("_kj") && col("_b") === col("_bj"))
       .drop("_kj", "_bj")
       .withColumn("src_rank", col("_off") + row_number().over(wIn).cast("long"))
       .withColumn("interleave_key",
@@ -622,6 +641,8 @@ object Sampling {
                 scoreCol: String, n: Int, saltBuckets: Int = 16): DataFrame = {
     require(n > 0, s"n must be positive: $n")
     require(saltBuckets > 0, s"saltBuckets must be positive: $saltBuckets")
+    val clash = Seq("_salt", "_rn1", "_rn").filter(df.columns.contains)
+    require(clash.isEmpty, s"topPerKey: input columns collide with internals: $clash")
     import org.apache.spark.sql.expressions.Window
     val ord = Seq(desc(scoreCol), col(idCol))
     val pruned = df
@@ -641,6 +662,8 @@ object Sampling {
                 maxPerKey: Int, saltBuckets: Int = 16): DataFrame = {
     require(maxPerKey > 0, s"maxPerKey must be positive: $maxPerKey")
     require(saltBuckets > 0, s"saltBuckets must be positive: $saltBuckets")
+    val clash = Seq("_salt", "_rn1", "_rn").filter(df.columns.contains)
+    require(clash.isEmpty, s"capPerKey: input columns collide with internals: $clash")
     import org.apache.spark.sql.expressions.Window
     val h = hashKey(col(idCol))
     val pruned = df

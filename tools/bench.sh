@@ -24,4 +24,4 @@ exec java \
   --add-opens java.base/sun.util.calendar=ALL-UNNAMED \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-16g}" \
-  -cp "$CLASSES:/opt/spark/jars/*" graft.Bench "$@" 2>/dev/null
+  -cp "$CLASSES:/opt/spark/jars/*" graft.Bench "$@" 2>"${BENCH_LOG:-/tmp/bench.err}"
