@@ -213,27 +213,37 @@ object Dedup {
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      n: Int = 8, crossDocOnly: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the gram table pins eagerly: the dup-gram aggregate and the
+    // position probe both read it, and unpinned each branch would
+    // re-run the ShingleHashes kernel (the expensive pass)
     val grams = Spread.ifNarrow(df, col(idCol))
       .where(size(TextAnalysis.tokens(col(textCol))) >= n)
       .select(col(idCol).as("doc_id"),
         posexplode(graft.functions.TextExpressions.shingle_hashes(col(textCol), n))
           .as(Seq("gpos", "gh")))
-    // duplicated-gram detection rides as window aggregates on the ONE
-    // gh shuffle the position probe pays anyway (round 9): cross-doc
-    // duplication is min(doc_id)≠max(doc_id) over the gram's
-    // partition (a windowed countDistinct, which Spark lacks, is not
-    // needed for a ≥2 test), within-doc is a plain windowed count.
-    // This replaces the previous groupBy(gh)+equi-join — one exchange
-    // of full gram rows instead of a partial-agg exchange PLUS a join
-    // probe exchange — and with a single consumer the gram table no
-    // longer needs its eager checkpoint. Hot-gram skew buffers one
-    // window partition; Spark's window buffer spills, same as the
-    // join reducer it replaces.
-    val wgh = Window.partitionBy("gh")
-    val isDup =
-      if (crossDocOnly) min(col("doc_id")).over(wgh) =!= max(col("doc_id")).over(wgh)
-      else count(lit(1)).over(wgh) >= 2
-    val hits = grams.withColumn("_d", isDup).where(col("_d")).select("doc_id", "gpos")
+      .localCheckpoint(true)
+    // duplicated-gram detection is a two-level fold, NOT a window over
+    // gh (round 11): a per-gram window buffers every occurrence of a
+    // gram on one task, and at web scale a boilerplate gram in 50% of
+    // documents lands its whole position list on one reducer. The
+    // groupBy's map-side partial aggregation IS the salted first
+    // level (each input partition folds its occurrences to one
+    // (gh, min, max, count) row — the physical partition is the
+    // salt), so the final per-gh combine receives ≤ #maptasks rows
+    // regardless of gram frequency. Cross-doc duplication is
+    // min(doc_id) ≠ max(doc_id) (a ≥2-distinct test needs no
+    // countDistinct); within-doc is a plain count. The dup-gram SET
+    // (one row per duplicated gram) then equi-joins back to the
+    // pinned gram table — AQE broadcasts it when small and
+    // skew-splits the probe side when a hot gram dominates a shuffle
+    // partition, so no single task ever buffers a gram's full
+    // position list.
+    val dupSet = grams.groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("_mn"), max(col("doc_id")).as("_mx"),
+        count(lit(1)).as("_c"))
+      .where(if (crossDocOnly) col("_mn") =!= col("_mx") else col("_c") >= 2)
+      .select("gh")
+    val hits = grams.join(dupSet, "gh").select("doc_id", "gpos")
     val w = Window.partitionBy("doc_id").orderBy("gpos")
     // covers [gpos, gpos+n-1]; merge marks that overlap or touch
     val prev = lag(col("gpos"), 1).over(w)

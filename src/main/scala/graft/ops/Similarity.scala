@@ -152,8 +152,16 @@ object Similarity {
       .select(col("query_id"), col("nn_id"))
       .localCheckpoint(true)
     val iv = ivfTopK(corpus, queries, centroids, idCol, vecCol, k, nprobe)
-      .select(col("query_id"), col("nn_id"))
-    val hits = bf.join(iv, Seq("query_id", "nn_id"))
+    recallAgainst(bf, iv, k)
+  }
+
+  /** Recall@k of one approximate result set against a pinned exact
+    * ground truth: one row — n_queries, k, avg_recall (Σ overlap / Σ
+    * truth size, integer-exact) and min_recall (the worst query).
+    */
+  private def recallAgainst(bf: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val hits = bf.join(approx.select(col("query_id"), col("nn_id")),
+        Seq("query_id", "nn_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("_hit"))
     bf.groupBy(col("query_id")).agg(count(lit(1)).as("_true"))
       .join(hits, Seq("query_id"), "left")
@@ -163,6 +171,35 @@ object Similarity {
         round(min(col("_hit").cast("double") / col("_true")), 6).as("min_recall"))
       .withColumn("k", lit(k.toLong))
       .select(col("n_queries"), col("k"), col("avg_recall"), col("min_recall"))
+  }
+
+  /** Recall@k of EVERY serving arm — ivf (coarse-quantizer probe), pq
+    * (ADC over codes) and lsh (multi-probe hyperplane buckets) —
+    * against one shared exact ground truth: the report that picks an
+    * index family before a production ANN run trusts it. One row per
+    * arm: (arm, n_queries, k, avg_recall, min_recall).
+    *
+    * Scale: the exact baseline runs ONCE and pins (#queries × k
+    * rows); each arm is its own bounded serving query against the
+    * broadcast query set; the recall aggregates run over pinned-truth
+    * joins. Cost ≈ the three serving paths + one exact scan —
+    * evaluation is per index configuration, never per query.
+    */
+  def annRecallArms(corpus: DataFrame, queries: DataFrame,
+                    centroids: DataFrame, codebooks: DataFrame,
+                    idCol: String, vecCol: String, k: Int = 10,
+                    nprobe: Int = 2, planes: Int = 8): DataFrame = {
+    val bf = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("nn_id"))
+      .localCheckpoint(true)
+    val arms = Seq(
+      "ivf" -> ivfTopK(corpus, queries, centroids, idCol, vecCol, k, nprobe),
+      "lsh" -> lshTopK(corpus, queries, idCol, vecCol, k, planes, hamming = 1),
+      "pq"  -> pqTopK(corpus, queries, idCol, vecCol, codebooks, k))
+    arms.map { case (name, approx) =>
+      recallAgainst(bf, approx, k).select(lit(name).as("arm"),
+        col("n_queries"), col("k"), col("avg_recall"), col("min_recall"))
+    }.reduce(_ union _)
   }
 
   /** Embedding-drift report: per-label mean vector vs the global
@@ -614,6 +651,14 @@ object Similarity {
       return df.where(lit(false))
         .withColumn("codes", array().cast("array<long>")).drop(vecCol)
     val m = books.size
+    // caller-supplied codebooks must look like trainPqCodebooks
+    // output: contiguous subs 0..m-1, one uniform subspace width — a
+    // descriptive failure instead of a bare map-lookup crash
+    require(books.keySet == (0L until m.toLong).toSet,
+      s"pqEncode: codebook subs must be contiguous 0..${m - 1}; got ${books.keySet.toSeq.sorted.mkString(",")}")
+    val widths = books.values.flatMap(_.map(_._2.length)).toSet
+    require(widths.size == 1,
+      s"pqEncode: codebook centroids must share one subspace width; got $widths")
     val w = books(0L).head._2.length
     val codeCols = (0 until m).map { j =>
       val sub = slice(col(vecCol), j * w + 1, w)

@@ -59,5 +59,6 @@ object PlanGate {
     "ann_ivf_train_centroids", // same, inside the trainer
     "mine_hard_negatives",     // broadcast query batch × corpus scan (exact mining)
     "report_knn_purity",       // broadcast probe sample × corpus scan (exact kNN)
-    "report_ann_recall")       // IVF + exact baseline over the broadcast query set
+    "report_ann_recall",       // IVF + exact baseline over the broadcast query set
+    "report_ann_recall_arms")  // every serving arm + the same exact baseline
 }

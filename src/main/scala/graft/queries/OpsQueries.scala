@@ -151,29 +151,47 @@ object OpsQueries {
     sb.toString.stripSuffix("\n").stripSuffix(",")
   }
 
-  /** [[pqCtes]] + the full ADC scoring chain: codebook union, the
-    * per-(query, sub, centroid) dot-product LUT, decimal-exact
-    * subspace sums, and the rank window — ends with
-    * `adcranked(query_id, nn_id, cos, rank)`, shared by the plain
-    * ADC top-k and the refined two-stage query.
+  /** The pre-trained codebook as `cb(sub, code, cv)` — VALUES rows
+    * interpolated from [[graft.ops.PqFixture]] (one source of truth
+    * with the Spark serving side; the trainer is its own
+    * `ann_pq_train` row). The list literals go through an explicit
+    * DOUBLE cast so the chain's arithmetic is double end-to-end.
     */
-  private def pqAdcCtes(m: Int = 4, k: Int = 4, iters: Int = 2,
-                        dims: Int = 64): String = {
-    val w = dims / m
-    val cbUnion = (0 until m).map { j =>
-      if (j == 0) s"  SELECT 0 AS sub, ci AS code, cv FROM s0_cent$iters"
-      else s"  UNION ALL SELECT $j, ci, cv FROM s${j}_cent$iters"
-    }.mkString("\n")
-    s"""${pqCtes(m, k, iters, dims)},
-       |cb AS (
-       |$cbUnion),
-       |lut AS (
+  private val pqFixtureCb: String =
+    s"""cb AS (
+       |  SELECT sub, code, list_transform(cv, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM (VALUES ${graft.ops.PqFixture.valuesSql}) t(sub, code, cv))""".stripMargin
+
+  /** Argmax-cosine encode of every corpus vector against `cb`
+    * (dynamic subspace slice; ties to the larger code — the trainer's
+    * rule) — ends with `pqenc(vec_id, sub, code)`.
+    */
+  private def pqEncFixture(w: Int = 16): String = {
+    val sliceCos = oracleCosine(s"e.embedding[b.sub*$w+1:b.sub*$w+$w]", "b.cv")
+    s"""pqenc AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY cos DESC, code DESC) AS rn
+       |    FROM (SELECT e.vec_id, b.sub, b.code,
+       |                 $sliceCos AS cos
+       |          FROM embeddings e CROSS JOIN cb b))
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** The ADC scoring chain over `cb` + `pqenc`: the per-(query, sub,
+    * centroid) dot-product LUT, decimal-exact subspace sums, and the
+    * rank window — ends with `adcranked(query_id, nn_id, cos, rank)`,
+    * shared by the plain ADC top-k, the refined two-stage query and
+    * the recall report's pq arm.
+    */
+  private def pqAdcChain(w: Int = 16, queryPred: String = "q.vec_id < 5"): String =
+    s"""lut AS (
        |  SELECT q.vec_id AS query_id, b.sub, b.code,
        |    (SELECT SUM(CAST(ea AS DOUBLE)*CAST(eb AS DOUBLE))
        |     FROM (SELECT unnest(q.embedding[b.sub*$w+1:b.sub*$w+$w]) ea, unnest(b.cv) eb)) AS d,
        |    (SELECT SUM(CAST(e AS DOUBLE)*CAST(e AS DOUBLE))
        |     FROM (SELECT unnest(b.cv) e)) AS cn2
-       |  FROM embeddings q CROSS JOIN cb b WHERE q.vec_id < 5),
+       |  FROM embeddings q CROSS JOIN cb b WHERE $queryPred),
        |adcscore AS (
        |  SELECT l.query_id, e.vec_id AS nn_id,
        |    CAST(SUM(CAST(ROUND(l.d, 12) AS DECIMAL(38,15))) AS DOUBLE) AS num,
@@ -182,16 +200,15 @@ object OpsQueries {
        |  WHERE e.vec_id <> l.query_id
        |  GROUP BY l.query_id, e.vec_id),
        |adcqn AS (
-       |  SELECT vec_id AS query_id,
+       |  SELECT q.vec_id AS query_id,
        |    sqrt((SELECT SUM(CAST(e AS DOUBLE)*CAST(e AS DOUBLE))
-       |          FROM (SELECT unnest(embedding) e))) AS qn
-       |  FROM embeddings WHERE vec_id < 5),
+       |          FROM (SELECT unnest(q.embedding) e))) AS qn
+       |  FROM embeddings q WHERE $queryPred),
        |adcranked AS (
        |  SELECT s.query_id, s.nn_id, s.num / (q.qn * sqrt(s.vn2)) AS cos,
        |         ROW_NUMBER() OVER (PARTITION BY s.query_id
        |           ORDER BY s.num / (q.qn * sqrt(s.vn2)) DESC, s.nn_id) AS rank
        |  FROM adcscore s JOIN adcqn q USING (query_id))""".stripMargin
-  }
 
   /** PQ chain: one sliced source + one [[trainCtes]] Lloyd chain per
     * subspace, plus the per-subspace argmax encoding — ends with
@@ -2746,6 +2763,115 @@ object OpsQueries {
               |  ROUND(MIN(CAST(COALESCE(h.hit, 0) AS DOUBLE) / t.tru), 6) AS min_recall
               |FROM t LEFT JOIN h USING (query_id)""".stripMargin)),
 
+    // recall@k of EVERY serving arm (ivf / lsh multi-probe / pq ADC)
+    // against one shared exact ground truth — the report that picks
+    // an index family before a production run trusts it
+    Q("report_ann_recall_arms",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val emb = s.table("embeddings")
+        graft.ops.Similarity.annRecallArms(
+            emb,
+            emb.where(col("vec_id") >= 3 && col("vec_id") < 8),
+            emb.where(col("vec_id") < 3),
+            graft.ops.PqFixture.codebooks(s),
+            "vec_id", "embedding", k = 10, nprobe = 2, planes = 8)
+          .orderBy(col("arm"))
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 3),
+              |corpus AS (SELECT vec_id AS nn_id, embedding AS nv FROM embeddings),
+              |cassign AS (
+              |  SELECT nn_id, cent_id FROM (
+              |    SELECT nn_id, cent_id,
+              |           ROW_NUMBER() OVER (PARTITION BY nn_id ORDER BY cc DESC, cent_id DESC) AS rn
+              |    FROM (SELECT nn_id, cent_id, ${oracleCosine("nv", "cv")} AS cc
+              |          FROM corpus CROSS JOIN cent))
+              |  WHERE rn = 1),
+              |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+              |      WHERE vec_id >= 3 AND vec_id < 8),
+              |qassign AS (
+              |  SELECT query_id, cent_id FROM (
+              |    SELECT query_id, cent_id,
+              |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cc DESC, cent_id DESC) AS rn
+              |    FROM (SELECT query_id, cent_id, ${oracleCosine("qv", "cv")} AS cc
+              |          FROM q CROSS JOIN cent))
+              |  WHERE rn <= 2),
+              |ip AS (
+              |  SELECT q.query_id, c.nn_id, ${oracleCosine("q.qv", "c.nv")} AS cos
+              |  FROM corpus c JOIN cassign ca ON c.nn_id = ca.nn_id
+              |  JOIN qassign qa ON ca.cent_id = qa.cent_id
+              |  JOIN q ON q.query_id = qa.query_id
+              |  WHERE c.nn_id != q.query_id),
+              |ivfr AS (
+              |  SELECT query_id, nn_id FROM (
+              |    SELECT query_id, nn_id,
+              |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS rank
+              |    FROM ip)
+              |  WHERE rank <= 10),
+              |bp AS (
+              |  SELECT query_id, nn_id, ${oracleCosine("qv", "nv")} AS cos
+              |  FROM q CROSS JOIN corpus WHERE nn_id != query_id),
+              |bfr AS (
+              |  SELECT query_id, nn_id FROM (
+              |    SELECT query_id, nn_id,
+              |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS rank
+              |    FROM bp)
+              |  WHERE rank <= 10),
+              |$lshBucketCtes,
+              |qprobe AS (
+              |  SELECT vec_id AS query_id,
+              |         unnest(list_prepend(bucket,
+              |           [substr(bucket, 1, i - 1) ||
+              |            CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END ||
+              |            substr(bucket, i + 1, 8 - i)
+              |            for i in generate_series(1, 8)])) AS bucket
+              |  FROM b WHERE vec_id >= 3 AND vec_id < 8),
+              |lcand AS (
+              |  SELECT qp.query_id, cb2.vec_id AS nn_id
+              |  FROM qprobe qp JOIN b cb2 ON cb2.bucket = qp.bucket
+              |  WHERE cb2.vec_id <> qp.query_id),
+              |lscored AS (
+              |  SELECT c.query_id, c.nn_id,
+              |         ${oracleCosine("qe.embedding", "ne.embedding")} AS cos
+              |  FROM lcand c
+              |  JOIN embeddings qe ON qe.vec_id = c.query_id
+              |  JOIN embeddings ne ON ne.vec_id = c.nn_id),
+              |lshr AS (
+              |  SELECT query_id, nn_id FROM (
+              |    SELECT query_id, nn_id,
+              |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS rank
+              |    FROM lscored)
+              |  WHERE rank <= 10),
+              |$pqFixtureCb,
+              |${pqEncFixture()},
+              |${pqAdcChain(queryPred = "q.vec_id >= 3 AND q.vec_id < 8")},
+              |pqr AS (SELECT query_id, nn_id FROM adcranked WHERE rank <= 10),
+              |tq AS (SELECT query_id, COUNT(*) AS tru FROM bfr GROUP BY query_id),
+              |h_ivf AS (SELECT b.query_id, COUNT(*) AS hit
+              |  FROM bfr b JOIN ivfr a ON b.query_id = a.query_id AND b.nn_id = a.nn_id
+              |  GROUP BY b.query_id),
+              |h_lsh AS (SELECT b.query_id, COUNT(*) AS hit
+              |  FROM bfr b JOIN lshr a ON b.query_id = a.query_id AND b.nn_id = a.nn_id
+              |  GROUP BY b.query_id),
+              |h_pq AS (SELECT b.query_id, COUNT(*) AS hit
+              |  FROM bfr b JOIN pqr a ON b.query_id = a.query_id AND b.nn_id = a.nn_id
+              |  GROUP BY b.query_id)
+              |SELECT 'ivf' AS arm, COUNT(*) AS n_queries, CAST(10 AS BIGINT) AS k,
+              |  ROUND(CAST(SUM(COALESCE(h.hit, 0)) AS DOUBLE) / SUM(tq.tru), 6) AS avg_recall,
+              |  ROUND(MIN(CAST(COALESCE(h.hit, 0) AS DOUBLE) / tq.tru), 6) AS min_recall
+              |FROM tq LEFT JOIN h_ivf h USING (query_id)
+              |UNION ALL
+              |SELECT 'lsh', COUNT(*), CAST(10 AS BIGINT),
+              |  ROUND(CAST(SUM(COALESCE(h.hit, 0)) AS DOUBLE) / SUM(tq.tru), 6),
+              |  ROUND(MIN(CAST(COALESCE(h.hit, 0) AS DOUBLE) / tq.tru), 6)
+              |FROM tq LEFT JOIN h_lsh h USING (query_id)
+              |UNION ALL
+              |SELECT 'pq', COUNT(*), CAST(10 AS BIGINT),
+              |  ROUND(CAST(SUM(COALESCE(h.hit, 0)) AS DOUBLE) / SUM(tq.tru), 6),
+              |  ROUND(MIN(CAST(COALESCE(h.hit, 0) AS DOUBLE) / tq.tru), 6)
+              |FROM tq LEFT JOIN h_pq h USING (query_id)
+              |ORDER BY arm""".stripMargin)),
+
     // keep the n best rows per key by score (salted two-stage top-n)
     Q("sample_top_per_source",
       (s, dir) => {
@@ -2954,40 +3080,68 @@ object OpsQueries {
               |        / CAST(SUM(c) AS DOUBLE), 6) AS oov_rate
               |FROM j GROUP BY source ORDER BY source""".stripMargin)),
 
-    // product quantization (Jégou et al. 2011): per-subspace Lloyd
-    // codebooks + argmax encoding — each 64-float vector compresses
-    // to 4 small codes in one map-side pass
+    // product quantization (Jégou et al. 2011): the TRAINER as its
+    // own row — m fused per-subspace Lloyd problems advancing in one
+    // assignment job + one bounded sums-collect per iteration;
+    // codebooks train once per index build, serving rows below
+    // consume the pre-trained fixture (the production split)
+    Q("ann_pq_train",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        Similarity.trainPqCodebooks(s.table("embeddings"), "vec_id", "embedding",
+            dims = 64, m = 4, k = 4, iters = 2)
+          .select(col("sub"), col("cent_id"),
+            posexplode(col("centroid")).as(Seq("pos", "v")))
+          .selectExpr("sub", "cent_id", "CAST(pos AS BIGINT) AS pos",
+            "ROUND(v, 6) AS v")
+          .orderBy(col("sub"), col("cent_id"), col("pos"))
+      },
+      Some(s"""WITH ${pqCtes(m = 4, k = 4, iters = 2, dims = 64)},
+              |cbdump AS (
+              |  SELECT 0 AS sub, ci, cv FROM s0_cent2
+              |  UNION ALL SELECT 1, ci, cv FROM s1_cent2
+              |  UNION ALL SELECT 2, ci, cv FROM s2_cent2
+              |  UNION ALL SELECT 3, ci, cv FROM s3_cent2),
+              |expanded AS (
+              |  SELECT sub, ci, unnest(generate_series(1, 16)) AS pos, cv FROM cbdump)
+              |SELECT CAST(sub AS BIGINT) AS sub, CAST(ci AS BIGINT) AS cent_id,
+              |  CAST(pos - 1 AS BIGINT) AS pos, ROUND(cv[pos], 6) AS v
+              |FROM expanded ORDER BY sub, cent_id, pos""".stripMargin)),
+
+    // PQ encode as a SERVING op: each 64-float vector compresses to 4
+    // small codes against the pre-trained codebook in one map-side
+    // pass — no training inside the benched query
     Q("ann_pq_encode",
       (s, dir) => {
         Tables.registerAll(s, dir)
-        val emb = s.table("embeddings")
-        val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
-          dims = 64, m = 4, k = 4, iters = 2)
-        Similarity.pqEncode(emb.select(col("vec_id"), col("embedding")),
-            "vec_id", "embedding", cb)
+        Similarity.pqEncode(
+            s.table("embeddings").select(col("vec_id"), col("embedding")),
+            "vec_id", "embedding", graft.ops.PqFixture.codebooks(s))
           .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
           .selectExpr("vec_id", "CAST(sub AS BIGINT) AS sub", "code")
           .orderBy(col("vec_id"), col("sub"))
       },
-      Some(s"""WITH ${pqCtes(m = 4, k = 4, iters = 2, dims = 64)}
+      Some(s"""WITH $pqFixtureCb,
+              |${pqEncFixture()}
               |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
               |FROM pqenc ORDER BY vec_id, sub""".stripMargin)),
 
     // PQ asymmetric-distance top-k (ADC): full-precision queries
     // against the encoded corpus via a broadcast (query, sub, code)
-    // lookup table — never touching the original corpus floats
+    // lookup table — never touching the original corpus floats, and
+    // never re-training the codebook it serves from
     Q("ann_pq_topk",
       (s, dir) => {
         Tables.registerAll(s, dir)
         val emb = s.table("embeddings")
-        val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
-          dims = 64, m = 4, k = 4, iters = 2)
         Similarity.pqTopK(emb, emb.where(col("vec_id") < 5),
-            "vec_id", "embedding", cb, k = 10)
+            "vec_id", "embedding", graft.ops.PqFixture.codebooks(s), k = 10)
           .selectExpr("query_id", "rank", "nn_id", "ROUND(cosine, 6) AS cosine")
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(s"""WITH ${pqAdcCtes()}
+      Some(s"""WITH $pqFixtureCb,
+              |${pqEncFixture()},
+              |${pqAdcChain()}
               |SELECT query_id, rank, nn_id, ROUND(cos, 6) AS cosine
               |FROM adcranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
@@ -2997,14 +3151,15 @@ object OpsQueries {
       (s, dir) => {
         Tables.registerAll(s, dir)
         val emb = s.table("embeddings")
-        val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
-          dims = 64, m = 4, k = 4, iters = 2)
         Similarity.pqTopKRefined(emb, emb.where(col("vec_id") < 5),
-            "vec_id", "embedding", cb, k = 10, refineFactor = 3)
+            "vec_id", "embedding", graft.ops.PqFixture.codebooks(s),
+            k = 10, refineFactor = 3)
           .selectExpr("query_id", "rank", "nn_id", "ROUND(cosine, 6) AS cosine")
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(s"""WITH ${pqAdcCtes()},
+      Some(s"""WITH $pqFixtureCb,
+              |${pqEncFixture()},
+              |${pqAdcChain()},
               |coarse AS (
               |  SELECT query_id, nn_id FROM adcranked WHERE rank <= 30),
               |exact AS (

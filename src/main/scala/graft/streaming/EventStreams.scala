@@ -221,4 +221,111 @@ object EventStreams {
          |       MIN(ts) AS start_ts, MAX(ts) AS end_ts
          |FROM numbered GROUP BY user_id, session_id""".stripMargin)
   }
+
+  // ── watermarked (event-time) sessionization ────────────────────────
+
+  /** Event with an instant (TIMESTAMP) event time — the type
+    * watermarks require (TIMESTAMP_NTZ carries no instant).
+    */
+  final case class EventT(event_id: Long, ts: java.time.Instant, user_id: Long,
+                          event_type: String, value: Double)
+  final case class SessionInfoT(user_id: Long, session_id: Long, n_events: Long,
+                                start_ts: java.time.Instant, end_ts: java.time.Instant)
+
+  /** Event-time sessionization with a WATERMARK — the continuous form
+    * of [[sessionize]]: per-user custom state plus
+    * `GroupStateTimeout.EventTimeTimeout`, so a session CLOSES (and
+    * emits) when the event-time watermark passes its last event by
+    * `gapMinutes` — no terminal batch flush needed, and state for
+    * idle users is reclaimed instead of growing with the key space.
+    * The split rule is byte-identical to the batch form (µs-exact
+    * `t − last > gap`, events sorted within each micro-batch), so an
+    * available-now replay emits exactly the batch session set once
+    * the watermark passes the tail (spec-proven in
+    * EventStreamsSpec).
+    *
+    * Scale: state is one fixed-size record per ACTIVE user (bounded
+    * by the watermark horizon, not by history); each micro-batch
+    * shuffles only its own events on user_id. Late events below the
+    * watermark are dropped by the engine — the standard trade that
+    * bounds state.
+    */
+  def sessionizeWatermarked(events: Dataset[EventT],
+                            gapMinutes: Long = 30): Dataset[SessionInfoT] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60 * 1000000L
+
+    def us(t: java.time.Instant): Long =
+      t.getEpochSecond * 1000000L + t.getNano / 1000L
+    def fromUs(u: Long): java.time.Instant =
+      java.time.Instant.ofEpochSecond(Math.floorDiv(u, 1000000L),
+        Math.floorMod(u, 1000000L) * 1000L)
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionInfoT](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // the watermark passed last_event + gap with no new event:
+            // the open session is closed by definition of the gap rule
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionInfoT(userId, st.sessionSeq, st.nEvents,
+              fromUs(st.startUs), fromUs(st.lastUs)))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer[SessionInfoT]()
+            var st = state.getOption.getOrElse(SessionState(0, 0, 0, Long.MinValue))
+            sorted.foreach { e =>
+              val t = us(e.ts)
+              if (st.nEvents > 0 && t - st.lastUs > gapUs) {
+                out += SessionInfoT(userId, st.sessionSeq, st.nEvents,
+                  fromUs(st.startUs), fromUs(st.lastUs))
+                st = SessionState(st.sessionSeq + 1, 1, t, t)
+              } else if (st.nEvents == 0) {
+                st = st.copy(nEvents = 1, startUs = t, lastUs = t)
+              } else {
+                st = st.copy(nEvents = st.nEvents + 1, lastUs = t)
+              }
+            }
+            state.update(st)
+            // close at last + gap (ms granularity — the timeout only
+            // schedules the FLUSH; the µs-exact split rule above is
+            // untouched). Must exceed the current watermark: a state
+            // already past due fires on the next no-data batch.
+            val dueMs = Math.floorDiv(st.lastUs + gapUs, 1000L) + 1L
+            state.setTimeoutTimestamp(
+              Math.max(dueMs, state.getCurrentWatermarkMs() + 1L))
+            out.iterator
+          }
+      }
+  }
+
+  /** Start [[sessionizeWatermarked]] from a parquet directory source
+    * into a named memory sink (available-now replay). `watermark` is
+    * the out-of-order tolerance; sessions emit once the watermark
+    * passes their last event by the gap.
+    */
+  def startSessionStream(
+      spark: SparkSession, sourceDir: String, queryName: String,
+      gapMinutes: Long = 30, watermark: String = "1 minute",
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    import spark.implicits._
+    val reader = spark.readStream.schema(eventSchema)
+    val src = maxFilesPerTrigger.fold(reader)(n =>
+        reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventT]
+    sessionizeWatermarked(src, gapMinutes).toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

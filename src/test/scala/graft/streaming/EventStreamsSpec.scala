@@ -107,6 +107,72 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(sql.size == stateful.size + users.size)
   }
 
+  test("watermarked sessionization replay equals batch sessionization") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+
+    // three time-sliced files (two real halves + a far-future
+    // watermark flush) processed one per micro-batch — a genuinely
+    // multi-batch stateful run where sessions split across batches
+    // and CLOSE via the event-time timeout, not a terminal flush
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sess_src")
+    val evdf = eventsBatch
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val ranked = evdf.withColumn("_rk",
+      row_number().over(Window.orderBy(col("ts"), col("event_id"))))
+    val n = ranked.count()
+    val maxTs = evdf.agg(max(col("ts"))).head().getAs[java.time.LocalDateTime](0)
+    val sentinel = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(-1L, maxTs.plusHours(1000), -1L, "flush", 0.0, "")),
+      evdf.schema)
+    val slices = Seq(
+      ranked.where(col("_rk") <= n / 2).drop("_rk"),
+      ranked.where(col("_rk") > n / 2).drop("_rk"),
+      sentinel)
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_sess_tmp$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = srcDir.resolve(f"slice$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      // modification time drives the file source's processing order
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+
+    val q = EventStreams.startSessionStream(spark, srcDir.toString,
+      "stream_sessions", gapMinutes = 30, watermark = "1 second",
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination(180000)
+
+    val streamed = spark.table("stream_sessions")
+      .where(col("user_id") >= 0) // the sentinel's own session is scaffolding
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        unix_micros(col("start_ts")).as("s_us"), unix_micros(col("end_ts")).as("e_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+    import spark.implicits._
+    val ev = eventsBatch
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event]
+    val batch = EventStreams.sessionizeBatchComplete(ev)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        unix_micros(col("start_ts").cast("timestamp")).as("s_us"),
+        unix_micros(col("end_ts").cast("timestamp")).as("e_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size}; " +
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
   test("streaming dedup drops within-watermark duplicates exactly once") {
     // an at-least-once source: every event written twice
     val src = java.nio.file.Files.createTempDirectory("graft_dedup_src").toString
