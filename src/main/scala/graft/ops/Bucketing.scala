@@ -32,6 +32,13 @@ object Bucketing {
     * exchange reuse is planner-discretionary (Catalyst may re-shuffle
     * if the join's required distribution differs); bucketed tables are
     * the guaranteed-shuffle-free path.
+    *
+    * The repartition here is deliberately UNGUARDED (no [[Spread]]
+    * width check): co-location is only guaranteed when both sides
+    * carry the identical HashPartitioning(key, partitions), so
+    * skipping the exchange on an already-wide side would silently
+    * break the contract callers opt into. A side that already has
+    * exactly this partitioning costs Catalyst nothing extra anyway.
     */
   def colocate(a: DataFrame, b: DataFrame, key: String, partitions: Int): (DataFrame, DataFrame) =
     (a.repartition(partitions, a(key)), b.repartition(partitions, b(key)))

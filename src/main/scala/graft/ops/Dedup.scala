@@ -719,6 +719,15 @@ object Dedup {
     * an equi-join, nothing quadratic in corpus size. Zero-overlap key
     * pairs are omitted by construction (their exact Jaccard is 0 and
     * the output stays sparse in #keys).
+    *
+    * Measured and rejected (round 11): pre-spreading the shingle pass
+    * regresses at sf1 — thin partitions dilute the distinct's
+    * partial aggregation, so grams shared by many docs cross the
+    * exchange once per partition instead of once (the gram explosion
+    * is ~100× the doc rows). Never pre-spread a high-dedup-ratio
+    * distinct. Re-keying the pin on h for a co-partitioned self-join
+    * also regresses (extra exchange > the join exchanges it saves).
+    * See BASELINE.md round-11 adjudications.
     */
   def sourceSimilarity(df: DataFrame, keyCol: String, textCol: String,
                        k: Int = 16, n: Int = 3): DataFrame = {

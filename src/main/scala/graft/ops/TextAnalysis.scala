@@ -299,6 +299,14 @@ object TextAnalysis {
     * scale — its join is a plain (prev, term) shuffle equi-join, AQE
     * broadcasts when small. Same decimal-exact summation contract as
     * [[lmPerplexity]].
+    *
+    * Measured and rejected (round 11): folding uni+bi into ONE
+    * (prev, term) class pass (null prev kept, ln p precomputed, one
+    * null-safe probe join) is slower at sf0.1 AND sf1 — the uni/bi
+    * aggregates here are independent stages over one checkpoint, so
+    * the scheduler runs them CONCURRENTLY and the "extra" pass is
+    * free on idle cores, while the fold serializes through a second
+    * eager checkpoint barrier. See BASELINE.md round-11 adjudications.
     */
   def bigramPerplexity(df: DataFrame, idCol: String, textCol: String,
                        lambda: Double = 0.75): DataFrame = {
