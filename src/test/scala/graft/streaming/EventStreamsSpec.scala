@@ -173,6 +173,53 @@ class EventStreamsSpec extends AnyFunSuite {
         s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
 
+  test("watermarked sessionization drops sub-watermark late events") {
+    import org.apache.spark.sql.functions._
+    // four time-sliced files, one per micro-batch:
+    //   0: user 1 on time (T0, T0+5m)        -> open session
+    //   1: user 2 at T0+10h                  -> watermark jumps past user
+    //      1's gap; the event-time timeout CLOSES the session at 2 events
+    //   2: user 1 at T0+2m, 10h BELOW the watermark -> the stateful op's
+    //      late-data filter must DROP it: it can neither extend the
+    //      closed session nor open a new one (the documented trade of
+    //      watermark-bounded state)
+    //   3: far-future sentinel               -> flush remaining state
+    val t0 = java.time.LocalDateTime.of(2026, 1, 1, 0, 0, 0)
+    def row(id: Long, ts: java.time.LocalDateTime, user: Long) =
+      org.apache.spark.sql.Row(id, ts, user, "e", 0.0, "")
+    val slices = Seq(
+      Seq(row(1, t0, 1L), row(2, t0.plusMinutes(5), 1L)),
+      Seq(row(3, t0.plusHours(10), 2L)),
+      Seq(row(4, t0.plusMinutes(2), 1L)),
+      Seq(row(5, t0.plusHours(2000), -1L)))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sess_late")
+    slices.zipWithIndex.foreach { case (rows, i) =>
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), EventStreams.eventSchema)
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_late_tmp$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = srcDir.resolve(f"slice$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+
+    val q = EventStreams.startSessionStream(spark, srcDir.toString,
+      "stream_sessions_late", gapMinutes = 30, watermark = "1 second",
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination(180000)
+
+    val user1 = spark.table("stream_sessions_late")
+      .where(col("user_id") === 1L)
+      .select("n_events").collect().map(_.getLong(0)).toSeq
+    // exactly ONE user-1 session with exactly the 2 on-time events: the
+    // sub-watermark event neither extended it (would read 3) nor opened
+    // a second session (would read Seq(2, 1))
+    assert(user1 == Seq(2L), s"user-1 sessions (n_events per session): $user1")
+  }
+
   test("streaming dedup drops within-watermark duplicates exactly once") {
     // an at-least-once source: every event written twice
     val src = java.nio.file.Files.createTempDirectory("graft_dedup_src").toString
