@@ -135,6 +135,66 @@ object EventStreams {
       .start()
   }
 
+  /** Stream-STREAM interval join: pair two live event streams on equi
+    * keys where the right event's time falls within
+    * [left.ts − lower, left.ts + upper] — Spark's native watermarked
+    * stream-stream inner join with a time-range condition, the
+    * stateful join shape missing next to the stream-static as-of
+    * (correlating two telemetry streams, impressions↔clicks, etc.).
+    *
+    * State: each side buffers only rows the OTHER side could still
+    * match — Spark derives per-side retention from the time-range
+    * condition plus the watermark and evicts automatically, so state
+    * is bounded by (key cardinality × join window), never by stream
+    * history. The join itself is a keyed exchange like any shuffle
+    * hash join — no pair enumeration beyond co-keyed candidates.
+    *
+    * LOSSLESS iff the watermark covers the join bound plus the
+    * sources' out-of-orderness (the replay spec pins batch ≡
+    * streaming under exactly that sizing); an undersized watermark
+    * degrades to best-effort — pairs whose partner was already
+    * evicted are silently dropped — the standard bounded-state trade,
+    * same as [[sessionizeWatermarked]]'s late-event rule. Inner-join
+    * matches emit as soon as both rows are present (Append mode
+    * holds back only OUTER-join nulls, not inner matches).
+    *
+    * Batch oracle shape: `ops.IntervalJoin.overlapJoin` degenerates to
+    * this when both sides are point events; the spec compares against
+    * the plain inner join with the identical predicate.
+    */
+  def startIntervalJoinStream(
+      spark: SparkSession, leftDir: String, rightDir: String,
+      queryName: String, keys: Seq[String] = Seq("user_id"),
+      lower: String = "10 minutes", upper: String = "10 minutes",
+      watermark: String = "2 hours",
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    def side(dir: String, tag: String) = {
+      val reader = spark.readStream.schema(eventSchema)
+      maxFilesPerTrigger.fold(reader)(n =>
+          reader.option("maxFilesPerTrigger", n))
+        .parquet(dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .select(keys.map(k => col(k).as(s"${tag}_$k")) ++
+          Seq(col("event_id").as(s"${tag}_event_id"),
+            col("ts").as(s"${tag}_ts")): _*)
+    }
+    val l = side(leftDir, "l")
+    val r = side(rightDir, "r")
+    val cond = keys.map(k => col(s"l_$k") === col(s"r_$k")).reduce(_ && _) &&
+      col("r_ts") >= expr(s"l_ts - INTERVAL $lower") &&
+      col("r_ts") <= expr(s"l_ts + INTERVAL $upper")
+    l.join(r, cond, "inner")
+      .select(keys.map(k => col(s"l_$k").as(k)) ++
+        Seq(col("l_event_id"), col("l_ts"), col("r_event_id"), col("r_ts")): _*)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   // ── stateful sessionization ────────────────────────────────────────
 
   final case class Event(event_id: Long, ts: java.time.LocalDateTime, user_id: Long,

@@ -220,6 +220,66 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(user1 == Seq(2L), s"user-1 sessions (n_events per session): $user1")
   }
 
+  test("stream-stream interval join replay equals the batch join") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // two live sides (even/odd event ids), each written as two
+    // time-ordered slices processed one file per micro-batch — pairs
+    // that straddle micro-batch boundaries must come out of buffered
+    // join state, and the 2h watermark covers the 10min bound, so the
+    // replay is lossless (the scaladoc's sizing contract)
+    val ev = eventsBatch
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    def writeSlices(df: org.apache.spark.sql.DataFrame, tag: String): String = {
+      val srcDir = java.nio.file.Files.createTempDirectory(s"graft_ij_$tag")
+      val ranked = df.withColumn("_rk",
+        row_number().over(Window.orderBy(col("ts"), col("event_id"))))
+      val n = ranked.count()
+      Seq(ranked.where(col("_rk") <= n / 2), ranked.where(col("_rk") > n / 2))
+        .map(_.drop("_rk")).zipWithIndex.foreach { case (s, i) =>
+          val tmp = java.nio.file.Files.createTempDirectory(s"graft_ij_tmp_$tag$i")
+          s.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = new java.io.File(tmp.toString).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dest = srcDir.resolve(f"slice$i%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+        }
+      srcDir.toString
+    }
+    val leftDir = writeSlices(ev.where(col("event_id") % 2 === 0), "l")
+    val rightDir = writeSlices(ev.where(col("event_id") % 2 === 1), "r")
+
+    val q = EventStreams.startIntervalJoinStream(spark, leftDir, rightDir,
+      "stream_interval_join", keys = Seq("user_id"),
+      lower = "10 minutes", upper = "10 minutes", watermark = "2 hours",
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination(180000)
+
+    val streamed = spark.table("stream_interval_join")
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val evT = ev.withColumn("ts", col("ts").cast("timestamp"))
+    val bl = evT.where(col("event_id") % 2 === 0)
+      .select(col("user_id"), col("event_id").as("l_event_id"), col("ts").as("l_ts"))
+    val br = evT.where(col("event_id") % 2 === 1)
+      .select(col("user_id").as("r_user_id"), col("event_id").as("r_event_id"),
+        col("ts").as("r_ts"))
+    val batch = bl.join(br,
+        col("user_id") === col("r_user_id") &&
+          col("r_ts") >= expr("l_ts - INTERVAL 10 minutes") &&
+          col("r_ts") <= expr("l_ts + INTERVAL 10 minutes"))
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(streamed.nonEmpty, "interval join produced no pairs")
+    assert(streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size}; " +
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
   test("streaming dedup drops within-watermark duplicates exactly once") {
     // an at-least-once source: every event written twice
     val src = java.nio.file.Files.createTempDirectory("graft_dedup_src").toString
