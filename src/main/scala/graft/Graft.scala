@@ -410,6 +410,15 @@ final class Graft(val spark: SparkSession, stateDir: String) {
                        textCol: String = "text", lambda: Double = 0.75): DataFrame =
     graft.ops.TextAnalysis.bigramPerplexity(df, idCol, textCol, lambda)
 
+  /** Interpolated Kneser–Ney bigram perplexity — the benchmark n-gram
+    * smoothing (continuation probabilities instead of raw unigram
+    * back-off); the strongest of the three LM quality scores.
+    */
+  def perplexityKneserNey(df: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text",
+                          discount: Double = 0.75): DataFrame =
+    graft.ops.TextAnalysis.knBigramPerplexity(df, idCol, textCol, discount)
+
   /** DSIR importance log-weights of raw docs toward a target domain
     * (hashed unigram+bigram buckets); `dsirSample` draws k docs
     * ∝ exp(log_weight) via deterministic Gumbel top-k.

@@ -348,6 +348,80 @@ object TextAnalysis {
         round(exp(nll), 6).as("ppl"))
   }
 
+  /** Interpolated Kneser–Ney bigram perplexity (Kneser & Ney 1995;
+    * the interpolated form of Chen & Goodman 1998) — the benchmark
+    * n-gram smoothing, scoring each token after the first with
+    *
+    *   p(w|v) = max(c(v,w)−D, 0)/c(v·) + D·N1+(v·)/c(v·) · p_cont(w)
+    *   p_cont(w) = N1+(·w) / N1+(··)
+    *
+    * where N1+(v·) is the number of distinct continuations of v,
+    * N1+(·w) the number of distinct left contexts of w, and N1+(··)
+    * the number of distinct bigram types. Continuation probability —
+    * "how many contexts has this word followed?" — is what makes KN
+    * the standard over raw interpolation ("Francisco" is frequent but
+    * follows only "San"). First tokens score the add-one-smoothed
+    * continuation distribution (N1+(·w)+1)/(N1+(··)+V) so a word seen
+    * only document-initially (no bigram, N1+(·w)=0) keeps finite mass.
+    *
+    * Scale shape mirrors [[bigramPerplexity]]'s committed form: one
+    * (doc, prev, term) class checkpoint, ONE corpus-class-scale
+    * aggregate to the bigram-type table, every other model table
+    * (c(v·)/N1+(v·) by prev, N1+(·w) by term, the two scalar totals)
+    * an aggregate of THAT bounded table running as parallel stages;
+    * the probe is class-row joins AQE broadcasts when small. Scoring
+    * the training corpus itself means every scored bigram exists, so
+    * the max(·,0) clamp never binds (kept for the general contract).
+    * Same decimal-exact summation as [[lmPerplexity]]; D = 0.75 is
+    * binary-exact.
+    */
+  def knBigramPerplexity(df: DataFrame, idCol: String, textCol: String,
+                         discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0,1): $discount")
+    val seq = Spread.ifNarrow(df, col(idCol))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), explode(transform(col("_toks"),
+        (x, i) => struct(x.as("term"),
+          get(col("_toks"), i - lit(1)).as("prev")))).as("_p"))
+      .select(col("doc_id"), col("_p.term").as("term"), col("_p.prev").as("prev"))
+    val grp = seq.groupBy("doc_id", "prev", "term").agg(count(lit(1)).as("m"))
+      .localCheckpoint(true)
+    // the one corpus-class-scale pass: distinct (prev, term) bigram
+    // types with total counts; everything below is bounded by it
+    val bi = grp.where(col("prev").isNotNull)
+      .groupBy("prev", "term").agg(sum("m").as("cb"))
+    val cv = bi.groupBy("prev")
+      .agg(sum("cb").as("cv"), count(lit(1)).as("n1v"))
+    val cw = bi.groupBy("term").agg(count(lit(1)).as("n1w"))
+    // two 1-row aggregates collapse through the pmiCollocations
+    // template so the broadcast attach stays gate-provably one row
+    val totals = broadcast(
+      bi.agg(count(lit(1)).as("nbt"))
+        .crossJoin(grp.agg(countDistinct(col("term")).as("vsz")))
+        .agg(first(col("nbt")).as("nbt"), first(col("vsz")).as("vsz")))
+    val d = lit(discount)
+    val pcont = col("n1w").cast("double") / col("nbt").cast("double")
+    val p = when(col("prev").isNull,
+        (coalesce(col("n1w"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("nbt") + col("vsz")).cast("double"))
+      .otherwise(
+        greatest(col("cb").cast("double") - d, lit(0.0)) / col("cv").cast("double")
+          + d * col("n1v").cast("double") / col("cv").cast("double") * pcont)
+    val contrib = grp
+      .join(bi, Seq("prev", "term"), "left")
+      .join(cv, Seq("prev"), "left")
+      .join(cw, Seq("term"), "left")
+      .crossJoin(totals)
+      .withColumn("lp", round(col("m") * log(p), 12).cast("decimal(38,15)"))
+    val nll = -col("slp").cast("double") / col("n_tokens")
+    contrib.groupBy("doc_id")
+      .agg(sum(col("m")).as("n_tokens"), sum(col("lp")).as("slp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(nll, 6).as("avg_nll"),
+        round(exp(nll), 6).as("ppl"))
+  }
+
   /** DSIR-style importance weights for data selection (Xie et al.
     * 2023, "Data Selection for Language Models via Importance
     * Resampling"): hash each document's unigrams+bigrams into B

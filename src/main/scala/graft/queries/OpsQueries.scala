@@ -625,6 +625,48 @@ object OpsQueries {
               |       ROUND(exp(-slp / n_tokens), 6) AS ppl
               |FROM agg ORDER BY doc_id""".stripMargin)),
 
+    // Interpolated Kneser-Ney: continuation counts N1+(.w)/N1+(v.)/
+    // N1+(..) come from the DISTINCT bigram-type table; D = 0.75 and
+    // the integer-count ratios keep both engines bit-identical under
+    // the 12-dp contribution rounding
+    Q("text_kn_perplexity",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        TextAnalysis.knBigramPerplexity(s.table("documents"), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $oracleToks AS toks FROM documents),
+              |seq AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM d),
+              |seq2 AS (SELECT doc_id, pos, term,
+              |         LAG(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM seq),
+              |grp AS (SELECT doc_id, prev, term, COUNT(*) AS m FROM seq2 GROUP BY doc_id, prev, term),
+              |bi AS (SELECT prev, term, COUNT(*) AS cb FROM seq2 WHERE prev IS NOT NULL GROUP BY prev, term),
+              |cv AS (SELECT prev, CAST(SUM(cb) AS BIGINT) AS cv, COUNT(*) AS n1v FROM bi GROUP BY prev),
+              |cw AS (SELECT term, COUNT(*) AS n1w FROM bi GROUP BY term),
+              |tot AS (SELECT (SELECT COUNT(*) FROM bi) AS nbt,
+              |               (SELECT COUNT(DISTINCT term) FROM seq2) AS vsz),
+              |contrib AS (
+              |  SELECT g.doc_id, g.m,
+              |    CAST(ROUND(g.m * ln(CASE WHEN g.prev IS NULL
+              |        THEN (CAST(COALESCE(w.n1w, 0) AS DOUBLE) + 1.0)
+              |           / CAST(tot.nbt + tot.vsz AS DOUBLE)
+              |        ELSE GREATEST(CAST(b.cb AS DOUBLE) - 0.75, 0.0) / CAST(c.cv AS DOUBLE)
+              |           + 0.75 * CAST(c.n1v AS DOUBLE) / CAST(c.cv AS DOUBLE)
+              |             * (CAST(w.n1w AS DOUBLE) / CAST(tot.nbt AS DOUBLE)) END), 12)
+              |      AS DECIMAL(38,15)) AS lp
+              |  FROM grp g
+              |  LEFT JOIN bi b ON b.prev = g.prev AND b.term = g.term
+              |  LEFT JOIN cv c ON c.prev = g.prev
+              |  LEFT JOIN cw w ON w.term = g.term
+              |  CROSS JOIN tot),
+              |agg AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_tokens,
+              |               CAST(SUM(lp) AS DOUBLE) AS slp
+              |        FROM contrib GROUP BY doc_id)
+              |SELECT doc_id, n_tokens,
+              |       ROUND(-slp / n_tokens, 6) AS avg_nll,
+              |       ROUND(exp(-slp / n_tokens), 6) AS ppl
+              |FROM agg ORDER BY doc_id""".stripMargin)),
+
     // DSIR importance weights: raw corpus = non-src0 docs, target
     // domain = src0 (the same split decontaminate_overlap uses).
     Q("text_dsir_weights",

@@ -142,6 +142,28 @@ class OpsSpec extends AnyFunSuite {
     assert(r(3L).getAs[Double]("ppl") > r(1L).getAs[Double]("ppl"))
   }
 
+  test("Kneser-Ney perplexity: exact hand-check, continuation counts bind") {
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("id", "t")
+    val r = TextAnalysis.knBigramPerplexity(corpus, "id", "t").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // bigram types: (a,b) cb=2, (a,c) cb=1 → N1+(··)=2; c(a·)=3,
+    // N1+(a·)=2; N1+(·b)=N1+(·c)=1, N1+(·a)=0; V=3
+    // doc1: "a" first → (0+1)/(2+3); "b"|a → (2−.75)/3 + .75·2/3·(1/2)
+    val p1 = (0 + 1.0) / (2L + 3L)
+    val p2 = math.max(2 - 0.75, 0.0) / 3.0 + 0.75 * 2.0 / 3.0 * (1.0 / 2)
+    val expected = math.rint(-(math.log(p1) + math.log(p2)) / 2 * 1e6) / 1e6
+    assert(r(1L).getAs[Double]("avg_nll") == expected)
+    assert(r(1L).getAs[Long]("n_tokens") == 2L)
+    // doc3's (a,c): (1−.75)/3 + .75·2/3·(1/2) — the discounted raw
+    // count drops but the continuation term is identical, so the rare
+    // continuation still scores strictly higher perplexity
+    val p3 = math.max(1 - 0.75, 0.0) / 3.0 + 0.75 * 2.0 / 3.0 * (1.0 / 2)
+    val expected3 = math.rint(-(math.log(p1) + math.log(p3)) / 2 * 1e6) / 1e6
+    assert(r(3L).getAs[Double]("avg_nll") == expected3)
+    assert(r(2L).getAs[Double]("ppl") == r(1L).getAs[Double]("ppl"))
+    assert(r(3L).getAs[Double]("ppl") > r(1L).getAs[Double]("ppl"))
+  }
+
   test("top n-grams: planted repeats rank first with exact doc counts") {
     val top = TextAnalysis.topNgrams(docs, "doc_id", "text", n = 3, k = 10).collect()
     // the fox-sentence 3-grams appear once in each of docs 1,2,3,4 and
