@@ -309,8 +309,23 @@ object TextAnalysis {
     * eager checkpoint barrier. See BASELINE.md round-11 adjudications.
     */
   def bigramPerplexity(df: DataFrame, idCol: String, textCol: String,
-                       lambda: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                       lambda: Double = 0.75): DataFrame =
+    bigramPerplexityFrom(bigramClassTable(df, idCol, textCol), lambda)
+
+  /** The pinned (doc_id, prev, term, m) bigram CLASS table both
+    * bigram scorers consume — token classes grouped to per-doc
+    * multiplicities so every model join shuffles class rows, not
+    * token rows. `prev` comes straight from the token ARRAY
+    * (`t[i-1]`, null at i=0), so no per-doc sort/window ever runs;
+    * the eager localCheckpoint is the materialization point (see
+    * tfIdfTopTerms) every model branch and the probe side reuse, and
+    * the preserved doc_id partitioning makes the scorers' terminal
+    * per-doc aggregate exchange-free. A composed corpus-quality pass
+    * that runs [[bigramPerplexityFrom]] AND [[knBigramPerplexityFrom]]
+    * builds this ONCE and pays the corpus class pass once (spec-proven
+    * equal to the standalone scorers in OpsSpec).
+    */
+  def bigramClassTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val seq = Spread.ifNarrow(df, col(idCol))
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), explode(transform(col("_toks"),
@@ -319,13 +334,16 @@ object TextAnalysis {
       .select(col("doc_id"), col("_p.term").as("term"), col("_p.prev").as("prev"))
     // every model table derives from the ONE (doc, prev, term)
     // aggregate — deriving them from `seq` directly would re-execute
-    // the explode chain once per branch (the DSIR lesson); the eager
-    // localCheckpoint is the materialization point (see tfIdfTopTerms)
-    // both model branches and the probe side reuse, and the preserved
-    // doc_id partitioning makes the terminal per-doc aggregate
-    // exchange-free
-    val grp = seq.groupBy("doc_id", "prev", "term").agg(count(lit(1)).as("m"))
+    // the explode chain once per branch (the DSIR lesson)
+    seq.groupBy("doc_id", "prev", "term").agg(count(lit(1)).as("m"))
       .localCheckpoint(true)
+  }
+
+  /** [[bigramPerplexity]] over a pre-built [[bigramClassTable]]. */
+  def bigramPerplexityFrom(classTable: DataFrame,
+                           lambda: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = classTable
     val uni = grp.groupBy("term").agg(sum("m").as("cw"))
     val bi = grp.where(col("prev").isNotNull)
       .groupBy("prev", "term").agg(sum("m").as("cb"))
@@ -364,41 +382,55 @@ object TextAnalysis {
     * continuation distribution (N1+(·w)+1)/(N1+(··)+V) so a word seen
     * only document-initially (no bigram, N1+(·w)=0) keeps finite mass.
     *
-    * Scale shape mirrors [[bigramPerplexity]]'s committed form: one
-    * (doc, prev, term) class checkpoint, ONE corpus-class-scale
-    * aggregate to the bigram-type table, every other model table
-    * (c(v·)/N1+(v·) by prev, N1+(·w) by term, the two scalar totals)
-    * an aggregate of THAT bounded table running as parallel stages;
-    * the probe is class-row joins AQE broadcasts when small. Scoring
-    * the training corpus itself means every scored bigram exists, so
-    * the max(·,0) clamp never binds (kept for the general contract).
-    * Same decimal-exact summation as [[lmPerplexity]]; D = 0.75 is
-    * binary-exact.
+    * Scale shape: one (doc, prev, term) class checkpoint (shared
+    * with [[bigramPerplexity]] via [[bigramClassTable]]), then ONE
+    * corpus-class-scale aggregate to the bigram-type table — which
+    * is itself PINNED, because unlike the interpolated scorer every
+    * downstream model table here (c(v·)/N1+(v·) by prev, N1+(·w) by
+    * term, N1+(··), and the probe join) consumes the bigram-type
+    * table: four consumers re-instantiating a corpus-class-scale
+    * aggregate cost ~1 s at sf0.1 (round-12 StageProfile: stages
+    * 49/50/51/72, 437–529 ms each), while the pin makes them
+    * aggregates of a vocab²-bounded table. The vocabulary size for
+    * the first-token distribution likewise avoids a corpus-class
+    * `countDistinct`: every term either follows something (it is in
+    * the bigram table's term column) or occurs only doc-initially
+    * (a prev-null class row, ≤ #docs of those), so V = distinct over
+    * those two bounded slices. The probe is class-row joins AQE
+    * broadcasts when small. Scoring the training corpus itself means
+    * every scored bigram exists, so the max(·,0) clamp never binds
+    * (kept for the general contract). Same decimal-exact summation
+    * as [[lmPerplexity]]; D = 0.75 is binary-exact.
     */
   def knBigramPerplexity(df: DataFrame, idCol: String, textCol: String,
-                         discount: Double = 0.75): DataFrame = {
+                         discount: Double = 0.75): DataFrame =
+    knBigramPerplexityFrom(bigramClassTable(df, idCol, textCol), discount)
+
+  /** [[knBigramPerplexity]] over a pre-built [[bigramClassTable]]. */
+  def knBigramPerplexityFrom(classTable: DataFrame,
+                             discount: Double = 0.75): DataFrame = {
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0,1): $discount")
-    val seq = Spread.ifNarrow(df, col(idCol))
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
-      .select(col("doc_id"), explode(transform(col("_toks"),
-        (x, i) => struct(x.as("term"),
-          get(col("_toks"), i - lit(1)).as("prev")))).as("_p"))
-      .select(col("doc_id"), col("_p.term").as("term"), col("_p.prev").as("prev"))
-    val grp = seq.groupBy("doc_id", "prev", "term").agg(count(lit(1)).as("m"))
-      .localCheckpoint(true)
+    val grp = classTable
     // the one corpus-class-scale pass: distinct (prev, term) bigram
-    // types with total counts; everything below is bounded by it
+    // types with total counts — pinned, because all four model
+    // branches AND the probe join consume it (see scaladoc)
     val bi = grp.where(col("prev").isNotNull)
       .groupBy("prev", "term").agg(sum("m").as("cb"))
+      .localCheckpoint(true)
     val cv = bi.groupBy("prev")
       .agg(sum("cb").as("cv"), count(lit(1)).as("n1v"))
     val cw = bi.groupBy("term").agg(count(lit(1)).as("n1w"))
+    // V over two bounded slices: terms with a left context (cw) plus
+    // terms seen only doc-initially (prev-null class rows, ≤ #docs)
+    val vsz = cw.select(col("term"))
+      .union(grp.where(col("prev").isNull).select(col("term")))
+      .agg(countDistinct(col("term")).as("vsz"))
     // two 1-row aggregates collapse through the pmiCollocations
     // template so the broadcast attach stays gate-provably one row
     val totals = broadcast(
       bi.agg(count(lit(1)).as("nbt"))
-        .crossJoin(grp.agg(countDistinct(col("term")).as("vsz")))
+        .crossJoin(vsz)
         .agg(first(col("nbt")).as("nbt"), first(col("vsz")).as("vsz")))
     val d = lit(discount)
     val pcont = col("n1w").cast("double") / col("nbt").cast("double")

@@ -164,6 +164,17 @@ class OpsSpec extends AnyFunSuite {
     assert(r(3L).getAs[Double]("ppl") > r(1L).getAs[Double]("ppl"))
   }
 
+  test("shared bigram class table: a composed pass paying the corpus class pass ONCE matches both standalone scorers") {
+    val key = (x: Row) => x.getAs[Long]("doc_id")
+    val ct = TextAnalysis.bigramClassTable(docs, "doc_id", "text")
+    val biShared = TextAnalysis.bigramPerplexityFrom(ct).collect().map(x => key(x) -> x.toSeq).toMap
+    val knShared = TextAnalysis.knBigramPerplexityFrom(ct).collect().map(x => key(x) -> x.toSeq).toMap
+    val biSolo = TextAnalysis.bigramPerplexity(docs, "doc_id", "text").collect().map(x => key(x) -> x.toSeq).toMap
+    val knSolo = TextAnalysis.knBigramPerplexity(docs, "doc_id", "text").collect().map(x => key(x) -> x.toSeq).toMap
+    assert(biShared == biSolo)
+    assert(knShared == knSolo)
+  }
+
   test("top n-grams: planted repeats rank first with exact doc counts") {
     val top = TextAnalysis.topNgrams(docs, "doc_id", "text", n = 3, k = 10).collect()
     // the fox-sentence 3-grams appear once in each of docs 1,2,3,4 and
