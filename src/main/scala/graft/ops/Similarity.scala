@@ -181,9 +181,16 @@ object Similarity {
     *
     * Scale: the exact baseline runs ONCE and pins (#queries × k
     * rows); each arm is its own bounded serving query against the
-    * broadcast query set; the recall aggregates run over pinned-truth
-    * joins. Cost ≈ the three serving paths + one exact scan —
-    * evaluation is per index configuration, never per query.
+    * broadcast query set; the arm-tagged candidate sets union BEFORE
+    * the overlap join, so recall for every arm is ONE join against
+    * the pinned truth plus one (arm, query) → (arm) aggregate chain
+    * — not a per-arm join+aggregate union'd after full aggregation
+    * (the round-11 shape, whose 3× single-task stage tail was the
+    * whole cost on a bounded fixture). Zero-overlap (arm, query)
+    * pairs are restored by exploding the arm labels onto the
+    * truth-size table as plan literals (never a multi-row crossJoin).
+    * Cost ≈ the three serving paths + one exact scan — evaluation is
+    * per index configuration, never per query.
     */
   def annRecallArms(corpus: DataFrame, queries: DataFrame,
                     centroids: DataFrame, codebooks: DataFrame,
@@ -192,14 +199,27 @@ object Similarity {
     val bf = bruteForceTopK(corpus, queries, idCol, vecCol, k)
       .select(col("query_id"), col("nn_id"))
       .localCheckpoint(true)
-    val arms = Seq(
+    val armNames = Seq("ivf", "lsh", "pq")
+    val cand = Seq(
       "ivf" -> ivfTopK(corpus, queries, centroids, idCol, vecCol, k, nprobe),
       "lsh" -> lshTopK(corpus, queries, idCol, vecCol, k, planes, hamming = 1),
       "pq"  -> pqTopK(corpus, queries, idCol, vecCol, codebooks, k))
-    arms.map { case (name, approx) =>
-      recallAgainst(bf, approx, k).select(lit(name).as("arm"),
-        col("n_queries"), col("k"), col("avg_recall"), col("min_recall"))
-    }.reduce(_ union _)
+      .map { case (name, approx) =>
+        approx.select(lit(name).as("arm"), col("query_id"), col("nn_id"))
+      }.reduce(_ union _)
+    val hits = bf.join(cand, Seq("query_id", "nn_id"))
+      .groupBy(col("arm"), col("query_id")).agg(count(lit(1)).as("_hit"))
+    val truth = bf.groupBy(col("query_id")).agg(count(lit(1)).as("_true"))
+      .withColumn("arm", explode(array(armNames.map(lit): _*)))
+    truth.join(hits, Seq("arm", "query_id"), "left")
+      .withColumn("_hit", coalesce(col("_hit"), lit(0L)))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(col("_hit")).cast("double") / sum(col("_true")), 6).as("avg_recall"),
+        round(min(col("_hit").cast("double") / col("_true")), 6).as("min_recall"))
+      .withColumn("k", lit(k.toLong))
+      .select(col("arm"), col("n_queries"), col("k"),
+        col("avg_recall"), col("min_recall"))
   }
 
   /** Embedding-drift report: per-label mean vector vs the global
