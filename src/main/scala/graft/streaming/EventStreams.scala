@@ -296,19 +296,24 @@ object EventStreams {
     * of [[sessionize]]: per-user custom state plus
     * `GroupStateTimeout.EventTimeTimeout`, so a session CLOSES (and
     * emits) when the event-time watermark passes its last event by
-    * `gapMinutes` — no terminal batch flush needed, and state for
-    * idle users is reclaimed instead of growing with the key space.
+    * `gapMinutes` — no terminal batch flush needed, and a closed
+    * session's event state shrinks to a fixed-size tombstone.
     * The split rule is byte-identical to the batch form (µs-exact
     * `t − last > gap`, events sorted within each micro-batch), so an
     * available-now replay emits exactly the batch session set once
-    * the watermark passes the tail (spec-proven in
-    * EventStreamsSpec).
+    * the watermark passes the tail — INCLUDING cumulative per-user
+    * session numbering across timeout-closed sessions: the tombstone
+    * carries the next sessionSeq, so a user returning after their
+    * session timed out continues at seq+1 instead of colliding with
+    * session 0 (spec-proven in EventStreamsSpec).
     *
-    * Scale: state is one fixed-size record per ACTIVE user (bounded
-    * by the watermark horizon, not by history); each micro-batch
-    * shuffles only its own events on user_id. Late events below the
-    * watermark are dropped by the engine — the standard trade that
-    * bounds state.
+    * Scale: ACTIVE-session state is bounded by the watermark horizon;
+    * closed sessions leave one fixed-size tombstone per user ever
+    * seen — the irreducible price of the batch form's cumulative
+    * numbering (a returning user's next id cannot be derived from
+    * nothing). Each micro-batch shuffles only its own events on
+    * user_id. Late events below the watermark are dropped by the
+    * engine — the standard trade that bounds state.
     */
   def sessionizeWatermarked(events: Dataset[EventT],
                             gapMinutes: Long = 30): Dataset[SessionInfoT] = {
@@ -328,9 +333,19 @@ object EventStreams {
         case (userId, it, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             // the watermark passed last_event + gap with no new event:
-            // the open session is closed by definition of the gap rule
+            // the open session is closed by definition of the gap rule.
+            // Retain a TOMBSTONE carrying the next sessionSeq (no
+            // timeout re-armed, so it never fires again): cumulative
+            // per-user session numbering — the batch contract — is
+            // impossible with fully reclaimed state, because a user
+            // returning after reclamation would restart at session 0
+            // and collide with their earlier session's id. The
+            // tombstone is one fixed-size record per user ever seen;
+            // ACTIVE-session state stays bounded by the watermark
+            // horizon. (For fully reclaimable state, key sessions by
+            // start_ts instead — a different output contract.)
             val st = state.get
-            state.remove()
+            state.update(SessionState(st.sessionSeq + 1, 0, 0, Long.MinValue))
             Iterator.single(SessionInfoT(userId, st.sessionSeq, st.nEvents,
               fromUs(st.startUs), fromUs(st.lastUs)))
           } else {

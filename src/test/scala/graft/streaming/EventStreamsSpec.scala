@@ -220,6 +220,73 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(user1 == Seq(2L), s"user-1 sessions (n_events per session): $user1")
   }
 
+  test("watermarked sessionization: a user returning after a timeout-closed session continues cumulative numbering") {
+    import org.apache.spark.sql.functions._
+    // four time-sliced files, one per micro-batch:
+    //   0: user 1 at T0, T0+5m            -> open session
+    //   1: user 2 at T0+10h               -> watermark jumps past user
+    //      1's gap; the event-time timeout CLOSES session 0 and leaves
+    //      the tombstone carrying the next seq
+    //   2: user 1 ON TIME at T0+11h (+2m) -> must open session_id 1,
+    //      not restart at 0 (the pre-tombstone bug: state.remove()
+    //      discarded sessionSeq and the ids collided)
+    //   3: far-future sentinel            -> flush remaining state
+    val t0 = java.time.LocalDateTime.of(2026, 1, 1, 0, 0, 0)
+    def row(id: Long, ts: java.time.LocalDateTime, user: Long) =
+      org.apache.spark.sql.Row(id, ts, user, "e", 0.0, "")
+    val slices = Seq(
+      Seq(row(1, t0, 1L), row(2, t0.plusMinutes(5), 1L)),
+      Seq(row(3, t0.plusHours(10), 2L)),
+      Seq(row(4, t0.plusHours(11), 1L), row(5, t0.plusHours(11).plusMinutes(2), 1L)),
+      Seq(row(6, t0.plusHours(2000), -1L)))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sess_return")
+    slices.zipWithIndex.foreach { case (rows, i) =>
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), EventStreams.eventSchema)
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_ret_tmp$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = srcDir.resolve(f"slice$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+
+    val q = EventStreams.startSessionStream(spark, srcDir.toString,
+      "stream_sessions_return", gapMinutes = 30, watermark = "1 second",
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination(180000)
+
+    val streamed = spark.table("stream_sessions_return")
+      .where(col("user_id") >= 0)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        unix_micros(col("start_ts")).as("s_us"), unix_micros(col("end_ts")).as("e_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // user 1's two sessions carry DISTINCT cumulative ids 0 and 1
+    val u1 = streamed.filter(_._1 == 1L).map(t => (t._2, t._3))
+    assert(u1 == Set((0L, 2L), (1L, 2L)), s"user-1 (session_id, n_events): $u1")
+
+    // and the full replay still equals the batch form on the same events
+    import spark.implicits._
+    val ev = spark.createDataFrame(
+        java.util.Arrays.asList(slices.take(3).flatten: _*), EventStreams.eventSchema)
+      .selectExpr("event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "user_id",
+        "event_type", "value")
+      .as[EventStreams.Event]
+    val batch = EventStreams.sessionizeBatchComplete(ev)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        unix_micros(col("start_ts").cast("timestamp")).as("s_us"),
+        unix_micros(col("end_ts").cast("timestamp")).as("e_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(streamed == batch,
+      s"streamed $streamed vs batch $batch")
+  }
+
   test("stream-stream interval join replay equals the batch join") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
