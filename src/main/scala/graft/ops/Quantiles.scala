@@ -97,10 +97,15 @@ object Quantiles {
     }
     // a NULL value compares UNKNOWN against every threshold — label
     // it NULL explicitly rather than letting it fall through to the
-    // top bucket (thresholds themselves ignore NULLs; quantileByKey)
-    df.join(broadcast(thr), col(keyCol) === col("_qk"))
+    // top bucket (thresholds themselves ignore NULLs; quantileByKey).
+    // LEFT join: a key whose values are ALL NULL gets no threshold
+    // row at all (and a NULL key never equi-joins) — those rows pass
+    // through with a NULL bucket instead of silently dropping, which
+    // the `_qk.isNull` guard also keeps off the top-bucket fallthrough
+    df.join(broadcast(thr), col(keyCol) === col("_qk"), "left")
       .withColumn(bucketCol,
-        when(col(valueCol).isNull, lit(null)).otherwise(bucket).cast("long"))
+        when(col(valueCol).isNull || col("_qk").isNull, lit(null))
+          .otherwise(bucket).cast("long"))
       .drop("_qk" +: qs.indices.map(i => s"_t$i"): _*)
   }
 

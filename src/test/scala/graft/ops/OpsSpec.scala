@@ -1717,6 +1717,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got(("b", 100L)) == 0L && got(("b", 200L)) == 1L)
   }
 
+  test("quantile buckets: all-NULL-value keys and NULL keys pass through with NULL bucket") {
+    val df = Seq(
+      ("a", Some(1L), 1L), ("a", Some(2L), 2L), ("a", Some(3L), 3L),
+      ("a", Some(4L), 4L),
+      ("c", None, 5L), ("c", None, 6L),          // key with ALL-NULL values
+      (null.asInstanceOf[String], Some(7L), 7L)) // NULL key
+      .toDF("k", "v", "id")
+    val rows = Quantiles.bucketByKey(df, "k", "v", Seq(0.25, 0.75)).collect()
+    // NO row drops: every input row survives the threshold join
+    assert(rows.length == 7)
+    val byId = rows.map(r => r.getAs[Long]("id") ->
+      Option(r.getAs[java.lang.Long]("bucket"))).toMap
+    // all-NULL-value key: no threshold row exists -> NULL bucket
+    assert(byId(5L).isEmpty && byId(6L).isEmpty)
+    // NULL key never equi-joins -> NULL bucket, NOT the top bucket
+    assert(byId(7L).isEmpty)
+    // real keys still bucket exactly (n=4: q25 -> v=1, q75 -> v=3)
+    assert(byId(1L).contains(0L) && byId(2L).contains(1L) &&
+      byId(3L).contains(1L) && byId(4L).contains(2L))
+  }
+
   test("zipf fit: exact power-law frequencies recover the slope") {
     // freq(rank) = 64 / 2^(rank-1): ln f = ln 64 - ln 2 * ... not a
     // pure zipf in rank — build freq = round(c * rank^-1) exactly:
