@@ -1952,6 +1952,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got.length == 1 && got.head.getAs[Long]("doc_id") == 1L)
   }
 
+  test("pq fixture provenance: the hand-pasted codebook IS trainPqCodebooks on sf0.01, 6 dp") {
+    // the gate that keeps PqFixture honest: if the trainer or the
+    // sf0.01 embeddings drift, the serving rows would still pass
+    // their oracles (both engines consume the same stale fixture) —
+    // THIS comparison is what fails
+    graft.core.Tables.registerAll(spark, "/root/testdata/sf0.01")
+    val trained = Similarity.trainPqCodebooks(
+        spark.table("embeddings"), "vec_id", "embedding",
+        dims = 64, m = 4, k = 4, iters = 2)
+      .select(col("sub"), col("cent_id"),
+        transform(col("centroid"), v => round(v, 6)).as("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Double](2).toSeq)
+      .toMap
+    val fixture = PqFixture.entries
+      .map { case (s, c, vs) => (s, c) -> vs }.toMap
+    assert(trained.keySet == fixture.keySet)
+    assert(trained == fixture,
+      s"fixture drift: ${fixture.keySet.filter(k => trained(k) != fixture(k)).take(2)}")
+  }
+
   test("pq: encode emits one in-range code per subspace; topk matches the ADC definition") {
     // three well-separated clusters in 8 dims
     val vecs = (0 until 30).map { i =>
