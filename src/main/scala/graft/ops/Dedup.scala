@@ -468,6 +468,92 @@ object Dedup {
     a.join(broadcast(dropIds), a(idCol) === col("__drop_id"), "left_anti")
   }
 
+  // ── incremental dedup against a persisted signature index ─────────
+
+  /** Persist a corpus's MinHash signature index (the wide
+    * [[minhashSignaturesWide]] table) as parquet — the accumulated
+    * state real pipelines dedup each NEW shard against, instead of
+    * re-scanning the full corpus per ingest. The index holds
+    * signatures of EVERY ingested doc, dropped duplicates included:
+    * the batch min-id-wins rule compares a doc against every PAST
+    * doc, not just survivors, so pruning dropped docs' signatures
+    * would let a doc that only duplicates a dropped doc slip through.
+    * Cost per doc is k longs — ~128 bytes at k=16 — so the index is
+    * ~4 orders of magnitude smaller than the corpus it summarizes.
+    *
+    * A zero-row corpus still writes a schema-carrying parquet file
+    * (one empty partition is appended), so [[readMinhashIndex]] on a
+    * fresh index never fails schema inference.
+    */
+  def writeMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+                        path: String, k: Int = 16, n: Int = 3,
+                        append: Boolean = false): Unit = {
+    val sigs = minhashSignaturesWide(df, idCol, textCol, k, n)
+    val spark = df.sparkSession
+    val schemaAnchor = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
+      sigs.schema)
+    sigs.union(schemaAnchor)
+      .write.mode(if (append) "append" else "overwrite").parquet(path)
+  }
+
+  /** Load a [[writeMinhashIndex]] signature index. */
+  def readMinhashIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Deduplicate a new shard against the accumulated corpus WITHOUT
+    * re-scanning it: the increment's signatures are computed once,
+    * banded-joined against the persisted index (any hit drops the
+    * increment side — every indexed doc precedes every increment doc
+    * in ingestion order) and against themselves (min-id-wins, the
+    * batch rule), and the survivors are returned. With ids assigned
+    * in ingestion order (all indexed ids < all increment ids), the
+    * result is EXACTLY the batch [[minhashLshPairs]] +
+    * [[dropPairedDuplicates]] dedup of (corpus ∪ increment)
+    * restricted to the increment — the LSH candidate set, the
+    * signature-agreement estimate, and the drop rule all decompose
+    * pairwise (oracle row `dedup_incremental`; multi-increment
+    * equivalence spec-proven in OpsSpec).
+    *
+    * When `appendSignatures` is set (the default), ALL increment
+    * signatures — dropped docs' included, see [[writeMinhashIndex]] —
+    * are appended to the index, so the next increment needs no
+    * separate index-maintenance step.
+    *
+    * Scale: the index never re-scans source text — each ingest pays
+    * its own signature pass plus two banded equi-joins; the
+    * increment-vs-index join probes only matching buckets (AQE
+    * broadcasts the increment side when small); the drop set is
+    * bounded by the increment size and broadcasts into the anti join.
+    */
+  def dedupIncrement(inc: DataFrame, idCol: String, textCol: String,
+                     indexPath: String, k: Int = 16, bands: Int = 4,
+                     n: Int = 3, threshold: Double = 0.5,
+                     appendSignatures: Boolean = true): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val spark = inc.sparkSession
+    val idx = readMinhashIndex(spark, indexPath)
+    val wide = minhashSignaturesWide(inc, idCol, textCol, k, n).localCheckpoint()
+    val incBands = lshBandRows(wide, k, bands)
+    val crossCand = incBands.as("x")
+      .join(lshBandRows(idx, k, bands).as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    val crossDrops = estimatePairs(crossCand, wide, idx, k, threshold)
+      .select(col("id_a").as("_drop"))
+    val withinCand = incBands.as("x").join(incBands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    val withinDrops = estimatePairs(withinCand, wide, wide, k, threshold)
+      .select(col("id_b").as("_drop"))
+    val drops = crossDrops.union(withinDrops).distinct()
+    val kept = inc.join(broadcast(drops), inc(idCol) === col("_drop"), "left_anti")
+    if (appendSignatures)
+      wide.write.mode("append").parquet(indexPath)
+    kept
+  }
+
   /** SimHash fingerprint over tokens (bit-width configurable; 64 by
     * default): per-token md5 bits vote ±tf, sign gives the fingerprint
     * bit. Runs as the native `SimHashExpr` kernel — SimHash is a

@@ -825,6 +825,43 @@ object OpsQueries {
               |WHERE doc_id NOT IN (SELECT id_b FROM est WHERE est_jaccard >= 0.25)
               |ORDER BY doc_id""".stripMargin)),
 
+    // incremental dedup against a PERSISTED signature index — the
+    // production ingest shape: the first 60% of ids play the
+    // accumulated corpus (its signature index written to parquet,
+    // dropped docs' signatures included), the rest arrive as a new
+    // shard deduped via Dedup.dedupIncrement WITHOUT re-scanning the
+    // corpus text. The oracle is the FULL-corpus batch dedup formula
+    // (dedup_drop_near's, verbatim): increment-survivors ∪
+    // corpus-survivors must equal it exactly — the decomposition
+    // proof that the index path loses nothing.
+    Q("dedup_incremental",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val docs = s.table("documents")
+        val maxId = docs.agg(max(col("doc_id"))).head().get(0)
+        if (maxId == null) {
+          docs.select(col("doc_id")) // schema-correct empty frame
+        } else {
+          val bnd = maxId.asInstanceOf[Long] * 3 / 5
+          val old = docs.where(col("doc_id") <= bnd)
+          val inc = docs.where(col("doc_id") > bnd)
+          val idxPath = java.nio.file.Files
+            .createTempDirectory("graft_mh_index").toString
+          Dedup.writeMinhashIndex(old, "doc_id", "text", idxPath, k = 16, n = 3)
+          val oldKept = Dedup.dropPairedDuplicates(old, "doc_id",
+            Dedup.minhashLshPairs(old, "doc_id", "text",
+              k = 16, bands = 4, n = 3, threshold = 0.25))
+          val incKept = Dedup.dedupIncrement(inc, "doc_id", "text", idxPath,
+            k = 16, bands = 4, n = 3, threshold = 0.25)
+          oldKept.select(col("doc_id")).union(incKept.select(col("doc_id")))
+            .orderBy(col("doc_id"))
+        }
+      },
+      Some(s"""WITH $minhashOracleCtes
+              |SELECT doc_id FROM documents
+              |WHERE doc_id NOT IN (SELECT id_b FROM est WHERE est_jaccard >= 0.25)
+              |ORDER BY doc_id""".stripMargin)),
+
     // transitive closure of the pair set: corpus-level duplicate
     // CLUSTERS (A~B, B~C ⇒ one cluster), min doc id as the canonical
     // representative — oracle is a DuckDB recursive CTE reaching the

@@ -34,6 +34,42 @@ class OpsSpec extends AnyFunSuite {
     assert(fp.length == 1 && fp.head.getAs[Long]("dup_count") == 3)
   }
 
+  test("minhash index round-trip identity; multi-increment dedup equals the full-batch dedup") {
+    val t = 0.25
+    val batchKept = Dedup.dropPairedDuplicates(docs, "doc_id",
+        Dedup.minhashLshPairs(docs, "doc_id", "text", k = 16, bands = 4, n = 3, threshold = t))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx_spec").toString
+    val part1 = docs.where($"doc_id" <= 2)                    // 2 is an exact dup of 1
+    val part2 = docs.where($"doc_id" > 2 && $"doc_id" <= 4)   // near/fingerprint dups of 1
+    val part3 = docs.where($"doc_id" > 4)
+    Dedup.writeMinhashIndex(part1, "doc_id", "text", idx, k = 16, n = 3)
+
+    // round-trip identity — and the index retains the DROPPED doc 2's
+    // signatures (the batch rule compares against every past doc)
+    val direct = Dedup.minhashSignaturesWide(part1, "doc_id", "text", k = 16, n = 3)
+      .collect().map(_.toSeq).toSet
+    val reloaded = Dedup.readMinhashIndex(spark, idx).collect().map(_.toSeq).toSet
+    assert(reloaded == direct && reloaded.map(_.head) == Set(1L, 2L))
+
+    val kept1 = Dedup.dropPairedDuplicates(part1, "doc_id",
+        Dedup.minhashLshPairs(part1, "doc_id", "text", k = 16, bands = 4, n = 3, threshold = t))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept2 = Dedup.dedupIncrement(part2, "doc_id", "text", idx,
+        k = 16, bands = 4, n = 3, threshold = t)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the second increment sees part1 AND part2 signatures (appended)
+    val kept3 = Dedup.dedupIncrement(part3, "doc_id", "text", idx,
+        k = 16, bands = 4, n = 3, threshold = t)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((kept1 ++ kept2 ++ kept3) == batchKept,
+      s"incremental ${kept1 ++ kept2 ++ kept3} vs batch $batchKept")
+    // and the index now carries every ingested doc's signatures
+    assert(Dedup.readMinhashIndex(spark, idx).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
   test("ngram jaccard ranks near-dup above unrelated") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       blockCols = Seq("lang"), threshold = 0.0)
