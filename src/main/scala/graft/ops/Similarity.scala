@@ -550,9 +550,36 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int = 10, planes: Int = 8,
               hamming: Int = 0): DataFrame = {
-    require(hamming == 0 || hamming == 1, "hamming must be 0 (exact bucket) or 1 (multi-probe)")
     val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
       norm(col(vecCol)).as("nn_norm"), lshBucket(col(vecCol), planes).as("bucket"))
+    lshServe(c, queries, idCol, vecCol, k, planes, hamming)
+  }
+
+  /** [[lshTopK]] over a PERSISTED corpus bucket table — `buckets` is
+    * the (idCol, bucket) table an [[AnnIndex]] directory stores, so a
+    * fresh session serves without re-hashing the corpus. The corpus
+    * supplies the vectors for the exact within-bucket rescoring via
+    * an id equi-join (co-partition both by id in a production layout
+    * and the join is exchange-free).
+    */
+  def lshTopKFromBuckets(corpus: DataFrame, buckets: DataFrame,
+                         queries: DataFrame, idCol: String, vecCol: String,
+                         k: Int = 10, planes: Int = 8,
+                         hamming: Int = 0): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
+        norm(col(vecCol)).as("nn_norm"))
+      .join(buckets.select(col(idCol).as("nn_id"), col("bucket")), "nn_id")
+    lshServe(c, queries, idCol, vecCol, k, planes, hamming)
+  }
+
+  /** Shared LSH serving tail: multi-probe query fan-out + bucket
+    * equi-join + exact rescoring (`c` = (nn_id, nn_vec, nn_norm,
+    * bucket)).
+    */
+  private def lshServe(c: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int, planes: Int,
+                       hamming: Int): DataFrame = {
+    require(hamming == 0 || hamming == 1, "hamming must be 0 (exact bucket) or 1 (multi-probe)")
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       norm(col(vecCol)).as("q_norm"), lshBucket(col(vecCol), planes).as("bucket"))
     val q =
@@ -708,10 +735,22 @@ object Similarity {
     * where cosine is the ADC approximation.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, codebooks: DataFrame, k: Int = 10): DataFrame = {
-    val enc = pqEncode(corpus.select(col(idCol).as("nn_id"), col(vecCol)),
-        "nn_id", vecCol, codebooks)
-      .select(col("nn_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+             vecCol: String, codebooks: DataFrame, k: Int = 10): DataFrame =
+    pqTopKEncoded(
+      pqEncode(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, codebooks),
+      queries, idCol, vecCol, codebooks, k)
+
+  /** [[pqTopK]] over a PRE-ENCODED corpus — `codes` is the persisted
+    * [[pqEncode]] output (idCol, codes), e.g. reloaded from an
+    * [[AnnIndex]] directory, so cold-start serving pays neither the
+    * training nor the encode pass. The codebook must be the one the
+    * codes were encoded with (AnnIndex persists them together).
+    */
+  def pqTopKEncoded(codes: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, codebooks: DataFrame,
+                    k: Int = 10): DataFrame = {
+    val enc = codes
+      .select(col(idCol).as("nn_id"), posexplode(col("codes")).as(Seq("sub", "code")))
       .withColumn("sub", col("sub").cast("long"))
     // the codebook rides as m×k plan-literal structs (the trainer's
     // bounded-collect convention) exploded on the query side — an

@@ -1988,6 +1988,49 @@ class OpsSpec extends AnyFunSuite {
     assert(got.length == 1 && got.head.getAs[Long]("doc_id") == 1L)
   }
 
+  test("ANN index cold-start: a reloaded index serves bit-identical top-k on every arm") {
+    graft.core.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val emb = spark.table("embeddings")
+    val queries = emb.orderBy("vec_id").limit(5)
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_idx").toString
+    AnnIndex.build(emb, "vec_id", "embedding", path,
+      dims = 64, ivfK = 8, pqM = 4, pqK = 4, planes = 8, iters = 2)
+
+    // in-session artifacts (what a training session would hold live)
+    val cent = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", 8, 2)
+    val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding", 64, 4, 4, 2)
+
+    // a FRESH session (shares only the context — none of the session
+    // state) reloads the index and must serve identical bits
+    val s2 = spark.newSession()
+    graft.core.Tables.registerAll(s2, "/root/testdata/sf0.001")
+    val emb2 = s2.table("embeddings")
+    val q2 = emb2.orderBy("vec_id").limit(5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    // ivfTopK reads the centroid table through (idCol, vecCol) names
+    def asCent(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("cent_id").as("vec_id"), col("centroid").as("embedding"))
+
+    val ivfCold = Similarity.ivfTopK(emb2, q2,
+      asCent(AnnIndex.readIvfCentroids(s2, path)), "vec_id", "embedding",
+      k = 10, nprobe = 2)
+    val ivfLive = Similarity.ivfTopK(emb, queries, asCent(cent), "vec_id", "embedding",
+      k = 10, nprobe = 2)
+    assert(rows(ivfCold) == rows(ivfLive) && rows(ivfCold).nonEmpty)
+
+    val pqCold = Similarity.pqTopKEncoded(AnnIndex.readPqCodes(s2, path), q2,
+      "vec_id", "embedding", AnnIndex.readPqCodebooks(s2, path), k = 10)
+    val pqLive = Similarity.pqTopK(emb, queries, "vec_id", "embedding", cb, k = 10)
+    assert(rows(pqCold) == rows(pqLive) && rows(pqCold).nonEmpty)
+
+    val lshCold = Similarity.lshTopKFromBuckets(emb2,
+      AnnIndex.readLshBuckets(s2, path), q2, "vec_id", "embedding",
+      k = 10, planes = 8, hamming = 1)
+    val lshLive = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+      k = 10, planes = 8, hamming = 1)
+    assert(rows(lshCold) == rows(lshLive) && rows(lshCold).nonEmpty)
+  }
+
   test("pq fixture provenance: the hand-pasted codebook IS trainPqCodebooks on sf0.01, 6 dp") {
     // the gate that keeps PqFixture honest: if the trainer or the
     // sf0.01 embeddings drift, the serving rows would still pass
