@@ -258,6 +258,83 @@ object CurationStreams {
       .start()
   }
 
+  /** The composed continuous curation pipeline — quality gate ∘
+    * stateful exact dedup ∘ benchmark decontamination ∘ stateful
+    * token-budget admission — wired as ONE streaming query, the
+    * end-to-end ingest shape [[curate]]'s batch twin
+    * (`pipeline_curate`) runs offline:
+    *
+    *  1. repetition/length quality gate — stateless per-row kernel,
+    *     the exact `pipeline_curate` predicate;
+    *  2. [[dedupExact]] — first-seen-wins across the life of the
+    *     stream (32 bytes of state per distinct document);
+    *  3. [[graft.ops.Decontaminate.overlapWithGramRow]] filter against
+    *     the pre-collapsed benchmark gram row — stateless broadcast;
+    *  4. [[tokenBudgetGate]] — per-source admission against the
+    *     cumulative token budget (one long of state per key).
+    *
+    * Replay contract (spec-proven in EventStreamsSpec): with ids
+    * arriving in nondecreasing order, a single-batch replay is
+    * byte-identical to the batch composition quality ∘
+    * [[graft.ops.Dedup.dropExactDuplicates]] ∘
+    * [[graft.ops.Decontaminate.drop]] ∘
+    * [[graft.ops.Sampling.sampleTokenBudget]]; a multi-batch replay
+    * emits exactly the batch quality∘dedup∘decontaminate survivor
+    * set with the budget spent in arrival-then-(md5(id), id) order —
+    * each stage's own cross-batch contract, composed.
+    *
+    * Scale: the two stateful stages keep bounded per-key state
+    * (digest boolean / running long); everything else is stateless
+    * map work; the benchmark gram row broadcasts once. Output:
+    * (doc_id, source, n_tokens) of admitted documents.
+    */
+  def curateChain(docs: org.apache.spark.sql.Dataset[DedupDoc],
+                  gramRow: DataFrame, budgetPerKey: Long,
+                  minTokens: Long = 25, maxDupFrac: Double = 0.55,
+                  n: Int = 3, decontamMinHits: Int = 2)
+      : org.apache.spark.sql.Dataset[BudgetDoc] = {
+    import docs.sparkSession.implicits._
+    val q = docs.toDF()
+      .withColumn("_r", TextAnalysis.repetitionStats(col("text")))
+      .where(col("_r.n_tokens") >= minTokens && col("_r.dup_word_frac") <= maxDupFrac)
+      .drop("_r")
+    val deduped = dedupExact(q.as[DedupDoc])
+    val clean = graft.ops.Decontaminate
+      .overlapWithGramRow(deduped.toDF(), gramRow, "text", n, decontamMinHits)
+      .where(!col("contaminated"))
+    tokenBudgetGate(
+      clean.select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .as[BudgetDoc],
+      budgetPerKey)
+  }
+
+  /** Start [[curateChain]] from a parquet directory source (doc_id/
+    * text/source columns) into a named memory sink; one micro-batch
+    * per file.
+    */
+  def startCuratedChainStream(
+      spark: SparkSession, sourceDir: String, queryName: String,
+      schema: StructType, gramRow: DataFrame, budgetPerKey: Long,
+      minTokens: Long = 25, maxDupFrac: Double = 0.55,
+      n: Int = 3, decontamMinHits: Int = 2,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    import spark.implicits._
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .select(col("doc_id").cast("long"), col("text"), col("source"))
+      .as[DedupDoc]
+    curateChain(src, gramRow, budgetPerKey, minTokens, maxDupFrac,
+        n, decontamMinHits)
+      .toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Start the stateful dedup stream from a parquet directory source
     * into a named memory sink. `maxFilesPerTrigger = 1` makes each
     * source file its own micro-batch, so cross-batch state is

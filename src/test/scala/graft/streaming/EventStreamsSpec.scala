@@ -611,6 +611,105 @@ class EventStreamsSpec extends AnyFunSuite {
       spark.table("stream_dedup").count())
   }
 
+  test("composed streaming curation chain equals the batch composition (single batch, budget binding)") {
+    import org.apache.spark.sql.functions._
+    graft.core.Tables.registerAll(spark, dir)
+    val docs = spark.table("documents")
+    val bench = docs.where(col("source") === "src0")
+    val corpus = docs.where(col("source") =!= "src0")
+      .select(col("doc_id"), col("text"), col("source"))
+    val gramRow = graft.ops.Decontaminate.benchGramRow(bench, "text", 3)
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_chain1").toString
+    corpus.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val q = CurationStreams.startCuratedChainStream(
+      spark, srcDir, "stream_chain1", corpus.schema, gramRow,
+      budgetPerKey = 200L)
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_chain1").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    // the batch composition, stage by stage (pipeline_curate's shape
+    // with the budget sampler as the terminal gate)
+    val qual = corpus
+      .withColumn("_r", graft.ops.TextAnalysis.repetitionStats(col("text")))
+      .where(col("_r.n_tokens") >= 25 && col("_r.dup_word_frac") <= 0.55)
+      .drop("_r")
+    val deduped = graft.ops.Dedup.dropExactDuplicates(qual, "doc_id", "text")
+    val clean = graft.ops.Decontaminate.drop(deduped, bench, "doc_id", "text",
+      n = 3, minHits = 2)
+    val batch = graft.ops.Sampling.sampleTokenBudget(
+        clean.select(col("doc_id"), col("source"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 200L, keyCols = Seq("source"))
+      .select("doc_id", "source", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty && batch.size < corpus.count(),
+      "the budget must bind for the assertion to mean anything")
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
+  test("composed streaming curation chain: cross-batch dedup state holds over multi-file replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.core.Tables.registerAll(spark, dir)
+    val docs = spark.table("documents")
+    val bench = docs.where(col("source") === "src0")
+    val corpus = docs.where(col("source") =!= "src0")
+      .select(col("doc_id"), col("text"), col("source"))
+    val gramRow = graft.ops.Decontaminate.benchGramRow(bench, "text", 3)
+
+    val mid = corpus.agg(avg(col("doc_id"))).head().getDouble(0).toLong
+    val maxId = corpus.agg(max(col("doc_id"))).head().getLong(0)
+    // slice 2 carries a SYNTHETIC cross-batch duplicate: a fresh id
+    // replaying a slice-1 doc's text — the stream must drop it via
+    // dedup state, exactly as batch min-id dedup over the union does
+    val donor = corpus.where(col("doc_id") <= mid)
+      .withColumn("_r", graft.ops.TextAnalysis.repetitionStats(col("text")))
+      .where(col("_r.n_tokens") >= 25 && col("_r.dup_word_frac") <= 0.55)
+      .orderBy(col("doc_id")).limit(1)
+      .select(col("text"), col("source")).head()
+    val synth = Seq((maxId + 1, donor.getString(0), donor.getString(1)))
+      .toDF("doc_id", "text", "source")
+    val slice1 = corpus.where(col("doc_id") <= mid)
+    val slice2 = corpus.where(col("doc_id") > mid).union(synth)
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_chain2").toString
+    Seq(slice1 -> "b1", slice2 -> "b2").foreach { case (df, name) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$srcDir/_stage_$name")
+      val part = new java.io.File(s"$srcDir/_stage_$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(s"$srcDir/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1000000000000L + (if (name == "b1") 0 else 60000L)))
+    }
+    // budget non-binding: this slice isolates the cross-batch DEDUP
+    // contract (the budget gate's own cross-batch spec covers spend)
+    val q = CurationStreams.startCuratedChainStream(
+      spark, srcDir, "stream_chain2", corpus.schema, gramRow,
+      budgetPerKey = 100000000L)
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_chain2").collect()
+      .map(_.getLong(0)).toSet
+
+    val union = slice1.union(slice2)
+    val qual = union
+      .withColumn("_r", graft.ops.TextAnalysis.repetitionStats(col("text")))
+      .where(col("_r.n_tokens") >= 25 && col("_r.dup_word_frac") <= 0.55)
+      .drop("_r")
+    val deduped = graft.ops.Dedup.dropExactDuplicates(qual, "doc_id", "text")
+    val batch = graft.ops.Decontaminate.drop(deduped, bench, "doc_id", "text",
+        n = 3, minHits = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!streamed.contains(maxId + 1) && !batch.contains(maxId + 1),
+      "the synthetic replay must be dropped by cross-batch dedup state")
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
   test("stateful streaming token-budget gate: single batch equals the batch operator") {
     import org.apache.spark.sql.functions.col
     graft.core.Tables.registerAll(spark, dir)
