@@ -64,19 +64,44 @@ object Bench {
     // 4 decimals keeps the JSON line short (~2 KB) so a tail-limited
     // log capture can't truncate it mid-line
     def fmt(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    // host-drift anchor: the untouched-TPC-H rows' ratio against the
+    // committed prior-round minima (ANCHORS.json in the working dir).
+    // Identical code + identical data ⇒ any ratio ≠ 1 is ambient host
+    // drift — round-over-round comparisons cite this number instead
+    // of deriving it by hand (geometric mean over available anchors;
+    // null when the file or the anchor rows are absent from this run).
+    val anchorNames = Seq("q1_pricing_summary", "q3_join_agg")
+    val anchorsNow = results.filter { case (n, _) => anchorNames.contains(n) }
+    val anchorRef: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("ANCHORS.json")), "UTF-8")
+        "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val drifts = anchorsNow.collect {
+      case (n, v) if anchorRef.get(n).exists(_ > 0) => v / anchorRef(n)
+    }
+    val anchorDrift =
+      if (drifts.isEmpty) "null"
+      else fmt(math.exp(drifts.map(math.log).sum / drifts.size))
+    val anchorJson = anchorsNow
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
+    val outPath = java.nio.file.Paths.get("bench_out.json").toAbsolutePath.toString
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"agg":"min","anchor_drift":$anchorDrift,"anchors":$anchorJson,"queries":$qs,"sf":"$sfDir"}"""
     // the driver's log capture keeps only the TAIL of stdout; at 122
     // queries the full per-query map (~3 KB) gets truncated from the
-    // front and fails to parse. So: full map → bench_out.json, and the
-    // LAST stdout line is a short (<500 B) summary that always survives
-    // a tail capture — the 10 slowest queries inline, the rest in the
-    // file.
+    // front and fails to parse. So: full map → bench_out.json (the
+    // ABSOLUTE path below, so any consumer can recompute every
+    // headline from all per-query times), and the LAST stdout line is
+    // a short (<500 B) summary that always survives a tail capture —
+    // the 10 slowest queries inline, the rest in the file.
     val slow = results.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val summary = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"agg":"min","n_queries":${results.size},"queries":$slow,"queries_file":"bench_out.json","sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"agg":"min","n_queries":${results.size},"anchor_drift":$anchorDrift,"queries":$slow,"queries_file":"$outPath","sf":"$sfDir"}"""
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     try {
