@@ -413,14 +413,19 @@ object TextAnalysis {
       s"discount must be in (0,1): $discount")
     val grp = classTable
     // the one corpus-class-scale pass: distinct (prev, term) bigram
-    // types with total counts — pinned, because all four model
-    // branches AND the probe join consume it (see scaladoc)
-    val bi = grp.where(col("prev").isNotNull)
+    // types with total counts — pinned, because all model branches
+    // AND the probe join consume it (see scaladoc). c(v·) and
+    // N1+(v·) ride as window sums over this bounded table (partitions
+    // = per-context vocabulary), exactly bigramPerplexity's committed
+    // cctx shape — one fewer aggregate+join in the probe
+    val biTypes = grp.where(col("prev").isNotNull)
       .groupBy("prev", "term").agg(sum("m").as("cb"))
       .localCheckpoint(true)
-    val cv = bi.groupBy("prev")
-      .agg(sum("cb").as("cv"), count(lit(1)).as("n1v"))
-    val cw = bi.groupBy("term").agg(count(lit(1)).as("n1w"))
+    val wPrev = org.apache.spark.sql.expressions.Window.partitionBy("prev")
+    val bi = biTypes
+      .withColumn("cv", sum("cb").over(wPrev))
+      .withColumn("n1v", count(lit(1)).over(wPrev))
+    val cw = biTypes.groupBy("term").agg(count(lit(1)).as("n1w"))
     // V over two bounded slices: terms with a left context (cw) plus
     // terms seen only doc-initially (prev-null class rows, ≤ #docs)
     val vsz = cw.select(col("term"))
@@ -429,7 +434,7 @@ object TextAnalysis {
     // two 1-row aggregates collapse through the pmiCollocations
     // template so the broadcast attach stays gate-provably one row
     val totals = broadcast(
-      bi.agg(count(lit(1)).as("nbt"))
+      biTypes.agg(count(lit(1)).as("nbt"))
         .crossJoin(vsz)
         .agg(first(col("nbt")).as("nbt"), first(col("vsz")).as("vsz")))
     val d = lit(discount)
@@ -442,7 +447,6 @@ object TextAnalysis {
           + d * col("n1v").cast("double") / col("cv").cast("double") * pcont)
     val contrib = grp
       .join(bi, Seq("prev", "term"), "left")
-      .join(cv, Seq("prev"), "left")
       .join(cw, Seq("term"), "left")
       .crossJoin(totals)
       .withColumn("lp", round(col("m") * log(p), 12).cast("decimal(38,15)"))
