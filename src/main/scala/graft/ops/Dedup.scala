@@ -501,6 +501,25 @@ object Dedup {
   def readMinhashIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** [[minhashLshPairs]] over an already-computed wide signature
+    * table (e.g. a reloaded [[writeMinhashIndex]]): the corpus text
+    * is never touched — candidate generation and the agreement
+    * estimate run entirely on the index. The second consumer an
+    * index earns after [[dedupIncrement]]: retro-scanning the
+    * accumulated corpus for duplicate PAIRS (profiling, cluster
+    * assignment) without a signature recompute.
+    */
+  def minhashLshPairsFromSigs(sigs: DataFrame, k: Int = 16, bands: Int = 4,
+                              threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val bandRows = lshBandRows(sigs, k, bands)
+    val cand = bandRows.as("x").join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    estimatePairs(cand, sigs, sigs, k, threshold)
+  }
+
   /** Deduplicate a new shard against the accumulated corpus WITHOUT
     * re-scanning it: the increment's signatures are computed once,
     * banded-joined against the persisted index (any hit drops the

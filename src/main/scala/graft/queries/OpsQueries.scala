@@ -848,9 +848,11 @@ object OpsQueries {
           val idxPath = java.nio.file.Files
             .createTempDirectory("graft_mh_index").toString
           Dedup.writeMinhashIndex(old, "doc_id", "text", idxPath, k = 16, n = 3)
+          // the corpus's own dup pairs come FROM the index it just
+          // wrote — the corpus text is signature-hashed exactly once
           val oldKept = Dedup.dropPairedDuplicates(old, "doc_id",
-            Dedup.minhashLshPairs(old, "doc_id", "text",
-              k = 16, bands = 4, n = 3, threshold = 0.25))
+            Dedup.minhashLshPairsFromSigs(Dedup.readMinhashIndex(s, idxPath),
+              k = 16, bands = 4, threshold = 0.25))
           val incKept = Dedup.dedupIncrement(inc, "doc_id", "text", idxPath,
             k = 16, bands = 4, n = 3, threshold = 0.25)
           oldKept.select(col("doc_id")).union(incKept.select(col("doc_id")))
