@@ -181,16 +181,21 @@ object Similarity {
     *
     * Scale: the exact baseline runs ONCE and pins (#queries × k
     * rows); each arm is its own bounded serving query against the
-    * broadcast query set; the arm-tagged candidate sets union BEFORE
-    * the overlap join, so recall for every arm is ONE join against
-    * the pinned truth plus one (arm, query) → (arm) aggregate chain
-    * — not a per-arm join+aggregate union'd after full aggregation
-    * (the round-11 shape, whose 3× single-task stage tail was the
-    * whole cost on a bounded fixture). Zero-overlap (arm, query)
-    * pairs are restored by exploding the arm labels onto the
-    * truth-size table as plan literals (never a multi-row crossJoin).
-    * Cost ≈ the three serving paths + one exact scan — evaluation is
-    * per index configuration, never per query.
+    * broadcast query set; the recall aggregates run over pinned-truth
+    * joins. Cost ≈ the three serving paths + one exact scan —
+    * evaluation is per index configuration, never per query.
+    *
+    * Measured and rejected (round 12): collapsing the three per-arm
+    * recall chains into ONE overlap join + one (arm, query) → (arm)
+    * aggregate (arm-tagged candidate union before the join) is
+    * SLOWER warm — 3.8–4.0 s vs 3.3–3.6 s on the sf0.1 fixture with
+    * identical companion rows, and 2.87 s vs 2.31 s on the full
+    * sweep folds. Same lesson as the bigram-perplexity fold: the
+    * three per-arm tails are independent stages the scheduler
+    * overlaps with the other arms' serving chains, while the
+    * collapsed form adds a barrier after the slowest arm. The
+    * stage-count "floor" here is benign — the tail stages hide
+    * inside the serving chains' wall time.
     */
   def annRecallArms(corpus: DataFrame, queries: DataFrame,
                     centroids: DataFrame, codebooks: DataFrame,
@@ -199,27 +204,14 @@ object Similarity {
     val bf = bruteForceTopK(corpus, queries, idCol, vecCol, k)
       .select(col("query_id"), col("nn_id"))
       .localCheckpoint(true)
-    val armNames = Seq("ivf", "lsh", "pq")
-    val cand = Seq(
+    val arms = Seq(
       "ivf" -> ivfTopK(corpus, queries, centroids, idCol, vecCol, k, nprobe),
       "lsh" -> lshTopK(corpus, queries, idCol, vecCol, k, planes, hamming = 1),
       "pq"  -> pqTopK(corpus, queries, idCol, vecCol, codebooks, k))
-      .map { case (name, approx) =>
-        approx.select(lit(name).as("arm"), col("query_id"), col("nn_id"))
-      }.reduce(_ union _)
-    val hits = bf.join(cand, Seq("query_id", "nn_id"))
-      .groupBy(col("arm"), col("query_id")).agg(count(lit(1)).as("_hit"))
-    val truth = bf.groupBy(col("query_id")).agg(count(lit(1)).as("_true"))
-      .withColumn("arm", explode(array(armNames.map(lit): _*)))
-    truth.join(hits, Seq("arm", "query_id"), "left")
-      .withColumn("_hit", coalesce(col("_hit"), lit(0L)))
-      .groupBy(col("arm"))
-      .agg(count(lit(1)).as("n_queries"),
-        round(sum(col("_hit")).cast("double") / sum(col("_true")), 6).as("avg_recall"),
-        round(min(col("_hit").cast("double") / col("_true")), 6).as("min_recall"))
-      .withColumn("k", lit(k.toLong))
-      .select(col("arm"), col("n_queries"), col("k"),
-        col("avg_recall"), col("min_recall"))
+    arms.map { case (name, approx) =>
+      recallAgainst(bf, approx, k).select(lit(name).as("arm"),
+        col("n_queries"), col("k"), col("avg_recall"), col("min_recall"))
+    }.reduce(_ union _)
   }
 
   /** Embedding-drift report: per-label mean vector vs the global
