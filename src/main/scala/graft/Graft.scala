@@ -775,6 +775,59 @@ final class Graft(val spark: SparkSession, stateDir: String) {
     graft.ops.Similarity.pqTopKRefined(corpus, queries, idCol, vecCol,
       codebooks, k, refineFactor)
 
+  /** Persist a corpus's MinHash signature index — the accumulated
+    * state [[dedupIncrement]] dedups each new shard against.
+    */
+  def dedupIndexWrite(df: DataFrame, path: String, idCol: String = "doc_id",
+                      textCol: String = "text", k: Int = 16, n: Int = 3,
+                      append: Boolean = false): Unit =
+    graft.ops.Dedup.writeMinhashIndex(df, idCol, textCol, path, k, n, append)
+
+  /** Deduplicate a new shard against a persisted signature index
+    * without re-scanning the corpus; appends the shard's own
+    * signatures so the next ingest needs no maintenance step.
+    */
+  def dedupIncrement(inc: DataFrame, indexPath: String,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     k: Int = 16, bands: Int = 4, n: Int = 3,
+                     threshold: Double = 0.5,
+                     appendSignatures: Boolean = true): DataFrame =
+    graft.ops.Dedup.dedupIncrement(inc, idCol, textCol, indexPath, k, bands,
+      n, threshold, appendSignatures)
+
+  /** Train and persist every ANN serving artifact (IVF centroids, PQ
+    * codebooks + codes, LSH buckets) to one parquet directory — the
+    * cold-start index a fresh session serves from bit-identically.
+    */
+  def annIndexBuild(corpus: DataFrame, path: String,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    dims: Int = 64, ivfK: Int = 256, pqM: Int = 4,
+                    pqK: Int = 4, planes: Int = 8, iters: Int = 2): Unit =
+    graft.ops.AnnIndex.build(corpus, idCol, vecCol, path, dims, ivfK, pqM,
+      pqK, planes, iters)
+
+  /** PQ ADC top-k over a PRE-ENCODED corpus (codes reloaded from an
+    * [[annIndexBuild]] directory) — cold-start serving pays neither
+    * training nor the encode pass.
+    */
+  def annPqTopKEncoded(codes: DataFrame, queries: DataFrame,
+                       codebooks: DataFrame, k: Int = 10,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame =
+    graft.ops.Similarity.pqTopKEncoded(codes, queries, idCol, vecCol,
+      codebooks, k)
+
+  /** LSH top-k over a persisted corpus bucket table (reloaded from an
+    * [[annIndexBuild]] directory).
+    */
+  def annLshTopKFromBuckets(corpus: DataFrame, buckets: DataFrame,
+                            queries: DataFrame, k: Int = 10,
+                            planes: Int = 8, hamming: Int = 0,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame =
+    graft.ops.Similarity.lshTopKFromBuckets(corpus, buckets, queries, idCol,
+      vecCol, k, planes, hamming)
+
   /** Deterministic proportional source interleaving (stride
     * scheduling): annotate each row with the virtual-time key whose
     * sort order realizes a weighted mixture without random draws.

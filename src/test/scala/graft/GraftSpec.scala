@@ -85,6 +85,35 @@ class GraftSpec extends AnyFunSuite {
     assert(g.dsirSample(docs, tgt, k = 2).count() == 2)
   }
 
+  test("persisted-index workflows are reachable through the facade") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "a"),
+      (2L, "the quick brown fox jumps over the lazy dog", "a"),
+      (3L, "completely different text about spark engines", "a"),
+      (4L, "the quick brown fox jumps over the lazy dog", "b"), // dups 1 across shards
+      (5L, "a genuinely novel document with fresh words", "b")).toDF("doc_id", "text", "source")
+    val idx = java.nio.file.Files.createTempDirectory("graft_facade_idx").toString
+    g.dedupIndexWrite(docs.where($"doc_id" <= 3), idx)
+    val kept = g.dedupIncrement(docs.where($"doc_id" > 3), idx, threshold = 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(5L)) // 4 duplicates the indexed corpus
+
+    val vecs = (0L until 24L).map { i =>
+      val arr = Array.fill(64)(0.01f); arr((i % 4).toInt * 16) = 1.0f; (i, arr)
+    }.toDF("vec_id", "embedding")
+    val annDir = java.nio.file.Files.createTempDirectory("graft_facade_ann").toString
+    g.annIndexBuild(vecs, annDir, dims = 64, ivfK = 4, pqM = 4, pqK = 4)
+    val q = vecs.limit(2)
+    val pq = g.annPqTopKEncoded(
+      graft.ops.AnnIndex.readPqCodes(spark, annDir), q,
+      graft.ops.AnnIndex.readPqCodebooks(spark, annDir), k = 3)
+    assert(pq.count() > 0)
+    val lsh = g.annLshTopKFromBuckets(vecs,
+      graft.ops.AnnIndex.readLshBuckets(spark, annDir), q, k = 3, hamming = 1)
+    assert(lsh.count() > 0)
+  }
+
   test("writeShards: one parquet directory per shard, rows partition-complete") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, length}
