@@ -31,7 +31,8 @@ object AnnIndex {
 
   /** Train and persist every serving artifact for `corpus`. Returns
     * nothing — the index directory IS the output. Empty corpora
-    * write schema-carrying empty tables (same anchor trick as
+    * write schema-carrying empty tables
+    * ([[TableWrite.withSchemaAnchor]], shared with
     * [[Dedup.writeMinhashIndex]]), so a reload never fails schema
     * inference.
     */
@@ -60,15 +61,6 @@ object AnnIndex {
   def readLshBuckets(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/lsh_buckets")
 
-  /** Parquet write that always leaves a schema-carrying file, even
-    * for a zero-row table (one empty partition is appended — an
-    * empty-partition task writes a footer with the schema).
-    */
-  private def writeTable(df: DataFrame, path: String): Unit = {
-    val spark = df.sparkSession
-    val anchor = spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
-      df.schema)
-    df.union(anchor).write.mode("overwrite").parquet(path)
-  }
+  private def writeTable(df: DataFrame, path: String): Unit =
+    TableWrite.withSchemaAnchor(df, path)
 }

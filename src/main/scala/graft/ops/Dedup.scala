@@ -487,15 +487,10 @@ object Dedup {
     */
   def writeMinhashIndex(df: DataFrame, idCol: String, textCol: String,
                         path: String, k: Int = 16, n: Int = 3,
-                        append: Boolean = false): Unit = {
-    val sigs = minhashSignaturesWide(df, idCol, textCol, k, n)
-    val spark = df.sparkSession
-    val schemaAnchor = spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
-      sigs.schema)
-    sigs.union(schemaAnchor)
-      .write.mode(if (append) "append" else "overwrite").parquet(path)
-  }
+                        append: Boolean = false): Unit =
+    TableWrite.withSchemaAnchor(
+      minhashSignaturesWide(df, idCol, textCol, k, n), path,
+      if (append) "append" else "overwrite")
 
   /** Load a [[writeMinhashIndex]] signature index. */
   def readMinhashIndex(spark: SparkSession, path: String): DataFrame =
@@ -537,7 +532,15 @@ object Dedup {
     * When `appendSignatures` is set (the default), ALL increment
     * signatures — dropped docs' included, see [[writeMinhashIndex]] —
     * are appended to the index, so the next increment needs no
-    * separate index-maintenance step.
+    * separate index-maintenance step. The append runs eagerly at
+    * call time; the returned plan is safe against it (its file
+    * listing snapshots at entry), and a RETRY of the same shard
+    * against the already-appended index reproduces the IDENTICAL
+    * verdict: the cross join keeps only `index_id < inc_id` pairs —
+    * a no-op for genuine index docs (ingestion-order contract) and
+    * exactly the min-id rule against the shard's own appended
+    * signatures, so neither a doc's own signature nor a larger
+    * retried doc's can drop it (spec-proven in OpsSpec).
     *
     * Scale: the index never re-scans source text — each ingest pays
     * its own signature pass plus two banded equi-joins; the
@@ -552,19 +555,24 @@ object Dedup {
     require(k % bands == 0, "k must divide into bands")
     val spark = inc.sparkSession
     val idx = readMinhashIndex(spark, indexPath)
-    val wide = minhashSignaturesWide(inc, idCol, textCol, k, n).localCheckpoint()
-    val incBands = lshBandRows(wide, k, bands)
-    val crossCand = incBands.as("x")
+    // eager pin: the signature table has four consumers (cross join,
+    // estimate, within-pairs, the append) — a lazy pin would let the
+    // AQE broadcast thread race the main thread into recomputing it
+    val wide = minhashSignaturesWide(inc, idCol, textCol, k, n).localCheckpoint(true)
+    val crossCand = lshBandRows(wide, k, bands).as("x")
       .join(lshBandRows(idx, k, bands).as("y"),
-        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash"))
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          // min-id-wins made explicit: a no-op for genuine index docs
+          // (all indexed ids precede all increment ids by the
+          // ingestion-order contract), and exactly the batch rule for
+          // a RETRY whose own shard signatures were already appended —
+          // neither a doc's own signature nor a LARGER retried doc's
+          // can drop it
+          col("y.id") < col("x.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
     val crossDrops = estimatePairs(crossCand, wide, idx, k, threshold)
       .select(col("id_a").as("_drop"))
-    val withinCand = incBands.as("x").join(incBands.as("y"),
-        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    val withinDrops = estimatePairs(withinCand, wide, wide, k, threshold)
+    val withinDrops = minhashLshPairsFromSigs(wide, k, bands, threshold)
       .select(col("id_b").as("_drop"))
     val drops = crossDrops.union(withinDrops).distinct()
     val kept = inc.join(broadcast(drops), inc(idCol) === col("_drop"), "left_anti")

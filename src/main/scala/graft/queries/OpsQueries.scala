@@ -845,8 +845,9 @@ object OpsQueries {
           val bnd = maxId.asInstanceOf[Long] * 3 / 5
           val old = docs.where(col("doc_id") <= bnd)
           val inc = docs.where(col("doc_id") > bnd)
-          val idxPath = java.nio.file.Files
-            .createTempDirectory("graft_mh_index").toString
+          // scratch index, reclaimed at JVM exit — a multi-sweep bench
+          // run must not accumulate orphaned signature trees in /tmp
+          val idxPath = graft.ops.TableWrite.scratchDir("graft_mh_index")
           Dedup.writeMinhashIndex(old, "doc_id", "text", idxPath, k = 16, n = 3)
           // the corpus's own dup pairs come FROM the index it just
           // wrote — the corpus text is signature-hashed exactly once

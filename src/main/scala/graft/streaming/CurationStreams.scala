@@ -181,16 +181,29 @@ object CurationStreams {
   def dedupExact(docs: org.apache.spark.sql.Dataset[DedupDoc])
       : org.apache.spark.sql.Dataset[DedupDoc] = {
     import docs.sparkSession.implicits._
+    dedupExactBy(docs)(_.text, _.doc_id)
+  }
+
+  /** [[dedupExact]] generalized over the row type: first-seen-wins on
+    * the md5 of `text(row)`, within-batch keeper = min `order(row)` —
+    * so a richer pipeline row (e.g. one already carrying its token
+    * count) dedups without being squeezed through [[DedupDoc]].
+    */
+  def dedupExactBy[T](docs: org.apache.spark.sql.Dataset[T])
+                     (text: T => String, order: T => Long)
+                     (implicit enc: org.apache.spark.sql.Encoder[T])
+      : org.apache.spark.sql.Dataset[T] = {
+    import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     docs.groupByKey { d =>
       java.security.MessageDigest.getInstance("MD5")
-        .digest(d.text.getBytes("UTF-8"))
+        .digest(text(d).getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-    }.flatMapGroupsWithState[Boolean, DedupDoc](
+    }.flatMapGroupsWithState[Boolean, T](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
       case (_, it, state) =>
         if (state.exists) Iterator.empty
-        else { state.update(true); Iterator.single(it.minBy(_.doc_id)) }
+        else { state.update(true); Iterator.single(it.minBy(order)) }
     }
   }
 
@@ -288,6 +301,14 @@ object CurationStreams {
     * map work; the benchmark gram row broadcasts once. Output:
     * (doc_id, source, n_tokens) of admitted documents.
     */
+  /** Pipeline row carrying its token count through the chain, so the
+    * tokenizer kernel runs ONCE per document (repetitionStats already
+    * pays it; its n_tokens field is kernel-parity-pinned to
+    * tokenCount).
+    */
+  final case class CurateDoc(doc_id: Long, text: String, source: String,
+                             n_tokens: Long)
+
   def curateChain(docs: org.apache.spark.sql.Dataset[DedupDoc],
                   gramRow: DataFrame, budgetPerKey: Long,
                   minTokens: Long = 25, maxDupFrac: Double = 0.55,
@@ -297,15 +318,15 @@ object CurationStreams {
     val q = docs.toDF()
       .withColumn("_r", TextAnalysis.repetitionStats(col("text")))
       .where(col("_r.n_tokens") >= minTokens && col("_r.dup_word_frac") <= maxDupFrac)
-      .drop("_r")
-    val deduped = dedupExact(q.as[DedupDoc])
+      .select(col("doc_id"), col("text"), col("source"),
+        col("_r.n_tokens").cast("long").as("n_tokens"))
+      .as[CurateDoc]
+    val deduped = dedupExactBy(q)(_.text, _.doc_id)
     val clean = graft.ops.Decontaminate
       .overlapWithGramRow(deduped.toDF(), gramRow, "text", n, decontamMinHits)
       .where(!col("contaminated"))
     tokenBudgetGate(
-      clean.select(col("doc_id"), col("source"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
-        .as[BudgetDoc],
+      clean.select(col("doc_id"), col("source"), col("n_tokens")).as[BudgetDoc],
       budgetPerKey)
   }
 

@@ -68,6 +68,19 @@ class OpsSpec extends AnyFunSuite {
     // and the index now carries every ingested doc's signatures
     assert(Dedup.readMinhashIndex(spark, idx).select("id")
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+
+    // RETRY identity: re-running a shard whose signatures were already
+    // appended (a failed consumer retried) returns the identical
+    // verdict — neither a doc's own appended signature nor a larger
+    // retried doc's can drop it
+    val retry2 = Dedup.dedupIncrement(part2, "doc_id", "text", idx,
+        k = 16, bands = 4, n = 3, threshold = t, appendSignatures = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val retry3 = Dedup.dedupIncrement(part3, "doc_id", "text", idx,
+        k = 16, bands = 4, n = 3, threshold = t, appendSignatures = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(retry2 == kept2 && retry3 == kept3,
+      s"retry must be idempotent: $retry2 vs $kept2; $retry3 vs $kept3")
   }
 
   test("ngram jaccard ranks near-dup above unrelated") {

@@ -14,8 +14,22 @@ ANCHOR_NAMES = ("q1_pricing_summary", "q3_join_agg")
 def main():
     out, files = sys.argv[1], sys.argv[2:]
     qs, runs = {}, 0
+    ref_keys, ref_sf = None, None
     for f in files:
         d = json.load(open(f))
+        # refuse tail summaries (top-10 only) and mixed inputs: every
+        # sweep must cover the SAME query set at the SAME scale, or the
+        # folded "total" silently sums a union and lies
+        if "queries_file" in d:
+            sys.exit(f"{f} is a tail SUMMARY (top-10 queries only) — "
+                     f"fold the bench_out.json files it points at instead")
+        keys, sf = set(d["queries"]), d.get("sf")
+        if ref_keys is None:
+            ref_keys, ref_sf = keys, sf
+        elif keys != ref_keys or sf != ref_sf:
+            sys.exit(f"{f} disagrees with {files[0]}: "
+                     f"{len(keys ^ ref_keys)} query-set differences, "
+                     f"sf {sf!r} vs {ref_sf!r} — refusing to fold")
         runs += d.get("runs", 0)
         for k, v in d["queries"].items():
             qs[k] = min(qs.get(k, v), v)
