@@ -806,6 +806,39 @@ final class Graft(val spark: SparkSession, stateDir: String) {
     graft.ops.AnnIndex.build(corpus, idCol, vecCol, path, dims, ivfK, pqM,
       pqK, planes, iters)
 
+  /** Ingest a new shard into an [[annIndexBuild]] directory with
+    * FROZEN codebooks (no retraining, no touch of indexed rows) —
+    * the production index-maintenance shape.
+    */
+  def annIndexAppend(inc: DataFrame, path: String,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit =
+    graft.ops.AnnIndex.append(inc, idCol, vecCol, path)
+
+  /** N-gram decontamination through a Bloom-filter candidate stage —
+    * exactly [[contaminationCheck]]'s verdicts (the exact join kills
+    * every false positive), for eval suites whose gram set outgrows
+    * the broadcast envelope.
+    */
+  def contaminationBloom(docs: DataFrame, bench: DataFrame,
+                         idCol: String = "doc_id",
+                         textCol: String = "text", n: Int = 3,
+                         minHits: Int = 1,
+                         expectedGrams: Long = 1L << 20,
+                         fpp: Double = 0.03): DataFrame =
+    graft.ops.Decontaminate.overlapBloom(docs, bench, idCol, textCol, n,
+      minHits, expectedGrams, fpp)
+
+  /** The apply step of [[contaminationBloom]]. */
+  def decontaminateBloom(docs: DataFrame, bench: DataFrame,
+                         idCol: String = "doc_id",
+                         textCol: String = "text", n: Int = 3,
+                         minHits: Int = 1,
+                         expectedGrams: Long = 1L << 20,
+                         fpp: Double = 0.03): DataFrame =
+    graft.ops.Decontaminate.dropBloom(docs, bench, idCol, textCol, n,
+      minHits, expectedGrams, fpp)
+
   /** PQ ADC top-k over a PRE-ENCODED corpus (codes reloaded from an
     * [[annIndexBuild]] directory) — cold-start serving pays neither
     * training nor the encode pass.

@@ -21,6 +21,17 @@ import org.apache.spark.sql.functions._
   * longs round-trip parquet exactly, and every serving path is
   * deterministic given its tables.
   *
+  * `build` also persists a one-row `<path>/manifest` (dims, ivf_k,
+  * pq_m, pq_k, planes, iters) so maintenance and serving recover the
+  * build parameters from the index itself, and [[append]] ingests a
+  * NEW shard into an existing index without retraining: the frozen
+  * codebooks/planes encode the increment in one map-side pass and
+  * the new codes/buckets append — the standard production contract
+  * (codebooks freeze at index build; re-training is a new index
+  * version). The appended index serves bit-identically to encoding
+  * the full corpus against the original codebooks (oracle row
+  * `ann_index_append`; serving equivalence spec-proven in OpsSpec).
+  *
   * Scale: the centroid/codebook tables are configuration-sized (k ×
   * dims); pq_codes is m bytes-per-vector scale and lsh_buckets one
   * short string per vector — both orders of magnitude smaller than
@@ -47,6 +58,54 @@ object AnnIndex {
       corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cb), s"$path/pq_codes")
     writeTable(corpus.select(col(idCol),
       Similarity.lshBucket(col(vecCol), planes).as("bucket")), s"$path/lsh_buckets")
+    import corpus.sparkSession.implicits._
+    writeTable(Seq((dims, ivfK, pqM, pqK, planes, iters))
+      .toDF("dims", "ivf_k", "pq_m", "pq_k", "planes", "iters"),
+      s"$path/manifest")
+  }
+
+  /** The build parameters persisted with the index, as
+    * (dims, ivf_k, pq_m, pq_k, planes, iters). */
+  def readManifest(spark: SparkSession, path: String): (Int, Int, Int, Int, Int, Int) = {
+    val r = spark.read.parquet(s"$path/manifest")
+      .select(col("dims"), col("ivf_k"), col("pq_m"), col("pq_k"),
+        col("planes"), col("iters")).head()
+    (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))
+  }
+
+  /** Ingest a NEW shard into an existing index without retraining:
+    * the persisted codebooks and plane count (recovered from the
+    * manifest) encode the increment in one map-side pass each, and
+    * the resulting codes/buckets APPEND to `pq_codes`/`lsh_buckets`.
+    * The IVF centroid table is untouched — IVF serving derives
+    * assignments from the corpus floats against the frozen
+    * centroids, so it needs no per-shard artifact.
+    *
+    * Frozen-codebook semantics are the production contract: an
+    * appended index serves EXACTLY as if the full corpus had been
+    * encoded at build time against the original codebooks (the
+    * argmax encode is per-row, so it decomposes over shards) — NOT
+    * as if the index were rebuilt with the union as training data.
+    * Drift that large deserves a new index version, not an append.
+    *
+    * Scale: each ingest pays one scan of its own shard — m
+    * plan-literal argmaxes plus the plane projection, no shuffle, no
+    * touch of previously indexed data. Like
+    * [[Dedup.dedupIncrement]]'s signature append, a retried shard
+    * re-appends its rows; serving dedups nothing, so exactly-once
+    * ingestion is the caller's contract (drop-and-reingest the shard
+    * directory, or route through a transactional table format).
+    */
+  def append(inc: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val spark = inc.sparkSession
+    val (_, _, _, _, planes, _) = readManifest(spark, path)
+    val cb = readPqCodebooks(spark, path)
+    TableWrite.withSchemaAnchor(Similarity.pqEncode(
+      inc.select(col(idCol), col(vecCol)), idCol, vecCol, cb),
+      s"$path/pq_codes", "append")
+    TableWrite.withSchemaAnchor(inc.select(col(idCol),
+      Similarity.lshBucket(col(vecCol), planes).as("bucket")),
+      s"$path/lsh_buckets", "append")
   }
 
   def readIvfCentroids(spark: SparkSession, path: String): DataFrame =

@@ -104,6 +104,74 @@ object Decontaminate {
       .where(!col("contaminated"))
       .drop("n_hits", "contaminated")
 
+  /** [[overlap]] with a Bloom-filter candidate stage — the scale arm
+    * for eval suites whose distinct-gram set outgrows the
+    * broadcast-hash-join envelope. The gram set sketches into one
+    * Bloom bitset (Spark's own `BloomFilterAggregate` over
+    * `xxhash64(gram)`, merged distributedly; ~0.9 MB per million
+    * grams at 3% fpp — an order of magnitude under the equivalent
+    * join hash relation of gram strings), which rides the corpus
+    * scan as a plan literal: the corpus gram stream prefilters
+    * MAP-SIDE with `BloomFilterMightContain` (codegen'd, the
+    * expression pair Spark's runtime row-level filtering uses), so
+    * only true hits plus an `fpp` sliver ever reach the exchange.
+    * The exact equi-join against the gram table then kills every
+    * false positive — Bloom fpp AND 64-bit hash collisions alike —
+    * so the output is EXACTLY [[overlap]]'s (oracle row
+    * `decontaminate_bloom` shares overlap's SQL; equivalence
+    * spec-proven in OpsSpec, including under a forced-high fpp).
+    *
+    * The sketch collect is one binary of `optimalNumOfBits/8` bytes
+    * — configuration-sized by construction, like every plan-literal
+    * model in this library. Size `expectedGrams` at or above the
+    * true distinct-gram count; undersizing only raises the false-
+    * positive sliver (more exact-join work), never changes results.
+    */
+  def overlapBloom(docs: DataFrame, bench: DataFrame, idCol: String,
+                   textCol: String, n: Int = 3, minHits: Int = 1,
+                   expectedGrams: Long = 1L << 20,
+                   fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val benchGrams = Spread.ifNarrowAndBig(bench)
+      .select(explode(Dedup.shingles(col(textCol), n)).as("_gram"))
+      .distinct()
+    val numBits =
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedGrams, fpp)
+    val bfAgg = ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(col("_gram"))),
+      Literal(expectedGrams), Literal(numBits)).toAggregateExpression())
+    val bf = benchGrams.agg(bfAgg.as("_bf")).head().getAs[Array[Byte]]("_bf")
+    // empty benchmark (the aggregate yields NULL) → nothing can leak
+    if (bf == null)
+      return docs.withColumn("n_hits", lit(0L))
+        .withColumn("contaminated", lit(false))
+    val mightHit = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bf, org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expression(xxhash64(col("_s")))))
+    val hits = Dedup.shingleRows(docs, idCol, textCol, Nil, n)
+      .where(mightHit)
+      .join(benchGrams, col("_s") === col("_gram"))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    docs.join(hits, docs(idCol) === hits("_id"), "left")
+      .drop("_id")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contaminated", col("n_hits") >= minHits)
+  }
+
+  /** Keep only uncontaminated documents via the Bloom candidate
+    * stage (the apply step of [[overlapBloom]]).
+    */
+  def dropBloom(docs: DataFrame, bench: DataFrame, idCol: String,
+                textCol: String, n: Int = 3, minHits: Int = 1,
+                expectedGrams: Long = 1L << 20,
+                fpp: Double = 0.03): DataFrame =
+    overlapBloom(docs, bench, idCol, textCol, n, minHits, expectedGrams, fpp)
+      .where(!col("contaminated"))
+      .drop("n_hits", "contaminated")
+
   /** Embedding-space (semantic) decontamination: annotate `docs`
     * with the nearest BENCHMARK vector (`bench_id`, `bench_cosine`)
     * and `contaminated` = cosine ≥ threshold — catching the

@@ -235,6 +235,31 @@ object OpsQueries {
        |$encodes)""".stripMargin
   }
 
+  /** PQ training chain restricted to `trainPred` rows — the
+    * frozen-codebook index-append oracle: codebooks come from the
+    * ORIGINAL build corpus only, while encode/serve CTEs downstream
+    * (pqEncFixture / pqAdcChain) run over the full table. Ends with
+    * `cb(sub, code, cv)` — the same contract as [[pqFixtureCb]], so
+    * the fixture serving CTEs compose unchanged.
+    */
+  private def pqTrainOnCtes(m: Int, k: Int, iters: Int, dims: Int,
+                            trainPred: String): String = {
+    val w = dims / m
+    val chains = (0 until m).map { j =>
+      val lo = j * w + 1
+      val hi = j * w + w
+      s"""s${j}tr AS (SELECT vec_id, embedding[$lo:$hi] AS embedding
+         |            FROM embeddings WHERE $trainPred),
+         |${trainCtes(k, iters, w, src = s"s${j}tr", p = s"s${j}_")}""".stripMargin
+    }.mkString(",\n")
+    val cb = (0 until m)
+      .map(j => s"  SELECT $j AS sub, ci AS code, cv FROM s${j}_cent$iters")
+      .mkString("\n  UNION ALL\n")
+    s"""$chains,
+       |cb AS (
+       |$cb)""".stripMargin
+  }
+
   private def trainOracleSql(k: Int, iters: Int, dims: Int): String =
     s"""WITH ${trainCtes(k, iters, dims)},
        |expanded AS (
@@ -1866,6 +1891,36 @@ object OpsQueries {
               |WHERE g.source <> 'src0'
               |ORDER BY g.doc_id""".stripMargin)),
 
+    // the Bloom-candidate scale arm of the same test: the eval gram
+    // set sketches to one plan-literal bitset that prefilters the
+    // corpus gram stream MAP-SIDE, and the exact join over the
+    // survivors kills every false positive — so the oracle is the
+    // EXACT overlap SQL, not an approximation. The arm for eval
+    // suites too large to broadcast as a join hash relation.
+    Q("decontaminate_bloom",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val docs = s.table("documents")
+        graft.ops.Decontaminate.overlapBloom(
+            docs.where(col("source") =!= "src0"),
+            docs.where(col("source") === "src0"),
+            "doc_id", "text", n = 3, minHits = 1)
+          .select(col("doc_id"), col("n_hits"), col("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, source, $oracleToks AS toks FROM documents),
+              |g AS (
+              |  SELECT doc_id, source, $oracleShingles AS gs FROM d),
+              |bg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE source = 'src0'),
+              |dg AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE source <> 'src0'),
+              |h AS (SELECT dg.doc_id, COUNT(*) AS n_hits FROM dg JOIN bg USING (gram) GROUP BY dg.doc_id)
+              |SELECT g.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+              |       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+              |FROM g LEFT JOIN h ON g.doc_id = h.doc_id
+              |WHERE g.source <> 'src0'
+              |ORDER BY g.doc_id""".stripMargin)),
+
     // end-to-end curation pipeline: quality filter (token count +
     // duplicate-word fraction) → exact-dup drop → benchmark
     // decontamination → deterministic train/val/test split. One plan:
@@ -3257,5 +3312,42 @@ object OpsQueries {
               |  FROM exact)
               |SELECT query_id, rank, nn_id, ROUND(cos, 6) AS cosine
               |FROM rranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // incremental index ingest with FROZEN codebooks — the production
+    // index-maintenance shape: the first 60% of vectors play the
+    // original build corpus (codebooks train on THEM alone, persisted
+    // with a manifest), the rest arrive as a new shard encoded by
+    // AnnIndex.append against those frozen codebooks with no
+    // retraining and no touch of the already-indexed rows. The dumped
+    // code table must equal encoding the FULL corpus against the
+    // subset-trained codebook — the per-row argmax decomposes over
+    // shards, so an append loses nothing vs a monolithic encode.
+    Q("ann_index_append",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val emb = s.table("embeddings")
+        val maxId = emb.agg(max(col("vec_id"))).head().get(0)
+        if (maxId == null) {
+          emb.selectExpr("vec_id", "CAST(0 AS BIGINT) AS sub",
+            "CAST(0 AS BIGINT) AS code").where(lit(false))
+        } else {
+          val bnd = maxId.asInstanceOf[Long] * 3 / 5
+          val idxPath = graft.ops.TableWrite.scratchDir("graft_ann_idx")
+          graft.ops.AnnIndex.build(emb.where(col("vec_id") <= bnd),
+            "vec_id", "embedding", idxPath,
+            dims = 64, ivfK = 4, pqM = 4, pqK = 4, planes = 8, iters = 2)
+          graft.ops.AnnIndex.append(emb.where(col("vec_id") > bnd),
+            "vec_id", "embedding", idxPath)
+          graft.ops.AnnIndex.readPqCodes(s, idxPath)
+            .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+            .selectExpr("vec_id", "CAST(sub AS BIGINT) AS sub", "code")
+            .orderBy(col("vec_id"), col("sub"))
+        }
+      },
+      Some(s"""WITH ${pqTrainOnCtes(m = 4, k = 4, iters = 2, dims = 64,
+                trainPred = "vec_id <= (SELECT MAX(vec_id) * 3 // 5 FROM embeddings)")},
+              |${pqEncFixture()}
+              |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+              |FROM pqenc ORDER BY vec_id, sub""".stripMargin)),
   )
 }

@@ -356,6 +356,61 @@ object CurationStreams {
       .start()
   }
 
+  /** Near-duplicate (MinHash-LSH) dedup as a CONTINUOUS ingest: each
+    * micro-batch dedups against the accumulated signature index via
+    * [[graft.ops.Dedup.dedupIncrement]] — which also appends the
+    * batch's own signatures — and the survivors append to `outDir`
+    * as parquet. The state is the persisted parquet index itself,
+    * NOT the state store: a web corpus's signatures (k longs per
+    * document EVER ingested, survivors and dropped alike) outgrow
+    * any per-executor state store, but live naturally as a parquet
+    * table banded-joined per batch — and the same index doubles as
+    * the [[graft.ops.Dedup.minhashLshPairsFromSigs]] input for
+    * retro-profiling the accumulated corpus. A missing index
+    * initializes empty (schema-anchored) at stream start.
+    *
+    * Contracts — each inherited from [[graft.ops.Dedup.dedupIncrement]]
+    * and spec-proven in EventStreamsSpec: ids arrive in nondecreasing
+    * ingestion order across batches (the min-id-wins decomposition);
+    * the union of survivor batches equals the FULL-corpus batch
+    * dedup of everything ever streamed. Delivery is at-least-once AT
+    * THE SINK: a micro-batch replayed after a crash between the
+    * parquet append and the checkpoint commit re-derives the
+    * IDENTICAL survivor verdict (the retry proof — a doc's own
+    * already-appended signatures cannot drop it) but appends those
+    * survivor rows again, so exactly-once needs an idempotent
+    * downstream (read with `dropDuplicates(idCol)`, or a
+    * transactional table format as the sink).
+    */
+  def startIncrementalDedupStream(
+      spark: SparkSession, sourceDir: String, indexPath: String,
+      outDir: String, checkpointDir: String, schema: StructType,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 16, bands: Int = 4, n: Int = 3, threshold: Double = 0.5,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val hPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hPath))
+      graft.ops.Dedup.writeMinhashIndex(
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], schema),
+        idCol, textCol, indexPath, k, n)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+    val perBatch: (DataFrame, Long) => Unit = { (batch, _) =>
+      graft.ops.Dedup.dedupIncrement(batch, idCol, textCol, indexPath,
+          k, bands, n, threshold)
+        .write.mode("append").parquet(outDir)
+    }
+    src.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(perBatch)
+      .start()
+  }
+
   /** Start the stateful dedup stream from a parquet directory source
     * into a named memory sink. `maxFilesPerTrigger = 1` makes each
     * source file its own micro-batch, so cross-batch state is

@@ -979,6 +979,33 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("bloom decontamination is exactly overlap, even under a forced-high fpp") {
+    graft.core.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val docs = spark.table("documents")
+    val corpus = docs.where($"source" =!= "src0")
+    val bench = docs.where($"source" === "src0")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"n_hits", $"contaminated")
+        .collect().map(_.toSeq).toSet
+    val exact = rows(Decontaminate.overlap(corpus, bench, "doc_id", "text", n = 3))
+    // a well-sized filter and a grossly undersized one (≈saturated →
+    // near-every gram a candidate) must BOTH reproduce overlap bit-
+    // for-bit: the exact join kills every false positive
+    for ((items, fpp) <- Seq((1L << 20, 0.03), (2L, 0.5))) {
+      val got = rows(Decontaminate.overlapBloom(corpus, bench, "doc_id", "text",
+        n = 3, minHits = 1, expectedGrams = items, fpp = fpp))
+      assert(got == exact && got.exists(_(2) == true))
+    }
+    // empty benchmark → nothing flagged, schema intact
+    val none = Decontaminate.overlapBloom(corpus, bench.where(lit(false)),
+      "doc_id", "text", n = 3)
+    assert(none.where($"contaminated").count() == 0)
+    assert(rows(Decontaminate.dropBloom(corpus, bench, "doc_id", "text", n = 3)
+        .withColumn("n_hits", lit(0L)).withColumn("contaminated", lit(false))) ==
+      rows(Decontaminate.drop(corpus, bench, "doc_id", "text", n = 3)
+        .withColumn("n_hits", lit(0L)).withColumn("contaminated", lit(false))))
+  }
+
   test("capPerKey keeps the N smallest hashes per key, identical to a single window") {
     import org.apache.spark.sql.expressions.Window
     val rows = (0L until 200L).map(i => (i, s"k${i % 3}")).toDF("id", "k")
@@ -2038,6 +2065,43 @@ class OpsSpec extends AnyFunSuite {
 
     val lshCold = Similarity.lshTopKFromBuckets(emb2,
       AnnIndex.readLshBuckets(s2, path), q2, "vec_id", "embedding",
+      k = 10, planes = 8, hamming = 1)
+    val lshLive = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+      k = 10, planes = 8, hamming = 1)
+    assert(rows(lshCold) == rows(lshLive) && rows(lshCold).nonEmpty)
+  }
+
+  test("ANN index append: frozen-codebook ingest serves as if the union were encoded at build") {
+    graft.core.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val emb = spark.table("embeddings")
+    val bnd = emb.agg(max(col("vec_id"))).head().getLong(0) * 3 / 5
+    val old = emb.where(col("vec_id") <= bnd)
+    val inc = emb.where(col("vec_id") > bnd)
+    assert(old.count() > 0 && inc.count() > 0)
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_app").toString
+    AnnIndex.build(old, "vec_id", "embedding", path,
+      dims = 64, ivfK = 4, pqM = 4, pqK = 4, planes = 8, iters = 2)
+    assert(AnnIndex.readManifest(spark, path) == (64, 4, 4, 4, 8, 2))
+    AnnIndex.append(inc, "vec_id", "embedding", path)
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    // the appended code table IS the full corpus encoded against the
+    // codebooks trained on the ORIGINAL build corpus — the frozen-
+    // codebook contract, bit-exact (argmax encode decomposes per row)
+    val cbOld = AnnIndex.readPqCodebooks(spark, path)
+    assert(rows(AnnIndex.readPqCodes(spark, path)) ==
+      rows(Similarity.pqEncode(emb.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", cbOld)))
+    // and serving from the appended index matches serving computed
+    // live over the union with those same codebooks, bit-identically
+    val queries = emb.where(col("vec_id") < 5)
+    val servedCold = Similarity.pqTopKEncoded(AnnIndex.readPqCodes(spark, path),
+      queries, "vec_id", "embedding", cbOld, k = 10)
+    val servedLive = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      cbOld, k = 10)
+    assert(rows(servedCold) == rows(servedLive) && rows(servedCold).nonEmpty)
+    val lshCold = Similarity.lshTopKFromBuckets(emb,
+      AnnIndex.readLshBuckets(spark, path), queries, "vec_id", "embedding",
       k = 10, planes = 8, hamming = 1)
     val lshLive = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
       k = 10, planes = 8, hamming = 1)

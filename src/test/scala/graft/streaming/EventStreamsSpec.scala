@@ -710,6 +710,58 @@ class EventStreamsSpec extends AnyFunSuite {
       s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
 
+  test("incremental near-dup dedup stream: survivors equal the full-corpus batch dedup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.core.Tables.registerAll(spark, dir)
+    val corpus = spark.table("documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val mid = corpus.agg(avg(col("doc_id"))).head().getDouble(0).toLong
+    val maxId = corpus.agg(max(col("doc_id"))).head().getLong(0)
+    // slice 2 carries a synthetic CROSS-BATCH near-duplicate: a fresh
+    // id replaying a slice-1 text verbatim — only the persisted index
+    // can drop it, the batch holds no other state
+    val donor = corpus.where(col("doc_id") <= mid).orderBy(col("doc_id"))
+      .limit(1).select(col("text"), col("source")).head()
+    val synth = Seq((maxId + 1, donor.getString(0), donor.getString(1)))
+      .toDF("doc_id", "text", "source")
+    val slice1 = corpus.where(col("doc_id") <= mid)
+    val slice2 = corpus.where(col("doc_id") > mid).union(synth)
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
+    Seq(slice1 -> "b1", slice2 -> "b2").foreach { case (df, name) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$srcDir/_stage_$name")
+      val part = new java.io.File(s"$srcDir/_stage_$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(s"$srcDir/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1000000000000L + (if (name == "b1") 0 else 60000L)))
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_incded_state").toString
+    val q = CurationStreams.startIncrementalDedupStream(
+      spark, srcDir, s"$base/index", s"$base/out", s"$base/cp",
+      corpus.schema, k = 16, bands = 4, n = 3, threshold = 0.25)
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(s"$base/out")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val union = slice1.union(slice2)
+    val batch = graft.ops.Dedup.dropPairedDuplicates(union, "doc_id",
+        graft.ops.Dedup.minhashLshPairs(union, "doc_id", "text",
+          k = 16, bands = 4, n = 3, threshold = 0.25))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!streamed.contains(maxId + 1) && !batch.contains(maxId + 1),
+      "the cross-batch replay must be dropped via the persisted index")
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    // the index accumulated EVERY streamed doc's signature row —
+    // dropped docs included (the min-id-wins completeness contract)
+    assert(graft.ops.Dedup.readMinhashIndex(spark, s"$base/index").count() ==
+      union.count())
+  }
+
   test("stateful streaming token-budget gate: single batch equals the batch operator") {
     import org.apache.spark.sql.functions.col
     graft.core.Tables.registerAll(spark, dir)
