@@ -795,6 +795,27 @@ final class Graft(val spark: SparkSession, stateDir: String) {
     graft.ops.Dedup.dedupIncrement(inc, idCol, textCol, indexPath, k, bands,
       n, threshold, appendSignatures)
 
+  /** Persist a corpus's span-gram index — the accumulated state
+    * [[dedupSpansIncrement]] cuts each new shard's duplicated
+    * substrings against.
+    */
+  def spanIndexWrite(df: DataFrame, path: String, idCol: String = "doc_id",
+                     textCol: String = "text", n: Int = 8,
+                     append: Boolean = false): Unit =
+    graft.ops.Dedup.writeSpanGramIndex(df, idCol, textCol, path, n, append)
+
+  /** Cut duplicated token spans out of a new shard against a
+    * persisted gram index without re-hashing the corpus; appends the
+    * shard's own grams so the next ingest needs no maintenance step.
+    */
+  def dedupSpansIncrement(inc: DataFrame, indexPath: String,
+                          idCol: String = "doc_id",
+                          textCol: String = "text", n: Int = 8,
+                          crossDocOnly: Boolean = true,
+                          appendGrams: Boolean = true): DataFrame =
+    graft.ops.Dedup.removeDuplicateSpansIncrement(inc, idCol, textCol,
+      indexPath, n, crossDocOnly, appendGrams)
+
   /** Train and persist every ANN serving artifact (IVF centroids, PQ
     * codebooks + codes, LSH buckets) to one parquet directory — the
     * cold-start index a fresh session serves from bit-identically.
@@ -814,6 +835,19 @@ final class Graft(val spark: SparkSession, stateDir: String) {
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): Unit =
     graft.ops.AnnIndex.append(inc, idCol, vecCol, path)
+
+  /** Small-files maintenance for the three persisted-index families
+    * (append-accumulated parquet → `parts` files, atomic-swap
+    * rewrite; the span form also merges per-gram minima).
+    */
+  def dedupIndexCompact(path: String, parts: Int = 32): Unit =
+    graft.ops.Dedup.compactMinhashIndex(spark, path, parts)
+
+  def spanIndexCompact(path: String, parts: Int = 32): Unit =
+    graft.ops.Dedup.compactSpanGramIndex(spark, path, parts)
+
+  def annIndexCompact(path: String, parts: Int = 32): Unit =
+    graft.ops.AnnIndex.compact(spark, path, parts)
 
   /** N-gram decontamination through a Bloom-filter candidate stage —
     * exactly [[contaminationCheck]]'s verdicts (the exact join kills

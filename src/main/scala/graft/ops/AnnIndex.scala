@@ -120,6 +120,17 @@ object AnnIndex {
   def readLshBuckets(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/lsh_buckets")
 
+  /** Compact the two append-accumulating tables (`pq_codes`,
+    * `lsh_buckets`) after a run of [[append]]s — file layout only,
+    * rows unchanged ([[TableWrite.compact]]'s swap contract). The
+    * centroid/codebook/manifest tables never grow, so they never
+    * need it.
+    */
+  def compact(spark: SparkSession, path: String, parts: Int = 32): Unit = {
+    TableWrite.compact(spark, s"$path/pq_codes", parts)
+    TableWrite.compact(spark, s"$path/lsh_buckets", parts)
+  }
+
   private def writeTable(df: DataFrame, path: String): Unit =
     TableWrite.withSchemaAnchor(df, path)
 }

@@ -210,18 +210,73 @@ object Dedup {
     * ~1e-10 per gram pair — the standard trade for never shuffling
     * gram strings.
     */
-  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-                     n: Int = 8, crossDocOnly: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // the gram table pins eagerly: the dup-gram aggregate and the
-    // position probe both read it, and unpinned each branch would
-    // re-run the ShingleHashes kernel (the expensive pass)
-    val grams = Spread.ifNarrow(df, col(idCol))
+  /** The positional gram-hash stream duplicateSpans and the span-gram
+    * index build share: one (doc_id, gpos, gh) row per token n-gram
+    * position, docs shorter than `n` excluded. One ShingleHashes
+    * kernel pass; callers pin it when they fan out.
+    */
+  private def spanGrams(df: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame =
+    Spread.ifNarrow(df, col(idCol))
       .where(size(TextAnalysis.tokens(col(textCol))) >= n)
       .select(col(idCol).as("doc_id"),
         posexplode(graft.functions.TextExpressions.shingle_hashes(col(textCol), n))
           .as(Seq("gpos", "gh")))
-      .localCheckpoint(true)
+
+  /** Merge marked gram positions into maximal spans — the island
+    * window shared by the batch and incremental span paths. `hits`
+    * is (doc_id, gpos) with gpos unique per doc; the window is
+    * per-document, bounded by doc length, never corpus-wide.
+    */
+  private def spansFromGramHits(hits: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("gpos")
+    // covers [gpos, gpos+n-1]; merge marks that overlap or touch
+    val prev = lag(col("gpos"), 1).over(w)
+    val island = sum(when(prev.isNull || col("gpos") > prev + n, 1).otherwise(0))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    hits.withColumn("_isl", island)
+      .groupBy(col("doc_id"), col("_isl"))
+      .agg(min("gpos").as("_s"), max("gpos").as("_e"))
+      .select(col("doc_id"),
+        col("_s").cast("long").as("span_start"),
+        (col("_e") + n - 1).cast("long").as("span_end"),
+        (col("_e") + n - col("_s")).cast("long").as("span_tokens"))
+  }
+
+  /** Cut every listed span out of each document's token stream — the
+    * apply tail shared by [[removeDuplicateSpans]] and
+    * [[removeDuplicateSpansIncrement]]. `spans` is duplicateSpans
+    * output; docs without a span row pass through intact.
+    */
+  private def cutSpans(df: DataFrame, idCol: String, textCol: String,
+                       spans: DataFrame): DataFrame = {
+    val grouped = spans
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
+    val toks = TextAnalysis.tokens(col(textCol))
+    // docs with no span row join a NULL _spans — the isNull arm keeps
+    // every token (exists over NULL would yield NULL → drop-all)
+    val kept = filter(col("_t"), (tok, i) =>
+      col("_spans").isNull ||
+        !exists(col("_spans"), s =>
+          i.cast("long") >= s.getField("span_start") &&
+            i.cast("long") <= s.getField("span_end")))
+    df.select(col(idCol).as("doc_id"), toks.as("_t"))
+      .join(grouped, Seq("doc_id"), "left")
+      .withColumn("_k", kept)
+      .select(col("doc_id"),
+        concat_ws(" ", col("_k")).as("clean_text"),
+        size(col("_k")).cast("long").as("n_kept"),
+        (size(col("_t")) - size(col("_k"))).cast("long").as("n_removed"))
+  }
+
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8, crossDocOnly: Boolean = true): DataFrame = {
+    // the gram table pins eagerly: the dup-gram aggregate and the
+    // position probe both read it, and unpinned each branch would
+    // re-run the ShingleHashes kernel (the expensive pass)
+    val grams = spanGrams(df, idCol, textCol, n).localCheckpoint(true)
     // duplicated-gram detection is a two-level fold, NOT a window over
     // gh (round 11): a per-gram window buffers every occurrence of a
     // gram on one task, and at web scale a boilerplate gram in 50% of
@@ -244,18 +299,7 @@ object Dedup {
       .where(if (crossDocOnly) col("_mn") =!= col("_mx") else col("_c") >= 2)
       .select("gh")
     val hits = grams.join(dupSet, "gh").select("doc_id", "gpos")
-    val w = Window.partitionBy("doc_id").orderBy("gpos")
-    // covers [gpos, gpos+n-1]; merge marks that overlap or touch
-    val prev = lag(col("gpos"), 1).over(w)
-    val island = sum(when(prev.isNull || col("gpos") > prev + n, 1).otherwise(0))
-      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    hits.withColumn("_isl", island)
-      .groupBy(col("doc_id"), col("_isl"))
-      .agg(min("gpos").as("_s"), max("gpos").as("_e"))
-      .select(col("doc_id"),
-        col("_s").cast("long").as("span_start"),
-        (col("_e") + n - 1).cast("long").as("span_end"),
-        (col("_e") + n - col("_s")).cast("long").as("span_tokens"))
+    spansFromGramHits(hits, n)
   }
 
   /** The "apply" half of [[duplicateSpans]]: rebuild each document
@@ -274,25 +318,114 @@ object Dedup {
     * token-stream shuffle.
     */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
-                           n: Int = 8, crossDocOnly: Boolean = true): DataFrame = {
-    val spans = duplicateSpans(df, idCol, textCol, n, crossDocOnly)
-      .groupBy("doc_id")
-      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
-    val toks = TextAnalysis.tokens(col(textCol))
-    // docs with no span row join a NULL _spans — the isNull arm keeps
-    // every token (exists over NULL would yield NULL → drop-all)
-    val kept = filter(col("_t"), (tok, i) =>
-      col("_spans").isNull ||
-        !exists(col("_spans"), s =>
-          i.cast("long") >= s.getField("span_start") &&
-            i.cast("long") <= s.getField("span_end")))
-    df.select(col(idCol).as("doc_id"), toks.as("_t"))
-      .join(spans, Seq("doc_id"), "left")
-      .withColumn("_k", kept)
-      .select(col("doc_id"),
-        concat_ws(" ", col("_k")).as("clean_text"),
-        size(col("_k")).cast("long").as("n_kept"),
-        (size(col("_t")) - size(col("_k"))).cast("long").as("n_removed"))
+                           n: Int = 8, crossDocOnly: Boolean = true): DataFrame =
+    cutSpans(df, idCol, textCol,
+      duplicateSpans(df, idCol, textCol, n, crossDocOnly))
+
+  // ── incremental span dedup against a persisted gram index ─────────
+
+  /** Persist a corpus's span-gram index: one (gh, min_doc) row per
+    * DISTINCT n-gram hash — the accumulated state
+    * [[removeDuplicateSpansIncrement]] cleans each NEW shard against,
+    * instead of re-hashing the full corpus per ingest. `min_doc` (the
+    * smallest doc id that contributed the gram in this write) is what
+    * makes a RETRY of an already-appended shard verdict-stable: the
+    * presence test is `index.min_doc < doc_id`, so a doc's own
+    * appended grams can never mark it (see the increment's scaladoc).
+    * Cost is ~8 bytes per distinct gram — the hash inverted index
+    * that replaces Lee et al.'s suffix array, persisted.
+    */
+  def writeSpanGramIndex(df: DataFrame, idCol: String, textCol: String,
+                         path: String, n: Int = 8,
+                         append: Boolean = false): Unit =
+    TableWrite.withSchemaAnchor(
+      spanGrams(df, idCol, textCol, n)
+        .groupBy(col("gh")).agg(min(col("doc_id")).as("min_doc")),
+      path, if (append) "append" else "overwrite")
+
+  /** Load a [[writeSpanGramIndex]] gram index. */
+  def readSpanGramIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Compact a span-gram index: merge per-shard (gh, min_doc) rows
+    * to one global-minimum row per gram AND rewrite the append-
+    * accumulated small files ([[TableWrite.compact]]'s contract).
+    * Results are unchanged — the increment probe aggregates the same
+    * minima at read time; compaction just stops paying for it.
+    */
+  def compactSpanGramIndex(spark: SparkSession, path: String,
+                           parts: Int = 32): Unit =
+    TableWrite.compact(spark, path, parts,
+      _.groupBy(col("gh")).agg(min(col("min_doc")).as("min_doc")))
+
+  /** Compact a MinHash signature index's append-accumulated files
+    * (rows are per-doc and all load-bearing — file layout only).
+    */
+  def compactMinhashIndex(spark: SparkSession, path: String,
+                          parts: Int = 32): Unit =
+    TableWrite.compact(spark, path, parts)
+
+  /** Cut duplicated token spans out of a NEW shard against the
+    * accumulated corpus WITHOUT re-hashing it: a gram position in an
+    * increment doc is marked when its hash exists in the persisted
+    * index (any past occurrence — one past doc plus this one is
+    * already two distinct docs) OR when the within-increment rule
+    * marks it ([[duplicateSpans]]'s min≠max / count≥2 test over the
+    * increment alone). With ids in ingestion order (all indexed ids
+    * < all increment ids), the two rules together are EXACTLY the
+    * full-batch union rule restricted to increment docs — so the
+    * output equals [[removeDuplicateSpans]] over (corpus ∪ increment)
+    * filtered to the increment (oracle row `dedup_spans_incremental`).
+    * Indexed documents are never revisited: shipped shards are
+    * immutable, so a span whose FIRST occurrence sits in an old doc
+    * keeps that old occurrence — the Lee et al. policy applied
+    * forward in ingest order.
+    *
+    * When `appendGrams` is set (the default), the increment's
+    * per-gram (gh, min_doc) rows append to the index eagerly at call
+    * time; the returned plan is safe against it (file listing
+    * snapshots at entry). A RETRY against the already-appended index
+    * reproduces the IDENTICAL spans: the presence test keeps only
+    * `min_doc < doc_id` rows — a no-op for genuine index grams
+    * (ingestion order) and, for the shard's own appended rows,
+    * marked-iff-the-within-rule-already-marked (a gram whose shard
+    * min_doc precedes this doc IS a two-distinct-doc gram of the
+    * shard; spec-proven in SpanSkewSpec).
+    *
+    * Scale: each ingest pays one ShingleHashes pass over its own
+    * shard + one equi-join against the index (AQE broadcasts the
+    * increment side's gram set when small) + the within-shard fold;
+    * the index read is gh-pruned parquet, never source text.
+    */
+  def removeDuplicateSpansIncrement(inc: DataFrame, idCol: String,
+                                    textCol: String, indexPath: String,
+                                    n: Int = 8, crossDocOnly: Boolean = true,
+                                    appendGrams: Boolean = true): DataFrame = {
+    val spark = inc.sparkSession
+    val idx = readSpanGramIndex(spark, indexPath)
+      // one row per gh whatever the shard-append history: the global
+      // first doc is the min over per-shard minima
+      .groupBy(col("gh")).agg(min(col("min_doc")).as("_imn"))
+    // eager pin: the within-fold, the index probe and the append all
+    // read the gram table — unpinned, each would re-run the kernel
+    val grams = spanGrams(inc, idCol, textCol, n).localCheckpoint(true)
+    val within = grams.groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("_mn"), max(col("doc_id")).as("_mx"),
+        count(lit(1)).as("_c"))
+      .where(if (crossDocOnly) col("_mn") =!= col("_mx") else col("_c") >= 2)
+      .select("gh")
+    val idxHits = grams.join(idx, Seq("gh"))
+      .where(col("_imn") < col("doc_id")).select("doc_id", "gpos")
+    val withinHits = grams.join(within, Seq("gh")).select("doc_id", "gpos")
+    // both rules can mark the same position; the island window needs
+    // one row per (doc, gpos)
+    val hits = idxHits.union(withinHits).distinct()
+    val out = cutSpans(inc, idCol, textCol, spansFromGramHits(hits, n))
+    if (appendGrams)
+      TableWrite.withSchemaAnchor(
+        grams.groupBy(col("gh")).agg(min(col("doc_id")).as("min_doc")),
+        indexPath, "append")
+    out
   }
 
   /** MinHash signatures in wide form: one row per doc, k `sig<i>`

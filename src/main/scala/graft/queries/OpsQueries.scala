@@ -890,6 +890,61 @@ object OpsQueries {
               |WHERE doc_id NOT IN (SELECT id_b FROM est WHERE est_jaccard >= 0.25)
               |ORDER BY doc_id""".stripMargin)),
 
+    // incremental SPAN dedup against a persisted gram index — the
+    // substring-level sibling of dedup_incremental: the first 60% of
+    // ids play the accumulated corpus (its distinct gram hashes
+    // persisted as (gh, min_doc)), the rest arrive as a new shard
+    // whose duplicated spans are cut WITHOUT re-hashing the corpus.
+    // The oracle is the FULL-corpus batch span-removal formula
+    // (dedup_drop_spans's, verbatim) restricted to the increment —
+    // the decomposition proof: index-presence ∨ within-increment
+    // duplication IS the union rule on increment docs.
+    Q("dedup_spans_incremental",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val docs = s.table("documents")
+        val maxId = docs.agg(max(col("doc_id"))).head().get(0)
+        if (maxId == null) {
+          docs.selectExpr("doc_id", "'' AS clean_text",
+            "CAST(0 AS BIGINT) AS n_kept", "CAST(0 AS BIGINT) AS n_removed")
+            .where(lit(false))
+        } else {
+          val bnd = maxId.asInstanceOf[Long] * 3 / 5
+          val idxPath = graft.ops.TableWrite.scratchDir("graft_span_index")
+          Dedup.writeSpanGramIndex(docs.where(col("doc_id") <= bnd),
+            "doc_id", "text", idxPath, n = 5)
+          Dedup.removeDuplicateSpansIncrement(docs.where(col("doc_id") > bnd),
+              "doc_id", "text", idxPath, n = 5)
+            .orderBy(col("doc_id"))
+        }
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $oracleToks AS toks FROM documents),
+              |p AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+              |      FROM d WHERE len(toks) >= 5),
+              |g AS (SELECT doc_id, i - 1 AS gpos, array_to_string(toks[i:i+4], ' ') AS gram FROM p),
+              |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+              |h AS (SELECT doc_id, gpos FROM g JOIN dup USING (gram)),
+              |lg AS (SELECT doc_id, gpos,
+              |       LAG(gpos) OVER (PARTITION BY doc_id ORDER BY gpos) AS pg FROM h),
+              |w AS (SELECT doc_id, gpos,
+              |      CASE WHEN pg IS NULL OR gpos > pg + 5 THEN 1 ELSE 0 END AS ni FROM lg),
+              |isl AS (SELECT doc_id, gpos,
+              |        SUM(ni) OVER (PARTITION BY doc_id ORDER BY gpos ROWS UNBOUNDED PRECEDING) AS island
+              |        FROM w),
+              |sp AS (SELECT doc_id, MIN(gpos) AS s, MAX(gpos) + 4 AS e FROM isl GROUP BY doc_id, island),
+              |cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM sp),
+              |t AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos FROM d),
+              |kept AS (SELECT t.doc_id, t.term, t.pos FROM t ANTI JOIN cov
+              |         ON t.doc_id = cov.doc_id AND t.pos = cov.pos),
+              |agg AS (SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS clean_text,
+              |               COUNT(*) AS n_kept FROM kept GROUP BY doc_id)
+              |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+              |       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+              |       CAST(len(d.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+              |FROM d LEFT JOIN agg a USING (doc_id)
+              |WHERE d.doc_id > (SELECT MAX(doc_id) * 3 // 5 FROM documents)
+              |ORDER BY d.doc_id""".stripMargin)),
+
     // transitive closure of the pair set: corpus-level duplicate
     // CLUSTERS (A~B, B~C ⇒ one cluster), min doc id as the canonical
     // representative — oracle is a DuckDB recursive CTE reaching the

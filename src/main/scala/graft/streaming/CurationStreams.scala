@@ -399,9 +399,54 @@ object CurationStreams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
     val perBatch: (DataFrame, Long) => Unit = { (batch, _) =>
-      graft.ops.Dedup.dedupIncrement(batch, idCol, textCol, indexPath,
-          k, bands, n, threshold)
-        .write.mode("append").parquet(outDir)
+      // schema-anchored append: a micro-batch whose every doc was a
+      // duplicate still leaves a schema-carrying file, so a read of
+      // outDir never fails inference on an all-dropped prefix
+      graft.ops.TableWrite.withSchemaAnchor(
+        graft.ops.Dedup.dedupIncrement(batch, idCol, textCol, indexPath,
+          k, bands, n, threshold),
+        outDir, "append")
+    }
+    src.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(perBatch)
+      .start()
+  }
+
+  /** Substring-level (span) dedup as a CONTINUOUS ingest — the
+    * [[startIncrementalDedupStream]] pattern applied to
+    * [[graft.ops.Dedup.removeDuplicateSpansIncrement]]: each
+    * micro-batch cuts token spans duplicated against everything ever
+    * streamed (via the persisted span-gram index) or within itself,
+    * appends its own grams, and writes (doc_id, clean_text, n_kept,
+    * n_removed) rows to `outDir`. Same contracts as the near-dup
+    * starter: ids nondecreasing across batches, at-least-once at the
+    * sink with a retry-stable verdict, state in parquet rather than
+    * the state store.
+    */
+  def startIncrementalSpanDedupStream(
+      spark: SparkSession, sourceDir: String, indexPath: String,
+      outDir: String, checkpointDir: String, schema: StructType,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 8, crossDocOnly: Boolean = true,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val hPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hPath))
+      graft.ops.Dedup.writeSpanGramIndex(
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], schema),
+        idCol, textCol, indexPath, n)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+    val perBatch: (DataFrame, Long) => Unit = { (batch, _) =>
+      graft.ops.TableWrite.withSchemaAnchor(
+        graft.ops.Dedup.removeDuplicateSpansIncrement(batch, idCol, textCol,
+          indexPath, n, crossDocOnly),
+        outDir, "append")
     }
     src.writeStream
       .outputMode(OutputMode.Append())

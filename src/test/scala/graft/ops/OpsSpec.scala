@@ -2108,6 +2108,58 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(lshCold) == rows(lshLive) && rows(lshCold).nonEmpty)
   }
 
+  test("index compaction: content-identical swap, fewer files, merged span minima") {
+    graft.core.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val docs = spark.table("documents").select(col("doc_id"), col("text"))
+    def partFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+
+    // MinHash signature index: rows are load-bearing — layout only
+    val mh = java.nio.file.Files.createTempDirectory("graft_cmp_mh").toString
+    Dedup.writeMinhashIndex(docs.where($"doc_id" <= 20), "doc_id", "text", mh)
+    Dedup.writeMinhashIndex(docs.where($"doc_id" > 20), "doc_id", "text", mh,
+      append = true)
+    val mhBefore = rows(Dedup.readMinhashIndex(spark, mh))
+    val mhFiles = partFiles(mh)
+    Dedup.compactMinhashIndex(spark, mh, parts = 1)
+    assert(rows(Dedup.readMinhashIndex(spark, mh)) == mhBefore)
+    assert(partFiles(mh) < mhFiles && partFiles(mh) == 1)
+
+    // span-gram index: compaction also merges per-shard minima — the
+    // read-time aggregate must see identical per-gram minima, one
+    // row per gram afterwards
+    val sg = java.nio.file.Files.createTempDirectory("graft_cmp_sg").toString
+    Dedup.writeSpanGramIndex(docs.where($"doc_id" <= 20), "doc_id", "text", sg, n = 5)
+    Dedup.writeSpanGramIndex(docs.where($"doc_id" > 20), "doc_id", "text", sg,
+      n = 5, append = true)
+    val minBefore = Dedup.readSpanGramIndex(spark, sg)
+      .groupBy("gh").agg(min("min_doc").as("m"))
+    val minMapBefore = rows(minBefore)
+    Dedup.compactSpanGramIndex(spark, sg, parts = 1)
+    val after = Dedup.readSpanGramIndex(spark, sg)
+    assert(rows(after.groupBy("gh").agg(min("min_doc").as("m"))) == minMapBefore)
+    assert(after.count() == minMapBefore.size, "one row per gram after merge")
+
+    // ANN index: serving bit-identical across the compaction swap
+    graft.core.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val emb = spark.table("embeddings")
+    val bnd = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val ann = java.nio.file.Files.createTempDirectory("graft_cmp_ann").toString
+    AnnIndex.build(emb.where($"vec_id" <= bnd), "vec_id", "embedding", ann,
+      dims = 64, ivfK = 4, pqM = 4, pqK = 4, planes = 8, iters = 2)
+    AnnIndex.append(emb.where($"vec_id" > bnd), "vec_id", "embedding", ann)
+    val queries = emb.where($"vec_id" < 5)
+    val cb = AnnIndex.readPqCodebooks(spark, ann)
+    val servedBefore = rows(Similarity.pqTopKEncoded(
+      AnnIndex.readPqCodes(spark, ann), queries, "vec_id", "embedding", cb, k = 10))
+    AnnIndex.compact(spark, ann, parts = 1)
+    assert(rows(Similarity.pqTopKEncoded(
+      AnnIndex.readPqCodes(spark, ann), queries, "vec_id", "embedding", cb,
+      k = 10)) == servedBefore)
+    assert(servedBefore.nonEmpty)
+  }
+
   test("pq fixture provenance: the hand-pasted codebook IS trainPqCodebooks on sf0.01, 6 dp") {
     // the gate that keeps PqFixture honest: if the trainer or the
     // sf0.01 embeddings drift, the serving rows would still pass

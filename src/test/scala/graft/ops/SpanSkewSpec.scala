@@ -68,6 +68,53 @@ class SpanSkewSpec extends AnyFunSuite {
     assert(rows.toSeq == expected)
   }
 
+  test("incremental span dedup equals the full-batch removal restricted to the increment") {
+    import spark.implicits._
+    def uniq(d: Int, k: Int) = (0 until k).map(j => s"u${d}v$j").mkString(" ")
+    val pA = "apple banana cherry damson elder"   // cross-doc inside the index
+    val pB = "fig grape honeydew icaco jujube"    // index doc 6 ↔ increment doc 11
+    val pC = "kiwi lemon mango nectar orange"     // within-increment only (12 ↔ 13)
+    val docs = Seq(
+      2L -> s"${uniq(2, 5)} $pA ${uniq(2 + 100, 5)}",
+      4L -> s"${uniq(4, 5)} $pA ${uniq(4 + 100, 5)}",
+      6L -> s"${uniq(6, 5)} $pB ${uniq(6 + 100, 5)}",
+      8L -> uniq(8, 15),
+      11L -> s"${uniq(11, 5)} $pB ${uniq(11 + 100, 5)}",
+      12L -> s"${uniq(12, 5)} $pC ${uniq(12 + 100, 5)}",
+      13L -> s"${uniq(13, 5)} $pC ${uniq(13 + 100, 5)}",
+      14L -> uniq(14, 15)
+    ).toDF("doc_id", "text")
+    val old = docs.where($"doc_id" <= 10)
+    val inc = docs.where($"doc_id" > 10)
+    val path = java.nio.file.Files.createTempDirectory("graft_spanidx").toString
+    Dedup.writeSpanGramIndex(old, "doc_id", "text", path, n = 5)
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val got = Dedup.removeDuplicateSpansIncrement(inc, "doc_id", "text", path, n = 5)
+    val batch = Dedup.removeDuplicateSpans(docs, "doc_id", "text", n = 5)
+      .where($"doc_id" > 10)
+    assert(rows(got) == rows(batch))
+    // the three leak modes each did their job: 11 loses pB (via the
+    // index), 12 and 13 lose pC (within-increment), 14 is untouched
+    val cut = got.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(cut == Map(11L -> 5L, 12L -> 5L, 13L -> 5L, 14L -> 0L))
+
+    // RETRY stability: the shard's grams were appended above; the
+    // same shard re-ingested must reproduce the identical verdicts —
+    // its own index rows only mark what the within rule already marks
+    val retry = Dedup.removeDuplicateSpansIncrement(inc, "doc_id", "text",
+      path, n = 5, appendGrams = false)
+    assert(rows(retry) == rows(got))
+    // and the index now carries every distinct gram of the union
+    val idxGh = Dedup.readSpanGramIndex(spark, path)
+      .select("gh").distinct().count()
+    val expectGh = docs.select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextExpressions.shingle_hashes(
+          org.apache.spark.sql.functions.col("text"), 5)).as("gh"))
+      .distinct().count()
+    assert(idxGh == expectGh)
+  }
+
   test("within-doc mode (crossDocOnly=false) still finds the repeats") {
     import spark.implicits._
     // one doc with the phrase twice, one clean doc

@@ -762,6 +762,45 @@ class EventStreamsSpec extends AnyFunSuite {
       union.count())
   }
 
+  test("incremental span-dedup stream: outputs equal the full-batch removal restricted per batch") {
+    import org.apache.spark.sql.functions._
+    graft.core.Tables.registerAll(spark, dir)
+    val corpus = spark.table("documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val mid = corpus.agg(avg(col("doc_id"))).head().getDouble(0).toLong
+    val slice1 = corpus.where(col("doc_id") <= mid)
+    val slice2 = corpus.where(col("doc_id") > mid)
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_incspan").toString
+    Seq(slice1 -> "b1", slice2 -> "b2").foreach { case (df, name) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$srcDir/_stage_$name")
+      val part = new java.io.File(s"$srcDir/_stage_$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(s"$srcDir/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1000000000000L + (if (name == "b1") 0 else 60000L)))
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_incspan_state").toString
+    val q = CurationStreams.startIncrementalSpanDedupStream(
+      spark, srcDir, s"$base/index", s"$base/out", s"$base/cp",
+      corpus.schema, n = 5)
+    q.awaitTermination(120000)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val streamed = rows(spark.read.parquet(s"$base/out"))
+    // batch 1 sees only itself; batch 2 sees the union — each equals
+    // the batch removal over its visible corpus restricted to itself
+    val b1 = graft.ops.Dedup.removeDuplicateSpans(slice1, "doc_id", "text", n = 5)
+    val b2 = graft.ops.Dedup.removeDuplicateSpans(
+        slice1.union(slice2), "doc_id", "text", n = 5)
+      .where(col("doc_id") > mid)
+    assert(streamed == rows(b1.union(b2)))
+    assert(streamed.nonEmpty)
+  }
+
   test("stateful streaming token-budget gate: single batch equals the batch operator") {
     import org.apache.spark.sql.functions.col
     graft.core.Tables.registerAll(spark, dir)
