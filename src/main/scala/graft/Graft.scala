@@ -795,6 +795,40 @@ final class Graft(val spark: SparkSession, stateDir: String) {
     graft.ops.Dedup.dedupIncrement(inc, idCol, textCol, indexPath, k, bands,
       n, threshold, appendSignatures)
 
+  /** Persist a corpus's exact-dup digest index — the third persisted
+    * index family, for seen-forever digest sets too large for a
+    * streaming state store.
+    */
+  def digestIndexWrite(df: DataFrame, path: String,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       normalized: Boolean = false,
+                       append: Boolean = false): Unit =
+    graft.ops.Dedup.writeDigestIndex(df, idCol, textCol, path, normalized, append)
+
+  /** Exact-dedup a new shard against a persisted digest index without
+    * re-reading the corpus; appends the shard's digests.
+    */
+  def dedupExactIncrement(inc: DataFrame, indexPath: String,
+                          idCol: String = "doc_id",
+                          textCol: String = "text",
+                          normalized: Boolean = false,
+                          appendDigests: Boolean = true): DataFrame =
+    graft.ops.Dedup.dedupExactIncrement(inc, idCol, textCol, indexPath,
+      normalized, appendDigests)
+
+  def digestIndexCompact(path: String, parts: Int = 32): Unit =
+    graft.ops.Dedup.compactDigestIndex(spark, path, parts)
+
+  /** The composed production ingest step — quality gate ∘ exact ∘
+    * near-dup ∘ span dedup (each against its persisted index) ∘
+    * Bloom-stage decontamination — over one arriving shard.
+    */
+  def curateIngestShard(shard: DataFrame, bench: DataFrame,
+                        digestIndexPath: String, minhashIndexPath: String,
+                        spanIndexPath: String): DataFrame =
+    graft.ops.IngestPipeline.ingestShard(shard, bench, digestIndexPath,
+      minhashIndexPath, spanIndexPath)
+
   /** Persist a corpus's span-gram index — the accumulated state
     * [[dedupSpansIncrement]] cuts each new shard's duplicated
     * substrings against.

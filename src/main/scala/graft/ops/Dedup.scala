@@ -365,6 +365,86 @@ object Dedup {
                           parts: Int = 32): Unit =
     TableWrite.compact(spark, path, parts)
 
+  // ── incremental exact dedup against a persisted digest index ──────
+
+  private def exactDigest(textCol: String, normalized: Boolean) =
+    if (normalized) TextAnalysis.fingerprint(col(textCol)) else md5(col(textCol))
+
+  /** Persist a corpus's exact-dup digest index: one (digest, min_doc)
+    * row per DISTINCT document digest — the third persisted-index
+    * family (exact / MinHash / span-gram), for the pipelines whose
+    * seen-forever digest set outgrows a streaming state store and
+    * must live as a joinable table. `min_doc` carries the same
+    * retry-stability contract as [[writeSpanGramIndex]].
+    */
+  def writeDigestIndex(df: DataFrame, idCol: String, textCol: String,
+                       path: String, normalized: Boolean = false,
+                       append: Boolean = false): Unit =
+    TableWrite.withSchemaAnchor(
+      df.select(col(idCol).as("_did"),
+          exactDigest(textCol, normalized).as("digest"))
+        .groupBy(col("digest")).agg(min(col("_did")).as("min_doc")),
+      path, if (append) "append" else "overwrite")
+
+  /** Load a [[writeDigestIndex]] digest index. */
+  def readDigestIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Compact a digest index: merge per-shard (digest, min_doc) rows
+    * to the global minimum per digest and rewrite the small files
+    * ([[TableWrite.compact]]'s contract). Results unchanged — the
+    * increment probe aggregates the same minima at read time.
+    */
+  def compactDigestIndex(spark: SparkSession, path: String,
+                         parts: Int = 32): Unit =
+    TableWrite.compact(spark, path, parts,
+      _.groupBy(col("digest")).agg(min(col("min_doc")).as("min_doc")))
+
+  /** Exact-dedup a NEW shard against the accumulated corpus WITHOUT
+    * re-reading it: an increment doc survives iff no PAST doc shares
+    * its digest (one equi-join against the index) and it is the
+    * smallest id among increment docs sharing the digest (the batch
+    * [[dropExactDuplicates]] min-id rule over the shard alone). With
+    * ids in ingestion order, the two tests together are EXACTLY the
+    * full-batch min-id rule over (corpus ∪ increment) restricted to
+    * the increment — the same decomposition as [[dedupIncrement]]
+    * and [[removeDuplicateSpansIncrement]] (spec-proven in OpsSpec,
+    * including retry identity: a shard's own appended digests carry
+    * its per-digest min id, so they only drop what the within rule
+    * already drops).
+    *
+    * When `appendDigests` is set (the default), the shard's
+    * (digest, min_doc) rows append to the index eagerly at call time
+    * (the returned plan's file listing snapshots at entry).
+    *
+    * Scale: one digest kernel pass over the shard, one broadcast-or-
+    * shuffled equi-join against the index on the digest key, one
+    * #distinct-digests aggregate — nothing corpus-sized moves.
+    */
+  def dedupExactIncrement(inc: DataFrame, idCol: String, textCol: String,
+                          indexPath: String, normalized: Boolean = false,
+                          appendDigests: Boolean = true): DataFrame = {
+    val spark = inc.sparkSession
+    val idx = readDigestIndex(spark, indexPath)
+      .groupBy(col("digest")).agg(min(col("min_doc")).as("_imn"))
+    val d = inc.withColumn("_dg", exactDigest(textCol, normalized))
+    val keepWithin = d.select(col(idCol).as("_kid"), col("_dg").as("_kdg"))
+      .groupBy(col("_kdg")).agg(min(col("_kid")).as("_kid"))
+    val kept = d
+      .join(keepWithin,
+        d(idCol) === keepWithin("_kid") && d("_dg") === keepWithin("_kdg"),
+        "left_semi")
+      .join(idx, d("_dg") === idx("digest") && idx("_imn") < d(idCol),
+        "left_anti")
+      .drop("_dg")
+    if (appendDigests)
+      TableWrite.withSchemaAnchor(
+        d.select(col(idCol).as("_did"), col("_dg").as("digest"))
+          .groupBy(col("digest")).agg(min(col("_did")).as("min_doc")),
+        indexPath, "append")
+    kept
+  }
+
   /** Cut duplicated token spans out of a NEW shard against the
     * accumulated corpus WITHOUT re-hashing it: a gram position in an
     * increment doc is marked when its hash exists in the persisted

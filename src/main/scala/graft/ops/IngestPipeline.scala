@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed production ingest step: everything this library's
+  * incremental operators exist for, wired in the order a real
+  * training-data pipeline runs them on each arriving shard —
+  *
+  *   1. quality gate — the `pipeline_curate` predicate (token count +
+  *      duplicate-word fraction), stateless map work;
+  *   2. [[Dedup.dedupExactIncrement]] — exact dups vs everything ever
+  *      ingested (digest index);
+  *   3. [[Dedup.dedupIncrement]] — near-dups vs the corpus MinHash
+  *      signature index;
+  *   4. [[Dedup.removeDuplicateSpansIncrement]] — duplicated
+  *      substrings cut against the corpus span-gram index (rewrites
+  *      the text);
+  *   5. [[Decontaminate.overlapBloom]] — benchmark n-gram leakage
+  *      filter through the Bloom candidate stage (exact verdicts).
+  *
+  * Every cross-shard fact lives in the three parquet indexes, so the
+  * step is a pure function of (shard, bench, index state): shards
+  * ingest one at a time in id order, each call leaves the indexes
+  * ready for the next shard, and a retried shard reproduces its
+  * verdicts (each stage's own retry contract — the retried kept set
+  * is identical stage by stage, so every index sees the same input
+  * again). Each index accumulates the docs that REACH its stage: an
+  * exact-dup never registers MinHash signatures (its byte-identical
+  * canonical already did — any future match on one matches the
+  * other), and a doc dropped as a near-dup never registers span
+  * grams — deliberately: the span index should describe text the
+  * CORPUS actually retains, not text that was rejected. Output:
+  * (doc_id, `keyCol`, clean_text, n_tokens) of admitted documents
+  * with duplicated spans already cut.
+  *
+  * Deliberately NOT here: the cumulative token-budget gate — budget
+  * is cross-shard mutable state that the STREAMING composition
+  * ([[graft.streaming.CurationStreams.curateChain]]) holds in its
+  * stateful operator; a per-shard batch budget would silently reset
+  * per call.
+  *
+  * Scale: the shard pays one pass per kernel stage over its own rows
+  * plus one equi-join per index; nothing corpus-sized moves — the
+  * property each stage proves individually carries through the
+  * composition (spec: IngestPipelineSpec plants one leak of every
+  * kind across two shards and checks per-doc fates).
+  */
+object IngestPipeline {
+
+  def ingestShard(shard: DataFrame, bench: DataFrame,
+                  digestIndexPath: String, minhashIndexPath: String,
+                  spanIndexPath: String,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  keyCol: String = "source",
+                  minTokens: Long = 25, maxDupFrac: Double = 0.55,
+                  k: Int = 16, bands: Int = 4, n: Int = 3,
+                  threshold: Double = 0.5, spanN: Int = 8,
+                  decontamMinHits: Int = 2,
+                  expectedGrams: Long = 1L << 20,
+                  fpp: Double = 0.03): DataFrame = {
+    // first-shard convenience: absent indexes initialize empty
+    // (schema-anchored), exactly like the streaming starters
+    val fs = new org.apache.hadoop.fs.Path(digestIndexPath).getFileSystem(
+      shard.sparkSession.sessionState.newHadoopConf())
+    val none = shard.where(lit(false))
+    if (!fs.exists(new org.apache.hadoop.fs.Path(digestIndexPath)))
+      Dedup.writeDigestIndex(none, idCol, textCol, digestIndexPath)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(minhashIndexPath)))
+      Dedup.writeMinhashIndex(none, idCol, textCol, minhashIndexPath, k, n)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(spanIndexPath)))
+      Dedup.writeSpanGramIndex(none, idCol, textCol, spanIndexPath, spanN)
+    val qual = shard
+      .withColumn("_r", TextAnalysis.repetitionStats(col(textCol)))
+      .where(col("_r.n_tokens") >= minTokens &&
+        col("_r.dup_word_frac") <= maxDupFrac)
+      .select(col(idCol), col(textCol), col(keyCol))
+    val exact = Dedup.dedupExactIncrement(qual, idCol, textCol,
+      digestIndexPath)
+    val near = Dedup.dedupIncrement(exact, idCol, textCol,
+      minhashIndexPath, k, bands, n, threshold)
+    // span cut rewrites the text; carry the key through the rejoin
+    val cut = Dedup.removeDuplicateSpansIncrement(near, idCol, textCol,
+        spanIndexPath, spanN)
+      .join(near.select(col(idCol).as("doc_id"), col(keyCol)), Seq("doc_id"))
+    // overlapBloom reads ONE text column name on both sides; the cut
+    // side's is clean_text, so the bench rides in under that name
+    Decontaminate.overlapBloom(cut,
+        bench.withColumnRenamed(textCol, "clean_text"),
+        "doc_id", "clean_text", n, decontamMinHits, expectedGrams, fpp)
+      .where(!col("contaminated"))
+      .select(col("doc_id"), col(keyCol), col("clean_text"),
+        col("n_kept").as("n_tokens"))
+  }
+}

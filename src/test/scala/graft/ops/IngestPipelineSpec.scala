@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The composed incremental ingest step, exercised with one planted
+  * leak of EVERY kind across two shards — each must be caught by its
+  * own stage through its own persisted index — plus the exact-digest
+  * incremental family's own contracts (batch decomposition, retry
+  * identity, compaction).
+  */
+class IngestPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "16")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def uniq(d: Int, k: Int, p: String = "w") =
+    (0 until k).map(j => s"$p${d}x$j").mkString(" ")
+
+  test("ingestShard: every planted leak is caught by its own stage across shards") {
+    val phrase8 = "pine oak elm birch maple cedar aspen willow"
+    val benchGram = "eval leak gram"
+    val textA = uniq(1, 20)
+    val shard1 = Seq(
+      (1L, textA, "s"),                                   // canonical
+      (2L, s"${uniq(2, 12)} $phrase8", "s"),              // carries the phrase
+      (3L, uniq(3, 5), "s")                               // below minTokens
+    ).toDF("doc_id", "text", "source")
+    val shard2 = Seq(
+      (11L, textA.replaceFirst(" ", "  "), "s"),          // byte-different exact?
+      (12L, textA, "s"),                                  // exact dup of doc 1
+      (13L, s"${uniq(13, 12)} $phrase8", "s"),            // shares ONLY the phrase
+      (14L, s"${uniq(14, 10)} $benchGram ${uniq(140, 7)}", "s"), // contaminated
+      (15L, uniq(15, 20), "s")                            // clean
+    ).toDF("doc_id", "text", "source")
+    val bench = Seq((100L, s"$benchGram ${uniq(100, 10)}", "b"))
+      .toDF("doc_id", "text", "source")
+
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    def run(shard: org.apache.spark.sql.DataFrame) =
+      IngestPipeline.ingestShard(shard, bench,
+        s"$base/digest", s"$base/minhash", s"$base/span",
+        minTokens = 10, k = 16, bands = 4, n = 3, threshold = 0.25,
+        spanN = 8, decontamMinHits = 1)
+
+    val out1 = run(shard1).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    // doc 3 fails quality; 1 and 2 land intact (nothing indexed yet)
+    assert(out1.keySet == Set(1L, 2L))
+    assert(out1(2L)._2 == 20 && out1(2L)._1.endsWith(phrase8))
+
+    val out2 = run(shard2).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    // 12 = exact dup (digest index); 11 = byte-different but
+    // token-identical → survives exact, killed by the MinHash index
+    // (shingle Jaccard 1 vs doc 1); 13 survives both, loses ONLY the
+    // phrase to the span index; 14 is dropped by bloom
+    // decontamination; 15 is untouched
+    assert(out2.keySet == Set(13L, 15L))
+    assert(out2(13L)._1 == uniq(13, 12) && out2(13L)._2 == 12)
+    assert(out2(15L)._2 == 20)
+
+    // retry: re-ingesting shard 2 against the already-appended
+    // indexes reproduces the identical verdicts and texts
+    val retry = run(shard2).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(retry == out2)
+  }
+
+  test("dedupExactIncrement equals the batch min-id rule restricted to the increment") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "alpha beta gamma"),                      // in-corpus dup of 1
+      (11L, "alpha beta gamma"),                     // cross-shard dup of 1
+      (12L, "eta theta iota"), (13L, "eta theta iota"), // within-increment pair
+      (14L, "kappa lambda mu")
+    ).toDF("doc_id", "text")
+    val old = docs.where($"doc_id" <= 10)
+    val inc = docs.where($"doc_id" > 10)
+    val path = java.nio.file.Files.createTempDirectory("graft_dgidx").toString
+    Dedup.writeDigestIndex(old, "doc_id", "text", path)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = Dedup.dedupExactIncrement(inc, "doc_id", "text", path)
+    val batch = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      .where($"doc_id" > 10)
+    assert(ids(got) == ids(batch) && ids(got) == Set(12L, 14L))
+    // retry against the shard's own appended digests: identical
+    val retry = Dedup.dedupExactIncrement(inc, "doc_id", "text", path,
+      appendDigests = false)
+    assert(ids(retry) == ids(got))
+    // compaction: per-digest minima identical, one row per digest
+    val minBefore = Dedup.readDigestIndex(spark, path)
+      .groupBy("digest").agg(min("min_doc").as("m"))
+      .collect().map(_.toSeq).toSet
+    Dedup.compactDigestIndex(spark, path, parts = 1)
+    val after = Dedup.readDigestIndex(spark, path)
+    assert(after.groupBy("digest").agg(min("min_doc").as("m"))
+      .collect().map(_.toSeq).toSet == minBefore)
+    assert(after.count() == minBefore.size)
+  }
+}
