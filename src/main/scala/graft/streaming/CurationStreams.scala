@@ -456,6 +456,46 @@ object CurationStreams {
       .start()
   }
 
+  /** The COMPOSED incremental ingest as a continuous query: each
+    * micro-batch runs [[graft.ops.IngestPipeline.ingestShard]] —
+    * quality gate ∘ exact ∘ near-dup ∘ span dedup (each against its
+    * persisted index) ∘ Bloom decontamination — and appends admitted
+    * (doc_id, key, clean_text, n_tokens) rows to `outDir`. This is
+    * the production shape end to end: documents land as parquet
+    * shards, every cross-shard fact lives in the three index tables
+    * (absent ones self-initialize inside the first batch), and the
+    * curated corpus streams out. Contracts inherited stage by stage:
+    * ids nondecreasing across batches; at-least-once at the sink
+    * with retry-stable verdicts (IngestPipelineSpec's retry slice).
+    */
+  def startIngestPipelineStream(
+      spark: SparkSession, sourceDir: String, bench: DataFrame,
+      digestIndexPath: String, minhashIndexPath: String,
+      spanIndexPath: String, outDir: String, checkpointDir: String,
+      schema: StructType, minTokens: Long = 25,
+      k: Int = 16, bands: Int = 4, n: Int = 3, threshold: Double = 0.5,
+      spanN: Int = 8, decontamMinHits: Int = 2,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+    val perBatch: (DataFrame, Long) => Unit = { (batch, _) =>
+      graft.ops.TableWrite.withSchemaAnchor(
+        graft.ops.IngestPipeline.ingestShard(batch, bench,
+          digestIndexPath, minhashIndexPath, spanIndexPath,
+          minTokens = minTokens, k = k, bands = bands, n = n,
+          threshold = threshold, spanN = spanN,
+          decontamMinHits = decontamMinHits),
+        outDir, "append")
+    }
+    src.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(perBatch)
+      .start()
+  }
+
   /** Start the stateful dedup stream from a parquet directory source
     * into a named memory sink. `maxFilesPerTrigger = 1` makes each
     * source file its own micro-batch, so cross-batch state is

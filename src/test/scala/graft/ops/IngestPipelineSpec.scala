@@ -74,6 +74,49 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(retry == out2)
   }
 
+  test("streaming composed ingest: two file-batches reproduce the two-shard batch fates") {
+    val phrase8 = "pine oak elm birch maple cedar aspen willow"
+    val benchGram = "eval leak gram"
+    val textA = uniq(1, 20)
+    val shard1 = Seq(
+      (1L, textA, "s"), (2L, s"${uniq(2, 12)} $phrase8", "s"),
+      (3L, uniq(3, 5), "s")).toDF("doc_id", "text", "source")
+    val shard2 = Seq(
+      (11L, textA.replaceFirst(" ", "  "), "s"), (12L, textA, "s"),
+      (13L, s"${uniq(13, 12)} $phrase8", "s"),
+      (14L, s"${uniq(14, 10)} $benchGram ${uniq(140, 7)}", "s"),
+      (15L, uniq(15, 20), "s")).toDF("doc_id", "text", "source")
+    val bench = Seq((100L, s"$benchGram ${uniq(100, 10)}", "b"))
+      .toDF("doc_id", "text", "source")
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ingstr").toString
+    Seq(shard1 -> "b1", shard2 -> "b2").foreach { case (df, name) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$srcDir/_stage_$name")
+      val part = new java.io.File(s"$srcDir/_stage_$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(s"$srcDir/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1000000000000L + (if (name == "b1") 0 else 60000L)))
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_ingstr_state").toString
+    val q = graft.streaming.CurationStreams.startIngestPipelineStream(
+      spark, srcDir, bench, s"$base/digest", s"$base/minhash", s"$base/span",
+      s"$base/out", s"$base/cp", shard1.schema,
+      minTokens = 10, threshold = 0.25, spanN = 8, decontamMinHits = 1)
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$base/out").collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    // the planted fates, identical to the batch two-call composition:
+    // 1, 2 admitted intact from batch 1; 13 admitted with the phrase
+    // cut; 15 intact; 3 (quality), 12 (exact), 11 (near-dup via the
+    // signature index), 14 (contamination) all rejected
+    assert(streamed.keySet == Set(1L, 2L, 13L, 15L))
+    assert(streamed(13L)._1 == uniq(13, 12) && streamed(13L)._2 == 12)
+    assert(streamed(2L)._2 == 20)
+  }
+
   test("dedupExactIncrement equals the batch min-id rule restricted to the increment") {
     val docs = Seq(
       (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
