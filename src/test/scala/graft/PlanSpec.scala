@@ -111,6 +111,38 @@ class PlanSpec extends AnyFunSuite {
     assert(df.queryExecution.logical != null) // planning alone must not execute jobs
   }
 
+  test("bloom decontamination prefilters the corpus gram stream before any join") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val got = graft.ops.Decontaminate.overlapBloom(
+      docs.where(col("source") =!= "src0"),
+      docs.where(col("source") === "src0"), "doc_id", "text", n = 3)
+    got.collect() // resolve the adaptive plan
+    val p = got.queryExecution.executedPlan.toString
+    // the might_contain predicate must sit in a Filter, and the
+    // candidate→gram join must be an equi hash join, never a
+    // nested loop over corpus grams
+    assert(p.contains("might_contain"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+    val filterLine = p.linesIterator.find(l =>
+      l.contains("Filter") && l.contains("might_contain"))
+    assert(filterLine.isDefined,
+      "bloom probe must run as a Filter (map-side), not inside a join")
+  }
+
+  test("incremental dedup joins are equi, never nested-loop over the index") {
+    for (q <- Seq("dedup_incremental", "dedup_spans_incremental")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
+      // the only BNLJ allowed anywhere in this repo's plans is a
+      // broadcast one-row attach; index probes must be hash joins
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+        p.contains("ShuffledHashJoin"), s"$q has no hash join")
+    }
+  }
+
   test("pmi top-k plans TakeOrderedAndProject (no global sort of the bigram table)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = graft.ops.TextAnalysis.pmiCollocations(docs, "text", minCount = 2, k = 5)
