@@ -134,9 +134,14 @@ object Decontaminate {
     import org.apache.spark.sql.graft.ColumnBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    // eager pin: the gram set has two consumers (the sketch aggregate
+    // and the exact-verify join) — unpinned, the shingle explode +
+    // distinct would run twice, in exactly the large-eval-set regime
+    // this arm exists for
     val benchGrams = Spread.ifNarrowAndBig(bench)
       .select(explode(Dedup.shingles(col(textCol), n)).as("_gram"))
       .distinct()
+      .localCheckpoint(true)
     val numBits =
       org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedGrams, fpp)
     val bfAgg = ColumnBridge.column(new BloomFilterAggregate(

@@ -427,14 +427,24 @@ object Dedup {
     val spark = inc.sparkSession
     val idx = readDigestIndex(spark, indexPath)
       .groupBy(col("digest")).agg(min(col("min_doc")).as("_imn"))
+    // eager pin: the digest kernel has three consumers (within-keep,
+    // the index probe, the append) — unpinned, each would re-hash the
+    // shard
     val d = inc.withColumn("_dg", exactDigest(textCol, normalized))
-    val keepWithin = d.select(col(idCol).as("_kid"), col("_dg").as("_kdg"))
-      .groupBy(col("_kdg")).agg(min(col("_kid")).as("_kid"))
+      .localCheckpoint(true)
+    // the within-shard min-id rule joins back on id ALONE (ids are
+    // unique), exactly like the batch dropExactDuplicates — a digest
+    // equality here would silently drop every NULL-text doc
+    // (null === null is NULL, never true)
+    val keepWithin = d.select(col(idCol).as("_kid"), col("_dg"))
+      .groupBy(col("_dg")).agg(min(col("_kid")).as("_kid"))
+      .select("_kid")
     val kept = d
-      .join(keepWithin,
-        d(idCol) === keepWithin("_kid") && d("_dg") === keepWithin("_kdg"),
-        "left_semi")
-      .join(idx, d("_dg") === idx("digest") && idx("_imn") < d(idCol),
+      .join(keepWithin, d(idCol) === keepWithin("_kid"), "left_semi")
+      // null-safe digest equality: a NULL-text increment doc must
+      // still match a NULL-text PAST doc (one null-digest group in
+      // the batch rule, min id wins there too)
+      .join(idx, d("_dg") <=> idx("digest") && idx("_imn") < d(idCol),
         "left_anti")
       .drop("_dg")
     if (appendDigests)
@@ -835,8 +845,7 @@ object Dedup {
     */
   def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String,
                           normalized: Boolean = false): DataFrame = {
-    val digest =
-      if (normalized) TextAnalysis.fingerprint(col(textCol)) else md5(col(textCol))
+    val digest = exactDigest(textCol, normalized)
     val keep = df.select(col(idCol).as("_kid"), digest.as("_digest"))
       .groupBy("_digest").agg(min(col("_kid")).as("_kid"))
       .select("_kid")

@@ -13,11 +13,15 @@ import org.apache.spark.sql.functions._
   *      ingested (digest index);
   *   3. [[Dedup.dedupIncrement]] — near-dups vs the corpus MinHash
   *      signature index;
-  *   4. [[Dedup.removeDuplicateSpansIncrement]] — duplicated
+  *   4. [[Decontaminate.overlapBloom]] — benchmark n-gram leakage
+  *      filter through the Bloom candidate stage (exact verdicts, on
+  *      the RAW text: eval leakage disqualifies a document whether or
+  *      not the leaked passage would also have been span-cut);
+  *   5. [[Dedup.removeDuplicateSpansIncrement]] — duplicated
   *      substrings cut against the corpus span-gram index (rewrites
-  *      the text);
-  *   5. [[Decontaminate.overlapBloom]] — benchmark n-gram leakage
-  *      filter through the Bloom candidate stage (exact verdicts).
+  *      the text). Decontamination runs BEFORE this stage so a
+  *      rejected document never registers span grams — the span
+  *      index's invariant below.
   *
   * Every cross-shard fact lives in the three parquet indexes, so the
   * step is a pure function of (shard, bench, index state): shards
@@ -28,9 +32,12 @@ import org.apache.spark.sql.functions._
   * again). Each index accumulates the docs that REACH its stage: an
   * exact-dup never registers MinHash signatures (its byte-identical
   * canonical already did — any future match on one matches the
-  * other), and a doc dropped as a near-dup never registers span
-  * grams — deliberately: the span index should describe text the
-  * CORPUS actually retains, not text that was rejected. Output:
+  * other), and a doc dropped as a near-dup OR as contaminated never
+  * registers span grams — deliberately: the span index should
+  * describe text the CORPUS actually retains, not text that was
+  * rejected (a passage co-occurring with eval leakage must stay
+  * usable in the clean document that carries it later — spec-proven
+  * by the planted contaminated-donor slice). Output:
   * (doc_id, `keyCol`, clean_text, n_tokens) of admitted documents
   * with duplicated spans already cut.
   *
@@ -79,16 +86,18 @@ object IngestPipeline {
       digestIndexPath)
     val near = Dedup.dedupIncrement(exact, idCol, textCol,
       minhashIndexPath, k, bands, n, threshold)
-    // span cut rewrites the text; carry the key through the rejoin
-    val cut = Dedup.removeDuplicateSpansIncrement(near, idCol, textCol,
-        spanIndexPath, spanN)
-      .join(near.select(col(idCol).as("doc_id"), col(keyCol)), Seq("doc_id"))
-    // overlapBloom reads ONE text column name on both sides; the cut
-    // side's is clean_text, so the bench rides in under that name
-    Decontaminate.overlapBloom(cut,
-        bench.withColumnRenamed(textCol, "clean_text"),
-        "doc_id", "clean_text", n, decontamMinHits, expectedGrams, fpp)
+    // eager pin: the admitted set feeds the span increment (gram pass
+    // + cut) AND the key rejoin below — unpinned, each branch would
+    // re-run the whole quality/digest/LSH chain upstream of it
+    val clean = Decontaminate.overlapBloom(near, bench, idCol, textCol,
+        n, decontamMinHits, expectedGrams, fpp)
       .where(!col("contaminated"))
+      .drop("n_hits", "contaminated")
+      .localCheckpoint(true)
+    // span cut rewrites the text; carry the key through the rejoin
+    Dedup.removeDuplicateSpansIncrement(clean, idCol, textCol,
+        spanIndexPath, spanN)
+      .join(clean.select(col(idCol).as("doc_id"), col(keyCol)), Seq("doc_id"))
       .select(col("doc_id"), col(keyCol), col("clean_text"),
         col("n_kept").as("n_tokens"))
   }

@@ -472,10 +472,19 @@ object CurationStreams {
       spark: SparkSession, sourceDir: String, bench: DataFrame,
       digestIndexPath: String, minhashIndexPath: String,
       spanIndexPath: String, outDir: String, checkpointDir: String,
-      schema: StructType, minTokens: Long = 25,
+      schema: StructType, idCol: String = "doc_id",
+      textCol: String = "text", keyCol: String = "source",
+      minTokens: Long = 25, maxDupFrac: Double = 0.55,
       k: Int = 16, bands: Int = 4, n: Int = 3, threshold: Double = 0.5,
       spanN: Int = 8, decontamMinHits: Int = 2,
+      expectedGrams: Long = 1L << 20, fpp: Double = 0.03,
       maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    // fail at START time, not first-micro-batch time, when the source
+    // schema is missing a pipeline column
+    for (c <- Seq(idCol, textCol, keyCol))
+      require(schema.fieldNames.contains(c),
+        s"startIngestPipelineStream: source schema lacks required column '$c' " +
+          s"(schema: ${schema.fieldNames.mkString(", ")})")
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
@@ -483,9 +492,12 @@ object CurationStreams {
       graft.ops.TableWrite.withSchemaAnchor(
         graft.ops.IngestPipeline.ingestShard(batch, bench,
           digestIndexPath, minhashIndexPath, spanIndexPath,
-          minTokens = minTokens, k = k, bands = bands, n = n,
+          idCol = idCol, textCol = textCol, keyCol = keyCol,
+          minTokens = minTokens, maxDupFrac = maxDupFrac,
+          k = k, bands = bands, n = n,
           threshold = threshold, spanN = spanN,
-          decontamMinHits = decontamMinHits),
+          decontamMinHits = decontamMinHits,
+          expectedGrams = expectedGrams, fpp = fpp),
         outDir, "append")
     }
     src.writeStream

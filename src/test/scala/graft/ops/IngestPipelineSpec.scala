@@ -26,19 +26,25 @@ class IngestPipelineSpec extends AnyFunSuite {
 
   test("ingestShard: every planted leak is caught by its own stage across shards") {
     val phrase8 = "pine oak elm birch maple cedar aspen willow"
+    val donor8 = "ruby topaz opal beryl garnet zircon jasper amber"
     val benchGram = "eval leak gram"
     val textA = uniq(1, 20)
     val shard1 = Seq(
       (1L, textA, "s"),                                   // canonical
       (2L, s"${uniq(2, 12)} $phrase8", "s"),              // carries the phrase
-      (3L, uniq(3, 5), "s")                               // below minTokens
+      (3L, uniq(3, 5), "s"),                              // below minTokens
+      // contaminated donor: rejected at decontamination, so its
+      // donor8 passage must NEVER register span grams — the clean
+      // shard-2 doc that reuses it keeps it intact
+      (4L, s"${uniq(4, 6)} $benchGram ${uniq(40, 4)} $donor8", "s")
     ).toDF("doc_id", "text", "source")
     val shard2 = Seq(
       (11L, textA.replaceFirst(" ", "  "), "s"),          // byte-different exact?
       (12L, textA, "s"),                                  // exact dup of doc 1
       (13L, s"${uniq(13, 12)} $phrase8", "s"),            // shares ONLY the phrase
       (14L, s"${uniq(14, 10)} $benchGram ${uniq(140, 7)}", "s"), // contaminated
-      (15L, uniq(15, 20), "s")                            // clean
+      (15L, uniq(15, 20), "s"),                           // clean
+      (16L, s"${uniq(16, 12)} $donor8", "s")              // reuses the REJECTED donor's passage
     ).toDF("doc_id", "text", "source")
     val bench = Seq((100L, s"$benchGram ${uniq(100, 10)}", "b"))
       .toDF("doc_id", "text", "source")
@@ -62,10 +68,14 @@ class IngestPipelineSpec extends AnyFunSuite {
     // token-identical → survives exact, killed by the MinHash index
     // (shingle Jaccard 1 vs doc 1); 13 survives both, loses ONLY the
     // phrase to the span index; 14 is dropped by bloom
-    // decontamination; 15 is untouched
-    assert(out2.keySet == Set(13L, 15L))
+    // decontamination; 15 is untouched; 16 keeps the donor passage
+    // INTACT — its only prior occurrence was in shard-1's doc 4,
+    // which decontamination rejected BEFORE the span stage could
+    // register its grams
+    assert(out2.keySet == Set(13L, 15L, 16L))
     assert(out2(13L)._1 == uniq(13, 12) && out2(13L)._2 == 12)
     assert(out2(15L)._2 == 20)
+    assert(out2(16L)._2 == 20 && out2(16L)._1.endsWith(donor8))
 
     // retry: re-ingesting shard 2 against the already-appended
     // indexes reproduces the identical verdicts and texts
@@ -121,9 +131,11 @@ class IngestPipelineSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
       (3L, "alpha beta gamma"),                      // in-corpus dup of 1
+      (4L, null),                                    // NULL-text past doc
       (11L, "alpha beta gamma"),                     // cross-shard dup of 1
       (12L, "eta theta iota"), (13L, "eta theta iota"), // within-increment pair
-      (14L, "kappa lambda mu")
+      (14L, "kappa lambda mu"),
+      (15L, null), (16L, null)                       // NULL-text increment pair
     ).toDF("doc_id", "text")
     val old = docs.where($"doc_id" <= 10)
     val inc = docs.where($"doc_id" > 10)
@@ -134,6 +146,9 @@ class IngestPipelineSpec extends AnyFunSuite {
     val got = Dedup.dedupExactIncrement(inc, "doc_id", "text", path)
     val batch = Dedup.dropExactDuplicates(docs, "doc_id", "text")
       .where($"doc_id" > 10)
+    // NULL texts form one digest group like the batch rule: doc 4
+    // (past) holds the group's min id, so 15 and 16 both drop — and
+    // the non-null fates are untouched by the null rows
     assert(ids(got) == ids(batch) && ids(got) == Set(12L, 14L))
     // retry against the shard's own appended digests: identical
     val retry = Dedup.dedupExactIncrement(inc, "doc_id", "text", path,
