@@ -820,8 +820,8 @@ final class Graft(val spark: SparkSession, stateDir: String) {
     graft.ops.Dedup.compactDigestIndex(spark, path, parts)
 
   /** The composed production ingest step — quality gate ∘ exact ∘
-    * near-dup ∘ span dedup (each against its persisted index) ∘
-    * Bloom-stage decontamination — over one arriving shard.
+    * near-dup dedup ∘ Bloom-stage decontamination ∘ span cut (each
+    * dedup against its persisted index) — over one arriving shard.
     */
   def curateIngestShard(shard: DataFrame, bench: DataFrame,
                         digestIndexPath: String, minhashIndexPath: String,

@@ -458,8 +458,8 @@ object CurationStreams {
 
   /** The COMPOSED incremental ingest as a continuous query: each
     * micro-batch runs [[graft.ops.IngestPipeline.ingestShard]] —
-    * quality gate ∘ exact ∘ near-dup ∘ span dedup (each against its
-    * persisted index) ∘ Bloom decontamination — and appends admitted
+    * quality gate ∘ exact ∘ near-dup dedup ∘ Bloom decontamination ∘
+    * span cut (each dedup against its persisted index) — and appends
     * (doc_id, key, clean_text, n_tokens) rows to `outDir`. This is
     * the production shape end to end: documents land as parquet
     * shards, every cross-shard fact lives in the three index tables
