@@ -148,10 +148,27 @@ object Dedup {
     a.join(b, joinCond)
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("jaccard",
-        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+      .withColumn("jaccard", multisetJaccard(col("c"), col("na"), col("nb")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** c / (na + nb − c), guarded against a zero (or negative)
+    * denominator. With today's per-doc-DISTINCT gram/fingerprint
+    * inputs the denominator is provably ≥ max(na, nb) ≥ 1, so the
+    * guard never fires and oracle parity is untouched — it exists as
+    * defense in depth for any future multiset caller (dedup = false
+    * shingles), where a pathological document whose every gram
+    * repeats could drive c to na + nb and a division error would
+    * kill a whole 100 TB job for one junk pair. Such a pair is a
+    * duplicate under any reading, so it scores 1.0 (kept by every
+    * threshold).
+    */
+  private def multisetJaccard(c: org.apache.spark.sql.Column,
+                              na: org.apache.spark.sql.Column,
+                              nb: org.apache.spark.sql.Column) = {
+    val denom = (na + nb - c).cast("double")
+    when(denom <= 0.0, lit(1.0)).otherwise(c.cast("double") / denom)
   }
 
   /** Pairwise near-duplicate candidates by shared WINNOWING
@@ -182,8 +199,7 @@ object Dedup {
     a.join(b, joinCond)
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("fp_jaccard",
-        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+      .withColumn("fp_jaccard", multisetJaccard(col("c"), col("na"), col("nb")))
       .where(col("fp_jaccard") >= threshold)
       .select("id_a", "id_b", "fp_jaccard")
   }
