@@ -82,6 +82,14 @@ class IngestPipelineSpec extends AnyFunSuite {
     val retry = run(shard2).collect()
       .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
     assert(retry == out2)
+
+    // an EMPTY shard (a quiet ingest window) flows through every
+    // stage and all three index appends without a crash, emitting
+    // nothing and leaving the indexes serviceable
+    assert(run(shard2.where(lit(false))).collect().isEmpty)
+    val again = run(shard2).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(again == out2)
   }
 
   test("streaming composed ingest: two file-batches reproduce the two-shard batch fates") {
