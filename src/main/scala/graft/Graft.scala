@@ -819,9 +819,10 @@ final class Graft(val spark: SparkSession, stateDir: String) {
   def digestIndexCompact(path: String, parts: Int = 32): Unit =
     graft.ops.Dedup.compactDigestIndex(spark, path, parts)
 
-  /** The composed production ingest step — quality gate ∘ exact ∘
-    * near-dup dedup ∘ Bloom-stage decontamination ∘ span cut (each
-    * dedup against its persisted index) — over one arriving shard.
+  /** The composed production ingest step — quality gate ∘ exact
+    * dedup ∘ Bloom-stage decontamination ∘ near-dup dedup ∘ span cut
+    * (each dedup against its persisted index) — over one arriving
+    * shard.
     */
   def curateIngestShard(shard: DataFrame, bench: DataFrame,
                         digestIndexPath: String, minhashIndexPath: String,

@@ -98,12 +98,21 @@ object AnnIndex {
     */
   def append(inc: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
     val spark = inc.sparkSession
-    val (_, _, _, _, planes, _) = readManifest(spark, path)
+    val (dims, _, _, _, planes, _) = readManifest(spark, path)
+    // the manifest's dims gate the increment: a wrong-dimensional (or
+    // NULL) vector would otherwise encode garbage codes silently (the
+    // pqEncode subvector slicing just misaligns) — assert_true rides
+    // the encode scan, so the check costs no extra pass
+    val guarded = inc.select(col(idCol), col(vecCol))
+      .where(assert_true(size(col(vecCol)) === lit(dims),
+        concat(lit("AnnIndex.append: increment vector length "),
+          size(col(vecCol)).cast("string"),
+          lit(s" != manifest dims $dims"))).isNull)
     val cb = readPqCodebooks(spark, path)
     TableWrite.withSchemaAnchor(Similarity.pqEncode(
-      inc.select(col(idCol), col(vecCol)), idCol, vecCol, cb),
+      guarded, idCol, vecCol, cb),
       s"$path/pq_codes", "append")
-    TableWrite.withSchemaAnchor(inc.select(col(idCol),
+    TableWrite.withSchemaAnchor(guarded.select(col(idCol),
       Similarity.lshBucket(col(vecCol), planes).as("bucket")),
       s"$path/lsh_buckets", "append")
   }

@@ -148,10 +148,13 @@ object Decontaminate {
       ColumnBridge.expression(xxhash64(col("_gram"))),
       Literal(expectedGrams), Literal(numBits)).toAggregateExpression())
     val bf = benchGrams.agg(bfAgg.as("_bf")).head().getAs[Array[Byte]]("_bf")
-    // empty benchmark (the aggregate yields NULL) → nothing can leak
+    // empty benchmark (the aggregate yields NULL) → zero hits, with
+    // the verdict still computed as n_hits >= minHits so the
+    // degenerate minHits <= 0 case (overlap flags every doc) keeps
+    // the "output is EXACTLY overlap's" contract
     if (bf == null)
       return docs.withColumn("n_hits", lit(0L))
-        .withColumn("contaminated", lit(false))
+        .withColumn("contaminated", lit(0L) >= lit(minHits.toLong))
     val mightHit = ColumnBridge.column(BloomFilterMightContain(
       Literal(bf, org.apache.spark.sql.types.BinaryType),
       ColumnBridge.expression(xxhash64(col("_s")))))

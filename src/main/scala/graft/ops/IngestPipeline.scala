@@ -11,17 +11,30 @@ import org.apache.spark.sql.functions._
   *      duplicate-word fraction), stateless map work;
   *   2. [[Dedup.dedupExactIncrement]] — exact dups vs everything ever
   *      ingested (digest index);
-  *   3. [[Dedup.dedupIncrement]] — near-dups vs the corpus MinHash
-  *      signature index;
-  *   4. [[Decontaminate.overlapBloom]] — benchmark n-gram leakage
+  *   3. [[Decontaminate.overlapBloom]] — benchmark n-gram leakage
   *      filter through the Bloom candidate stage (exact verdicts, on
   *      the RAW text: eval leakage disqualifies a document whether or
   *      not the leaked passage would also have been span-cut);
+  *   4. [[Dedup.dedupIncrement]] — near-dups vs the corpus MinHash
+  *      signature index;
   *   5. [[Dedup.removeDuplicateSpansIncrement]] — duplicated
   *      substrings cut against the corpus span-gram index (rewrites
-  *      the text). Decontamination runs BEFORE this stage so a
-  *      rejected document never registers span grams — the span
-  *      index's invariant below.
+  *      the text).
+  *
+  * Decontamination runs BEFORE both near-dup and span stages so a
+  * rejected document never registers MinHash signatures OR span
+  * grams: a contaminated doc must not become a permanent near-dup
+  * canonical (a later CLEAN near-variant — the same article minus
+  * the leaked passage — must be retained, not dropped against a doc
+  * the corpus never admitted), and a passage co-occurring with eval
+  * leakage must stay usable in the clean document that carries it
+  * later. Both invariants are spec-proven by planted
+  * contaminated-donor slices. The one deliberate asymmetry: the
+  * EXACT-digest index (stage 2) registers digests before
+  * decontamination — safe because a byte-identical copy of a
+  * contaminated doc carries the identical leaked grams and is
+  * rejected by its own decontamination verdict, never silently
+  * dropped against the contaminated canonical.
   *
   * Every cross-shard fact lives in the three parquet indexes, so the
   * step is a pure function of (shard, bench, index state): shards
@@ -32,12 +45,8 @@ import org.apache.spark.sql.functions._
   * again). Each index accumulates the docs that REACH its stage: an
   * exact-dup never registers MinHash signatures (its byte-identical
   * canonical already did — any future match on one matches the
-  * other), and a doc dropped as a near-dup OR as contaminated never
-  * registers span grams — deliberately: the span index should
-  * describe text the CORPUS actually retains, not text that was
-  * rejected (a passage co-occurring with eval leakage must stay
-  * usable in the clean document that carries it later — spec-proven
-  * by the planted contaminated-donor slice). Output:
+  * other), and the span index describes text the CORPUS actually
+  * retains, never text that was rejected. Output:
   * (doc_id, `keyCol`, clean_text, n_tokens) of admitted documents
   * with duplicated spans already cut.
   *
@@ -55,15 +64,20 @@ import org.apache.spark.sql.functions._
   */
 object IngestPipeline {
 
+  /** `shingleN` is the MinHash shingle size (near-dup candidate
+    * generation); `decontamN` the decontamination n-gram size (eval
+    * leakage test) — separate knobs sharing a default, so tuning the
+    * leak gram length never silently changes near-dup semantics.
+    */
   def ingestShard(shard: DataFrame, bench: DataFrame,
                   digestIndexPath: String, minhashIndexPath: String,
                   spanIndexPath: String,
                   idCol: String = "doc_id", textCol: String = "text",
                   keyCol: String = "source",
                   minTokens: Long = 25, maxDupFrac: Double = 0.55,
-                  k: Int = 16, bands: Int = 4, n: Int = 3,
+                  k: Int = 16, bands: Int = 4, shingleN: Int = 3,
                   threshold: Double = 0.5, spanN: Int = 8,
-                  decontamMinHits: Int = 2,
+                  decontamN: Int = 3, decontamMinHits: Int = 2,
                   expectedGrams: Long = 1L << 20,
                   fpp: Double = 0.03): DataFrame = {
     // first-shard convenience: absent indexes initialize empty
@@ -74,7 +88,7 @@ object IngestPipeline {
     if (!fs.exists(new org.apache.hadoop.fs.Path(digestIndexPath)))
       Dedup.writeDigestIndex(none, idCol, textCol, digestIndexPath)
     if (!fs.exists(new org.apache.hadoop.fs.Path(minhashIndexPath)))
-      Dedup.writeMinhashIndex(none, idCol, textCol, minhashIndexPath, k, n)
+      Dedup.writeMinhashIndex(none, idCol, textCol, minhashIndexPath, k, shingleN)
     if (!fs.exists(new org.apache.hadoop.fs.Path(spanIndexPath)))
       Dedup.writeSpanGramIndex(none, idCol, textCol, spanIndexPath, spanN)
     val qual = shard
@@ -84,20 +98,22 @@ object IngestPipeline {
       .select(col(idCol), col(textCol), col(keyCol))
     val exact = Dedup.dedupExactIncrement(qual, idCol, textCol,
       digestIndexPath)
-    val near = Dedup.dedupIncrement(exact, idCol, textCol,
-      minhashIndexPath, k, bands, n, threshold)
-    // eager pin: the admitted set feeds the span increment (gram pass
-    // + cut) AND the key rejoin below — unpinned, each branch would
-    // re-run the whole quality/digest/LSH chain upstream of it
-    val clean = Decontaminate.overlapBloom(near, bench, idCol, textCol,
-        n, decontamMinHits, expectedGrams, fpp)
+    // decontamination BEFORE the near-dup stage: a contaminated doc
+    // must never register MinHash signatures (scaladoc invariant)
+    val clean = Decontaminate.overlapBloom(exact, bench, idCol, textCol,
+        decontamN, decontamMinHits, expectedGrams, fpp)
       .where(!col("contaminated"))
       .drop("n_hits", "contaminated")
+    // eager pin: the admitted set feeds the span increment (gram pass
+    // + cut) AND the key rejoin below — unpinned, each branch would
+    // re-run the whole quality/digest/decontam/LSH chain upstream
+    val near = Dedup.dedupIncrement(clean, idCol, textCol,
+        minhashIndexPath, k, bands, shingleN, threshold)
       .localCheckpoint(true)
     // span cut rewrites the text; carry the key through the rejoin
-    Dedup.removeDuplicateSpansIncrement(clean, idCol, textCol,
+    Dedup.removeDuplicateSpansIncrement(near, idCol, textCol,
         spanIndexPath, spanN)
-      .join(clean.select(col(idCol).as("doc_id"), col(keyCol)), Seq("doc_id"))
+      .join(near.select(col(idCol).as("doc_id"), col(keyCol)), Seq("doc_id"))
       .select(col("doc_id"), col(keyCol), col("clean_text"),
         col("n_kept").as("n_tokens"))
   }

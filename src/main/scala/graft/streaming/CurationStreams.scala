@@ -458,15 +458,16 @@ object CurationStreams {
 
   /** The COMPOSED incremental ingest as a continuous query: each
     * micro-batch runs [[graft.ops.IngestPipeline.ingestShard]] —
-    * quality gate ∘ exact ∘ near-dup dedup ∘ Bloom decontamination ∘
-    * span cut (each dedup against its persisted index) — and appends
-    * (doc_id, key, clean_text, n_tokens) rows to `outDir`. This is
-    * the production shape end to end: documents land as parquet
-    * shards, every cross-shard fact lives in the three index tables
-    * (absent ones self-initialize inside the first batch), and the
-    * curated corpus streams out. Contracts inherited stage by stage:
-    * ids nondecreasing across batches; at-least-once at the sink
-    * with retry-stable verdicts (IngestPipelineSpec's retry slice).
+    * quality gate ∘ exact dedup ∘ Bloom decontamination ∘ near-dup
+    * dedup ∘ span cut (each dedup against its persisted index) — and
+    * appends (doc_id, key, clean_text, n_tokens) rows to `outDir`.
+    * This is the production shape end to end: documents land as
+    * parquet shards, every cross-shard fact lives in the three index
+    * tables (absent ones self-initialize inside the first batch), and
+    * the curated corpus streams out. Contracts inherited stage by
+    * stage: ids nondecreasing across batches; at-least-once at the
+    * sink with retry-stable verdicts (IngestPipelineSpec's retry
+    * slice).
     */
   def startIngestPipelineStream(
       spark: SparkSession, sourceDir: String, bench: DataFrame,
@@ -475,8 +476,8 @@ object CurationStreams {
       schema: StructType, idCol: String = "doc_id",
       textCol: String = "text", keyCol: String = "source",
       minTokens: Long = 25, maxDupFrac: Double = 0.55,
-      k: Int = 16, bands: Int = 4, n: Int = 3, threshold: Double = 0.5,
-      spanN: Int = 8, decontamMinHits: Int = 2,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3, threshold: Double = 0.5,
+      spanN: Int = 8, decontamN: Int = 3, decontamMinHits: Int = 2,
       expectedGrams: Long = 1L << 20, fpp: Double = 0.03,
       maxFilesPerTrigger: Int = 1): StreamingQuery = {
     // fail at START time, not first-micro-batch time, when the source
@@ -494,9 +495,9 @@ object CurationStreams {
           digestIndexPath, minhashIndexPath, spanIndexPath,
           idCol = idCol, textCol = textCol, keyCol = keyCol,
           minTokens = minTokens, maxDupFrac = maxDupFrac,
-          k = k, bands = bands, n = n,
+          k = k, bands = bands, shingleN = shingleN,
           threshold = threshold, spanN = spanN,
-          decontamMinHits = decontamMinHits,
+          decontamN = decontamN, decontamMinHits = decontamMinHits,
           expectedGrams = expectedGrams, fpp = fpp),
         outDir, "append")
     }

@@ -36,7 +36,12 @@ class IngestPipelineSpec extends AnyFunSuite {
       // contaminated donor: rejected at decontamination, so its
       // donor8 passage must NEVER register span grams — the clean
       // shard-2 doc that reuses it keeps it intact
-      (4L, s"${uniq(4, 6)} $benchGram ${uniq(40, 4)} $donor8", "s")
+      (4L, s"${uniq(4, 6)} $benchGram ${uniq(40, 4)} $donor8", "s"),
+      // contaminated NEAR-DUP donor: rejected at decontamination, so
+      // it must never register MinHash signatures — the clean shard-2
+      // near-variant (same article minus the leak) must be RETAINED,
+      // not dropped against a doc the corpus never admitted
+      (5L, s"${uniq(5, 18)} $benchGram", "s")
     ).toDF("doc_id", "text", "source")
     val shard2 = Seq(
       (11L, textA.replaceFirst(" ", "  "), "s"),          // byte-different exact?
@@ -44,7 +49,8 @@ class IngestPipelineSpec extends AnyFunSuite {
       (13L, s"${uniq(13, 12)} $phrase8", "s"),            // shares ONLY the phrase
       (14L, s"${uniq(14, 10)} $benchGram ${uniq(140, 7)}", "s"), // contaminated
       (15L, uniq(15, 20), "s"),                           // clean
-      (16L, s"${uniq(16, 12)} $donor8", "s")              // reuses the REJECTED donor's passage
+      (16L, s"${uniq(16, 12)} $donor8", "s"),             // reuses the REJECTED donor's passage
+      (17L, uniq(5, 18), "s")                             // clean near-variant of REJECTED doc 5
     ).toDF("doc_id", "text", "source")
     val bench = Seq((100L, s"$benchGram ${uniq(100, 10)}", "b"))
       .toDF("doc_id", "text", "source")
@@ -53,12 +59,13 @@ class IngestPipelineSpec extends AnyFunSuite {
     def run(shard: org.apache.spark.sql.DataFrame) =
       IngestPipeline.ingestShard(shard, bench,
         s"$base/digest", s"$base/minhash", s"$base/span",
-        minTokens = 10, k = 16, bands = 4, n = 3, threshold = 0.25,
-        spanN = 8, decontamMinHits = 1)
+        minTokens = 10, k = 16, bands = 4, shingleN = 3, threshold = 0.25,
+        spanN = 8, decontamN = 3, decontamMinHits = 1)
 
     val out1 = run(shard1).collect()
       .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
-    // doc 3 fails quality; 1 and 2 land intact (nothing indexed yet)
+    // doc 3 fails quality, 4 and 5 fail decontamination; 1 and 2 land
+    // intact (nothing indexed yet)
     assert(out1.keySet == Set(1L, 2L))
     assert(out1(2L)._2 == 20 && out1(2L)._1.endsWith(phrase8))
 
@@ -71,11 +78,14 @@ class IngestPipelineSpec extends AnyFunSuite {
     // decontamination; 15 is untouched; 16 keeps the donor passage
     // INTACT — its only prior occurrence was in shard-1's doc 4,
     // which decontamination rejected BEFORE the span stage could
-    // register its grams
-    assert(out2.keySet == Set(13L, 15L, 16L))
+    // register its grams; 17 is a near-dup ONLY of rejected doc 5,
+    // whose signatures decontamination kept out of the MinHash index,
+    // so the clean variant is retained intact
+    assert(out2.keySet == Set(13L, 15L, 16L, 17L))
     assert(out2(13L)._1 == uniq(13, 12) && out2(13L)._2 == 12)
     assert(out2(15L)._2 == 20)
     assert(out2(16L)._2 == 20 && out2(16L)._1.endsWith(donor8))
+    assert(out2(17L)._1 == uniq(5, 18) && out2(17L)._2 == 18)
 
     // retry: re-ingesting shard 2 against the already-appended
     // indexes reproduces the identical verdicts and texts

@@ -1000,6 +1000,17 @@ class OpsSpec extends AnyFunSuite {
     val none = Decontaminate.overlapBloom(corpus, bench.where(lit(false)),
       "doc_id", "text", n = 3)
     assert(none.where($"contaminated").count() == 0)
+    // degenerate minHits <= 0: overlap flags EVERY doc (0 >= 0), and
+    // the bloom arm's empty-benchmark early return must agree — the
+    // "output is EXACTLY overlap's" contract has no carve-outs
+    for (mh <- Seq(0, -1)) {
+      val emptyBench = bench.where(lit(false))
+      val o = rows(Decontaminate.overlap(corpus, emptyBench, "doc_id", "text",
+        n = 3, minHits = mh))
+      val b = rows(Decontaminate.overlapBloom(corpus, emptyBench, "doc_id", "text",
+        n = 3, minHits = mh))
+      assert(b == o && b.forall(_(2) == true), s"minHits=$mh")
+    }
     assert(rows(Decontaminate.dropBloom(corpus, bench, "doc_id", "text", n = 3)
         .withColumn("n_hits", lit(0L)).withColumn("contaminated", lit(false))) ==
       rows(Decontaminate.drop(corpus, bench, "doc_id", "text", n = 3)
@@ -2106,6 +2117,20 @@ class OpsSpec extends AnyFunSuite {
     val lshLive = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
       k = 10, planes = 8, hamming = 1)
     assert(rows(lshCold) == rows(lshLive) && rows(lshCold).nonEmpty)
+
+    // a wrong-dimensional increment must fail LOUDLY against the
+    // manifest's dims, not encode misaligned garbage codes silently
+    val codesBefore = rows(AnnIndex.readPqCodes(spark, path))
+    val bad = inc.select(col("vec_id"),
+      slice(col("embedding"), 1, 32).as("embedding"))
+    val err = intercept[Exception] {
+      AnnIndex.append(bad, "vec_id", "embedding", path)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(err).exists(m => m != null && m.contains("manifest dims")))
+    // and the failed append left the code table untouched
+    assert(rows(AnnIndex.readPqCodes(spark, path)) == codesBefore)
   }
 
   test("index compaction: content-identical swap, fewer files, merged span minima") {
