@@ -51,18 +51,48 @@ object AnnIndex {
             dims: Int = 64, ivfK: Int = 256, pqM: Int = 4, pqK: Int = 4,
             planes: Int = 8, iters: Int = 2): Unit = {
     val cent = Similarity.trainIvfCentroids(corpus, idCol, vecCol, ivfK, iters)
-    writeTable(cent, s"$path/ivf_centroids")
     val cb = Similarity.trainPqCodebooks(corpus, idCol, vecCol, dims, pqM, pqK, iters)
+    buildFromArtifacts(corpus, idCol, vecCol, path, cent, cb,
+      dims, ivfK, pqM, pqK, planes, iters)
+  }
+
+  /** Assemble an index version from PROVIDED (frozen) artifacts with
+    * no training pass: persist the given centroid/codebook tables,
+    * encode `corpus` (possibly empty) against them, write the
+    * manifest. [[build]] delegates here after training; calling it
+    * directly is the production shape when codebooks are trained once
+    * on a sample and every index version just encodes — and is what
+    * lets the `ann_index_append` bench row measure pure
+    * encode+append+serve without a trainer in the loop.
+    */
+  def buildFromArtifacts(corpus: DataFrame, idCol: String, vecCol: String,
+                         path: String, centroids: DataFrame, cb: DataFrame,
+                         dims: Int, ivfK: Int, pqM: Int, pqK: Int,
+                         planes: Int, iters: Int): Unit = {
+    val spark = corpus.sparkSession
+    writeTable(centroids, s"$path/ivf_centroids")
     writeTable(cb, s"$path/pq_codebooks")
-    writeTable(Similarity.pqEncode(
-      corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cb), s"$path/pq_codes")
-    writeTable(corpus.select(col(idCol),
-      Similarity.lshBucket(col(vecCol), planes).as("bucket")), s"$path/lsh_buckets")
+    val pfx = codesPfx(idCol)
+    IndexStore.reset(spark, s"$path/pq_codes")
+    IndexStore.append(Similarity.pqEncode(
+      corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cb),
+      s"$path/pq_codes", pfx)
+    IndexStore.reset(spark, s"$path/lsh_buckets")
+    IndexStore.append(corpus.select(col(idCol),
+      Similarity.lshBucket(col(vecCol), planes).as("bucket")),
+      s"$path/lsh_buckets", pfx)
     import corpus.sparkSession.implicits._
-    writeTable(Seq((dims, ivfK, pqM, pqK, planes, iters))
-      .toDF("dims", "ivf_k", "pq_m", "pq_k", "planes", "iters"),
+    writeTable(Seq((dims, ivfK, pqM, pqK, planes, iters, idCol))
+      .toDF("dims", "ivf_k", "pq_m", "pq_k", "planes", "iters", "id_col"),
       s"$path/manifest")
   }
+
+  /** Layout key for the two growing tables: a hash prefix of the
+    * vector id (identity-transform compaction tolerates any bucketing,
+    * but a stable one keeps appends and maintenance aligned).
+    */
+  private def codesPfx(idCol: String) =
+    pmod(xxhash64(col(idCol)), lit(16)).cast("string")
 
   /** The build parameters persisted with the index, as
     * (dims, ivf_k, pq_m, pq_k, planes, iters). */
@@ -72,6 +102,12 @@ object AnnIndex {
         col("planes"), col("iters")).head()
     (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))
   }
+
+  /** The index's id column name, persisted with the manifest (drives
+    * the layout key for maintenance).
+    */
+  def readIdCol(spark: SparkSession, path: String): String =
+    spark.read.parquet(s"$path/manifest").select(col("id_col")).head().getString(0)
 
   /** Ingest a NEW shard into an existing index without retraining:
     * the persisted codebooks and plane count (recovered from the
@@ -90,13 +126,13 @@ object AnnIndex {
     *
     * Scale: each ingest pays one scan of its own shard — m
     * plan-literal argmaxes plus the plane projection, no shuffle, no
-    * touch of previously indexed data. Like
-    * [[Dedup.dedupIncrement]]'s signature append, a retried shard
-    * re-appends its rows; serving dedups nothing, so exactly-once
-    * ingestion is the caller's contract (drop-and-reingest the shard
-    * directory, or route through a transactional table format).
+    * touch of previously indexed data. A `commitTag` makes the
+    * append replay-idempotent (the two tables are [[IndexStore]]s):
+    * a retried shard carrying its tag re-appends nothing, so
+    * exactly-once ingestion needs no external transaction.
     */
-  def append(inc: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+  def append(inc: DataFrame, idCol: String, vecCol: String, path: String,
+             commitTag: Option[String] = None): Unit = {
     val spark = inc.sparkSession
     val (dims, _, _, _, planes, _) = readManifest(spark, path)
     // the manifest's dims gate the increment: a wrong-dimensional (or
@@ -109,12 +145,13 @@ object AnnIndex {
           size(col(vecCol)).cast("string"),
           lit(s" != manifest dims $dims"))).isNull)
     val cb = readPqCodebooks(spark, path)
-    TableWrite.withSchemaAnchor(Similarity.pqEncode(
+    val pfx = codesPfx(idCol)
+    IndexStore.append(Similarity.pqEncode(
       guarded, idCol, vecCol, cb),
-      s"$path/pq_codes", "append")
-    TableWrite.withSchemaAnchor(guarded.select(col(idCol),
+      s"$path/pq_codes", pfx, commitTag.map(_ + ":codes"))
+    IndexStore.append(guarded.select(col(idCol),
       Similarity.lshBucket(col(vecCol), planes).as("bucket")),
-      s"$path/lsh_buckets", "append")
+      s"$path/lsh_buckets", pfx, commitTag.map(_ + ":buckets"))
   }
 
   def readIvfCentroids(spark: SparkSession, path: String): DataFrame =
@@ -124,20 +161,23 @@ object AnnIndex {
     spark.read.parquet(s"$path/pq_codebooks")
 
   def readPqCodes(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/pq_codes")
+    IndexStore.read(spark, s"$path/pq_codes")
 
   def readLshBuckets(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/lsh_buckets")
+    IndexStore.read(spark, s"$path/lsh_buckets")
 
   /** Compact the two append-accumulating tables (`pq_codes`,
     * `lsh_buckets`) after a run of [[append]]s — file layout only,
-    * rows unchanged ([[TableWrite.compact]]'s swap contract). The
+    * rows unchanged, dirty hash-prefix partitions only
+    * ([[IndexStore.compact]]'s manifest contract: appends landing
+    * mid-compaction are carried forward, no quiesce window). The
     * centroid/codebook/manifest tables never grow, so they never
     * need it.
     */
   def compact(spark: SparkSession, path: String, parts: Int = 32): Unit = {
-    TableWrite.compact(spark, s"$path/pq_codes", parts)
-    TableWrite.compact(spark, s"$path/lsh_buckets", parts)
+    val pfx = codesPfx(readIdCol(spark, path))
+    IndexStore.compact(spark, s"$path/pq_codes", pfx, identity, parts)
+    IndexStore.compact(spark, s"$path/lsh_buckets", pfx, identity, parts)
   }
 
   private def writeTable(df: DataFrame, path: String): Unit =

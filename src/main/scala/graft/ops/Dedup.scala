@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact,
@@ -340,6 +340,16 @@ object Dedup {
 
   // ── incremental span dedup against a persisted gram index ─────────
 
+  /** Hash-prefix layout keys for the three index families — a
+    * deterministic function of each index's KEY column, so every
+    * commit lands rows for the same key under the same `_pfx=`
+    * directory and [[IndexStore.compact]]'s per-partition folds are
+    * global folds.
+    */
+  private[graft] def spanPfx: Column = pmod(col("gh"), lit(16)).cast("string")
+  private[graft] def digestPfx: Column = substring(col("digest"), 1, 1)
+  private[graft] def minhashPfx: Column = pmod(col("id"), lit(16)).cast("string")
+
   /** Persist a corpus's span-gram index: one (gh, min_doc) row per
     * DISTINCT n-gram hash — the accumulated state
     * [[removeDuplicateSpansIncrement]] cleans each NEW shard against,
@@ -349,37 +359,46 @@ object Dedup {
     * presence test is `index.min_doc < doc_id`, so a doc's own
     * appended grams can never mark it (see the increment's scaladoc).
     * Cost is ~8 bytes per distinct gram — the hash inverted index
-    * that replaces Lee et al.'s suffix array, persisted.
+    * that replaces Lee et al.'s suffix array, persisted. Storage is
+    * an [[IndexStore]] (manifest-committed, `pmod(gh, 16)` prefix
+    * layout); `commitTag` makes an append replay-idempotent.
     */
   def writeSpanGramIndex(df: DataFrame, idCol: String, textCol: String,
                          path: String, n: Int = 8,
-                         append: Boolean = false): Unit =
-    TableWrite.withSchemaAnchor(
+                         append: Boolean = false,
+                         commitTag: Option[String] = None): Unit = {
+    if (!append) IndexStore.reset(df.sparkSession, path)
+    IndexStore.append(
       spanGrams(df, idCol, textCol, n)
         .groupBy(col("gh")).agg(min(col("doc_id")).as("min_doc")),
-      path, if (append) "append" else "overwrite")
+      path, spanPfx, commitTag)
+  }
 
   /** Load a [[writeSpanGramIndex]] gram index. */
   def readSpanGramIndex(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    IndexStore.read(spark, path)
 
   /** Compact a span-gram index: merge per-shard (gh, min_doc) rows
     * to one global-minimum row per gram AND rewrite the append-
-    * accumulated small files ([[TableWrite.compact]]'s contract).
-    * Results are unchanged — the increment probe aggregates the same
-    * minima at read time; compaction just stops paying for it.
+    * accumulated small files — only in the hash-prefix partitions
+    * that accumulated multiple commits ([[IndexStore.compact]]'s
+    * dirty-partition contract; appends landing mid-compaction are
+    * carried forward, no quiesce window). Results are unchanged —
+    * the increment probe aggregates the same minima at read time;
+    * compaction just stops paying for it.
     */
   def compactSpanGramIndex(spark: SparkSession, path: String,
                            parts: Int = 32): Unit =
-    TableWrite.compact(spark, path, parts,
-      _.groupBy(col("gh")).agg(min(col("min_doc")).as("min_doc")))
+    IndexStore.compact(spark, path, spanPfx,
+      _.groupBy(col("gh")).agg(min(col("min_doc")).as("min_doc")), parts)
 
   /** Compact a MinHash signature index's append-accumulated files
-    * (rows are per-doc and all load-bearing — file layout only).
+    * (rows are per-doc and all load-bearing — file layout only,
+    * dirty partitions only).
     */
   def compactMinhashIndex(spark: SparkSession, path: String,
                           parts: Int = 32): Unit =
-    TableWrite.compact(spark, path, parts)
+    IndexStore.compact(spark, path, minhashPfx, identity, parts)
 
   // ── incremental exact dedup against a persisted digest index ──────
 
@@ -395,26 +414,30 @@ object Dedup {
     */
   def writeDigestIndex(df: DataFrame, idCol: String, textCol: String,
                        path: String, normalized: Boolean = false,
-                       append: Boolean = false): Unit =
-    TableWrite.withSchemaAnchor(
+                       append: Boolean = false,
+                       commitTag: Option[String] = None): Unit = {
+    if (!append) IndexStore.reset(df.sparkSession, path)
+    IndexStore.append(
       df.select(col(idCol).as("_did"),
           exactDigest(textCol, normalized).as("digest"))
         .groupBy(col("digest")).agg(min(col("_did")).as("min_doc")),
-      path, if (append) "append" else "overwrite")
+      path, digestPfx, commitTag)
+  }
 
   /** Load a [[writeDigestIndex]] digest index. */
   def readDigestIndex(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    IndexStore.read(spark, path)
 
   /** Compact a digest index: merge per-shard (digest, min_doc) rows
-    * to the global minimum per digest and rewrite the small files
-    * ([[TableWrite.compact]]'s contract). Results unchanged — the
-    * increment probe aggregates the same minima at read time.
+    * to the global minimum per digest and rewrite the small files —
+    * dirty hash-prefix partitions only ([[IndexStore.compact]]).
+    * Results unchanged — the increment probe aggregates the same
+    * minima at read time.
     */
   def compactDigestIndex(spark: SparkSession, path: String,
                          parts: Int = 32): Unit =
-    TableWrite.compact(spark, path, parts,
-      _.groupBy(col("digest")).agg(min(col("min_doc")).as("min_doc")))
+    IndexStore.compact(spark, path, digestPfx,
+      _.groupBy(col("digest")).agg(min(col("min_doc")).as("min_doc")), parts)
 
   /** Exact-dedup a NEW shard against the accumulated corpus WITHOUT
     * re-reading it: an increment doc survives iff no PAST doc shares
@@ -431,7 +454,11 @@ object Dedup {
     *
     * When `appendDigests` is set (the default), the shard's
     * (digest, min_doc) rows append to the index eagerly at call time
-    * (the returned plan's file listing snapshots at entry).
+    * (the returned plan's manifest snapshot is taken at entry, so it
+    * is safe against the append). A `commitTag` makes the append
+    * idempotent across replays ([[IndexStore]] tags — the streaming
+    * sinks pass the batchId), decoupling index mutation from plan
+    * construction: a died-and-retried caller re-appends nothing.
     *
     * Scale: one digest kernel pass over the shard, one broadcast-or-
     * shuffled equi-join against the index on the digest key, one
@@ -439,7 +466,8 @@ object Dedup {
     */
   def dedupExactIncrement(inc: DataFrame, idCol: String, textCol: String,
                           indexPath: String, normalized: Boolean = false,
-                          appendDigests: Boolean = true): DataFrame = {
+                          appendDigests: Boolean = true,
+                          commitTag: Option[String] = None): DataFrame = {
     val spark = inc.sparkSession
     val idx = readDigestIndex(spark, indexPath)
       .groupBy(col("digest")).agg(min(col("min_doc")).as("_imn"))
@@ -464,10 +492,10 @@ object Dedup {
         "left_anti")
       .drop("_dg")
     if (appendDigests)
-      TableWrite.withSchemaAnchor(
+      IndexStore.append(
         d.select(col(idCol).as("_did"), col("_dg").as("digest"))
           .groupBy(col("digest")).agg(min(col("_did")).as("min_doc")),
-        indexPath, "append")
+        indexPath, digestPfx, commitTag)
     kept
   }
 
@@ -489,8 +517,10 @@ object Dedup {
     *
     * When `appendGrams` is set (the default), the increment's
     * per-gram (gh, min_doc) rows append to the index eagerly at call
-    * time; the returned plan is safe against it (file listing
-    * snapshots at entry). A RETRY against the already-appended index
+    * time; the returned plan is safe against it (the manifest
+    * snapshot is taken at entry). `commitTag` makes the append
+    * replay-idempotent ([[IndexStore]]). A RETRY against the
+    * already-appended index
     * reproduces the IDENTICAL spans: the presence test keeps only
     * `min_doc < doc_id` rows — a no-op for genuine index grams
     * (ingestion order) and, for the shard's own appended rows,
@@ -506,7 +536,8 @@ object Dedup {
   def removeDuplicateSpansIncrement(inc: DataFrame, idCol: String,
                                     textCol: String, indexPath: String,
                                     n: Int = 8, crossDocOnly: Boolean = true,
-                                    appendGrams: Boolean = true): DataFrame = {
+                                    appendGrams: Boolean = true,
+                                    commitTag: Option[String] = None): DataFrame = {
     val spark = inc.sparkSession
     val idx = readSpanGramIndex(spark, indexPath)
       // one row per gh whatever the shard-append history: the global
@@ -528,9 +559,9 @@ object Dedup {
     val hits = idxHits.union(withinHits).distinct()
     val out = cutSpans(inc, idCol, textCol, spansFromGramHits(hits, n))
     if (appendGrams)
-      TableWrite.withSchemaAnchor(
+      IndexStore.append(
         grams.groupBy(col("gh")).agg(min(col("doc_id")).as("min_doc")),
-        indexPath, "append")
+        indexPath, spanPfx, commitTag)
     out
   }
 
@@ -720,20 +751,23 @@ object Dedup {
     * Cost per doc is k longs — ~128 bytes at k=16 — so the index is
     * ~4 orders of magnitude smaller than the corpus it summarizes.
     *
-    * A zero-row corpus still writes a schema-carrying parquet file
-    * (one empty partition is appended), so [[readMinhashIndex]] on a
-    * fresh index never fails schema inference.
+    * A zero-row corpus still writes a schema-carrying anchor file
+    * ([[IndexStore]]), so [[readMinhashIndex]] on a fresh index never
+    * fails schema inference.
     */
   def writeMinhashIndex(df: DataFrame, idCol: String, textCol: String,
                         path: String, k: Int = 16, n: Int = 3,
-                        append: Boolean = false): Unit =
-    TableWrite.withSchemaAnchor(
+                        append: Boolean = false,
+                        commitTag: Option[String] = None): Unit = {
+    if (!append) IndexStore.reset(df.sparkSession, path)
+    IndexStore.append(
       minhashSignaturesWide(df, idCol, textCol, k, n), path,
-      if (append) "append" else "overwrite")
+      minhashPfx, commitTag)
+  }
 
   /** Load a [[writeMinhashIndex]] signature index. */
   def readMinhashIndex(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    IndexStore.read(spark, path)
 
   /** [[minhashLshPairs]] over an already-computed wide signature
     * table (e.g. a reloaded [[writeMinhashIndex]]): the corpus text
@@ -772,8 +806,9 @@ object Dedup {
     * signatures — dropped docs' included, see [[writeMinhashIndex]] —
     * are appended to the index, so the next increment needs no
     * separate index-maintenance step. The append runs eagerly at
-    * call time; the returned plan is safe against it (its file
-    * listing snapshots at entry), and a RETRY of the same shard
+    * call time; the returned plan is safe against it (its manifest
+    * snapshot is taken at entry), `commitTag` makes it
+    * replay-idempotent ([[IndexStore]]), and a RETRY of the same shard
     * against the already-appended index reproduces the IDENTICAL
     * verdict: the cross join keeps only `index_id < inc_id` pairs —
     * a no-op for genuine index docs (ingestion-order contract) and
@@ -790,7 +825,8 @@ object Dedup {
   def dedupIncrement(inc: DataFrame, idCol: String, textCol: String,
                      indexPath: String, k: Int = 16, bands: Int = 4,
                      n: Int = 3, threshold: Double = 0.5,
-                     appendSignatures: Boolean = true): DataFrame = {
+                     appendSignatures: Boolean = true,
+                     commitTag: Option[String] = None): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val spark = inc.sparkSession
     val idx = readMinhashIndex(spark, indexPath)
@@ -816,7 +852,7 @@ object Dedup {
     val drops = crossDrops.union(withinDrops).distinct()
     val kept = inc.join(broadcast(drops), inc(idCol) === col("_drop"), "left_anti")
     if (appendSignatures)
-      wide.write.mode("append").parquet(indexPath)
+      IndexStore.append(wide, indexPath, minhashPfx, commitTag)
     kept
   }
 

@@ -68,6 +68,9 @@ object IngestPipeline {
     * generation); `decontamN` the decontamination n-gram size (eval
     * leakage test) — separate knobs sharing a default, so tuning the
     * leak gram length never silently changes near-dup semantics.
+    * `commitTag` (e.g. a streaming batchId) fans out to each stage's
+    * index append with a stage suffix, making every index mutation
+    * replay-idempotent ([[IndexStore]] tags).
     */
   def ingestShard(shard: DataFrame, bench: DataFrame,
                   digestIndexPath: String, minhashIndexPath: String,
@@ -79,17 +82,20 @@ object IngestPipeline {
                   threshold: Double = 0.5, spanN: Int = 8,
                   decontamN: Int = 3, decontamMinHits: Int = 2,
                   expectedGrams: Long = 1L << 20,
-                  fpp: Double = 0.03): DataFrame = {
+                  fpp: Double = 0.03,
+                  commitTag: Option[String] = None): DataFrame = {
+    val spark = shard.sparkSession
     // first-shard convenience: absent indexes initialize empty
-    // (schema-anchored), exactly like the streaming starters
-    val fs = new org.apache.hadoop.fs.Path(digestIndexPath).getFileSystem(
-      shard.sparkSession.sessionState.newHadoopConf())
+    // (schema-anchored), exactly like the streaming starters. An
+    // interrupted compaction can no longer masquerade as a missing
+    // index: IndexStore compaction commits by manifest, so the index
+    // stays present (and readable) through every maintenance crash.
     val none = shard.where(lit(false))
-    if (!fs.exists(new org.apache.hadoop.fs.Path(digestIndexPath)))
+    if (!IndexStore.exists(spark, digestIndexPath))
       Dedup.writeDigestIndex(none, idCol, textCol, digestIndexPath)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(minhashIndexPath)))
+    if (!IndexStore.exists(spark, minhashIndexPath))
       Dedup.writeMinhashIndex(none, idCol, textCol, minhashIndexPath, k, shingleN)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(spanIndexPath)))
+    if (!IndexStore.exists(spark, spanIndexPath))
       Dedup.writeSpanGramIndex(none, idCol, textCol, spanIndexPath, spanN)
     val qual = shard
       .withColumn("_r", TextAnalysis.repetitionStats(col(textCol)))
@@ -97,7 +103,7 @@ object IngestPipeline {
         col("_r.dup_word_frac") <= maxDupFrac)
       .select(col(idCol), col(textCol), col(keyCol))
     val exact = Dedup.dedupExactIncrement(qual, idCol, textCol,
-      digestIndexPath)
+      digestIndexPath, commitTag = commitTag.map(_ + ":digest"))
     // decontamination BEFORE the near-dup stage: a contaminated doc
     // must never register MinHash signatures (scaladoc invariant)
     val clean = Decontaminate.overlapBloom(exact, bench, idCol, textCol,
@@ -108,11 +114,12 @@ object IngestPipeline {
     // + cut) AND the key rejoin below — unpinned, each branch would
     // re-run the whole quality/digest/decontam/LSH chain upstream
     val near = Dedup.dedupIncrement(clean, idCol, textCol,
-        minhashIndexPath, k, bands, shingleN, threshold)
+        minhashIndexPath, k, bands, shingleN, threshold,
+        commitTag = commitTag.map(_ + ":minhash"))
       .localCheckpoint(true)
     // span cut rewrites the text; carry the key through the rejoin
     Dedup.removeDuplicateSpansIncrement(near, idCol, textCol,
-        spanIndexPath, spanN)
+        spanIndexPath, spanN, commitTag = commitTag.map(_ + ":span"))
       .join(near.select(col(idCol).as("doc_id"), col(keyCol)), Seq("doc_id"))
       .select(col("doc_id"), col(keyCol), col("clean_text"),
         col("n_kept").as("n_tokens"))

@@ -356,16 +356,42 @@ object CurationStreams {
       .start()
   }
 
+  /** The exactly-once foreachBatch commit protocol shared by the
+    * index-backed ingest streams: each micro-batch's curated output
+    * lands under a batchId-stamped directory (`outDir/batch=<id>`,
+    * so a plain parquet read of `outDir` sees one `batch` partition
+    * column plus the data), written in OVERWRITE mode with the job's
+    * `_SUCCESS` marker as the commit record. A batch replayed after
+    * a crash between the sink write and the checkpoint commit either
+    * (a) finds its `_SUCCESS` and skips entirely — output AND index
+    * appends (the body's [[graft.ops.IndexStore]] tags carry the
+    * batchId) are untouched — or (b) finds a partial directory and
+    * overwrites it after re-deriving the identical verdict (each
+    * increment's retry proof), with the tagged index appends
+    * skipping idempotently. Either way the output table holds each
+    * curated row EXACTLY once.
+    */
+  private def idempotentBatchSink(spark: SparkSession, outDir: String)(
+      body: (DataFrame, Long, String) => Unit): (DataFrame, Long) => Unit = {
+    (batch, id) =>
+      val dir = s"$outDir/batch=$id"
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+        body(batch, id, dir)
+  }
+
   /** Near-duplicate (MinHash-LSH) dedup as a CONTINUOUS ingest: each
     * micro-batch dedups against the accumulated signature index via
     * [[graft.ops.Dedup.dedupIncrement]] — which also appends the
-    * batch's own signatures — and the survivors append to `outDir`
-    * as parquet. The state is the persisted parquet index itself,
-    * NOT the state store: a web corpus's signatures (k longs per
-    * document EVER ingested, survivors and dropped alike) outgrow
-    * any per-executor state store, but live naturally as a parquet
-    * table banded-joined per batch — and the same index doubles as
-    * the [[graft.ops.Dedup.minhashLshPairsFromSigs]] input for
+    * batch's own signatures — and the survivors land under a
+    * batchId-stamped directory of `outDir`. The state is the
+    * persisted parquet index itself, NOT the state store: a web
+    * corpus's signatures (k longs per document EVER ingested,
+    * survivors and dropped alike) outgrow any per-executor state
+    * store, but live naturally as a parquet table banded-joined per
+    * batch — and the same index doubles as the
+    * [[graft.ops.Dedup.minhashLshPairsFromSigs]] input for
     * retro-profiling the accumulated corpus. A missing index
     * initializes empty (schema-anchored) at stream start.
     *
@@ -373,14 +399,12 @@ object CurationStreams {
     * and spec-proven in EventStreamsSpec: ids arrive in nondecreasing
     * ingestion order across batches (the min-id-wins decomposition);
     * the union of survivor batches equals the FULL-corpus batch
-    * dedup of everything ever streamed. Delivery is at-least-once AT
-    * THE SINK: a micro-batch replayed after a crash between the
-    * parquet append and the checkpoint commit re-derives the
-    * IDENTICAL survivor verdict (the retry proof — a doc's own
-    * already-appended signatures cannot drop it) but appends those
-    * survivor rows again, so exactly-once needs an idempotent
-    * downstream (read with `dropDuplicates(idCol)`, or a
-    * transactional table format as the sink).
+    * dedup of everything ever streamed. Delivery is EXACTLY-ONCE at
+    * the sink ([[idempotentBatchSink]]): a replayed micro-batch
+    * either skips on its `_SUCCESS` marker or overwrites its own
+    * directory with the identical re-derived verdict, and its
+    * signature append is batchId-tagged so the index never
+    * double-registers (spec-proven replay slice).
     */
   def startIncrementalDedupStream(
       spark: SparkSession, sourceDir: String, indexPath: String,
@@ -388,9 +412,7 @@ object CurationStreams {
       idCol: String = "doc_id", textCol: String = "text",
       k: Int = 16, bands: Int = 4, n: Int = 3, threshold: Double = 0.5,
       maxFilesPerTrigger: Int = 1): StreamingQuery = {
-    val hPath = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(hPath))
+    if (!graft.ops.IndexStore.exists(spark, indexPath))
       graft.ops.Dedup.writeMinhashIndex(
         spark.createDataFrame(spark.sparkContext
           .emptyRDD[org.apache.spark.sql.Row], schema),
@@ -398,14 +420,14 @@ object CurationStreams {
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
-    val perBatch: (DataFrame, Long) => Unit = { (batch, _) =>
-      // schema-anchored append: a micro-batch whose every doc was a
+    val perBatch = idempotentBatchSink(spark, outDir) { (batch, id, dir) =>
+      // schema-anchored write: a micro-batch whose every doc was a
       // duplicate still leaves a schema-carrying file, so a read of
       // outDir never fails inference on an all-dropped prefix
       graft.ops.TableWrite.withSchemaAnchor(
         graft.ops.Dedup.dedupIncrement(batch, idCol, textCol, indexPath,
-          k, bands, n, threshold),
-        outDir, "append")
+          k, bands, n, threshold, commitTag = Some(s"batch-$id")),
+        dir, "overwrite")
     }
     src.writeStream
       .outputMode(OutputMode.Append())
@@ -421,10 +443,11 @@ object CurationStreams {
     * micro-batch cuts token spans duplicated against everything ever
     * streamed (via the persisted span-gram index) or within itself,
     * appends its own grams, and writes (doc_id, clean_text, n_kept,
-    * n_removed) rows to `outDir`. Same contracts as the near-dup
-    * starter: ids nondecreasing across batches, at-least-once at the
-    * sink with a retry-stable verdict, state in parquet rather than
-    * the state store.
+    * n_removed) rows under a batchId-stamped directory of `outDir`.
+    * Same contracts as the near-dup starter: ids nondecreasing across
+    * batches, EXACTLY-ONCE at the sink ([[idempotentBatchSink]] +
+    * batchId-tagged gram appends), state in parquet rather than the
+    * state store.
     */
   def startIncrementalSpanDedupStream(
       spark: SparkSession, sourceDir: String, indexPath: String,
@@ -432,9 +455,7 @@ object CurationStreams {
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 8, crossDocOnly: Boolean = true,
       maxFilesPerTrigger: Int = 1): StreamingQuery = {
-    val hPath = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(hPath))
+    if (!graft.ops.IndexStore.exists(spark, indexPath))
       graft.ops.Dedup.writeSpanGramIndex(
         spark.createDataFrame(spark.sparkContext
           .emptyRDD[org.apache.spark.sql.Row], schema),
@@ -442,11 +463,11 @@ object CurationStreams {
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
-    val perBatch: (DataFrame, Long) => Unit = { (batch, _) =>
+    val perBatch = idempotentBatchSink(spark, outDir) { (batch, id, dir) =>
       graft.ops.TableWrite.withSchemaAnchor(
         graft.ops.Dedup.removeDuplicateSpansIncrement(batch, idCol, textCol,
-          indexPath, n, crossDocOnly),
-        outDir, "append")
+          indexPath, n, crossDocOnly, commitTag = Some(s"batch-$id")),
+        dir, "overwrite")
     }
     src.writeStream
       .outputMode(OutputMode.Append())
@@ -460,14 +481,16 @@ object CurationStreams {
     * micro-batch runs [[graft.ops.IngestPipeline.ingestShard]] —
     * quality gate ∘ exact dedup ∘ Bloom decontamination ∘ near-dup
     * dedup ∘ span cut (each dedup against its persisted index) — and
-    * appends (doc_id, key, clean_text, n_tokens) rows to `outDir`.
-    * This is the production shape end to end: documents land as
-    * parquet shards, every cross-shard fact lives in the three index
-    * tables (absent ones self-initialize inside the first batch), and
-    * the curated corpus streams out. Contracts inherited stage by
-    * stage: ids nondecreasing across batches; at-least-once at the
-    * sink with retry-stable verdicts (IngestPipelineSpec's retry
-    * slice).
+    * writes (doc_id, key, clean_text, n_tokens) rows under
+    * batchId-stamped directories of `outDir`. This is the production
+    * shape end to end: documents land as parquet shards, every
+    * cross-shard fact lives in the three index tables (absent ones
+    * self-initialize inside the first batch), and the curated corpus
+    * streams out. Contracts inherited stage by stage: ids
+    * nondecreasing across batches; EXACTLY-ONCE at the sink
+    * ([[idempotentBatchSink]]), with every stage's index append
+    * batchId-tagged so a replayed batch mutates nothing twice
+    * (IngestPipelineSpec's retry + replay slices).
     */
   def startIngestPipelineStream(
       spark: SparkSession, sourceDir: String, bench: DataFrame,
@@ -489,7 +512,7 @@ object CurationStreams {
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
-    val perBatch: (DataFrame, Long) => Unit = { (batch, _) =>
+    val perBatch = idempotentBatchSink(spark, outDir) { (batch, id, dir) =>
       graft.ops.TableWrite.withSchemaAnchor(
         graft.ops.IngestPipeline.ingestShard(batch, bench,
           digestIndexPath, minhashIndexPath, spanIndexPath,
@@ -498,8 +521,9 @@ object CurationStreams {
           k = k, bands = bands, shingleN = shingleN,
           threshold = threshold, spanN = spanN,
           decontamN = decontamN, decontamMinHits = decontamMinHits,
-          expectedGrams = expectedGrams, fpp = fpp),
-        outDir, "append")
+          expectedGrams = expectedGrams, fpp = fpp,
+          commitTag = Some(s"batch-$id")),
+        dir, "overwrite")
     }
     src.writeStream
       .outputMode(OutputMode.Append())

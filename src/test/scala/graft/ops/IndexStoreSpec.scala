@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The manifest-committed index store: tag idempotence, hash-prefix
+  * layout, dirty-partition-only compaction, append/compact
+  * interleave, and crash recovery (orphan data dirs, incomplete
+  * manifests).
+  */
+class IndexStoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def pfx = pmod(col("gh"), lit(4)).cast("string")
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft_idx").toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("init/append/read: anchors carry schema, tags are idempotent, _pfx never leaks") {
+    val path = tmp()
+    val shard = Seq((0L, 10L), (1L, 11L), (5L, 12L)).toDF("gh", "min_doc")
+    IndexStore.init(spark, path, shard.schema)
+    // a fresh index reads as zero rows with the right schema
+    val fresh = IndexStore.read(spark, path)
+    assert(fresh.columns.toSeq == Seq("gh", "min_doc") && fresh.count() == 0)
+
+    assert(IndexStore.append(shard, path, pfx, Some("s1")))
+    // replayed tag: nothing written, nothing duplicated
+    assert(!IndexStore.append(shard, path, pfx, Some("s1")))
+    val got = IndexStore.read(spark, path)
+    assert(got.columns.toSeq == Seq("gh", "min_doc"), "layout column must not leak")
+    assert(rows(got) == rows(shard))
+    assert(IndexStore.hasTag(spark, path, "s1") && !IndexStore.hasTag(spark, path, "s2"))
+
+    // a zero-row tagged append still records its tag (an empty shard
+    // is a completed shard)
+    assert(IndexStore.append(shard.where(lit(false)), path, pfx, Some("s2")))
+    assert(IndexStore.hasTag(spark, path, "s2"))
+    assert(rows(IndexStore.read(spark, path)) == rows(shard))
+  }
+
+  test("compaction rewrites ONLY dirty partitions and folds per key") {
+    val path = tmp()
+    // shard 1 touches prefixes 0..3; shard 2 only prefixes 0 and 1
+    val s1 = (0L until 16L).map(g => (g, 100L + g)).toDF("gh", "min_doc")
+    val s2 = Seq((0L, 90L), (4L, 95L), (1L, 201L), (5L, 202L)).toDF("gh", "min_doc")
+    IndexStore.append(s1, path, pfx)
+    IndexStore.append(s2, path, pfx)
+    val before = IndexStore.liveEntries(spark, path)
+    def ofPfx(entries: Seq[String], p: String) =
+      entries.filter(_.endsWith(s"_pfx=$p")).toSet
+    assert(ofPfx(before, "0").size == 2 && ofPfx(before, "1").size == 2)
+    assert(ofPfx(before, "2").size == 1 && ofPfx(before, "3").size == 1)
+
+    IndexStore.compact(spark, path, pfx,
+      _.groupBy(col("gh")).agg(min(col("min_doc")).as("min_doc")), parts = 8)
+    val after = IndexStore.liveEntries(spark, path)
+    // untouched partitions keep their ORIGINAL leaf directories —
+    // compaction never read or rewrote them
+    assert(ofPfx(after, "2") == ofPfx(before, "2"))
+    assert(ofPfx(after, "3") == ofPfx(before, "3"))
+    // dirty partitions collapsed to fresh single leaves
+    assert(ofPfx(after, "0").size == 1 && (ofPfx(after, "0") & ofPfx(before, "0")).isEmpty)
+    assert(ofPfx(after, "1").size == 1 && (ofPfx(after, "1") & ofPfx(before, "1")).isEmpty)
+    // content: global per-gram minima over both shards, one row per gh
+    val got = IndexStore.read(spark, path)
+    val want = s1.union(s2).groupBy(col("gh")).agg(min(col("min_doc")).as("min_doc"))
+    assert(rows(got) == rows(want))
+    assert(got.count() == got.select("gh").distinct().count())
+  }
+
+  test("an append landing MID-compaction is carried forward, not lost") {
+    val path = tmp()
+    val s1 = (0L until 8L).map(g => (g, 100L + g)).toDF("gh", "min_doc")
+    val s2 = (0L until 8L).map(g => (g, 200L + g)).toDF("gh", "min_doc")
+    val late = Seq((0L, 50L), (99L, 51L)).toDF("gh", "min_doc")
+    IndexStore.append(s1, path, pfx)
+    IndexStore.append(s2, path, pfx)
+    // the transform hook runs after compaction snapshots its victims
+    // and before its manifest commit — exactly the window the old
+    // rename-swap maintenance lost appends in
+    IndexStore.compact(spark, path, pfx, { df =>
+      IndexStore.append(late, path, pfx, Some("late"))
+      df.groupBy(col("gh")).agg(min(col("min_doc")).as("min_doc"))
+    }, parts = 4)
+    val got = IndexStore.read(spark, path)
+    // the late append survives un-compacted; the victims folded
+    val want = s1.union(s2).groupBy(col("gh")).agg(min(col("min_doc")).as("min_doc"))
+      .union(late)
+    assert(rows(got) == rows(want))
+    assert(IndexStore.hasTag(spark, path, "late"))
+  }
+
+  test("a crashed compaction (or append) leaves the manifest pointing at the old files") {
+    val path = tmp()
+    val s1 = (0L until 8L).map(g => (g, 100L + g)).toDF("gh", "min_doc")
+    IndexStore.append(s1, path, pfx)
+    val before = rows(IndexStore.read(spark, path))
+    val entriesBefore = IndexStore.liveEntries(spark, path)
+
+    // a compaction that died after its data rewrite but before its
+    // manifest commit = an orphan data directory
+    Seq((0L, 1L)).toDF("gh", "min_doc")
+      .withColumn("_pfx", pfx.cast("string"))
+      .write.partitionBy("_pfx").parquet(s"$path/data-orphancrash")
+    assert(rows(IndexStore.read(spark, path)) == before)
+    assert(IndexStore.liveEntries(spark, path) == entriesBefore)
+
+    // a committer that died mid-manifest-write = a version file with
+    // no terminator: readers skip it, the next commit claims a
+    // strictly higher version
+    val burned = new java.io.FileOutputStream(s"$path/manifest/v00009999")
+    burned.write("#graft-index-manifest 1\ne data-orphancrash/_pfx=0\n".getBytes("UTF-8"))
+    burned.close()
+    assert(rows(IndexStore.read(spark, path)) == before)
+    val s2 = Seq((1L, 7L)).toDF("gh", "min_doc")
+    IndexStore.append(s2, path, pfx)
+    assert(rows(IndexStore.read(spark, path)) == before ++ rows(s2))
+    assert(new java.io.File(s"$path/manifest").list()
+      .exists(_ > "v00009999"), "the next commit claims a version above the burned one")
+
+    // vacuum reclaims the orphan, never the live leaves
+    IndexStore.vacuum(spark, path)
+    assert(!new java.io.File(s"$path/data-orphancrash").exists())
+    assert(rows(IndexStore.read(spark, path)) == before ++ rows(s2))
+  }
+
+  test("NULL layout keys land in the default partition and survive round trips") {
+    val path = tmp()
+    val s = Seq((Some("ab12"), 1L), (None, 2L), (None, 3L))
+      .toDF("digest", "min_doc")
+    val dpfx = substring(col("digest"), 1, 1)
+    IndexStore.append(s, path, dpfx)
+    assert(rows(IndexStore.read(spark, path)) == rows(s))
+    IndexStore.append(s.withColumn("min_doc", col("min_doc") + 10), path, dpfx)
+    IndexStore.compact(spark, path, dpfx,
+      _.groupBy(col("digest")).agg(min(col("min_doc")).as("min_doc")), parts = 4)
+    val want = s.union(s.withColumn("min_doc", col("min_doc") + 10))
+      .groupBy(col("digest")).agg(min(col("min_doc")).as("min_doc"))
+    assert(rows(IndexStore.read(spark, path)) == rows(want))
+  }
+}

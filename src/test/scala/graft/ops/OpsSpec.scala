@@ -2136,8 +2136,11 @@ class OpsSpec extends AnyFunSuite {
   test("index compaction: content-identical swap, fewer files, merged span minima") {
     graft.core.Tables.registerAll(spark, "/root/testdata/sf0.001")
     val docs = spark.table("documents").select(col("doc_id"), col("text"))
-    def partFiles(p: String) =
-      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    // live leaf directories per hash prefix — the manifest-committed
+    // layout's observable maintenance state
+    def leavesPerPfx(p: String) = IndexStore.liveEntries(spark, p)
+      .filter(_.contains("_pfx="))
+      .groupBy(e => e.substring(e.lastIndexOf('=') + 1)).view.mapValues(_.size).toMap
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
 
     // MinHash signature index: rows are load-bearing — layout only
@@ -2146,10 +2149,11 @@ class OpsSpec extends AnyFunSuite {
     Dedup.writeMinhashIndex(docs.where($"doc_id" > 20), "doc_id", "text", mh,
       append = true)
     val mhBefore = rows(Dedup.readMinhashIndex(spark, mh))
-    val mhFiles = partFiles(mh)
-    Dedup.compactMinhashIndex(spark, mh, parts = 1)
+    assert(leavesPerPfx(mh).values.exists(_ > 1), "two appends leave dirty prefixes")
+    Dedup.compactMinhashIndex(spark, mh, parts = 8)
     assert(rows(Dedup.readMinhashIndex(spark, mh)) == mhBefore)
-    assert(partFiles(mh) < mhFiles && partFiles(mh) == 1)
+    assert(leavesPerPfx(mh).values.forall(_ == 1),
+      "every prefix holds ONE leaf after compaction")
 
     // span-gram index: compaction also merges per-shard minima — the
     // read-time aggregate must see identical per-gram minima, one

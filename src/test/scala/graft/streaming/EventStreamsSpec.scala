@@ -790,7 +790,9 @@ class EventStreamsSpec extends AnyFunSuite {
 
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSet
-    val streamed = rows(spark.read.parquet(s"$base/out"))
+    // the sink is batchId-partitioned (exactly-once layout) — drop
+    // the partition column to compare data rows
+    val streamed = rows(spark.read.parquet(s"$base/out").drop("batch"))
     // batch 1 sees only itself; batch 2 sees the union — each equals
     // the batch removal over its visible corpus restricted to itself
     val b1 = graft.ops.Dedup.removeDuplicateSpans(slice1, "doc_id", "text", n = 5)
@@ -799,6 +801,73 @@ class EventStreamsSpec extends AnyFunSuite {
       .where(col("doc_id") > mid)
     assert(streamed == rows(b1.union(b2)))
     assert(streamed.nonEmpty)
+  }
+
+  test("exactly-once sink: a forced batch replay leaves output AND index byte-identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two file-batches with a cross-batch near-dup, deterministic
+    // modification times so every run derives the same batch ids
+    def words(d: Int, k: Int) = (0 until k).map(j => s"w${d}q$j").mkString(" ")
+    val slice1 = (1L to 6L).map(i => (i, words(i.toInt, 12), "s"))
+      .toDF("doc_id", "text", "source")
+    val slice2 = ((11L to 14L).map(i => (i, words(i.toInt, 12), "s")) :+
+      ((15L, words(1, 12), "s"))) // near-dup of doc 1 across batches
+      .toDF("doc_id", "text", "source")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_eo_src").toString
+    Seq(slice1 -> "b1", slice2 -> "b2").foreach { case (df, name) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$srcDir/_stage_$name")
+      val part = new java.io.File(s"$srcDir/_stage_$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(s"$srcDir/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1000000000000L + (if (name == "b1") 0 else 60000L)))
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_eo_state").toString
+    val schema = slice1.schema
+    def run(cp: String): Unit = {
+      val q = CurationStreams.startIncrementalDedupStream(
+        spark, srcDir, s"$base/index", s"$base/out", cp, schema,
+        k = 16, bands = 4, n = 3, threshold = 0.25)
+      q.awaitTermination(120000)
+    }
+    def outRows = spark.read.parquet(s"$base/out")
+      .collect().map(_.toSeq).toSet // INCLUDING the batch column
+    def idxRows = graft.ops.Dedup.readMinhashIndex(spark, s"$base/index")
+      .collect().map(_.toSeq).toSet
+    def idxCount = graft.ops.Dedup.readMinhashIndex(spark, s"$base/index").count()
+
+    run(s"$base/cp1")
+    val out1 = outRows
+    val idx1 = idxRows
+    assert(idxCount == 11, "one signature row per streamed doc, dropped dup included")
+    assert(!out1.exists(_.head == 15L), "the cross-batch near-dup is dropped")
+
+    // FULL replay from a fresh checkpoint (a restore-from-backup):
+    // every batch re-fires with the same id, finds its _SUCCESS
+    // marker and its index tags, and changes NOTHING
+    run(s"$base/cp2")
+    assert(outRows == out1 && idxRows == idx1 && idxCount == 11,
+      "a fully-replayed stream must be a no-op")
+
+    // PARTIAL-failure replay: batch 1 crashed between its index
+    // append and its sink commit — its output directory is gone but
+    // its signatures are already registered. The replay re-derives
+    // the identical verdict (retry proof: a doc's own appended
+    // signatures cannot drop it) and rewrites the output; the tagged
+    // index append skips, so nothing double-registers.
+    val b1dir = new java.io.File(s"$base/out/batch=1")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(b1dir)
+    assert(outRows != out1, "precondition: batch 1's output is lost")
+    run(s"$base/cp3")
+    assert(outRows == out1 && idxRows == idx1 && idxCount == 11,
+      "the replayed batch restores the exact output without double-appending")
   }
 
   test("stateful streaming token-budget gate: single batch equals the batch operator") {
