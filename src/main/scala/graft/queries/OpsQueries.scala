@@ -3368,16 +3368,14 @@ object OpsQueries {
               |SELECT query_id, rank, nn_id, ROUND(cos, 6) AS cosine
               |FROM rranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
-    // incremental index ingest with FROZEN codebooks — the production
-    // index-maintenance shape: the first 60% of vectors play the
-    // original build corpus (codebooks train on THEM alone, persisted
-    // with a manifest), the rest arrive as a new shard encoded by
-    // AnnIndex.append against those frozen codebooks with no
-    // retraining and no touch of the already-indexed rows. The dumped
-    // code table must equal encoding the FULL corpus against the
-    // subset-trained codebook — the per-row argmax decomposes over
-    // shards, so an append loses nothing vs a monolithic encode.
-    Q("ann_index_append",
+    // index BUILD with the trainer in the loop — the once-per-index-
+    // version cost: codebooks Lloyd-train on the first 60% of vectors
+    // and that build corpus encodes + persists. Split from
+    // ann_index_append (r13) so the append row prices pure
+    // encode+append+serve and THIS row carries the trainer floor
+    // (the sequential Lloyd iterations already adjudicated on the
+    // ann_pq_train family).
+    Q("ann_index_build",
       (s, dir) => {
         Tables.registerAll(s, dir)
         val emb = s.table("embeddings")
@@ -3387,12 +3385,10 @@ object OpsQueries {
             "CAST(0 AS BIGINT) AS code").where(lit(false))
         } else {
           val bnd = maxId.asInstanceOf[Long] * 3 / 5
-          val idxPath = graft.ops.TableWrite.scratchDir("graft_ann_idx")
+          val idxPath = graft.ops.TableWrite.scratchDir("graft_ann_bld")
           graft.ops.AnnIndex.build(emb.where(col("vec_id") <= bnd),
             "vec_id", "embedding", idxPath,
             dims = 64, ivfK = 4, pqM = 4, pqK = 4, planes = 8, iters = 2)
-          graft.ops.AnnIndex.append(emb.where(col("vec_id") > bnd),
-            "vec_id", "embedding", idxPath)
           graft.ops.AnnIndex.readPqCodes(s, idxPath)
             .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
             .selectExpr("vec_id", "CAST(sub AS BIGINT) AS sub", "code")
@@ -3401,6 +3397,41 @@ object OpsQueries {
       },
       Some(s"""WITH ${pqTrainOnCtes(m = 4, k = 4, iters = 2, dims = 64,
                 trainPred = "vec_id <= (SELECT MAX(vec_id) * 3 // 5 FROM embeddings)")},
+              |${pqEncFixture()}
+              |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+              |FROM pqenc
+              |WHERE vec_id <= (SELECT MAX(vec_id) * 3 // 5 FROM embeddings)
+              |ORDER BY vec_id, sub""".stripMargin)),
+
+    // incremental index ingest with FROZEN codebooks — the production
+    // index-maintenance shape, and (r13) ONLY that: the index version
+    // is assembled from the pre-trained fixture codebooks with no
+    // trainer in the row (AnnIndex.buildFromArtifacts — the shape a
+    // fleet uses when codebooks train once on a sample), and the
+    // whole corpus arrives as the shard encoded by AnnIndex.append in
+    // one map-side pass. The dumped code table must equal encoding
+    // the corpus against those codebooks directly — the per-row
+    // argmax decomposes over shards, so an append loses nothing vs a
+    // monolithic encode.
+    Q("ann_index_append",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val emb = s.table("embeddings")
+        val idxPath = graft.ops.TableWrite.scratchDir("graft_ann_idx")
+        val none = emb.where(lit(false))
+        graft.ops.AnnIndex.buildFromArtifacts(none, "vec_id", "embedding",
+          idxPath,
+          centroids = none.select(col("vec_id").as("cent_id"),
+            col("embedding").cast("array<double>").as("centroid")),
+          cb = graft.ops.PqFixture.codebooks(s),
+          dims = 64, ivfK = 4, pqM = 4, pqK = 4, planes = 8, iters = 2)
+        graft.ops.AnnIndex.append(emb, "vec_id", "embedding", idxPath)
+        graft.ops.AnnIndex.readPqCodes(s, idxPath)
+          .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+          .selectExpr("vec_id", "CAST(sub AS BIGINT) AS sub", "code")
+          .orderBy(col("vec_id"), col("sub"))
+      },
+      Some(s"""WITH $pqFixtureCb,
               |${pqEncFixture()}
               |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
               |FROM pqenc ORDER BY vec_id, sub""".stripMargin)),
