@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -48,6 +48,75 @@ object Multimodal {
         (col(idCol) % 640 + 32).cast("int").as("width"),
         (col(idCol) % 480 + 32).cast("int").as("height"),
         (col(idCol) % 30 + 1).cast("int").as("n_frames")).as("meta"))
+
+  // ── deterministic REAL media synthesis (oracle-checkable) ─────────
+
+  /** Little-endian hex of the low `bytes` bytes of an integer column —
+    * the building block for binary container headers synthesized as
+    * column expressions.
+    */
+  private def leHex(v: Column, bytes: Int): Column =
+    concat_ws("", (0 until bytes).map(i =>
+      lpad(hex(pmod(floor(v / math.pow(256, i).toLong).cast("long"), lit(256L))), 2, "0")): _*)
+
+  /** Synthesize a REAL, decodable 4×2 24-bit BMP per document — the
+    * container ImageIO ships an uncompressed reader for, so the
+    * WHOLE image path (bytes → `decodeImage` → pixels) is exercised
+    * with analytically-known output: pixel (x, y) is the gray value
+    * `(id·31 + x + 5y) mod 256`, making width/height/mean-luma
+    * computable by the DuckDB oracle from id arithmetic alone
+    * (oracle row `multimodal_decode_real`). The 54-byte header is a
+    * compile-time hex literal; only the 24 pixel bytes vary per row —
+    * one column expression, no UDF.
+    */
+  def syntheticBmp(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val w = 4; val h = 2
+    def u32(v: Int) = f"${v & 0xff}%02x${(v >> 8) & 0xff}%02x${(v >> 16) & 0xff}%02x${(v >> 24) & 0xff}%02x"
+    def u16(v: Int) = f"${v & 0xff}%02x${(v >> 8) & 0xff}%02x"
+    val headerHex = "424d" + u32(54 + 3 * w * h) + u32(0) + u32(54) +
+      u32(40) + u32(w) + u32(h) + u16(1) + u16(24) + u32(0) + u32(3 * w * h) +
+      u32(2835) + u32(2835) + u32(0) + u32(0)
+    val id = col(idCol).cast("long")
+    // BMP stores rows bottom-up: image row h-1 first
+    val pixelHex = for (y <- (h - 1) to 0 by -1; x <- 0 until w) yield {
+      val v = lpad(hex(pmod(id * 31 + lit(x + 5 * y), lit(256L))), 2, "0")
+      concat_ws("", v, v, v) // gray: B = G = R
+    }
+    docs.select(id.as("media_id"),
+      unhex(concat_ws("", (lit(headerHex) +: pixelHex): _*)).as("content"))
+  }
+
+  /** Synthesize a REAL, decodable PCM WAV per document (mono, 16-bit,
+    * 8 kHz; `(id mod 16) + 4` samples of value
+    * `((id·13 + i·37) mod 2001) − 1000`), so the WHOLE audio path
+    * (bytes → `decodeAudio` → samples) has analytically-known
+    * duration/RMS/zero-crossing-rate (oracle row
+    * `multimodal_decode_audio`). Header fields that depend on the
+    * sample count are little-endian hex column expressions.
+    */
+  def syntheticWav(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val id = col(idCol).cast("long")
+    val n = pmod(id, lit(16L)) + lit(4L)
+    val fixedFmt = "57415645" + "666d7420" + // "WAVE" "fmt "
+      "10000000" + "0100" + "0100" +         // size 16, PCM, mono
+      "401f0000" + "803e0000" + "0200" + "1000" // 8000 Hz, 16000 B/s, align 2, 16 bit
+    val header = concat_ws("",
+      lit("52494646"), leHex(lit(36L) + n * 2, 4), lit(fixedFmt),
+      lit("64617461"), leHex(n * 2, 4))
+    // samples as i16 LE two's complement
+    val sampleHex = aggregate(
+      sequence(lit(0L), n - 1),
+      lit(""),
+      (acc, i) => {
+        val s = pmod(id * 13 + i * 37, lit(2001L)) - lit(1000L)
+        val u = pmod(s, lit(65536L))
+        concat_ws("", acc,
+          lpad(hex(pmod(u, lit(256L))), 2, "0"),
+          lpad(hex(floor(u / 256).cast("long")), 2, "0"))
+      })
+    docs.select(id.as("media_id"),
+      unhex(concat_ws("", header, sampleHex)).as("content"))
+  }
 
   /** STUB decode: a real implementation would parse `content` with an
     * image codec; the stub "decodes" to the mean byte value — the

@@ -1234,6 +1234,71 @@ object OpsQueries {
              |  GREATEST((CAST(doc_id % 30 + 1 AS INT) - 1) // 10, 0) + 1 AS n_sampled
              |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // the REAL image decode path under the oracle: a 4×2 24-bit BMP
+    // is synthesized per document (gray pixel (x,y) = (id·31+x+5y)
+    // mod 256 — an actual container ImageIO parses), decoded by
+    // javax.imageio through extractImageFeatures, and the decoded
+    // width/height/mean-luma must equal DuckDB's arithmetic over the
+    // same pixel formula. This hard-gates the decoder the synthetic
+    // md5-bytes rows (multimodal_features) deliberately stub around.
+    Q("multimodal_decode_real",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val media = Multimodal.syntheticBmp(s.table("documents"))
+          .repartition(32, col("media_id")) // decode is per-row JVM work
+        Multimodal.extractImageFeatures(media)
+          .select(col("media_id"), col("img_width"), col("img_height"),
+            round(col("img_mean_luma"), 6).as("img_mean_luma"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(4 AS INT) AS img_width, CAST(2 AS INT) AS img_height,
+             |  ROUND(list_sum([
+             |    CAST((doc_id*31 + (i % 4) + 5*(i // 4)) % 256 AS DOUBLE) * 0.299
+             |    + CAST((doc_id*31 + (i % 4) + 5*(i // 4)) % 256 AS DOUBLE) * 0.587
+             |    + CAST((doc_id*31 + (i % 4) + 5*(i // 4)) % 256 AS DOUBLE) * 0.114
+             |    for i in generate_series(0, 7)]) / 8, 6) AS img_mean_luma
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // the REAL audio decode path under the oracle: a mono 16-bit
+    // 8 kHz PCM WAV is synthesized per document (sample i =
+    // ((id·13+i·37) mod 2001) − 1000), decoded by javax.sound through
+    // extractAudioFeatures, and duration/RMS/zero-crossing-rate must
+    // equal DuckDB's arithmetic over the same sample formula.
+    Q("multimodal_decode_audio",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val media = Multimodal.syntheticWav(s.table("documents"))
+          .repartition(32, col("media_id"))
+        Multimodal.extractAudioFeatures(media)
+          .select(col("media_id"),
+            round(col("audio_seconds"), 6).as("audio_seconds"),
+            round(col("audio_rms"), 6).as("audio_rms"),
+            round(col("audio_zcr"), 6).as("audio_zcr"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, CAST(doc_id % 16 + 4 AS BIGINT) AS n FROM documents),
+             |s AS (
+             |  SELECT doc_id, n, i,
+             |    CAST((doc_id*13 + i*37) % 2001 - 1000 AS DOUBLE) / 32768.0 AS v
+             |  FROM d, LATERAL unnest(generate_series(0, n - 1)) AS t(i)),
+             |lagged AS (
+             |  SELECT doc_id, n, i, v,
+             |    LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+             |  FROM s),
+             |agg AS (
+             |  SELECT doc_id, ANY_VALUE(n) AS n,
+             |    SQRT(SUM(v*v) / ANY_VALUE(n)) AS rms,
+             |    SUM(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
+             |        THEN 1 ELSE 0 END) AS zc
+             |  FROM lagged GROUP BY doc_id)
+             |SELECT doc_id AS media_id,
+             |  ROUND(CAST(n AS DOUBLE) / 8000.0, 6) AS audio_seconds,
+             |  ROUND(rms, 6) AS audio_rms,
+             |  ROUND(CAST(zc AS DOUBLE) / n, 6) AS audio_zcr
+             |FROM agg ORDER BY media_id""".stripMargin)),
+
     // ── winnowing / sampling / quantization (round-3 extensions) ───
 
     // MOSS-style rolling-hash fingerprints: k=8 char-grams, window 4;
