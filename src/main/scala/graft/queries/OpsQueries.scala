@@ -1462,7 +1462,12 @@ object OpsQueries {
         val docs = s.table("documents")
         val merges = graft.ops.Bpe.trainMerges(docs, "text", numMerges = 8)
           .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-        docs.select(col("doc_id"),
+        // the corpus is one parquet file = ONE input partition; the
+        // kernel encode is per-row CPU work, so spread it (the sort
+        // sampler evaluates the child too — unspread, the encode runs
+        // twice single-threaded)
+        docs.repartition(32, col("doc_id"))
+          .select(col("doc_id"),
             graft.ops.Bpe.encodeSubwords(col("text"), merges).as("_subs"))
           .select(col("doc_id"),
             size(col("_subs")).cast("long").as("n_subwords"),
