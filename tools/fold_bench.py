@@ -33,16 +33,31 @@ def main():
         runs += d.get("runs", 0)
         for k, v in d["queries"].items():
             qs[k] = min(qs.get(k, v), v)
+    # host-drift factor: geomean of the fold's untouched-TPC-H anchor
+    # minima over the ANCHORS.json reference — the normalizer the
+    # screen divides by so weak-row membership is stable across
+    # host-days (see tools/screen.py)
+    import math, os
+    drift = None
+    anchors_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", "ANCHORS.json")
+    if os.path.exists(anchors_path):
+        ref = json.load(open(anchors_path))
+        ratios = [qs[k] / ref[k] for k in ANCHOR_NAMES if k in qs and k in ref]
+        if ratios:
+            drift = round(math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 4)
     payload = {
         "metric": "total", "value": round(sum(qs.values()), 4), "unit": "sec",
         "runs": runs, "agg": "min", "n_queries": len(qs),
         "anchors": {k: qs[k] for k in ANCHOR_NAMES if k in qs},
+        "anchor_drift": drift,
         "queries": dict(sorted(qs.items())),
         "sf": json.load(open(files[0])).get("sf"),
         "folded_from": len(files),
     }
     json.dump(payload, open(out, "w"))
-    print(f"{payload['value']} s over {len(qs)} queries ({len(files)} sweeps)")
+    print(f"{payload['value']} s over {len(qs)} queries ({len(files)} sweeps), "
+          f"anchor_drift={drift}")
 
 
 if __name__ == "__main__":
