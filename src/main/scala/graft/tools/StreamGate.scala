@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The streaming-equals-batch gate for the composed ingest at a
+  * non-toy scale (round-13 task #8): split a scale factor's
+  * `documents` table into N contiguous-id file-batches, run them
+  * through [[graft.streaming.CurationStreams.startIngestPipelineStream]]
+  * as one continuous query, run the SAME slices through the batch
+  * [[graft.ops.IngestPipeline.ingestShard]] shard by shard against a
+  * second set of indexes, and require the two curated corpora to be
+  * row-for-row identical (count + order-insensitive content hash of
+  * every column). Emits one JSON line for the checked-in artifact.
+  *
+  * Usage: runMain graft.tools.StreamGate <sfDir> <outJson> [nBatches]
+  */
+object StreamGate {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outJson = args(1)
+    val nBatches = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.core.Tables.registerAll(spark, sfDir)
+    val docs = spark.table("documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val bench = docs.where(col("source") === "src0")
+      .limit(200) // an eval suite is benchmark-sized, not corpus-sized
+
+    // contiguous id ranges → ids nondecreasing ACROSS batches (the
+    // increments' decomposition contract)
+    val ids = docs.select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0))
+    require(ids.nonEmpty, s"no documents under $sfDir")
+    val bounds = (1 until nBatches).map(i => ids(i * ids.length / nBatches))
+    def sliceOf(i: Int): DataFrame = {
+      val lo = if (i == 0) Long.MinValue else bounds(i - 1)
+      val hi = if (i == nBatches - 1) Long.MaxValue else bounds(i)
+      docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+    }
+
+    val base = java.nio.file.Files.createTempDirectory("graft_streamgate").toString
+    val srcDir = s"$base/src"
+    new java.io.File(srcDir).mkdirs()
+    (0 until nBatches).foreach { i =>
+      val stage = s"$base/_stage_$i"
+      sliceOf(i).coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(f"$srcDir/b$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+
+    val t0 = System.nanoTime()
+    val q = graft.streaming.CurationStreams.startIngestPipelineStream(
+      spark, srcDir, bench,
+      s"$base/s_digest", s"$base/s_minhash", s"$base/s_span",
+      s"$base/s_out", s"$base/cp", docs.schema)
+    q.awaitTermination(3600000L)
+    val streamSec = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    (0 until nBatches).foreach { i =>
+      graft.ops.TableWrite.withSchemaAnchor(
+        graft.ops.IngestPipeline.ingestShard(sliceOf(i), bench,
+          s"$base/b_digest", s"$base/b_minhash", s"$base/b_span"),
+        s"$base/b_out", "append")
+    }
+    val batchSec = (System.nanoTime() - t1) / 1e9
+
+    def summarize(path: String): (Long, String) = {
+      val df = spark.read.parquet(path)
+        .select(col("doc_id"), col("source"), col("clean_text"), col("n_tokens"))
+      val hashes = df.select(md5(concat_ws("",
+          col("doc_id"), col("source"), col("clean_text"), col("n_tokens"))).as("h"))
+        .collect().map(_.getString(0)).sorted
+      val md = java.security.MessageDigest.getInstance("MD5")
+      hashes.foreach(h => md.update(h.getBytes("UTF-8")))
+      (hashes.length.toLong, md.digest().map("%02x".format(_)).mkString)
+    }
+    val (sRows, sHash) = summarize(s"$base/s_out")
+    val (bRows, bHash) = summarize(s"$base/b_out")
+    val equal = sRows == bRows && sHash == bHash
+    val json =
+      s"""{"gate":"stream_vs_batch_composed_ingest","sf_dir":"$sfDir",""" +
+      s""""n_batches":$nBatches,"stream_rows":$sRows,"batch_rows":$bRows,""" +
+      s""""stream_hash":"$sHash","batch_hash":"$bHash","equal":$equal,""" +
+      s""""stream_sec":${math.round(streamSec * 10) / 10.0},""" +
+      s""""batch_sec":${math.round(batchSec * 10) / 10.0}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")
+    println(json)
+    if (!equal) sys.exit(1)
+    spark.stop()
+  }
+}
