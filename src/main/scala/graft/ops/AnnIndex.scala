@@ -73,14 +73,21 @@ object AnnIndex {
     writeTable(centroids, s"$path/ivf_centroids")
     writeTable(cb, s"$path/pq_codebooks")
     val pfx = codesPfx(idCol)
+    val codes = Similarity.pqEncode(
+      corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cb)
+    val buckets = corpus.select(col(idCol),
+      Similarity.lshBucket(col(vecCol), planes).as("bucket"))
     IndexStore.reset(spark, s"$path/pq_codes")
-    IndexStore.append(Similarity.pqEncode(
-      corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cb),
-      s"$path/pq_codes", pfx)
     IndexStore.reset(spark, s"$path/lsh_buckets")
-    IndexStore.append(corpus.select(col(idCol),
-      Similarity.lshBucket(col(vecCol), planes).as("bucket")),
-      s"$path/lsh_buckets", pfx)
+    if (corpus.isEmpty) {
+      // empty build corpus (index version created purely for appends):
+      // schema-only anchors, no encode/shuffle/write machinery
+      IndexStore.init(spark, s"$path/pq_codes", codes.schema)
+      IndexStore.init(spark, s"$path/lsh_buckets", buckets.schema)
+    } else {
+      IndexStore.append(codes, s"$path/pq_codes", pfx)
+      IndexStore.append(buckets, s"$path/lsh_buckets", pfx)
+    }
     import corpus.sparkSession.implicits._
     writeTable(Seq((dims, ivfK, pqM, pqK, planes, iters, idCol))
       .toDF("dims", "ivf_k", "pq_m", "pq_k", "planes", "iters", "id_col"),

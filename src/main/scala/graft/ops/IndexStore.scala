@@ -222,10 +222,14 @@ object IndexStore {
     * A `tag` makes the commit idempotent: if any prior manifest
     * recorded it, nothing is written and false returns. An absent
     * manifest initializes implicitly with this commit's rows.
-    * Returns true iff a new version committed.
+    * Rows shuffle once on the prefix (`parts` targets, default = one
+    * writer per prefix group) so each append lands ONE file per
+    * touched prefix — an unshuffled partitionBy write would emit
+    * #tasks × #prefixes tiny files and every future index read would
+    * pay their footers. Returns true iff a new version committed.
     */
   def append(df: DataFrame, path: String, pfx: Column,
-             tag: Option[String] = None): Boolean = {
+             tag: Option[String] = None, parts: Int = 16): Boolean = {
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
     // cheap pre-check outside the write: a replayed batch skips the
@@ -234,6 +238,7 @@ object IndexStore {
       return false
     val name = s"data-${java.util.UUID.randomUUID().toString.take(12)}"
     df.withColumn("_pfx", pfx.cast("string"))
+      .repartition(parts, col("_pfx"))
       .write.partitionBy("_pfx").mode("overwrite").parquet(s"$path/$name")
     // a zero-row frame writes no partition directories — the commit
     // then records only the tag (and an anchor on a fresh path)

@@ -1246,9 +1246,12 @@ object OpsQueries {
         Tables.registerAll(s, dir)
         val media = Multimodal.syntheticBmp(s.table("documents"))
           .repartition(32, col("media_id")) // decode is per-row JVM work
+        // eager pin: the sort sampler would otherwise re-run the
+        // whole ImageIO decode a second time
         Multimodal.extractImageFeatures(media)
           .select(col("media_id"), col("img_width"), col("img_height"),
             round(col("img_mean_luma"), 6).as("img_mean_luma"))
+          .localCheckpoint(true)
           .orderBy(col("media_id"))
       },
       Some("""SELECT doc_id AS media_id,
@@ -1270,11 +1273,14 @@ object OpsQueries {
         Tables.registerAll(s, dir)
         val media = Multimodal.syntheticWav(s.table("documents"))
           .repartition(32, col("media_id"))
+        // eager pin: the sort sampler would otherwise re-run the
+        // whole javax.sound decode a second time
         Multimodal.extractAudioFeatures(media)
           .select(col("media_id"),
             round(col("audio_seconds"), 6).as("audio_seconds"),
             round(col("audio_rms"), 6).as("audio_rms"),
             round(col("audio_zcr"), 6).as("audio_zcr"))
+          .localCheckpoint(true)
           .orderBy(col("media_id"))
       },
       Some("""WITH d AS (
