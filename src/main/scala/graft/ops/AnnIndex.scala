@@ -187,6 +187,12 @@ object AnnIndex {
     IndexStore.compact(spark, s"$path/lsh_buckets", pfx, identity, parts)
   }
 
+  /** The non-growing artifact tables (centroids, codebooks, manifest)
+    * are configuration-sized by contract — land each as ONE file
+    * instead of inheriting the builder's partitioning (a k-row
+    * codebook table arriving 16-ways wrote 17 footer-only files and
+    * every serving session paid to open them).
+    */
   private def writeTable(df: DataFrame, path: String): Unit =
-    TableWrite.withSchemaAnchor(df, path)
+    TableWrite.withSchemaAnchor(df.coalesce(1), path)
 }

@@ -260,12 +260,47 @@ object Multimodal {
     * with the JDK). Returns (sampleRate, channels, mono samples in
     * [-1, 1]) or None for undecodable bytes.
     */
+  /** The JDK's registered audio-file readers, resolved once per
+    * executor JVM and ordered so MIDI-capable readers probe LAST:
+    * `AudioSystem.getAudioInputStream` tries providers in registry
+    * order, and the JDK registers `SoftMidiAudioFileReader` ahead of
+    * the WAV/AIFF/AU readers — whose probe routes through
+    * `MidiSystem.getSequence` and the class-level lock in
+    * `JSSecurityManager.getProviders`, so EVERY PCM decode pays a
+    * globally-serialized MIDI sniff first (jstack: 32 decode tasks
+    * BLOCKED on that monitor; 32 threads measured SLOWER than 1).
+    * With the container readers first, PCM content is claimed before
+    * the locked probe is ever reached; unclaimed bytes still fall
+    * through to the MIDI reader and then the canonical
+    * UnsupportedAudioFileException. Same providers, same decode —
+    * only the probe order changes.
+    */
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val (midi, container) = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toSeq
+      .partition(_.getClass.getName.toLowerCase.contains("midi"))
+    container ++ midi
+  }
+
+  private def audioStreamOf(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      try return it.next().getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+    }
+    // registry empty or nothing claimed it — the public API decides
+    // (and raises the canonical UnsupportedAudioFileException)
+    javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
   def decodeAudio(content: Array[Byte], maxFrames: Int = 1 << 20): Option[(Float, Int, Array[Double])] =
     if (content == null || content.isEmpty) None
     else
       try {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(content))
+        val in = audioStreamOf(content)
         try {
           val fmt = in.getFormat
           val bytesPerSample = fmt.getSampleSizeInBits / 8

@@ -1244,8 +1244,12 @@ object OpsQueries {
     Q("multimodal_decode_real",
       (s, dir) => {
         Tables.registerAll(s, dir)
-        val media = Multimodal.syntheticBmp(s.table("documents"))
-          .repartition(32, col("media_id")) // decode is per-row JVM work
+        // repartition the cheap doc rows BEFORE synthesis so container
+        // building AND decode spread across tasks (the corpus is one
+        // parquet file = one input partition; synthesizing on top of
+        // the exchange ran single-task)
+        val media = Multimodal.syntheticBmp(
+          s.table("documents").repartition(32, col("doc_id")))
         // eager pin: the sort sampler would otherwise re-run the
         // whole ImageIO decode a second time
         Multimodal.extractImageFeatures(media)
@@ -1271,8 +1275,9 @@ object OpsQueries {
     Q("multimodal_decode_audio",
       (s, dir) => {
         Tables.registerAll(s, dir)
-        val media = Multimodal.syntheticWav(s.table("documents"))
-          .repartition(32, col("media_id"))
+        // same pre-synthesis repartition as multimodal_decode_real
+        val media = Multimodal.syntheticWav(
+          s.table("documents").repartition(32, col("doc_id")))
         // eager pin: the sort sampler would otherwise re-run the
         // whole javax.sound decode a second time
         Multimodal.extractAudioFeatures(media)
