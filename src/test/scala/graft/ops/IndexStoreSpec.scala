@@ -135,6 +135,51 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(rows(IndexStore.read(spark, path)) == before ++ rows(s2))
   }
 
+  test("concurrent tagged appenders racing a compactor: no lost rows, no lost tags, reads stay serveable") {
+    val path = tmp()
+    IndexStore.init(spark, path,
+      Seq((0L, 0L)).toDF("gh", "min_doc").schema)
+    val nWriters = 4
+    val shardsPer = 3
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = (0 until nWriters).map { w =>
+      new Thread(() => {
+        try {
+          (0 until shardsPer).foreach { s =>
+            val shard = (0L until 8L)
+              .map(g => (g, (w * 100 + s * 10) + g)).toDF("gh", "min_doc")
+            // replay every append once — exactly-once must hold under
+            // interleaving with OTHER writers' commits in between
+            assert(IndexStore.append(shard, path, pfx, Some(s"w$w-s$s")))
+            assert(!IndexStore.append(shard, path, pfx, Some(s"w$w-s$s")))
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    val compactor = new Thread(() => {
+      try {
+        (0 until 3).foreach { _ =>
+          IndexStore.compact(spark, path, pfx,
+            _.groupBy(col("gh")).agg(min(col("min_doc")).as("min_doc")), parts = 4)
+          // the index must be READABLE at every instant of maintenance
+          IndexStore.read(spark, path).count()
+        }
+      } catch { case t: Throwable => errors.add(t) }
+    })
+    (writers :+ compactor).foreach(_.start())
+    (writers :+ compactor).foreach(_.join(120000))
+    assert(errors.isEmpty, s"concurrent writer/compactor failed: ${errors.peek()}")
+    // every tag recorded exactly once; content = the global fold of
+    // every shard ever appended (fold at read time absorbs whatever
+    // compaction state the race ended in)
+    for (w <- 0 until nWriters; s <- 0 until shardsPer)
+      assert(IndexStore.hasTag(spark, path, s"w$w-s$s"))
+    val got = IndexStore.read(spark, path)
+      .groupBy(col("gh")).agg(min(col("min_doc")).as("min_doc"))
+    val want = (0L until 8L).map(g => (g, g)).toDF("gh", "min_doc") // w=0,s=0 minima
+    assert(rows(got) == rows(want))
+  }
+
   test("NULL layout keys land in the default partition and survive round trips") {
     val path = tmp()
     val s = Seq((Some("ab12"), 1L), (None, 2L), (None, 3L))
