@@ -342,6 +342,33 @@ object IndexStore {
   def hasTag(spark: SparkSession, path: String, tag: String): Boolean =
     currentOpt(fsFor(spark, path), path).exists(_.tags.contains(tag))
 
+  /** Health summary of the current manifest — the numbers a
+    * maintenance scheduler needs: how fragmented each prefix group is
+    * (leaves accumulate one per append until a compaction folds
+    * them), how many groups [[compact]] would rewrite, and how many
+    * idempotence tags the manifest carries (each a completed ingest
+    * batch). Manifest-only: no data file is opened, so the check is
+    * safe to run on every ingest tick.
+    */
+  final case class Stats(version: Long, nDataLeaves: Int, nAnchors: Int,
+                         nTags: Int, nPrefixes: Int, nDirtyPrefixes: Int,
+                         maxLeavesPerPrefix: Int) {
+    /** The fraction of prefix groups a dirty-only [[compact]] would
+      * rewrite — the index's fragmentation measure. */
+    def dirtyFraction: Double =
+      if (nPrefixes == 0) 0.0 else nDirtyPrefixes.toDouble / nPrefixes
+  }
+
+  /** [[Stats]] for the index at `path`, or None for a fresh path. */
+  def stats(spark: SparkSession, path: String): Option[Stats] =
+    currentOpt(fsFor(spark, path), path).map { snap =>
+      val (anchors, data) = snap.entries.partition(e => !e.contains("_pfx="))
+      val byPfx = data.groupBy(pfxOf)
+      Stats(snap.version, data.size, anchors.size, snap.tags.size,
+        byPfx.size, byPfx.count(_._2.size > 1),
+        if (byPfx.isEmpty) 0 else byPfx.valuesIterator.map(_.size).max)
+    }
+
   /** Destroy the index directory (the `append = false` reset path of
     * the write helpers).
     */

@@ -180,6 +180,26 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(rows(got) == rows(want))
   }
 
+  test("stats track fragmentation across appends and reset after compaction") {
+    val path = tmp()
+    assert(IndexStore.stats(spark, path).isEmpty, "fresh path has no stats")
+    val s1 = (0L until 16L).map(g => (g, 100L + g)).toDF("gh", "min_doc")
+    val s2 = Seq((0L, 90L), (1L, 91L)).toDF("gh", "min_doc") // prefixes 0,1 only
+    IndexStore.append(s1, path, pfx, Some("t1"))
+    val one = IndexStore.stats(spark, path).get
+    assert(one.nPrefixes == 4 && one.nDirtyPrefixes == 0 &&
+      one.maxLeavesPerPrefix == 1 && one.nTags == 1 && one.dirtyFraction == 0.0)
+    IndexStore.append(s2, path, pfx, Some("t2"))
+    val two = IndexStore.stats(spark, path).get
+    assert(two.nDataLeaves == 6 && two.nDirtyPrefixes == 2 &&
+      two.maxLeavesPerPrefix == 2 && two.dirtyFraction == 0.5 && two.nTags == 2)
+    IndexStore.compact(spark, path, pfx,
+      _.groupBy(col("gh")).agg(min(col("min_doc")).as("min_doc")), parts = 4)
+    val post = IndexStore.stats(spark, path).get
+    assert(post.nDirtyPrefixes == 0 && post.maxLeavesPerPrefix == 1 &&
+      post.nTags == 2, "compaction defragments but keeps the tag history")
+  }
+
   test("NULL layout keys land in the default partition and survive round trips") {
     val path = tmp()
     val s = Seq((Some("ab12"), 1L), (None, 2L), (None, 3L))
