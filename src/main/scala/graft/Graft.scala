@@ -871,9 +871,11 @@ final class Graft(val spark: SparkSession, stateDir: String) {
                      vecCol: String = "embedding"): Unit =
     graft.ops.AnnIndex.append(inc, idCol, vecCol, path)
 
-  /** Small-files maintenance for the three persisted-index families
-    * (append-accumulated parquet → `parts` files, atomic-swap
-    * rewrite; the span form also merges per-gram minima).
+  /** Small-files maintenance for the three persisted-index families:
+    * a manifest-committed rewrite of the hash-prefix partitions that
+    * accumulated multiple append commits (dirty-only — proportional
+    * to the uncompacted fraction, no swap window, appends interleave
+    * safely; the span form also merges per-gram minima).
     */
   def dedupIndexCompact(path: String, parts: Int = 32): Unit =
     graft.ops.Dedup.compactMinhashIndex(spark, path, parts)
@@ -883,6 +885,16 @@ final class Graft(val spark: SparkSession, stateDir: String) {
 
   def annIndexCompact(path: String, parts: Int = 32): Unit =
     graft.ops.AnnIndex.compact(spark, path, parts)
+
+  /** Manifest-only fragmentation summary of a persisted index
+    * (digest / MinHash / span-gram store directory) — leaves per
+    * prefix, dirty fraction, tag count: the numbers that decide
+    * whether a `*IndexCompact` pass is worth scheduling. None for a
+    * path with no committed manifest. Safe on every ingest tick (no
+    * data file is opened).
+    */
+  def indexStats(path: String): Option[graft.ops.IndexStore.Stats] =
+    graft.ops.IndexStore.stats(spark, path)
 
   /** N-gram decontamination through a Bloom-filter candidate stage —
     * exactly [[contaminationCheck]]'s verdicts (the exact join kills
