@@ -891,10 +891,19 @@ final class Graft(val spark: SparkSession, stateDir: String) {
     * prefix, dirty fraction, tag count: the numbers that decide
     * whether a `*IndexCompact` pass is worth scheduling. None for a
     * path with no committed manifest. Safe on every ingest tick (no
-    * data file is opened).
+    * data file is opened). An ANN index ROOT keeps its two manifests
+    * under `pq_codes`/`lsh_buckets` — query it with [[annIndexStats]]
+    * (this call on the root returns None).
     */
   def indexStats(path: String): Option[graft.ops.IndexStore.Stats] =
     graft.ops.IndexStore.stats(spark, path)
+
+  /** [[indexStats]] for an ANN index ROOT (an [[annIndexBuild]]
+    * directory): the fragmentation of both growing sub-stores, keyed
+    * the same way [[annIndexCompact]] is.
+    */
+  def annIndexStats(path: String): Option[graft.ops.AnnIndex.Stats] =
+    graft.ops.AnnIndex.stats(spark, path)
 
   /** N-gram decontamination through a Bloom-filter candidate stage —
     * exactly [[contaminationCheck]]'s verdicts (the exact join kills

@@ -187,8 +187,29 @@ object AnnIndex {
     IndexStore.compact(spark, s"$path/lsh_buckets", pfx, identity, parts)
   }
 
+  /** Fragmentation summary of BOTH growing sub-stores of an ANN index
+    * ROOT — the counterpart [[compact]] accepts, so a maintenance
+    * scheduler queries and compacts through the same path (the two
+    * [[IndexStore]] manifests live under `pq_codes`/`lsh_buckets`, and
+    * `IndexStore.stats` on the root would report "no index"). None
+    * until both sub-stores have a committed manifest.
+    */
+  final case class Stats(pqCodes: IndexStore.Stats, lshBuckets: IndexStore.Stats) {
+    /** Worst fragmentation across the two stores — the number the
+      * scheduler thresholds on. */
+    def dirtyFraction: Double =
+      math.max(pqCodes.dirtyFraction, lshBuckets.dirtyFraction)
+  }
+
+  def stats(spark: SparkSession, path: String): Option[Stats] =
+    for {
+      c <- IndexStore.stats(spark, s"$path/pq_codes")
+      b <- IndexStore.stats(spark, s"$path/lsh_buckets")
+    } yield Stats(c, b)
+
   /** The non-growing artifact tables (centroids, codebooks, manifest)
-    * are configuration-sized by contract — land each as ONE file
+    * are configuration-sized by contract — land each as one data file
+    * plus the zero-row schema anchor (withSchemaAnchor unions it on)
     * instead of inheriting the builder's partitioning (a k-row
     * codebook table arriving 16-ways wrote 17 footer-only files and
     * every serving session paid to open them).

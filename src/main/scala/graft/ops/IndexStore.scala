@@ -39,7 +39,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * `tag` is skipped when any prior manifest already recorded that tag
   * — the mechanism the streaming foreachBatch sinks use to turn
   * at-least-once micro-batch delivery into exactly-once index
-  * mutation (tag = the batchId).
+  * mutation (tag = the batchId). Tags do NOT accumulate forever:
+  * [[retireTags]] (run on every [[compact]] pass) rolls numeric-headed
+  * tags older than the retention window into one per-suffix
+  * `w <N> <suffix>` watermark line — "every batchId ≤ N committed" —
+  * so the manifest stays O(#entries + retention) lines at any ingest
+  * cadence instead of growing one tag line per batch for the index's
+  * life.
   *
   * '''Layout''': each commit's rows land hash-prefix partitioned
   * (`_pfx=` directory partitioning on a caller-supplied derivation of
@@ -75,9 +81,34 @@ object IndexStore {
     locks.computeIfAbsent(path, _ => new Object)
 
   /** A complete manifest version: live data directories (relative to
-    * the index path) and every idempotence tag ever committed.
+    * the index path), the idempotence tags still carried verbatim,
+    * and the per-suffix retirement watermarks — `marks(sfx) = N`
+    * summarizes every retired tag `<k>` / `<k>:<sfx>` with k ≤ N
+    * in one line (see [[retireTags]]).
     */
-  final case class Snapshot(version: Long, entries: Seq[String], tags: Set[String])
+  final case class Snapshot(version: Long, entries: Seq[String], tags: Set[String],
+                            marks: Map[String, Long] = Map.empty) {
+    /** True iff `tag` is recorded — verbatim, or via a watermark. */
+    def covers(tag: String): Boolean =
+      tags.contains(tag) || tagParts(tag).exists {
+        case (n, sfx) => marks.get(sfx).exists(n <= _)
+      }
+  }
+
+  /** Numeric head + suffix of a retirable tag: `"17"` → (17, ""),
+    * `"17:codes"` → (17, "codes"). Tags without an all-digit head (or
+    * with whitespace in the suffix, which the line format can't carry)
+    * are never retired — they stay verbatim forever, the generic-string
+    * fallback.
+    */
+  private[graft] def tagParts(tag: String): Option[(Long, String)] = {
+    val cut = tag.indexOf(':')
+    val (head, sfx) = if (cut < 0) (tag, "") else (tag.substring(0, cut), tag.substring(cut + 1))
+    if (head.nonEmpty && head.length <= 18 && head.forall(_.isDigit) &&
+      sfx.forall(c => !c.isWhitespace))
+      Some(head.toLong -> sfx)
+    else None
+  }
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -136,17 +167,21 @@ object IndexStore {
       val body = lines.drop(1).takeWhile(_ != End)
       Some(Snapshot(v,
         body.collect { case l if l.startsWith("e ") => l.drop(2) },
-        body.collect { case l if l.startsWith("t ") => l.drop(2) }.toSet))
+        body.collect { case l if l.startsWith("t ") => l.drop(2) }.toSet,
+        body.collect { case l if l.startsWith("w ") =>
+          val parts = l.drop(2).split(" ", 2)
+          (if (parts.length == 2) parts(1) else "") -> parts(0).toLong
+        }.toMap))
     }
   }
 
   /** Claim-and-write the next manifest version. `build` receives the
     * latest snapshot (None on a fresh path) and returns the new entry
-    * list + tag set, or None to abort (e.g. tag already present).
-    * Returns true iff a new version was committed.
+    * list + tag set + watermarks, or None to abort (e.g. tag already
+    * present). Returns true iff a new version was committed.
     */
   private def commit(fs: FileSystem, path: String)
-                    (build: Option[Snapshot] => Option[(Seq[String], Set[String])]): Boolean =
+                    (build: Option[Snapshot] => Option[(Seq[String], Set[String], Map[String, Long])]): Boolean =
     lockFor(new Path(path).toUri.toString).synchronized {
       val dir = manifestDir(path)
       if (!fs.exists(dir)) fs.mkdirs(dir)
@@ -156,22 +191,39 @@ object IndexStore {
         val snap = currentOpt(fs, path)
         build(snap) match {
           case None => done = true
-          case Some((entries, tags)) =>
+          case Some((entries, tags, marks)) =>
             val next = math.max(maxBurned(fs, path), snap.map(_.version).getOrElse(0L)) + 1
             val target = new Path(dir, f"v$next%08d")
-            val claimed =
-              try {
-                val out = fs.create(target, false)
+            // only a CLAIM failure retries (the version was taken by a
+            // concurrent writer — the target exists); any other
+            // IOException is a genuinely failing filesystem and must
+            // throw, not spin forever burning version numbers. A
+            // failure AFTER the claim (write/close) also throws — the
+            // half-written file has no terminator, so readers skip it.
+            val claim =
+              try Some(fs.create(target, false))
+              catch {
+                case e: java.io.IOException =>
+                  if (fs.exists(target)) None else throw e
+              }
+            claim match {
+              case None => // version taken — retry with the next one
+              case Some(out) =>
                 try {
                   val sb = new StringBuilder(Header).append('\n')
+                  marks.toSeq.sorted.foreach { case (sfx, n) =>
+                    sb.append("w ").append(n)
+                    if (sfx.nonEmpty) sb.append(' ').append(sfx)
+                    sb.append('\n')
+                  }
                   tags.toSeq.sorted.foreach(t => sb.append("t ").append(t).append('\n'))
                   entries.foreach(e => sb.append("e ").append(e).append('\n'))
                   sb.append(End).append('\n')
                   out.write(sb.toString.getBytes("UTF-8"))
                 } finally out.close()
-                true
-              } catch { case _: java.io.IOException => false } // version taken — retry
-            if (claimed) { committed = true; done = true }
+                committed = true
+                done = true
+            }
         }
       }
       committed
@@ -203,7 +255,7 @@ object IndexStore {
       case Some(_) => None // already initialized
       case None =>
         val anchor = writeAnchor(spark, path, schema)
-        Some(Seq(anchor) -> Set.empty)
+        Some((Seq(anchor), Set.empty, Map.empty))
     }
   }
 
@@ -234,7 +286,7 @@ object IndexStore {
     val fs = fsFor(spark, path)
     // cheap pre-check outside the write: a replayed batch skips the
     // data write entirely, not just the manifest line
-    if (tag.exists(t => currentOpt(fs, path).exists(_.tags.contains(t))))
+    if (tag.exists(t => currentOpt(fs, path).exists(_.covers(t))))
       return false
     val name = s"data-${java.util.UUID.randomUUID().toString.take(12)}"
     df.withColumn("_pfx", pfx.cast("string"))
@@ -244,14 +296,15 @@ object IndexStore {
     // then records only the tag (and an anchor on a fresh path)
     val leaves = leafDirs(fs, path, name)
     commit(fs, path) { snapOpt =>
-      if (tag.exists(t => snapOpt.exists(_.tags.contains(t)))) None
+      if (tag.exists(t => snapOpt.exists(_.covers(t)))) None
       else {
         val prior = snapOpt.map(_.entries).getOrElse(Seq.empty)
         val entries =
           if (prior.isEmpty && leaves.isEmpty)
             Seq(writeAnchor(spark, path, df.schema))
           else prior ++ leaves
-        Some(entries -> (snapOpt.map(_.tags).getOrElse(Set.empty) ++ tag))
+        Some((entries, snapOpt.map(_.tags).getOrElse(Set.empty) ++ tag,
+          snapOpt.map(_.marks).getOrElse(Map.empty)))
       }
     }
   }
@@ -284,8 +337,13 @@ object IndexStore {
     */
   def compact(spark: SparkSession, path: String, pfx: Column,
               transform: DataFrame => DataFrame = identity,
-              parts: Int = 32, dirtyOnly: Boolean = true): Unit = {
+              parts: Int = 32, dirtyOnly: Boolean = true,
+              tagRetention: Int = 1024): Unit = {
     val fs = fsFor(spark, path)
+    // maintenance time is also tag-checkpoint time: without it the
+    // manifest's tag list grows one line per ingest batch forever
+    // (O(n²) cumulative manifest bytes at micro-batch cadence)
+    retireTags(spark, path, tagRetention)
     val snap = currentOpt(fs, path).getOrElse(return)
     val dataLeaves = snap.entries.filter(_.contains("_pfx="))
     val byPfx = dataLeaves.groupBy(pfxOf)
@@ -310,7 +368,44 @@ object IndexStore {
         if (data.nonEmpty) data
         else if (anch.nonEmpty) anch
         else Seq(writeAnchor(spark, path, folded.schema))
-      Some(entries -> latest.tags)
+      Some((entries, latest.tags, latest.marks))
+    }
+  }
+
+  /** Checkpoint the manifest's tag list: tags with a numeric head
+    * (`<batchId>` or `<batchId>:<suffix>` — the shape every streaming
+    * sink emits) retire once they fall `keepLast` below the highest
+    * head seen for their suffix, compressing into ONE `w <N> <suffix>`
+    * watermark line meaning "every batchId ≤ N is committed". Replay
+    * idempotence is exact within the retention window (verbatim tags)
+    * and watermark-summarized below it — sound because batchIds are
+    * issued monotonically per suffix, so a sub-watermark replay can
+    * only be a batch that already committed. Non-numeric tags never
+    * retire. Manifest-only (no data file moves); a no-op commit is
+    * skipped. [[compact]] calls this on every maintenance pass, which
+    * bounds the manifest at O(#entries + keepLast·#suffixes) lines
+    * instead of one line per ingest batch forever.
+    */
+  def retireTags(spark: SparkSession, path: String, keepLast: Int = 1024): Unit = {
+    require(keepLast >= 0, "keepLast must be >= 0")
+    val fs = fsFor(spark, path)
+    commit(fs, path) { snapOpt =>
+      snapOpt.flatMap { snap =>
+        val parsed = snap.tags.toSeq
+          .flatMap(t => tagParts(t).map { case (n, s) => (t, n, s) })
+        // watermarks only advance (a mark that moved backwards would
+        // un-cover a retired tag and re-admit its replay)
+        val marks = snap.marks ++ parsed.groupBy(_._3).flatMap { case (sfx, ts) =>
+          val cand = ts.map(_._2).max - keepLast.toLong
+          if (cand >= 0L && snap.marks.get(sfx).forall(_ < cand)) Some(sfx -> cand)
+          else None
+        }
+        val retired = parsed.collect {
+          case (t, n, s) if marks.get(s).exists(n <= _) => t
+        }.toSet
+        if (retired.isEmpty && marks == snap.marks) None // nothing to checkpoint
+        else Some((snap.entries, snap.tags -- retired, marks))
+      }
     }
   }
 
@@ -338,9 +433,12 @@ object IndexStore {
   def liveEntries(spark: SparkSession, path: String): Seq[String] =
     currentOpt(fsFor(spark, path), path).map(_.entries).getOrElse(Seq.empty)
 
-  /** True iff `tag` was recorded by any committed version. */
+  /** True iff `tag` was recorded by any committed version — verbatim
+    * within the retention window, or via a [[retireTags]] watermark
+    * below it.
+    */
   def hasTag(spark: SparkSession, path: String, tag: String): Boolean =
-    currentOpt(fsFor(spark, path), path).exists(_.tags.contains(tag))
+    currentOpt(fsFor(spark, path), path).exists(_.covers(tag))
 
   /** Health summary of the current manifest — the numbers a
     * maintenance scheduler needs: how fragmented each prefix group is
@@ -352,7 +450,7 @@ object IndexStore {
     */
   final case class Stats(version: Long, nDataLeaves: Int, nAnchors: Int,
                          nTags: Int, nPrefixes: Int, nDirtyPrefixes: Int,
-                         maxLeavesPerPrefix: Int) {
+                         maxLeavesPerPrefix: Int, nTagMarks: Int = 0) {
     /** The fraction of prefix groups a dirty-only [[compact]] would
       * rewrite — the index's fragmentation measure. */
     def dirtyFraction: Double =
@@ -366,7 +464,8 @@ object IndexStore {
       val byPfx = data.groupBy(pfxOf)
       Stats(snap.version, data.size, anchors.size, snap.tags.size,
         byPfx.size, byPfx.count(_._2.size > 1),
-        if (byPfx.isEmpty) 0 else byPfx.valuesIterator.map(_.size).max)
+        if (byPfx.isEmpty) 0 else byPfx.valuesIterator.map(_.size).max,
+        snap.marks.size)
     }
 
   /** Destroy the index directory (the `append = false` reset path of

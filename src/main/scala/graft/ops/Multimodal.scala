@@ -277,10 +277,20 @@ object Multimodal {
     */
   private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
     import scala.jdk.CollectionConverters._
+    // resolve against the interface's OWN classloader (java.desktop),
+    // not the thread-context one: an executor thread's context loader
+    // may not surface the JDK providers, and an empty list here would
+    // silently fall every decode through to AudioSystem — functionally
+    // identical but reinstating the serialized MIDI-probe path
     val (midi, container) = java.util.ServiceLoader
-      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader],
+        classOf[javax.sound.sampled.spi.AudioFileReader].getClassLoader)
       .iterator().asScala.toSeq
       .partition(_.getClass.getName.toLowerCase.contains("midi"))
+    if (container.isEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "Multimodal.audioReaders: no container AudioFileReader resolved — " +
+          "decodes will probe through AudioSystem (globally-serialized MIDI sniff)")
     container ++ midi
   }
 

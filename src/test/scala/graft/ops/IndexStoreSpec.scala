@@ -168,6 +168,10 @@ class IndexStoreSpec extends AnyFunSuite {
     })
     (writers :+ compactor).foreach(_.start())
     (writers :+ compactor).foreach(_.join(120000))
+    // a hung thread must fail HERE with a timeout diagnosis, not as a
+    // confusing downstream tag/content assertion
+    (writers :+ compactor).foreach(t =>
+      assert(!t.isAlive, s"thread ${t.getName} timed out after 120s"))
     assert(errors.isEmpty, s"concurrent writer/compactor failed: ${errors.peek()}")
     // every tag recorded exactly once; content = the global fold of
     // every shard ever appended (fold at read time absorbs whatever
@@ -198,6 +202,61 @@ class IndexStoreSpec extends AnyFunSuite {
     val post = IndexStore.stats(spark, path).get
     assert(post.nDirtyPrefixes == 0 && post.maxLeavesPerPrefix == 1 &&
       post.nTags == 2, "compaction defragments but keeps the tag history")
+  }
+
+  test("tag retirement: the manifest stays bounded, replays still skip at every window position") {
+    val path = tmp()
+    val keep = 4
+    // 20 micro-batches at streaming cadence, two sink suffixes per
+    // batch (the AnnIndex shape) — without retirement that is 40 tag
+    // lines and counting
+    (0 until 20).foreach { b =>
+      val shard = Seq((b.toLong, 100L + b)).toDF("gh", "min_doc")
+      assert(IndexStore.append(shard, path, pfx, Some(s"$b:codes")))
+      assert(IndexStore.append(shard, path, pfx, Some(s"$b:buckets")))
+    }
+    IndexStore.retireTags(spark, path, keepLast = keep)
+    val st = IndexStore.stats(spark, path).get
+    // per suffix: heads ≤ 19-4=15 retired → verbatim tags 16..19 only
+    assert(st.nTags == 2 * keep, s"expected ${2 * keep} verbatim tags, got ${st.nTags}")
+    assert(st.nTagMarks == 2)
+    // the manifest FILE is bounded: entries + retained tags + 2 marks
+    val manifest = new java.io.File(s"$path/manifest").listFiles().map(_.getName).max
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$path/manifest/$manifest")).size()
+    assert(lines <= st.nDataLeaves + st.nAnchors + st.nTags + st.nTagMarks + 2,
+      s"manifest has $lines lines")
+
+    // an IN-window replay skips via its verbatim tag
+    val before = rows(IndexStore.read(spark, path))
+    assert(!IndexStore.append(Seq((99L, 1L)).toDF("gh", "min_doc"), path, pfx, Some("18:codes")))
+    // an OUT-of-window replay of a retired batchId skips via the watermark
+    assert(!IndexStore.append(Seq((99L, 1L)).toDF("gh", "min_doc"), path, pfx, Some("3:buckets")))
+    assert(IndexStore.hasTag(spark, path, "3:buckets") && IndexStore.hasTag(spark, path, "18:codes"))
+    assert(rows(IndexStore.read(spark, path)) == before, "replays must mutate nothing")
+    // a genuinely NEW batch above the window still commits
+    assert(IndexStore.append(Seq((77L, 7L)).toDF("gh", "min_doc"), path, pfx, Some("20:codes")))
+
+    // non-numeric tags never retire
+    assert(IndexStore.append(Seq((78L, 8L)).toDF("gh", "min_doc"), path, pfx, Some("manual-backfill")))
+    IndexStore.retireTags(spark, path, keepLast = 0)
+    assert(IndexStore.hasTag(spark, path, "manual-backfill"))
+    // keepLast=0 retires everything numeric; watermark still covers them
+    assert(!IndexStore.append(Seq((99L, 1L)).toDF("gh", "min_doc"), path, pfx, Some("20:codes")))
+    assert(IndexStore.stats(spark, path).get.nTags == 1)
+
+    // compaction runs the checkpoint as part of maintenance
+    val path2 = tmp()
+    (0 until 10).foreach { b =>
+      IndexStore.append(Seq((b.toLong % 4, b.toLong)).toDF("gh", "min_doc"),
+        path2, pfx, Some(b.toString))
+    }
+    IndexStore.compact(spark, path2, pfx,
+      _.groupBy(col("gh")).agg(min(col("min_doc")).as("min_doc")),
+      parts = 4, tagRetention = 2)
+    val st2 = IndexStore.stats(spark, path2).get
+    assert(st2.nTags == 2 && st2.nTagMarks == 1)
+    assert(IndexStore.hasTag(spark, path2, "0") && IndexStore.hasTag(spark, path2, "9"))
   }
 
   test("NULL layout keys land in the default partition and survive round trips") {
