@@ -450,6 +450,18 @@ final class Graft(val spark: SparkSession, stateDir: String) {
                            textCol: String = "text", n: Int = 5): DataFrame =
     graft.ops.Dedup.removeDuplicateSpans(df, idCol, textCol, n)
 
+  /** Cross-document duplicated LINES (the Falcon/RefinedWeb exact
+    * line-dedup rule) and its apply half: cut every duplicated line
+    * except in the document with the smallest id.
+    */
+  def duplicateLines(df: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    graft.ops.Dedup.duplicateLines(df, idCol, textCol)
+
+  def removeDuplicateLines(df: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame =
+    graft.ops.Dedup.removeDuplicateLines(df, idCol, textCol)
+
   /** Sliding-window passage chunking (RAG/embedding prep). */
   def chunkPassages(df: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", chunkSize: Int = 64,
@@ -850,6 +862,29 @@ final class Graft(val spark: SparkSession, stateDir: String) {
                           appendGrams: Boolean = true): DataFrame =
     graft.ops.Dedup.removeDuplicateSpansIncrement(inc, idCol, textCol,
       indexPath, n, crossDocOnly, appendGrams)
+
+  /** Persist a corpus's line index — the accumulated state
+    * [[dedupLinesIncrement]] cuts each new shard's duplicated lines
+    * against.
+    */
+  def lineIndexWrite(df: DataFrame, path: String, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     append: Boolean = false): Unit =
+    graft.ops.Dedup.writeLineIndex(df, idCol, textCol, path, append)
+
+  /** Cut duplicated lines out of a new shard against a persisted
+    * line index without re-reading the corpus; appends the shard's
+    * own line hashes so the next ingest needs no maintenance step.
+    */
+  def dedupLinesIncrement(inc: DataFrame, indexPath: String,
+                          idCol: String = "doc_id",
+                          textCol: String = "text",
+                          appendLines: Boolean = true): DataFrame =
+    graft.ops.Dedup.removeDuplicateLinesIncrement(inc, idCol, textCol,
+      indexPath, appendLines)
+
+  def lineIndexCompact(path: String, parts: Int = 32): Unit =
+    graft.ops.Dedup.compactLineIndex(spark, path, parts)
 
   /** Train and persist every ANN serving artifact (IVF centroids, PQ
     * codebooks + codes, LSH buckets) to one parquet directory — the

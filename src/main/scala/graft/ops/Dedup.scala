@@ -565,6 +565,183 @@ object Dedup {
     out
   }
 
+  // ── line-level exact dedup (the Falcon/RefinedWeb boilerplate rule) ─
+
+  /** One (doc_id, lpos, lh) row per NON-BLANK line: lines are the
+    * raw '\n'-split segments of the text (EXACT string equality — no
+    * token normalization, unlike every gram op here: the rule targets
+    * verbatim boilerplate headers/footers/navigation), `lh` the
+    * 64-bit hash of the line. Blank and whitespace-only lines never
+    * participate — they are document structure, and cutting "the
+    * empty line" corpus-globally would mangle every multi-paragraph
+    * doc. One map pass, no shuffle.
+    */
+  private def lineRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Spread.ifNarrow(df, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
+          .as(Seq("lpos", "line")))
+      .where(trim(col("line")) =!= "")
+      .select(col("doc_id"), col("lpos"), col("line"),
+        xxhash64(col("line")).as("lh"))
+
+  /** Corpus profile of cross-document duplicated LINES — the
+    * granularity document-level MinHash can't see and span dedup
+    * (token n-grams) only approximates: Falcon/RefinedWeb remove
+    * exact duplicate lines across documents as the dominant
+    * boilerplate killer. One row per duplicated line:
+    * (line, n_docs, n_occurrences, min_doc).
+    *
+    * Scale shape: a (lh, doc_id) pre-fold (map-side partials absorb a
+    * boilerplate line repeated within a shard's docs) then the per-lh
+    * fold — the two-level story of [[duplicateSpans]], with the line
+    * string riding as a min() payload, never a join key.
+    */
+  def duplicateLines(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    lineRows(df, idCol, textCol)
+      .groupBy(col("lh"), col("doc_id"))
+      .agg(count(lit(1)).as("_occ"), min(col("line")).as("_line"))
+      .groupBy(col("lh"))
+      .agg(min(col("_line")).as("line"),
+        count(lit(1)).as("n_docs"),
+        sum(col("_occ")).as("n_occurrences"),
+        min(col("doc_id")).as("min_doc"))
+      .where(col("n_docs") >= 2)
+      .select("line", "n_docs", "n_occurrences", "min_doc")
+
+  /** The apply half: rebuild each document with every cross-document
+    * duplicated line removed EXCEPT in the document with the smallest
+    * id (the corpus-global min-doc rule — the line's first-ingested
+    * occurrence is the one that stays, exactly the keep rule of
+    * [[dropExactDuplicates]] lifted to line granularity). Returns one
+    * row per input document: (doc_id, clean_text, n_lines_kept,
+    * n_lines_removed), clean_text the kept lines re-joined on '\n'.
+    * Blank lines always survive (see [[lineRows]]); within-document
+    * repeats of a line the doc "owns" (it is the min doc) survive too
+    * — the rule is cross-document.
+    *
+    * Scale shape: the dup set (one (lh, min_doc) row per duplicated
+    * line) comes from one hash aggregate with map-side partials; cut
+    * positions aggregate to ONE bounded array per affected doc; the
+    * corpus joins that table on doc_id (AQE broadcasts it when small
+    * — document bodies never shuffle) and the cut is a per-row array
+    * filter, map-side.
+    */
+  def removeDuplicateLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // eager pin: the dup-set fold and the cut-position probe both
+    // read the line table — unpinned, each branch re-splits the corpus
+    val lines = lineRows(df, idCol, textCol).localCheckpoint(true)
+    val dupSet = lines.groupBy(col("lh"))
+      .agg(min(col("doc_id")).as("_mn"), max(col("doc_id")).as("_mx"))
+      .where(col("_mn") =!= col("_mx"))
+      .select(col("lh"), col("_mn"))
+    val cuts = lines.join(dupSet, "lh")
+      .where(col("doc_id") =!= col("_mn"))
+      .groupBy(col("doc_id")).agg(collect_list(col("lpos")).as("_cuts"))
+    cutLines(df, idCol, textCol, cuts)
+  }
+
+  /** The shared apply tail of [[removeDuplicateLines]] and
+    * [[removeDuplicateLinesIncrement]]: filter each doc's line array
+    * by the cut-position set; docs without a cut row pass through
+    * verbatim (including their blank lines).
+    */
+  private def cutLines(df: DataFrame, idCol: String, textCol: String,
+                       cuts: DataFrame): DataFrame = {
+    val arr = split(coalesce(col(textCol), lit("")), "\n", -1)
+    df.select(col(idCol).as("doc_id"), arr.as("_l"))
+      .join(cuts, Seq("doc_id"), "left")
+      .withColumn("_k", filter(col("_l"), (_, i) =>
+        col("_cuts").isNull || !array_contains(col("_cuts"), i)))
+      .select(col("doc_id"),
+        array_join(col("_k"), "\n").as("clean_text"),
+        size(col("_k")).cast("long").as("n_lines_kept"),
+        (size(col("_l")) - size(col("_k"))).cast("long").as("n_lines_removed"))
+  }
+
+  /** The hash-prefix layout key for the line index family. */
+  private[graft] def linePfx: Column = pmod(col("lh"), lit(16)).cast("string")
+
+  /** Persist a corpus's line index: one (lh, min_doc) row per
+    * DISTINCT non-blank line hash — the fourth persisted-index family
+    * (exact / MinHash / span-gram / line), with the same `min_doc`
+    * retry-stability contract as [[writeSpanGramIndex]]. Storage is
+    * an [[IndexStore]] (`pmod(lh, 16)` prefix layout); `commitTag`
+    * makes an append replay-idempotent.
+    */
+  def writeLineIndex(df: DataFrame, idCol: String, textCol: String,
+                     path: String, append: Boolean = false,
+                     commitTag: Option[String] = None): Unit = {
+    if (!append) IndexStore.reset(df.sparkSession, path)
+    IndexStore.append(
+      lineRows(df, idCol, textCol)
+        .groupBy(col("lh")).agg(min(col("doc_id")).as("min_doc")),
+      path, linePfx, commitTag)
+  }
+
+  /** Load a [[writeLineIndex]] line index. */
+  def readLineIndex(spark: SparkSession, path: String): DataFrame =
+    IndexStore.read(spark, path)
+
+  /** Compact a line index: merge per-shard (lh, min_doc) rows to the
+    * global minimum per line and rewrite append-accumulated files —
+    * dirty hash-prefix partitions only ([[IndexStore.compact]]).
+    * Results unchanged — the increment probe aggregates the same
+    * minima at read time.
+    */
+  def compactLineIndex(spark: SparkSession, path: String,
+                       parts: Int = 32): Unit =
+    IndexStore.compact(spark, path, linePfx,
+      _.groupBy(col("lh")).agg(min(col("min_doc")).as("min_doc")), parts)
+
+  /** Cut duplicated lines out of a NEW shard against the accumulated
+    * corpus WITHOUT re-reading it: an increment line occurrence is
+    * cut when its hash exists in the persisted index with
+    * `min_doc < doc_id` (a past doc owns the line) OR when the
+    * within-increment rule cuts it ([[removeDuplicateLines]]'s
+    * min≠max / not-the-min-doc test over the shard alone). With ids
+    * in ingestion order the two rules together are EXACTLY the
+    * full-batch corpus-global min-doc rule restricted to increment
+    * docs (oracle row `dedup_lines_incremental` — the decomposition
+    * proof), and a RETRY against the already-appended index is
+    * verdict-stable: the shard's own appended (lh, min_doc) rows cut
+    * only what the within rule already cuts.
+    *
+    * Scale: one line pass over the shard + one equi-join against the
+    * lh-pruned index + the within-shard fold; indexed documents are
+    * never revisited (shipped shards are immutable — the min-doc
+    * occurrence stays, the forward-ingest policy of every index
+    * family here).
+    */
+  def removeDuplicateLinesIncrement(inc: DataFrame, idCol: String,
+                                    textCol: String, indexPath: String,
+                                    appendLines: Boolean = true,
+                                    commitTag: Option[String] = None): DataFrame = {
+    val spark = inc.sparkSession
+    val idx = readLineIndex(spark, indexPath)
+      .groupBy(col("lh")).agg(min(col("min_doc")).as("_imn"))
+    // eager pin: the within-fold, the index probe and the append all
+    // read the line table — unpinned, each would re-split the shard
+    val lines = lineRows(inc, idCol, textCol).localCheckpoint(true)
+    val within = lines.groupBy(col("lh"))
+      .agg(min(col("doc_id")).as("_mn"), max(col("doc_id")).as("_mx"))
+      .where(col("_mn") =!= col("_mx"))
+      .select(col("lh"), col("_mn"))
+    val idxCuts = lines.join(idx, Seq("lh"))
+      .where(col("_imn") < col("doc_id")).select("doc_id", "lpos")
+    val withinCuts = lines.join(within, Seq("lh"))
+      .where(col("doc_id") =!= col("_mn")).select("doc_id", "lpos")
+    // both rules can cut the same occurrence; one row per (doc, lpos)
+    val cuts = idxCuts.union(withinCuts).distinct()
+      .groupBy(col("doc_id")).agg(collect_list(col("lpos")).as("_cuts"))
+    val out = cutLines(inc, idCol, textCol, cuts)
+    if (appendLines)
+      IndexStore.append(
+        lines.groupBy(col("lh")).agg(min(col("doc_id")).as("min_doc")),
+        indexPath, linePfx, commitTag)
+    out
+  }
+
   /** MinHash signatures in wide form: one row per doc, k `sig<i>`
     * columns — a single shuffle (groupBy id) with k min-aggregates,
     * instead of exploding every shingle k times.

@@ -28,6 +28,41 @@ object OpsQueries {
        |  THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
        |  ELSE [array_to_string(toks, ' ')] END""".stripMargin
 
+  /** Deterministic multi-line view of the corpus for the line-dedup
+    * rows: the single-space-joined text regrouped into 6-token lines
+    * (the corpus itself carries no newlines — line granularity has to
+    * be synthesized, identically in both engines).
+    */
+  private def sixTokenLines(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = split(col("text"), " ")
+    val nLines = greatest(ceil(size(toks) / lit(6.0)).cast("int"), lit(1))
+    docs.select(col("doc_id"),
+      array_join(
+        transform(sequence(lit(0), nLines - 1),
+          i => array_join(slice(toks, i * lit(6) + lit(1), lit(6)), " ")),
+        "\n").as("text"))
+  }
+
+  /** DuckDB replica of [[sixTokenLines]] + the corpus-global min-doc
+    * line-cut rule — CTE chain ending in `ld(doc_id, ls)` (the line
+    * arrays) and `lagg(doc_id, clean_text, n_kept)` (the kept lines).
+    */
+  private val lineOracleCtes: String =
+    """lt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |ld AS (SELECT doc_id,
+      |         [array_to_string(toks[i:i+5], ' ') for i in generate_series(1, len(toks), 6)] AS ls
+      |       FROM lt),
+      |ll AS (SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) - 1 AS lpos FROM ld),
+      |nb AS (SELECT doc_id, lpos, line FROM ll WHERE trim(line) <> ''),
+      |ldup AS (SELECT line, MIN(doc_id) AS mn FROM nb GROUP BY line
+      |         HAVING MIN(doc_id) <> MAX(doc_id)),
+      |lcut AS (SELECT nb.doc_id, nb.lpos FROM nb JOIN ldup
+      |         ON nb.line = ldup.line AND nb.doc_id <> ldup.mn),
+      |lkept AS (SELECT ll.doc_id, ll.line, ll.lpos FROM ll ANTI JOIN lcut
+      |          ON ll.doc_id = lcut.doc_id AND ll.lpos = lcut.lpos),
+      |lagg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY lpos) AS clean_text,
+      |                COUNT(*) AS n_kept FROM lkept GROUP BY doc_id)""".stripMargin
+
   /** Target source mixture for the sample_mixture_* queries. */
   private val MixTarget: Seq[(String, Double)] =
     Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
@@ -944,6 +979,74 @@ object OpsQueries {
               |FROM d LEFT JOIN agg a USING (doc_id)
               |WHERE d.doc_id > (SELECT MAX(doc_id) * 3 // 5 FROM documents)
               |ORDER BY d.doc_id""".stripMargin)),
+
+    // ── line-level exact dedup (Falcon/RefinedWeb) ─────────────────
+    // the granularity between document-level (dedup_drop_exact) and
+    // substring-level (dedup_drop_spans): EXACT duplicate lines are
+    // cut corpus-globally except in the min-id document. The corpus
+    // has no newlines, so both engines regroup it into 6-token lines
+    // first (sixTokenLines / the lt-ld CTEs — identical derivations).
+    Q("dedup_dup_lines",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        Dedup.duplicateLines(sixTokenLines(s.table("documents")), "doc_id", "text")
+          .orderBy(col("line"))
+      },
+      Some(s"""WITH $lineOracleCtes
+              |SELECT line, COUNT(DISTINCT doc_id) AS n_docs,
+              |       COUNT(*) AS n_occurrences, MIN(doc_id) AS min_doc
+              |FROM nb GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+              |ORDER BY line""".stripMargin)),
+
+    // the apply half: every cross-document duplicated line cut except
+    // in the smallest-id document (blank lines always survive)
+    Q("dedup_drop_lines",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        Dedup.removeDuplicateLines(sixTokenLines(s.table("documents")), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $lineOracleCtes
+              |SELECT ld.doc_id, coalesce(a.clean_text, '') AS clean_text,
+              |       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_kept,
+              |       CAST(len(ld.ls) - coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_removed
+              |FROM ld LEFT JOIN lagg a USING (doc_id)
+              |ORDER BY ld.doc_id""".stripMargin)),
+
+    // incremental LINE dedup against a persisted (lh, min_doc) index —
+    // the line-granularity sibling of dedup_spans_incremental: the
+    // first 60% of ids play the accumulated corpus, the rest arrive
+    // as a new shard whose duplicated lines are cut WITHOUT re-reading
+    // the corpus. The oracle is the FULL-corpus batch formula
+    // (dedup_drop_lines's, verbatim) restricted to the increment —
+    // the decomposition proof: index-presence ∨ within-increment rule
+    // IS the corpus-global min-doc rule on increment docs.
+    Q("dedup_lines_incremental",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val docs = sixTokenLines(s.table("documents"))
+        val maxId = docs.agg(max(col("doc_id"))).head().get(0)
+        if (maxId == null) {
+          docs.selectExpr("doc_id", "'' AS clean_text",
+            "CAST(0 AS BIGINT) AS n_lines_kept", "CAST(0 AS BIGINT) AS n_lines_removed")
+            .where(lit(false))
+        } else {
+          val bnd = maxId.asInstanceOf[Long] * 3 / 5
+          val idxPath = graft.ops.TableWrite.scratchDir("graft_line_index")
+          Dedup.writeLineIndex(docs.where(col("doc_id") <= bnd),
+            "doc_id", "text", idxPath)
+          Dedup.removeDuplicateLinesIncrement(docs.where(col("doc_id") > bnd),
+              "doc_id", "text", idxPath)
+            .orderBy(col("doc_id"))
+        }
+      },
+      Some(s"""WITH $lineOracleCtes
+              |SELECT ld.doc_id, coalesce(a.clean_text, '') AS clean_text,
+              |       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_kept,
+              |       CAST(len(ld.ls) - coalesce(a.n_kept, 0) AS BIGINT) AS n_lines_removed
+              |FROM ld LEFT JOIN lagg a USING (doc_id)
+              |WHERE ld.doc_id > (SELECT MAX(doc_id) * 3 // 5 FROM documents)
+              |ORDER BY ld.doc_id""".stripMargin)),
 
     // transitive closure of the pair set: corpus-level duplicate
     // CLUSTERS (A~B, B~C ⇒ one cluster), min doc id as the canonical

@@ -1195,6 +1195,64 @@ class OpsSpec extends AnyFunSuite {
       out(3).getAs[Long]("n_kept") == 0L)
   }
 
+  test("line dedup: the boilerplate header is cut everywhere but the min doc; blanks and owned repeats survive") {
+    val d = Seq(
+      (1L, "SITE NAV HOME\nunique first body\nSITE NAV HOME"), // owns the header (min doc) — both occurrences stay
+      (2L, "SITE NAV HOME\n\nunique second body"), // header cut, blank line survives
+      (3L, "intro line\nSITE NAV HOME\nunique third body"), // header cut mid-document
+      (4L, "   \nwhitespace flanked content\n   ") // whitespace-only lines never participate
+    ).toDF("doc_id", "text")
+    val dup = Dedup.duplicateLines(d, "doc_id", "text").collect()
+    assert(dup.length == 1)
+    assert(dup.head.getAs[String]("line") == "SITE NAV HOME" &&
+      dup.head.getAs[Long]("n_docs") == 3L &&
+      dup.head.getAs[Long]("n_occurrences") == 4L &&
+      dup.head.getAs[Long]("min_doc") == 1L)
+    val out = Dedup.removeDuplicateLines(d, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out.length == 4) // apply keeps every input row
+    assert(out(0).getAs[String]("clean_text") == "SITE NAV HOME\nunique first body\nSITE NAV HOME" &&
+      out(0).getAs[Long]("n_lines_removed") == 0L)
+    assert(out(1).getAs[String]("clean_text") == "\nunique second body" &&
+      out(1).getAs[Long]("n_lines_kept") == 2L &&
+      out(1).getAs[Long]("n_lines_removed") == 1L)
+    assert(out(2).getAs[String]("clean_text") == "intro line\nunique third body")
+    assert(out(3).getAs[String]("clean_text") == "   \nwhitespace flanked content\n   " &&
+      out(3).getAs[Long]("n_lines_removed") == 0L)
+  }
+
+  test("incremental line dedup equals the batch rule restricted to the increment; retries are verdict-stable") {
+    val header = "COMMON SITE HEADER"
+    val all = Seq(
+      (1L, s"$header\nold one body"),
+      (2L, s"old two body\nold two tail"),
+      (3L, s"$header\ninc three body"), // header owned by doc 1 → cut
+      (4L, s"$header\nshared inc line\ninc four body"), // header cut; owns "shared inc line"
+      (5L, s"shared inc line\ninc five body") // within-increment dup → cut
+    ).toDF("doc_id", "text")
+    val batch = Dedup.removeDuplicateLines(all, "doc_id", "text")
+      .where($"doc_id" > 2L).orderBy("doc_id").collect()
+
+    val path = java.nio.file.Files.createTempDirectory("graft_line_idx").toString
+    Dedup.writeLineIndex(all.where($"doc_id" <= 2L), "doc_id", "text", path)
+    val inc = all.where($"doc_id" > 2L)
+    def run() = Dedup.removeDuplicateLinesIncrement(inc, "doc_id", "text", path,
+      commitTag = Some("7")).orderBy("doc_id").collect()
+    val first = run()
+    assert(first.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq,
+      "increment ∘ index must equal the full-batch rule on increment docs")
+    assert(first(0).getAs[String]("clean_text") == "inc three body")
+    assert(first(1).getAs[String]("clean_text") == "shared inc line\ninc four body")
+    assert(first(2).getAs[String]("clean_text") == "inc five body")
+    // tagged retry: the append skips, the verdicts are identical
+    assert(run().map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+    // untagged retry (the index now carries the shard's own lines):
+    // min_doc presence-test keeps verdicts identical — the shard's own
+    // appended rows only cut what the within rule already cut
+    val retry = Dedup.removeDuplicateLinesIncrement(inc, "doc_id", "text", path,
+      appendLines = false).orderBy("doc_id").collect()
+    assert(retry.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
+
   test("passage chunking: stride windows, shortened tail, zero-token drop") {
     val text = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
     val d = Seq((1L, text), (2L, "one two"), (3L, "!!!")).toDF("doc_id", "text")
