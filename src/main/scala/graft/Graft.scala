@@ -371,6 +371,15 @@ final class Graft(val spark: SparkSession, stateDir: String) {
     df.withColumn(textCol, graft.ops.TextAnalysis.redact(col(textCol), patterns))
   }
 
+  /** HTML → text extraction plus the Gopher-style markup screen
+    * (text share, link density, line count) over a raw-HTML corpus —
+    * the front door of a web-scale curation pipeline. One native
+    * kernel pass per row, map-only.
+    */
+  def extractHtml(df: DataFrame, idCol: String = "doc_id",
+                  htmlCol: String = "html"): DataFrame =
+    graft.ops.TextAnalysis.extractHtmlTable(df, idCol, htmlCol)
+
   /** Cross-corpus (incremental-ingestion) near-dedup: MinHash+LSH
     * pairs of a new batch against an existing corpus — no self-join
     * of either side; `dedupCross` drops the batch's corpus-duplicate

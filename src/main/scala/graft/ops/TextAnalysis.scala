@@ -179,6 +179,92 @@ object TextAnalysis {
   def tokenStats(text: Column): Column =
     graft.functions.TextExpressions.token_stats(text, stopwords("en"))
 
+  // ── HTML / markup boilerplate extraction ───────────────────────────
+
+  /** REAL HTML → text extraction (the CCNet/RefinedWeb-style front
+    * door every web-scale pipeline runs before anything else here):
+    * struct(text, link_nonws, total_nonws) from ONE pass of the
+    * native kernel — script/style/comment removal, block-element line
+    * breaks, entity decode, whitespace normalization, and the
+    * anchor-text counters the link-density screen needs. Semantics
+    * contract in [[graft.functions.TextExpressions.extractHtmlText]];
+    * pinned against [[extractHtmlDeclarative]] by property fuzz and
+    * against DuckDB by the `text_extract_html` oracle row.
+    */
+  def htmlExtract(html: Column): Column =
+    graft.functions.TextExpressions.html_extract(html)
+
+  /** Just the extracted text. */
+  def extractHtml(html: Column): Column =
+    htmlExtract(html).getField("text")
+
+  /** The markup-quality screen over a raw-HTML corpus: per document,
+    * the extracted text plus the Gopher-style boilerplate signals —
+    * `html_n_lines`, `html_text_share` (extracted chars / markup
+    * chars: near-zero = script/nav shells) and `html_link_density`
+    * (anchor-text share of the visible text: high = link farms and
+    * navigation pages). One kernel pass per row, map-only, no
+    * shuffle; filter on the signal columns and feed `html_text`
+    * onward as the corpus text.
+    */
+  def extractHtmlTable(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    // two-step select: CollapseProject keeps the non-cheap kernel
+    // struct single-evaluation (the tokenStats convention)
+    df.select(col(idCol).as("doc_id"), htmlExtract(col(htmlCol)).as("_h"),
+        length(col(htmlCol)).cast("double").as("_raw"))
+      .select(col("doc_id"),
+        col("_h.text").as("html_text"),
+        when(col("_h.text") === "", lit(0L))
+          .otherwise(size(split(col("_h.text"), "\n", -1)).cast("long"))
+          .as("html_n_lines"),
+        when(col("_raw") > 0.0, length(col("_h.text")).cast("double") / col("_raw"))
+          .otherwise(lit(0.0)).as("html_text_share"),
+        when(col("_h.total_nonws") > 0,
+          col("_h.link_nonws").cast("double") / col("_h.total_nonws").cast("double"))
+          .otherwise(lit(0.0)).as("html_link_density"))
+  }
+
+  /** Declarative parity reference for the HTML kernel — the same
+    * contract as a regexp-replace chain (script/style/comment → ' ',
+    * block tags → a \\u0001 sentinel, other tags → ' ', entity decode
+    * with &amp; LAST, per-block whitespace collapse/trim/drop/join).
+    * Property-fuzzed equal to the kernel's text output
+    * (HtmlExtractSpec); numeric-entity decode here covers the ASCII
+    * range (`char()` semantics) — the kernel handles the full BMP. A
+    * replace CHAIN double-decodes pathological sequences the single
+    * pass treats as text (e.g. `&am&#112;;`), so the fuzz domain
+    * generates '&' only inside well-formed entities — the kernel is
+    * the contract, this form is its executable spec and the shape of
+    * the DuckDB oracle replay.
+    */
+  private[graft] def extractHtmlDeclarative(html: Column): Column = {
+    val ws = "[ \\t\\n\\r\\f]"
+    val s1 = regexp_replace(html, s"(?is)<script\\b[^>]*>.*?</script$ws*>", " ")
+    val s2 = regexp_replace(s1, s"(?is)<style\\b[^>]*>.*?</style$ws*>", " ")
+    val s3 = regexp_replace(s2, "(?s)<!--.*?-->", " ")
+    val alt = graft.functions.TextExpressions.BlockTags.toSeq.sorted.mkString("|")
+    val s4 = regexp_replace(s3, s"(?i)</?(?:$alt)\\b[^>]*>", "\u0001")
+    val s5 = regexp_replace(s4, "<[^>]*>", " ")
+    val e1 = regexp_replace(s5, "&lt;", "<")
+    val e2 = regexp_replace(e1, "&gt;", ">")
+    val e3 = regexp_replace(e2, "&quot;", "\"")
+    val e4 = regexp_replace(e3, "&apos;", "'")
+    val e5 = regexp_replace(e4, "&nbsp;", " ")
+    val dec = transform(split(e5, "(?=&#)", -1), p => {
+      val d = regexp_extract(p, "^&#([0-9]{1,3});", 1)
+      val x = regexp_extract(p, "^&#[xX]([0-9a-fA-F]{1,2});", 1)
+      when(d =!= "", concat(call_function("char", d.cast("int")),
+          regexp_replace(p, "^&#[0-9]{1,3};", "")))
+        .when(x =!= "", concat(call_function("char", conv(x, 16, 10).cast("int")),
+          regexp_replace(p, "^&#[xX][0-9a-fA-F]{1,2};", "")))
+        .otherwise(p)
+    })
+    val e6 = regexp_replace(array_join(dec, ""), "&amp;", "&")
+    val cleaned = transform(split(e6, "\u0001", -1), b =>
+      trim(regexp_replace(b, s"$ws+", " ")))
+    array_join(filter(cleaned, b => b =!= ""), "\n")
+  }
+
   /** TF-IDF top-k characteristic terms per document — the standard
     * corpus-keyword extraction a curation pipeline uses for topic
     * labeling, cluster naming and near-duplicate triage.

@@ -590,6 +590,92 @@ object OpsQueries {
               |       array_to_string(toks[start + 1:start + 32], ' ') AS chunk_text
               |FROM s ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // the REAL HTML-extraction path under the oracle: a full HTML
+    // page (head/title/style/script/comment/headings/lists/anchor +
+    // named, numeric and hex entities) is synthesized per document
+    // from its own tokens — identically in both engines — then Spark
+    // extracts through the one-pass native kernel while DuckDB
+    // replays the declarative regexp chain the kernel is contracted
+    // to (script/style/comment strip → block tags → chr(1) → tag
+    // strip → entity decode with &amp; last → per-block collapse/
+    // trim/drop/join). Text, line count, text share and the
+    // anchor-text link density must all hash-match.
+    Q("text_extract_html",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val id = col("doc_id").cast("string")
+        val toks = split(col("text"), " ")
+        def w(i: Int) =
+          element_at(toks, (pmod(col("doc_id") + i, size(toks)) + 1).cast("int"))
+        val html = concat(
+          lit("<html><head><title>Doc "), id, lit("</title>"),
+          lit("<style type=\"text/css\">p { color: #aaa; } .x"),
+          pmod(col("doc_id"), lit(7)).cast("string"), lit(" > li { margin: 0 }</style>"),
+          lit("<script type=\"text/javascript\">var n = "), id,
+          lit("; if (n > 2 && n < 99) { document.write(\"<b>skip</b>\"); }</script>"),
+          lit("</head><body>"),
+          lit("<!-- build "), id, lit(" -->"),
+          lit("<h1 class=\"t\">"), w(0), lit(" &amp; "), w(1), lit("</h1>"),
+          lit("<p>"), array_join(slice(toks, 1, 10), " "), lit("</p>"),
+          lit("<div id=\"c"), id, lit("\"><p>"), array_join(slice(toks, 5, 8), " "),
+          lit(" &lt;"), w(2), lit("&gt; &#65;&#x42;</p>"),
+          lit("<ul><li>"), w(3), lit("</li>"),
+          lit("<li>"), w(4), lit(" &nbsp; "), w(5), lit("</li></ul>"),
+          lit("<p>Visit <a href=\"/d/"), id, lit("?q="), w(6), lit("\">"),
+          w(6), lit(" "), w(7), lit("</a> now.</p>"),
+          lit("</div></body></html>"))
+        // pre-synthesis repartition: the corpus is one parquet file =
+        // one input partition, and the kernel walk would serialize
+        val pages = s.table("documents").repartition(32, col("doc_id"))
+          .select(col("doc_id"), html.as("html"))
+        TextAnalysis.extractHtmlTable(pages, "doc_id", "html")
+          .select(col("doc_id"), col("html_text"), col("html_n_lines"),
+            round(col("html_text_share"), 6).as("html_text_share"),
+            round(col("html_link_density"), 6).as("html_link_density"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |hh AS (SELECT doc_id,
+             |  '<html><head><title>Doc ' || doc_id || '</title>'
+             |  || '<style type="text/css">p { color: #aaa; } .x' || (doc_id % 7) || ' > li { margin: 0 }</style>'
+             |  || '<script type="text/javascript">var n = ' || doc_id || '; if (n > 2 && n < 99) { document.write("<b>skip</b>"); }</script>'
+             |  || '</head><body>'
+             |  || '<!-- build ' || doc_id || ' -->'
+             |  || '<h1 class="t">' || toks[CAST(doc_id % len(toks) AS INT) + 1] || ' &amp; ' || toks[CAST((doc_id + 1) % len(toks) AS INT) + 1] || '</h1>'
+             |  || '<p>' || array_to_string(toks[1:10], ' ') || '</p>'
+             |  || '<div id="c' || doc_id || '"><p>' || array_to_string(toks[5:12], ' ') || ' &lt;' || toks[CAST((doc_id + 2) % len(toks) AS INT) + 1] || '&gt; &#65;&#x42;</p>'
+             |  || '<ul><li>' || toks[CAST((doc_id + 3) % len(toks) AS INT) + 1] || '</li>'
+             |  || '<li>' || toks[CAST((doc_id + 4) % len(toks) AS INT) + 1] || ' &nbsp; ' || toks[CAST((doc_id + 5) % len(toks) AS INT) + 1] || '</li></ul>'
+             |  || '<p>Visit <a href="/d/' || doc_id || '?q=' || toks[CAST((doc_id + 6) % len(toks) AS INT) + 1] || '">' || toks[CAST((doc_id + 6) % len(toks) AS INT) + 1] || ' ' || toks[CAST((doc_id + 7) % len(toks) AS INT) + 1] || '</a> now.</p>'
+             |  || '</div></body></html>' AS html
+             |  FROM tk),
+             |c1 AS (SELECT doc_id, html, regexp_replace(html, '(?is)<script\b[^>]*>.*?</script[ \t\n\r\f]*>', ' ', 'g') AS s FROM hh),
+             |c2 AS (SELECT doc_id, html, regexp_replace(s, '(?is)<style\b[^>]*>.*?</style[ \t\n\r\f]*>', ' ', 'g') AS s FROM c1),
+             |c3 AS (SELECT doc_id, html, regexp_replace(s, '(?s)<!--.*?-->', ' ', 'g') AS s FROM c2),
+             |c4 AS (SELECT doc_id, html, s AS s3, regexp_replace(s, '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|blockquote|pre|section|article|header|footer|title|head|body|html)\b[^>]*>', chr(1), 'g') AS s FROM c3),
+             |c5 AS (SELECT doc_id, html, s3, regexp_replace(s, '<[^>]*>', ' ', 'g') AS s FROM c4),
+             |e1 AS (SELECT doc_id, html, s3,
+             |  replace(replace(replace(replace(replace(replace(s,
+             |    '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '), '&#65;', 'A'), '&#x42;', 'B'), '&amp;', '&') AS s
+             |  FROM c5),
+             |bl AS (SELECT doc_id, html, s3,
+             |  list_filter(list_transform(string_split(s, chr(1)),
+             |    x -> trim(regexp_replace(x, '[ \t\n\r\f]+', ' ', 'g'))), x -> x <> '') AS ls
+             |  FROM e1),
+             |tx AS (SELECT doc_id, html, s3, array_to_string(ls, chr(10)) AS txt, len(ls) AS nl FROM bl),
+             |an AS (SELECT doc_id, html, txt, nl,
+             |  COALESCE(list_sum(list_transform(
+             |    regexp_extract_all(s3, '(?is)<a\b[^>]*>(.*?)</a[ \t\n\r\f]*>', 1),
+             |    a -> len(regexp_replace(
+             |      replace(replace(replace(replace(replace(replace(regexp_replace(a, '<[^>]*>', ' ', 'g'),
+             |        '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '), '&#65;', 'A'), '&#x42;', 'B'), '&amp;', '&'),
+             |      '[ \t\n\r\f]', '', 'g')))), 0) AS link_nonws
+             |  FROM tx)
+             |SELECT doc_id, txt AS html_text, CAST(nl AS BIGINT) AS html_n_lines,
+             |  ROUND(CAST(len(txt) AS DOUBLE) / len(html), 6) AS html_text_share,
+             |  ROUND(CAST(link_nonws AS DOUBLE) / NULLIF(len(regexp_replace(txt, '[ \n]', '', 'g')), 0), 6) AS html_link_density
+             |FROM an ORDER BY doc_id""".stripMargin)),
+
     // substring-level dedup (Lee et al. 2022): maximal cross-document
     // duplicated 5-gram spans — the hash inverted-index reformulation
     // of the paper's suffix array
