@@ -118,6 +118,43 @@ object Multimodal {
       unhex(concat_ws("", header, sampleHex)).as("content"))
   }
 
+  /** Synthesize a REAL, decodable ANIMATED GIF per document — the
+    * last real decoder ([[GifDecoder]]) brought under the oracle the
+    * way BMP/WAV were (oracle row `multimodal_decode_video`). GIF's
+    * LZW is lossless, and with minimum code size 7 every code is
+    * exactly one byte while the table stays under 256 entries: each
+    * frame's image data is the literal byte run
+    * `[clear=0x80, p0..p7, eoi=0x81]` (8 pixels never grow the table
+    * past 137), so the whole container is a hex column expression —
+    * no encoder, no UDF. `(id mod 3) + 2` frames of 4×2 pixels; pixel
+    * (x, y) of frame f indexes gray palette entry
+    * `v = (id·31 + x + 5y + 7f) mod 128` whose color is `(2v,2v,2v)`,
+    * making per-frame mean luma computable by the DuckDB oracle from
+    * id arithmetic alone. Header + 128-entry global color table are a
+    * compile-time hex literal; only the 8 pixel bytes per frame vary.
+    */
+  def syntheticGif(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val w = 4; val h = 2
+    def u16(v: Int) = f"${v & 0xff}%02x${(v >> 8) & 0xff}%02x"
+    // logical screen: GCT present, color resolution 7, GCT size 2^(6+1)=128
+    val gct = (0 until 128).map(i => f"${2 * i}%02x" * 3).mkString
+    val prefix = "474946383961" + u16(w) + u16(h) + "f6" + "00" + "00" + gct
+    // image descriptor at (0,0) full-size + LZW min code size 7 +
+    // one 10-byte sub-block: clear, 8 one-byte codes, end-of-information
+    val frameDesc = "2c" + u16(0) + u16(0) + u16(w) + u16(h) + "00" + "07" + "0a" + "80"
+    val id = col(idCol).cast("long")
+    val nf = pmod(id, lit(3L)) + lit(2L)
+    val frames = aggregate(sequence(lit(0L), nf - 1), lit(""), (acc, f) => {
+      val pix = for (y <- 0 until h; x <- 0 until w)
+        yield lpad(hex(pmod(id * 31 + lit(x + 5 * y) + f * 7, lit(128L))), 2, "0")
+      concat_ws("", (acc +: lit(frameDesc) +: pix :+ lit("8100")): _*)
+    })
+    docs.select(id.as("media_id"),
+      unhex(concat(lit(prefix), frames, lit("3b"))).as("content"),
+      struct(lit("gif").as("format"), lit(w).as("width"), lit(h).as("height"),
+        nf.cast("int").as("n_frames")).as("meta"))
+  }
+
   /** STUB decode: a real implementation would parse `content` with an
     * image codec; the stub "decodes" to the mean byte value — the
     * plumbing (binary in, fixed-width features out, partition-local,

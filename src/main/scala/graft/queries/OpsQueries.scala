@@ -1499,6 +1499,41 @@ object OpsQueries {
              |  ROUND(CAST(zc AS DOUBLE) / n, 6) AS audio_zcr
              |FROM agg ORDER BY media_id""".stripMargin)),
 
+    // the REAL video decode path under the oracle (the last real
+    // decoder to get a CORRECTNESS row — image r13, audio r13): an
+    // ANIMATED GIF is synthesized per document as a hex column
+    // expression (LZW with min code size 7 = one byte per pixel code,
+    // see Multimodal.syntheticGif), decoded frame-by-frame by the
+    // REAL JDK GIF ImageReader through sampleFramesDecoded, and every
+    // frame's dimensions + mean luma must equal DuckDB's arithmetic
+    // over the same palette formula.
+    Q("multimodal_decode_video",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        // same pre-synthesis repartition as multimodal_decode_real
+        val media = Multimodal.syntheticGif(
+          s.table("documents").repartition(32, col("doc_id")))
+        // eager pin: the sort sampler would otherwise re-run the
+        // whole GIF decode a second time
+        Multimodal.sampleFramesDecoded(media, everyN = 1)
+          .select(col("media_id"), col("frame_idx"),
+            col("frame_width"), col("frame_height"),
+            round(col("frame_mean_luma"), 6).as("frame_mean_luma"))
+          .localCheckpoint(true)
+          .orderBy(col("media_id"), col("frame_idx"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, unnest(generate_series(0, CAST(doc_id % 3 AS INT) + 1)) AS fi
+             |  FROM documents)
+             |SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx,
+             |  CAST(4 AS INT) AS frame_width, CAST(2 AS INT) AS frame_height,
+             |  ROUND(list_sum([
+             |    CAST(2 * ((doc_id*31 + (i % 4) + 5*(i // 4) + 7*fi) % 128) AS DOUBLE) * 0.299
+             |    + CAST(2 * ((doc_id*31 + (i % 4) + 5*(i // 4) + 7*fi) % 128) AS DOUBLE) * 0.587
+             |    + CAST(2 * ((doc_id*31 + (i % 4) + 5*(i // 4) + 7*fi) % 128) AS DOUBLE) * 0.114
+             |    for i in generate_series(0, 7)]) / 8, 6) AS frame_mean_luma
+             |FROM f ORDER BY media_id, frame_idx""".stripMargin)),
+
     // ── winnowing / sampling / quantization (round-3 extensions) ───
 
     // MOSS-style rolling-hash fingerprints: k=8 char-grams, window 4;

@@ -682,6 +682,29 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(lumas(1) - 125.0) < 1.0)
   }
 
+  test("syntheticGif: the column-expression container decodes through the REAL GIF reader") {
+    import spark.implicits._
+    val docs = Seq((0L, "x"), (5L, "y"), (7L, "z")).toDF("doc_id", "text")
+    val media = Multimodal.syntheticGif(docs)
+    val out = Multimodal.sampleFramesDecoded(media, everyN = 1).collect()
+      .groupBy(_.getAs[Long]("media_id"))
+    // frame count = (id mod 3) + 2, straight from the container
+    assert(out(0L).length == 2 && out(5L).length == 4 && out(7L).length == 3)
+    assert(out.values.flatten.forall(r =>
+      r.getAs[Int]("frame_width") == 4 && r.getAs[Int]("frame_height") == 2))
+    // pixel (x,y) of frame f = palette entry (id·31+x+5y+7f) mod 128,
+    // gray 2v → mean luma = mean over pixels of 2v·(0.299+0.587+0.114)
+    for ((id, rows) <- out; r <- rows) {
+      val fi = r.getAs[Int]("frame_idx")
+      val want = (0 until 8).map { i =>
+        val g = 2.0 * ((id * 31 + (i % 4) + 5 * (i / 4) + 7 * fi) % 128)
+        g * 0.299 + g * 0.587 + g * 0.114
+      }.sum / 8
+      assert(math.abs(r.getAs[Double]("frame_mean_luma") - want) < 1e-9,
+        s"id=$id frame=$fi")
+    }
+  }
+
   test("video decoder seam: a plugged compressed-format decoder drives the same pipeline") {
     // toy compressed format standing in for an H.264 binding:
     // "RAWV" magic, u8 width, u8 height, then per-frame gray planes
