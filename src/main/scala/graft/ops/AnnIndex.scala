@@ -70,28 +70,63 @@ object AnnIndex {
                          dims: Int, ivfK: Int, pqM: Int, pqK: Int,
                          planes: Int, iters: Int): Unit = {
     val spark = corpus.sparkSession
-    writeTable(centroids, s"$path/ivf_centroids")
-    writeTable(cb, s"$path/pq_codebooks")
+    import spark.implicits._
     val pfx = codesPfx(idCol)
-    val codes = Similarity.pqEncode(
-      corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cb)
-    val buckets = corpus.select(col(idCol),
-      Similarity.lshBucket(col(vecCol), planes).as("bucket"))
     IndexStore.reset(spark, s"$path/pq_codes")
     IndexStore.reset(spark, s"$path/lsh_buckets")
+    val manifest = Seq((dims, ivfK, pqM, pqK, planes, iters, idCol))
+      .toDF("dims", "ivf_k", "pq_m", "pq_k", "planes", "iters", "id_col")
     if (corpus.isEmpty) {
       // empty build corpus (index version created purely for appends):
-      // schema-only anchors, no encode/shuffle/write machinery
-      IndexStore.init(spark, s"$path/pq_codes", codes.schema)
-      IndexStore.init(spark, s"$path/lsh_buckets", buckets.schema)
+      // schema-only anchors, no encode/shuffle/write machinery. The
+      // five artifact writes are independent — overlap them so the
+      // driver pays one job-latency round, not five (the r13
+      // StageProfile found >half this path's wall was inter-job gaps)
+      val codes = Similarity.pqEncode(
+        corpus.select(col(idCol), col(vecCol)), idCol, vecCol, cb)
+      val bucketSchema = corpus.select(col(idCol),
+        Similarity.lshBucket(col(vecCol), planes).as("bucket")).schema
+      inParallel(
+        () => writeTable(centroids, s"$path/ivf_centroids"),
+        () => writeTable(cb, s"$path/pq_codebooks"),
+        () => writeTable(manifest, s"$path/manifest"),
+        () => IndexStore.init(spark, s"$path/pq_codes", codes.schema),
+        () => IndexStore.init(spark, s"$path/lsh_buckets", bucketSchema))
     } else {
-      IndexStore.append(codes, s"$path/pq_codes", pfx)
-      IndexStore.append(buckets, s"$path/lsh_buckets", pfx)
+      // ONE scan of the corpus produces BOTH growing artifacts (codes
+      // and LSH bucket from the same projection, pinned), then every
+      // independent write overlaps: the two store appends and the
+      // three configuration-sized tables
+      val combined = Similarity.pqEncode(
+        corpus.select(col(idCol), col(vecCol),
+          Similarity.lshBucket(col(vecCol), planes).as("bucket")),
+        idCol, vecCol, cb).localCheckpoint(true)
+      inParallel(
+        () => writeTable(centroids, s"$path/ivf_centroids"),
+        () => writeTable(cb, s"$path/pq_codebooks"),
+        () => writeTable(manifest, s"$path/manifest"),
+        () => IndexStore.append(combined.select(col(idCol), col("codes")),
+          s"$path/pq_codes", pfx),
+        () => IndexStore.append(combined.select(col(idCol), col("bucket")),
+          s"$path/lsh_buckets", pfx))
     }
-    import corpus.sparkSession.implicits._
-    writeTable(Seq((dims, ivfK, pqM, pqK, planes, iters, idCol))
-      .toDF("dims", "ivf_k", "pq_m", "pq_k", "planes", "iters", "id_col"),
-      s"$path/manifest")
+  }
+
+  /** Run independent driver actions (Spark jobs against DISJOINT
+    * output paths) concurrently and propagate the first failure —
+    * the local[32] scheduler interleaves their stages, so a chain of
+    * small artifact writes pays one inter-job latency round instead
+    * of one per write. Safe here because no two tasks touch the same
+    * store path (IndexStore's claim loop would serialize them anyway).
+    */
+  private def inParallel(tasks: (() => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = tasks.map(t => new Thread(() => {
+      try t() catch { case e: Throwable => errs.add(e) }
+    }))
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
   }
 
   /** Layout key for the two growing tables: a hash prefix of the
@@ -153,12 +188,19 @@ object AnnIndex {
           lit(s" != manifest dims $dims"))).isNull)
     val cb = readPqCodebooks(spark, path)
     val pfx = codesPfx(idCol)
-    IndexStore.append(Similarity.pqEncode(
-      guarded, idCol, vecCol, cb),
-      s"$path/pq_codes", pfx, commitTag.map(_ + ":codes"))
-    IndexStore.append(guarded.select(col(idCol),
-      Similarity.lshBucket(col(vecCol), planes).as("bucket")),
-      s"$path/lsh_buckets", pfx, commitTag.map(_ + ":buckets"))
+    // ONE scan of the shard produces BOTH artifacts — r13 ran the PQ
+    // encode and the LSH projection as two separate scans of the
+    // increment; the pinned (id, bucket, codes) table is bytes per
+    // row, and the two independent store appends then overlap
+    // (disjoint paths — see inParallel)
+    val combined = Similarity.pqEncode(
+      guarded.withColumn("bucket", Similarity.lshBucket(col(vecCol), planes)),
+      idCol, vecCol, cb).localCheckpoint(true)
+    inParallel(
+      () => IndexStore.append(combined.select(col(idCol), col("codes")),
+        s"$path/pq_codes", pfx, commitTag.map(_ + ":codes")),
+      () => IndexStore.append(combined.select(col(idCol), col("bucket")),
+        s"$path/lsh_buckets", pfx, commitTag.map(_ + ":buckets")))
   }
 
   def readIvfCentroids(spark: SparkSession, path: String): DataFrame =

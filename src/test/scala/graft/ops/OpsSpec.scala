@@ -2212,6 +2212,18 @@ class OpsSpec extends AnyFunSuite {
     assert(msgs(err).exists(m => m != null && m.contains("manifest dims")))
     // and the failed append left the code table untouched
     assert(rows(AnnIndex.readPqCodes(spark, path)) == codesBefore)
+
+    // the root-path stats the maintenance scheduler keys on (the
+    // compact() counterpart): both sub-stores summarized; build+append
+    // left each prefix group with two leaves → dirty until compaction
+    assert(AnnIndex.stats(spark, path).exists(st =>
+      st.pqCodes.nDataLeaves > 0 && st.lshBuckets.nDataLeaves > 0 &&
+        st.dirtyFraction > 0.0))
+    AnnIndex.compact(spark, path)
+    assert(AnnIndex.stats(spark, path).get.dirtyFraction == 0.0)
+    // stats on the ROOT of a non-ANN store stays None (the documented
+    // asymmetry indexStats carries)
+    assert(IndexStore.stats(spark, path).isEmpty)
   }
 
   test("index compaction: content-identical swap, fewer files, merged span minima") {
