@@ -1131,6 +1131,26 @@ class OpsSpec extends AnyFunSuite {
     assert(few < 50)
   }
 
+  test("BPE sample-bounded training: a cap covering the vocabulary is exact; a tight cap trains on the head") {
+    val d = Seq(
+      (1L, "abab abab abab ab ab rare1"),
+      (2L, "abab ab zz zz zz rare2")
+    ).toDF("doc_id", "text")
+    def merges(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    // maxWords >= |vocab| (6 distinct words) -> identical to the full train
+    assert(merges(Bpe.trainMergesSampled(d, "text", numMerges = 3, maxWords = 16)) ==
+      merges(Bpe.trainMerges(d, "text", numMerges = 3)))
+    // a 2-word cap keeps the most frequent words only (abab x4, ab x3):
+    // "zz" (freq 3, after "ab" on the word tiebreak) and the rare words
+    // can no longer contribute pairs — (z,z) disappears, (a,b)/(ab,ab)
+    // counts now exclude nothing they need
+    val head = merges(Bpe.trainMergesSampled(d, "text", numMerges = 10, maxWords = 2))
+    assert(head.map(m => (m._2, m._3)) == Seq("a" -> "b", "ab" -> "ab"),
+      s"got $head")
+  }
+
   test("token-budget sampling: hash-order fill, >= 1 row per key, window-equivalent") {
     import org.apache.spark.sql.expressions.Window
     val d = (1L to 60L).map(i => (i, s"s${i % 3}", 10L + i % 7))
