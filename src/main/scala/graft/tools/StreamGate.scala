@@ -61,6 +61,27 @@ object StreamGate {
         java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
     }
 
+    // per-micro-batch duration breakdown (QueryProgressEvent
+    // durationMs): addBatch = the foreachBatch pipeline work itself;
+    // everything else (offset/WAL commits, source listing, trigger
+    // setup) is micro-batch machinery — the split that adjudicates
+    // the stream-vs-batch premium in BASELINE.md
+    val durAcc = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    var nProgress = 0
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        nProgress += 1
+        e.progress.durationMs.forEach((k, v) =>
+          durAcc.merge(k, v.longValue(), (a, b) => a + b))
+      }
+    }
+    spark.streams.addListener(listener)
+
     val t0 = System.nanoTime()
     val q = graft.streaming.CurationStreams.startIngestPipelineStream(
       spark, srcDir, bench,
@@ -68,6 +89,10 @@ object StreamGate {
       s"$base/s_out", s"$base/cp", docs.schema)
     q.awaitTermination(3600000L)
     val streamSec = (System.nanoTime() - t0) / 1e9
+    spark.streams.removeListener(listener)
+    import scala.jdk.CollectionConverters._
+    val durs = durAcc.asScala.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s""""$k":${v / 1000.0}""" }.mkString(",")
 
     val t1 = System.nanoTime()
     (0 until nBatches).foreach { i =>
@@ -96,7 +121,8 @@ object StreamGate {
       s""""n_batches":$nBatches,"stream_rows":$sRows,"batch_rows":$bRows,""" +
       s""""stream_hash":"$sHash","batch_hash":"$bHash","equal":$equal,""" +
       s""""stream_sec":${math.round(streamSec * 10) / 10.0},""" +
-      s""""batch_sec":${math.round(batchSec * 10) / 10.0}}"""
+      s""""batch_sec":${math.round(batchSec * 10) / 10.0},""" +
+      s""""n_progress_events":$nProgress,"stream_duration_split_sec":{$durs}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")
     println(json)
     if (!equal) sys.exit(1)
