@@ -1075,7 +1075,12 @@ object OpsQueries {
     Q("dedup_dup_lines",
       (s, dir) => {
         Tables.registerAll(s, dir)
-        Dedup.duplicateLines(sixTokenLines(s.table("documents")), "doc_id", "text")
+        // pre-synthesis repartition: the corpus is one parquet file =
+        // one input partition, and both the 6-token-line synthesis and
+        // the cut side's array filter would serialize (the
+        // multimodal_decode_real lesson)
+        Dedup.duplicateLines(sixTokenLines(
+            s.table("documents").repartition(32, col("doc_id"))), "doc_id", "text")
           .orderBy(col("line"))
       },
       Some(s"""WITH $lineOracleCtes
@@ -1089,7 +1094,9 @@ object OpsQueries {
     Q("dedup_drop_lines",
       (s, dir) => {
         Tables.registerAll(s, dir)
-        Dedup.removeDuplicateLines(sixTokenLines(s.table("documents")), "doc_id", "text")
+        // same pre-synthesis repartition as dedup_dup_lines
+        Dedup.removeDuplicateLines(sixTokenLines(
+            s.table("documents").repartition(32, col("doc_id"))), "doc_id", "text")
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH $lineOracleCtes
@@ -1110,7 +1117,9 @@ object OpsQueries {
     Q("dedup_lines_incremental",
       (s, dir) => {
         Tables.registerAll(s, dir)
-        val docs = sixTokenLines(s.table("documents"))
+        // same pre-synthesis repartition as dedup_dup_lines
+        val docs = sixTokenLines(
+          s.table("documents").repartition(32, col("doc_id")))
         val maxId = docs.agg(max(col("doc_id"))).head().get(0)
         if (maxId == null) {
           docs.selectExpr("doc_id", "'' AS clean_text",
