@@ -126,7 +126,15 @@ object AnnIndex {
     }))
     ts.foreach(_.start())
     ts.foreach(_.join())
-    if (!errs.isEmpty) throw errs.peek()
+    if (!errs.isEmpty) {
+      // concurrent failures from the sibling writes ride along as
+      // suppressed — a partial index is diagnosed from ALL of them,
+      // not one arbitrary stack trace
+      val it = errs.iterator()
+      val first = it.next()
+      while (it.hasNext) first.addSuppressed(it.next())
+      throw first
+    }
   }
 
   /** Layout key for the two growing tables: a hash prefix of the

@@ -131,6 +131,14 @@ object Bpe {
     * that also needs word counts for another consumer (the fertility
     * report) pay the corpus scan once.
     */
+  /** Diagnostic only: sequential aggregate rounds of the most recent
+    * [[trainMergesFromWordCounts]] call in this JVM (reset per call,
+    * incremented per round). `tools.BpeBench` reads it for the
+    * committed `bpe_1k_*.json` artifact's `agg_rounds` field; NOT part
+    * of the API contract and not meaningful under concurrent trains.
+    */
+  private[graft] val lastTrainRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def trainMergesFromWordCounts(wordCounts: DataFrame, numMerges: Int,
                                 minPairCount: Long = 2L): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
@@ -143,7 +151,9 @@ object Bpe {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var r = 0
     var exhausted = false
+    lastTrainRounds.set(0)
     while (r < numMerges && !exhausted) {
+      lastTrainRounds.incrementAndGet()
       val syms = split(trim(col("s")), "  ")
       val top = cur
         .select(col("freq"), syms.as("syms"))

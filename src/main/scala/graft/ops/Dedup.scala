@@ -649,7 +649,12 @@ object Dedup {
   private def cutLines(df: DataFrame, idCol: String, textCol: String,
                        cuts: DataFrame): DataFrame = {
     val arr = split(coalesce(col(textCol), lit("")), "\n", -1)
-    df.select(col(idCol).as("doc_id"), arr.as("_l"))
+    // spread the doc side too: cuts is small (AQE broadcasts it), so
+    // a one-file corpus would otherwise rebuild every document's line
+    // array in ONE task — lineRows got the spread, the cut tail needs
+    // its own (no-op when the caller already widened the input)
+    Spread.ifNarrow(df, col(idCol))
+      .select(col(idCol).as("doc_id"), arr.as("_l"))
       .join(cuts, Seq("doc_id"), "left")
       .withColumn("_k", filter(col("_l"), (_, i) =>
         col("_cuts").isNull || !array_contains(col("_cuts"), i)))

@@ -314,15 +314,24 @@ object Multimodal {
     */
   private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
     import scala.jdk.CollectionConverters._
-    // resolve against the interface's OWN classloader (java.desktop),
-    // not the thread-context one: an executor thread's context loader
-    // may not surface the JDK providers, and an empty list here would
-    // silently fall every decode through to AudioSystem — functionally
-    // identical but reinstating the serialized MIDI-probe path
-    val (midi, container) = java.util.ServiceLoader
-      .load(classOf[javax.sound.sampled.spi.AudioFileReader],
-        classOf[javax.sound.sampled.spi.AudioFileReader].getClassLoader)
-      .iterator().asScala.toSeq
+    // resolve against the interface's OWN classloader (java.desktop —
+    // always sees the JDK providers, even from an executor thread
+    // whose context loader doesn't surface them) UNIONED with the
+    // thread-context loader (which sees application-classpath SPIs —
+    // a user-supplied MP3/Vorbis reader jar); either lookup alone
+    // drops one side, and a dropped provider silently falls its
+    // format through to AudioSystem — functionally identical but
+    // reinstating the globally-serialized MIDI-probe path
+    def providersOf(cl: ClassLoader): Seq[javax.sound.sampled.spi.AudioFileReader] =
+      try java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader], cl)
+        .iterator().asScala.toSeq
+      catch { case _: java.util.ServiceConfigurationError => Seq.empty }
+    val all = (providersOf(classOf[javax.sound.sampled.spi.AudioFileReader].getClassLoader)
+        ++ providersOf(Thread.currentThread().getContextClassLoader))
+      .groupBy(_.getClass.getName).values.map(_.head).toSeq
+      .sortBy(_.getClass.getName)
+    val (midi, container) = all
       .partition(_.getClass.getName.toLowerCase.contains("midi"))
     if (container.isEmpty)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(

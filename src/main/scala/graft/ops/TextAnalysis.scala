@@ -209,9 +209,14 @@ object TextAnalysis {
     */
   def extractHtmlTable(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
     // two-step select: CollapseProject keeps the non-cheap kernel
-    // struct single-evaluation (the tokenStats convention)
-    df.select(col(idCol).as("doc_id"), htmlExtract(col(htmlCol)).as("_h"),
-        length(col(htmlCol)).cast("double").as("_raw"))
+    // struct single-evaluation (the tokenStats convention). NULL html
+    // coalesces to '' BEFORE the kernel (the lineRows convention) —
+    // the kernel expression is null-intolerant, and a NULL html_text /
+    // html_n_lines next to 0.0 share/density columns would be an
+    // internally inconsistent row; the degenerate row is ('',0,0,0).
+    val html = coalesce(col(htmlCol), lit(""))
+    df.select(col(idCol).as("doc_id"), htmlExtract(html).as("_h"),
+        length(html).cast("double").as("_raw"))
       .select(col("doc_id"),
         col("_h.text").as("html_text"),
         when(col("_h.text") === "", lit(0L))

@@ -61,27 +61,6 @@ object StreamGate {
         java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
     }
 
-    // per-micro-batch duration breakdown (QueryProgressEvent
-    // durationMs): addBatch = the foreachBatch pipeline work itself;
-    // everything else (offset/WAL commits, source listing, trigger
-    // setup) is micro-batch machinery — the split that adjudicates
-    // the stream-vs-batch premium in BASELINE.md
-    val durAcc = new java.util.concurrent.ConcurrentHashMap[String, Long]()
-    var nProgress = 0
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      override def onQueryStarted(
-        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryTerminated(
-        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-      override def onQueryProgress(
-        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
-        nProgress += 1
-        e.progress.durationMs.forEach((k, v) =>
-          durAcc.merge(k, v.longValue(), (a, b) => a + b))
-      }
-    }
-    spark.streams.addListener(listener)
-
     val t0 = System.nanoTime()
     val q = graft.streaming.CurationStreams.startIngestPipelineStream(
       spark, srcDir, bench,
@@ -89,7 +68,21 @@ object StreamGate {
       s"$base/s_out", s"$base/cp", docs.schema)
     q.awaitTermination(3600000L)
     val streamSec = (System.nanoTime() - t0) / 1e9
-    spark.streams.removeListener(listener)
+    // per-micro-batch duration breakdown (StreamingQueryProgress
+    // durationMs): addBatch = the foreachBatch pipeline work itself;
+    // everything else (offset/WAL commits, source listing, trigger
+    // setup) is micro-batch machinery — the split that adjudicates
+    // the stream-vs-batch premium in BASELINE.md. Read from the
+    // query's own recentProgress AFTER termination (a synchronous,
+    // complete snapshot — the default ring keeps 100 updates, far
+    // above nBatches) instead of a StreamingQueryListener: listener
+    // callbacks arrive on the async bus thread, and a snapshot taken
+    // right after awaitTermination can miss the final batch's event.
+    val progress = q.recentProgress
+    val nProgress = progress.length
+    val durAcc = new java.util.HashMap[String, Long]()
+    progress.foreach(_.durationMs.forEach((k, v) =>
+      durAcc.merge(k, v.longValue(), (a, b) => a + b)))
     import scala.jdk.CollectionConverters._
     val durs = durAcc.asScala.toSeq.sortBy(-_._2)
       .map { case (k, v) => s""""$k":${v / 1000.0}""" }.mkString(",")

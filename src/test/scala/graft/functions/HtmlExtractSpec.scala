@@ -127,6 +127,47 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(out(3).getAs[Double]("html_text_share") == 0.0)
   }
 
+  test("adversarial unterminated-opener pages extract in linear time") {
+    // spammy/adversarial markup: tens of thousands of <script> openers
+    // with no closer anywhere. Without the per-name no-closer memo the
+    // kernel re-scans to EOF per opener — O(n²), ~2×10¹⁰ char compares
+    // here (minutes on one row); with it, ONE EOF scan per tag name.
+    // The 10 s bound is ~100× the memoized cost — regression, not flake.
+    val page = ("<script>" * 50000) + "tail text"
+    val t0 = System.nanoTime()
+    val (txt, link, tot) = extract(page)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(txt == "tail text" && link == 0 && tot == 8)
+    assert(ms < 10000, s"quadratic closer re-scan? $ms ms")
+    // memo soundness: successful finds BEFORE the first failure are
+    // unaffected (searches advance monotonically; no closer at or
+    // after f implies none at any f' >= f)
+    assert(text("<script>a</script>x<script>b") == "x b")
+    // anchors: one far closer is found once (every opener inside the
+    // region skips the search), and openers past the last closer hit
+    // the memo — both sides stay linear
+    val t1 = System.nanoTime()
+    val (_, link2, tot2) = extract(("<a href=q>w " * 30000) + "</a>" + ("<a>z " * 30000))
+    val ms2 = (System.nanoTime() - t1) / 1e6
+    assert(tot2 == 60000 && link2 == 30000)
+    assert(ms2 < 10000, s"quadratic anchor re-scan? $ms2 ms")
+  }
+
+  test("extractHtmlTable: NULL html degenerates to the empty row, not mixed NULL/0") {
+    import spark.implicits._
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "<p>x</p>"))
+      .toDF("doc_id", "html")
+    val out = graft.ops.TextAnalysis.extractHtmlTable(df, "doc_id", "html")
+      .orderBy("doc_id").collect()
+    // the kernel expression is null-intolerant; without the coalesce
+    // the row read (NULL text, NULL n_lines, 0.0 share, 0.0 density)
+    assert(out(0).getAs[String]("html_text") == "")
+    assert(out(0).getAs[Long]("html_n_lines") == 0L)
+    assert(out(0).getAs[Double]("html_text_share") == 0.0)
+    assert(out(0).getAs[Double]("html_link_density") == 0.0)
+    assert(out(1).getAs[String]("html_text") == "x")
+  }
+
   // ── property fuzz vs the declarative regexp chain ──────────────────
 
   private val words = IndexedSeq("alpha", "beta", "Gamma", "delta9", "x", "Y2",

@@ -1129,6 +1129,12 @@ class OpsSpec extends AnyFunSuite {
     // early stop: minPairCount unreachable -> fewer rows, no error
     val few = Bpe.trainMerges(docs3, "text", numMerges = 50).count()
     assert(few < 50)
+    // the diagnostic round counter (tools/BpeBench's agg_rounds field):
+    // at least one aggregate round ran, at most merges + the final
+    // pair-exhaustion probe (batching commits >=1 merge per round)
+    val rounds = Bpe.lastTrainRounds.get()
+    assert(rounds >= 1 && rounds <= few + 1,
+      s"rounds=$rounds not in [1, ${few + 1}]")
   }
 
   test("BPE sample-bounded training: a cap covering the vocabulary is exact; a tight cap trains on the head") {
