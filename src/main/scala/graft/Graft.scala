@@ -380,6 +380,18 @@ final class Graft(val spark: SparkSession, stateDir: String) {
                   htmlCol: String = "html"): DataFrame =
     graft.ops.TextAnalysis.extractHtmlTable(df, idCol, htmlCol)
 
+  /** URL parse + normalize + registrable-domain screen — the
+    * companion front-door op to [[extractHtml]]: the canonical
+    * `norm_url` feeds URL-level exact dedup, `domain` feeds
+    * per-domain caps ([[graft.ops.Sampling.capPerKey]] composition) and
+    * blocklist joins, `path_depth`/`n_params` feed link-farm screens.
+    * Map-only regexp/array expressions; contract in
+    * [[graft.ops.TextAnalysis.urlTable]].
+    */
+  def parseUrls(df: DataFrame, idCol: String = "doc_id",
+                urlCol: String = "url"): DataFrame =
+    graft.ops.TextAnalysis.urlTable(df, idCol, urlCol)
+
   /** Cross-corpus (incremental-ingestion) near-dedup: MinHash+LSH
     * pairs of a new batch against an existing corpus — no self-join
     * of either side; `dedupCross` drops the batch's corpus-duplicate

@@ -270,6 +270,92 @@ object TextAnalysis {
     array_join(filter(cleaned, b => b =!= ""), "\n")
   }
 
+  // ── URL parsing / normalization / domain screen ─────────────────────
+
+  /** Second-level registry labels for the registrable-domain
+    * heuristic (`foo.co.uk` → `co.uk` is the registry, the domain is
+    * the last THREE labels). A production deployment feeds the full
+    * public-suffix list as a data file; this built-in set covers the
+    * dominant two-level registries and the contract is identical —
+    * only the lookup table grows.
+    */
+  private[graft] val SecondLevelRegistries: Set[String] =
+    Set("co", "com", "org", "net", "ac", "gov", "edu")
+
+  /** Tracking query parameters stripped by [[urlTable]]'s
+    * normalization (the CCNet/RefinedWeb-style URL canonicalization
+    * ahead of URL-level dedup): `utm_*` plus the common click ids.
+    */
+  private[graft] val TrackingParamPattern: String =
+    "^(utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|ref)(=.*)?$"
+
+  /** URL parse + normalize + domain screen — the other half of the
+    * web-pipeline front door next to [[extractHtmlTable]]: URL-level
+    * exact dedup needs a canonical form (tracking params and
+    * fragments differ per crawl), domain-level caps and blocklists
+    * need a registrable domain, and link-farm screens need path/query
+    * shape. One row per input row, map-only, every derivation a
+    * codegen'd regexp/array expression (no kernel needed — unlike the
+    * HTML walk, URL grammar is regular), each replayed verbatim by
+    * the DuckDB oracle (`text_url_parse`).
+    *
+    * Contract (documented, deliberately simple):
+    *   - a row PARSES iff it starts `scheme://` (RFC-3986 scheme
+    *     grammar); non-parsing rows keep the url and get '' strings /
+    *     0 counts — never NULL next to 0 (the [[extractHtmlTable]]
+    *     consistency rule).
+    *   - `host` lowercases; userinfo (`user:pw@`) and port split off.
+    *     Bracketed IPv6 hosts are out of contract (parsed as-is up to
+    *     the first ':').
+    *   - `domain` is the registrable-domain heuristic: last two
+    *     labels, or last three when the second-to-last is a
+    *     [[SecondLevelRegistries]] label; all-numeric (IPv4) hosts
+    *     are their own domain; single-label hosts pass through.
+    *   - `path_depth` counts non-empty path segments; `n_params`
+    *     counts query params surviving the tracking strip.
+    *   - `norm_url` = scheme://host[:port if non-default]/path with
+    *     kept params, fragment dropped, empty path → '/'. http:80 and
+    *     https:443 are default ports.
+    */
+  def urlTable(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val url = coalesce(col(urlCol), lit(""))
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val hostport = regexp_extract(auth, "([^@]*)$", 1)
+    val host = lower(regexp_extract(hostport, "^([^:]*)", 1))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val path = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(url, "^[^?#]*\\?([^#]*)", 1)
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val domain =
+      when(host.rlike("^[0-9.]+$") || n <= 2, host)
+        .when(element_at(labels, -2).isin(SecondLevelRegistries.toSeq: _*),
+          concat_ws(".", element_at(labels, -3), element_at(labels, -2),
+            element_at(labels, -1)))
+        .otherwise(concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
+    val kept = filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamPattern))
+    val defaultPort = (scheme === "http" && port === "80") ||
+      (scheme === "https" && port === "443")
+    val normUrl = concat(
+      scheme, lit("://"), host,
+      when(port === "" || defaultPort, lit("")).otherwise(concat(lit(":"), port)),
+      when(path === "", lit("/")).otherwise(path),
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit("")))
+    val parsed = scheme =!= ""
+    df.select(col(idCol).as("doc_id"), url.as("url"),
+      scheme.as("scheme"),
+      when(parsed, host).otherwise(lit("")).as("host"),
+      when(parsed, domain).otherwise(lit("")).as("domain"),
+      when(parsed, port).otherwise(lit("")).as("port"),
+      when(parsed, size(filter(split(path, "/"), s => s =!= "")).cast("long"))
+        .otherwise(lit(0L)).as("path_depth"),
+      when(parsed, size(kept).cast("long")).otherwise(lit(0L)).as("n_params"),
+      when(parsed, normUrl).otherwise(lit("")).as("norm_url"))
+  }
+
   /** TF-IDF top-k characteristic terms per document — the standard
     * corpus-keyword extraction a curation pipeline uses for topic
     * labeling, cluster naming and near-duplicate triage.

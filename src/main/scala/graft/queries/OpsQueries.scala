@@ -676,6 +676,79 @@ object OpsQueries {
              |  ROUND(CAST(link_nonws AS DOUBLE) / NULLIF(len(regexp_replace(txt, '[ \n]', '', 'g')), 0), 6) AS html_link_density
              |FROM an ORDER BY doc_id""".stripMargin)),
 
+    // URL parse + normalize + registrable-domain screen — the other
+    // front-door op next to text_extract_html. URLs are synthesized
+    // per doc from its own tokens in BOTH engines (8 deterministic
+    // shapes: www hosts, co.uk + explicit port, uppercase + userinfo,
+    // IPv4, non-http scheme, a NON-URL arm, default-port https, empty
+    // path); DuckDB replays the full parse/normalize contract as a
+    // regexp/list CTE chain.
+    Q("text_url_parse",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val id = col("doc_id").cast("string")
+        val toks = split(col("text"), " ")
+        def w(i: Int) =
+          element_at(toks, (pmod(col("doc_id") + i, size(toks)) + 1).cast("int"))
+        val k = pmod(col("doc_id"), lit(8))
+        val url =
+          when(k === 0, concat(lit("https://www."), w(0), lit(".com/"), w(1),
+            lit("/"), w(2), lit("?q="), w(3), lit("&utm_source="), w(4), lit("#frag")))
+          .when(k === 1, concat(lit("http://"), w(0),
+            lit(".co.uk:8080/a/b/c?utm_campaign=x&id="), id))
+          .when(k === 2, concat(lit("HTTPS://user:pw@"), upper(w(0)),
+            lit(".ORG/Path/"), w(1)))
+          .when(k === 3, concat(lit("http://192.168."),
+            pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+            pmod(col("doc_id") * 7, lit(256)).cast("string"), lit("/x?gclid=z&a=1&b=2")))
+          .when(k === 4, concat(lit("ftp://files."), w(0), lit(".net/pub/"), w(1)))
+          .when(k === 5, concat(w(0), lit(" "), w(1)))
+          .when(k === 6, concat(lit("https://"), w(0), lit(".com:443/"), w(1),
+            lit("?fbclid=q&x="), w(2)))
+          .otherwise(concat(lit("http://"), w(0), lit(".com")))
+        val urls = s.table("documents").repartition(32, col("doc_id"))
+          .select(col("doc_id"), url.as("url"))
+        TextAnalysis.urlTable(urls, "doc_id", "url").orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |u AS (SELECT doc_id, CASE CAST(doc_id % 8 AS INT)
+             |  WHEN 0 THEN 'https://www.' || toks[CAST(doc_id % len(toks) AS INT) + 1] || '.com/' || toks[CAST((doc_id + 1) % len(toks) AS INT) + 1] || '/' || toks[CAST((doc_id + 2) % len(toks) AS INT) + 1] || '?q=' || toks[CAST((doc_id + 3) % len(toks) AS INT) + 1] || '&utm_source=' || toks[CAST((doc_id + 4) % len(toks) AS INT) + 1] || '#frag'
+             |  WHEN 1 THEN 'http://' || toks[CAST(doc_id % len(toks) AS INT) + 1] || '.co.uk:8080/a/b/c?utm_campaign=x&id=' || doc_id
+             |  WHEN 2 THEN 'HTTPS://user:pw@' || upper(toks[CAST(doc_id % len(toks) AS INT) + 1]) || '.ORG/Path/' || toks[CAST((doc_id + 1) % len(toks) AS INT) + 1]
+             |  WHEN 3 THEN 'http://192.168.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '/x?gclid=z&a=1&b=2'
+             |  WHEN 4 THEN 'ftp://files.' || toks[CAST(doc_id % len(toks) AS INT) + 1] || '.net/pub/' || toks[CAST((doc_id + 1) % len(toks) AS INT) + 1]
+             |  WHEN 5 THEN toks[CAST(doc_id % len(toks) AS INT) + 1] || ' ' || toks[CAST((doc_id + 1) % len(toks) AS INT) + 1]
+             |  WHEN 6 THEN 'https://' || toks[CAST(doc_id % len(toks) AS INT) + 1] || '.com:443/' || toks[CAST((doc_id + 1) % len(toks) AS INT) + 1] || '?fbclid=q&x=' || toks[CAST((doc_id + 2) % len(toks) AS INT) + 1]
+             |  ELSE 'http://' || toks[CAST(doc_id % len(toks) AS INT) + 1] || '.com' END AS url FROM tk),
+             |p AS (SELECT doc_id, url,
+             |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+             |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+             |  regexp_extract(url, '^[^?#]*\?([^#]*)', 1) AS q FROM u),
+             |h AS (SELECT *, regexp_extract(auth, '([^@]*)$', 1) AS hostport FROM p),
+             |h2 AS (SELECT *, lower(regexp_extract(hostport, '^([^:]*)', 1)) AS hst,
+             |  regexp_extract(hostport, ':([0-9]+)$', 1) AS prt FROM h),
+             |d AS (SELECT *, string_split(hst, '.') AS ls,
+             |  list_filter(string_split(q, '&'), x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|ref)(=.*)?$')) AS kept
+             |  FROM h2),
+             |d2 AS (SELECT *, CASE
+             |  WHEN regexp_matches(hst, '^[0-9.]+$') OR len(ls) <= 2 THEN hst
+             |  WHEN list_contains(['co','com','org','net','ac','gov','edu'], ls[len(ls)-1])
+             |    THEN ls[len(ls)-2] || '.' || ls[len(ls)-1] || '.' || ls[len(ls)]
+             |  ELSE ls[len(ls)-1] || '.' || ls[len(ls)] END AS dom FROM d)
+             |SELECT doc_id, url, scheme,
+             |  CASE WHEN scheme <> '' THEN hst ELSE '' END AS host,
+             |  CASE WHEN scheme <> '' THEN dom ELSE '' END AS domain,
+             |  CASE WHEN scheme <> '' THEN prt ELSE '' END AS port,
+             |  CAST(CASE WHEN scheme <> '' THEN len(list_filter(string_split(pth, '/'), x -> x <> '')) ELSE 0 END AS BIGINT) AS path_depth,
+             |  CAST(CASE WHEN scheme <> '' THEN len(kept) ELSE 0 END AS BIGINT) AS n_params,
+             |  CASE WHEN scheme <> '' THEN scheme || '://' || hst ||
+             |    (CASE WHEN prt = '' OR (scheme = 'http' AND prt = '80') OR (scheme = 'https' AND prt = '443') THEN '' ELSE ':' || prt END) ||
+             |    (CASE WHEN pth = '' THEN '/' ELSE pth END) ||
+             |    (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END)
+             |  ELSE '' END AS norm_url
+             |FROM d2 ORDER BY doc_id""".stripMargin)),
+
     // substring-level dedup (Lee et al. 2022): maximal cross-document
     // duplicated 5-gram spans — the hash inverted-index reformulation
     // of the paper's suffix array
