@@ -127,10 +127,6 @@ object Bpe {
       numMerges, minPairCount)
   }
 
-  /** [[trainMerges]] from a pre-built (w, freq) table — lets a caller
-    * that also needs word counts for another consumer (the fertility
-    * report) pay the corpus scan once.
-    */
   /** Diagnostic only: sequential aggregate rounds of the most recent
     * [[trainMergesFromWordCounts]] call in this JVM (reset per call,
     * incremented per round). `tools.BpeBench` reads it for the
@@ -139,6 +135,10 @@ object Bpe {
     */
   private[graft] val lastTrainRounds = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** [[trainMerges]] from a pre-built (w, freq) table — lets a caller
+    * that also needs word counts for another consumer (the fertility
+    * report) pay the corpus scan once.
+    */
   def trainMergesFromWordCounts(wordCounts: DataFrame, numMerges: Int,
                                 minPairCount: Long = 2L): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")

@@ -645,6 +645,17 @@ object Dedup {
     * [[removeDuplicateLinesIncrement]]: filter each doc's line array
     * by the cut-position set; docs without a cut row pass through
     * verbatim (including their blank lines).
+    *
+    * Membership is O(L + C) per document, not O(L·C): the kept
+    * POSITIONS come from one `array_except(sequence(0, L-1), _cuts)`
+    * (hash-set difference, order-preserving and duplicate-free on its
+    * first argument — positions are already distinct and ascending)
+    * and each kept line is an O(1) `element_at`. The previous
+    * `array_contains(_cuts, i)` inside the line filter re-scanned the
+    * cut array once PER LINE — quadratic for a scraped nav-shell doc
+    * where thousands of boilerplate lines are all cut (10k duplicated
+    * lines = 10⁸ comparisons in one row); the planted adversarial doc
+    * in the line-dedup spec pins the new shape.
     */
   private def cutLines(df: DataFrame, idCol: String, textCol: String,
                        cuts: DataFrame): DataFrame = {
@@ -656,8 +667,11 @@ object Dedup {
     Spread.ifNarrow(df, col(idCol))
       .select(col(idCol).as("doc_id"), arr.as("_l"))
       .join(cuts, Seq("doc_id"), "left")
-      .withColumn("_k", filter(col("_l"), (_, i) =>
-        col("_cuts").isNull || !array_contains(col("_cuts"), i)))
+      .withColumn("_k",
+        when(col("_cuts").isNull, col("_l"))
+          .otherwise(transform(
+            array_except(sequence(lit(0), size(col("_l")) - 1), col("_cuts")),
+            p => element_at(col("_l"), p + 1))))
       .select(col("doc_id"),
         array_join(col("_k"), "\n").as("clean_text"),
         size(col("_k")).cast("long").as("n_lines_kept"),

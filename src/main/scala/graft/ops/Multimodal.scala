@@ -317,18 +317,21 @@ object Multimodal {
     // resolve against the interface's OWN classloader (java.desktop —
     // always sees the JDK providers, even from an executor thread
     // whose context loader doesn't surface them) UNIONED with the
-    // thread-context loader (which sees application-classpath SPIs —
-    // a user-supplied MP3/Vorbis reader jar); either lookup alone
-    // drops one side, and a dropped provider silently falls its
-    // format through to AudioSystem — functionally identical but
-    // reinstating the globally-serialized MIDI-probe path
+    // application side (a user-supplied MP3/Vorbis reader jar);
+    // either lookup alone drops one side, and a dropped provider
+    // silently falls its format through to AudioSystem — functionally
+    // identical but reinstating the globally-serialized MIDI-probe
+    // path. The application side resolves via THIS class's loader,
+    // not the thread context loader: this is a lazy val, so a first
+    // touch from a thread whose context loader lacked the application
+    // classpath would otherwise drop user SPIs for the JVM's lifetime.
     def providersOf(cl: ClassLoader): Seq[javax.sound.sampled.spi.AudioFileReader] =
       try java.util.ServiceLoader
         .load(classOf[javax.sound.sampled.spi.AudioFileReader], cl)
         .iterator().asScala.toSeq
       catch { case _: java.util.ServiceConfigurationError => Seq.empty }
     val all = (providersOf(classOf[javax.sound.sampled.spi.AudioFileReader].getClassLoader)
-        ++ providersOf(Thread.currentThread().getContextClassLoader))
+        ++ providersOf(getClass.getClassLoader))
       .groupBy(_.getClass.getName).values.map(_.head).toSeq
       .sortBy(_.getClass.getName)
     val (midi, container) = all
@@ -481,13 +484,36 @@ object Multimodal {
       * than failing the partition).
       */
     def decodeFrames(content: Array[Byte], maxFrames: Int): Seq[java.awt.image.BufferedImage]
+
+    /** [[decodeFrames]] plus the per-frame failure count — a corrupt
+      * MIDDLE frame truncates or gaps the decoded sequence silently
+      * otherwise, and a curation pipeline wants that as a decode-
+      * quality signal, not an invisible loss. Default wraps
+      * [[decodeFrames]] with zero failures (a decoder that can't
+      * distinguish keeps the old contract); the built-in decoders
+      * override with real counts.
+      */
+    def decodeFramesCounted(content: Array[Byte], maxFrames: Int): DecodedFrames =
+      DecodedFrames(decodeFrames(content, maxFrames), 0)
   }
+
+  /** Result of [[VideoDecoder.decodeFramesCounted]]: the decodable
+    * frames plus how many frames the container declared but the
+    * decoder could not produce.
+    */
+  final case class DecodedFrames(frames: Seq[java.awt.image.BufferedImage],
+                                 nFailed: Int)
 
   /** The JDK-only real decoder: MJPEG inside a RIFF AVI container. */
   object MjpegDecoder extends VideoDecoder {
     def formats: Set[String] = Set("avi", "mjpeg")
     def decodeFrames(content: Array[Byte], maxFrames: Int): Seq[java.awt.image.BufferedImage] =
-      decodeMjpegFrames(content, maxFrames).flatMap(decodeImage(_))
+      decodeFramesCounted(content, maxFrames).frames
+    override def decodeFramesCounted(content: Array[Byte], maxFrames: Int): DecodedFrames = {
+      // one failure per '00dc' chunk whose payload ImageIO rejects
+      val decoded = decodeMjpegFrames(content, maxFrames).map(decodeImage(_))
+      DecodedFrames(decoded.flatten, decoded.count(_.isEmpty))
+    }
   }
 
   /** REAL animated-GIF decoder, also JDK-only: the GIF `ImageReader`
@@ -500,20 +526,25 @@ object Multimodal {
   object GifDecoder extends VideoDecoder {
     def formats: Set[String] = Set("gif")
 
-    def decodeFrames(content: Array[Byte], maxFrames: Int): Seq[java.awt.image.BufferedImage] = {
+    def decodeFrames(content: Array[Byte], maxFrames: Int): Seq[java.awt.image.BufferedImage] =
+      decodeFramesCounted(content, maxFrames).frames
+
+    override def decodeFramesCounted(content: Array[Byte], maxFrames: Int): DecodedFrames = {
       if (content == null || content.length < 6 ||
-        new String(content, 0, 4, "ISO-8859-1") != "GIF8") return Nil
+        new String(content, 0, 4, "ISO-8859-1") != "GIF8")
+        return DecodedFrames(Nil, 0)
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(content))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) return Nil
+        if (!readers.hasNext) return DecodedFrames(Nil, 0)
         val reader = readers.next()
         reader.setInput(iis, false)
         try {
           val n = math.min(reader.getNumImages(true), maxFrames)
           var canvas: java.awt.image.BufferedImage = null
-          (0 until n).flatMap { i =>
+          var failed = 0
+          val frames = (0 until n).flatMap { i =>
             try {
               val patch = reader.read(i)
               val (x, y) = frameOffset(reader, i)
@@ -534,10 +565,11 @@ object Multimodal {
               sg.drawImage(canvas, 0, 0, null)
               sg.dispose()
               Some(snap)
-            } catch { case _: Exception => None }
+            } catch { case _: Exception => failed += 1; None }
           }
+          DecodedFrames(frames, failed)
         } finally reader.dispose()
-      } catch { case _: Exception => Nil }
+      } catch { case _: Exception => DecodedFrames(Nil, 0) }
       finally iis.close()
     }
 
@@ -576,9 +608,14 @@ object Multimodal {
   /** Frame sampling with REAL decoders: rows dispatch to the first
     * decoder claiming their `meta.format` (falling back to trying each
     * in order when the format is unknown); every `everyN`-th decoded
-    * frame becomes (frame_idx, width, height, mean luma). Content no
-    * decoder handles yields no rows — compose with `sampleFrames` (the
-    * byte-slice stand-in) for opaque formats.
+    * frame becomes (frame_idx, width, height, mean luma,
+    * n_frames_failed). `n_frames_failed` is the winning decoder's
+    * per-media failure count ([[VideoDecoder.decodeFramesCounted]]),
+    * repeated on each of the media's frame rows — a corrupt middle
+    * frame no longer truncates the sequence invisibly. Content no
+    * decoder handles (or whose EVERY frame fails) yields no rows —
+    * compose with `sampleFrames` (the byte-slice stand-in) for opaque
+    * formats.
     */
   def sampleFramesDecoded(media: DataFrame, everyN: Int = 10,
                           decoders: Seq[VideoDecoder] = Seq(MjpegDecoder, GifDecoder)): DataFrame = {
@@ -588,7 +625,8 @@ object Multimodal {
       StructField("frame_idx", IntegerType),
       StructField("frame_width", IntegerType),
       StructField("frame_height", IntegerType),
-      StructField("frame_mean_luma", DoubleType)))
+      StructField("frame_mean_luma", DoubleType),
+      StructField("n_frames_failed", IntegerType)))
     val hasFormat = media.schema.fields.exists(_.name == "meta")
     val rdd = media.rdd.mapPartitions { it =>
       it.flatMap { r =>
@@ -600,13 +638,14 @@ object Multimodal {
           else None
         val candidates = fmt.flatMap(f => decoders.find(_.formats(f)))
           .map(Seq(_)).getOrElse(decoders)
-        val frames = candidates.iterator
-          .map(_.decodeFrames(content, maxFrames = 256))
-          .find(_.nonEmpty).getOrElse(Nil)
-        frames.zipWithIndex
+        val result = candidates.iterator
+          .map(_.decodeFramesCounted(content, maxFrames = 256))
+          .find(_.frames.nonEmpty).getOrElse(DecodedFrames(Nil, 0))
+        result.frames.zipWithIndex
           .filter(_._2 % everyN == 0)
           .map { case (img, idx) =>
-            Row(id, idx, img.getWidth, img.getHeight, meanLuma(img))
+            Row(id, idx, img.getWidth, img.getHeight, meanLuma(img),
+              result.nFailed)
           }
       }
     }

@@ -205,9 +205,13 @@ object TextAnalysis {
     * (anchor-text share of the visible text: high = link farms and
     * navigation pages). One kernel pass per row, map-only, no
     * shuffle; filter on the signal columns and feed `html_text`
-    * onward as the corpus text.
+    * onward as the corpus text. `carry` names extra input columns to
+    * pass through unchanged (the composed ingest pipeline carries its
+    * source key and url this way instead of re-joining the shard to
+    * itself).
     */
-  def extractHtmlTable(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+  def extractHtmlTable(df: DataFrame, idCol: String, htmlCol: String,
+                       carry: Seq[String] = Nil): DataFrame = {
     // two-step select: CollapseProject keeps the non-cheap kernel
     // struct single-evaluation (the tokenStats convention). NULL html
     // coalesces to '' BEFORE the kernel (the lineRows convention) —
@@ -215,9 +219,10 @@ object TextAnalysis {
     // html_n_lines next to 0.0 share/density columns would be an
     // internally inconsistent row; the degenerate row is ('',0,0,0).
     val html = coalesce(col(htmlCol), lit(""))
-    df.select(col(idCol).as("doc_id"), htmlExtract(html).as("_h"),
-        length(html).cast("double").as("_raw"))
-      .select(col("doc_id"),
+    val carried = carry.map(col)
+    df.select(Seq(col(idCol).as("doc_id"), htmlExtract(html).as("_h"),
+        length(html).cast("double").as("_raw")) ++ carried: _*)
+      .select(Seq(col("doc_id"),
         col("_h.text").as("html_text"),
         when(col("_h.text") === "", lit(0L))
           .otherwise(size(split(col("_h.text"), "\n", -1)).cast("long"))
@@ -226,7 +231,7 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("html_text_share"),
         when(col("_h.total_nonws") > 0,
           col("_h.link_nonws").cast("double") / col("_h.total_nonws").cast("double"))
-          .otherwise(lit(0.0)).as("html_link_density"))
+          .otherwise(lit(0.0)).as("html_link_density")) ++ carried: _*)
   }
 
   /** Declarative parity reference for the HTML kernel — the same
@@ -285,9 +290,17 @@ object TextAnalysis {
   /** Tracking query parameters stripped by [[urlTable]]'s
     * normalization (the CCNet/RefinedWeb-style URL canonicalization
     * ahead of URL-level dedup): `utm_*` plus the common click ids.
+    * Deliberately NOT `ref` — on many hosts it selects content (e.g.
+    * a branch or referrer-routed page), so stripping it would merge
+    * legitimately distinct URLs into one `norm_url` and URL-level
+    * exact dedup would drop distinct pages. `\z` (not `$`): Java
+    * regex `$` also matches before a trailing newline where RE2's
+    * does not, so a param value ending in '\n' would strip in Spark
+    * but survive in the DuckDB replay; `\z` means end-of-text in
+    * BOTH engines.
     */
   private[graft] val TrackingParamPattern: String =
-    "^(utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|ref)(=.*)?$"
+    "^(utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid)(=.*)?\\z"
 
   /** URL parse + normalize + domain screen — the other half of the
     * web-pipeline front door next to [[extractHtmlTable]]: URL-level
@@ -311,29 +324,84 @@ object TextAnalysis {
     *     labels, or last three when the second-to-last is a
     *     [[SecondLevelRegistries]] label; all-numeric (IPv4) hosts
     *     are their own domain; single-label hosts pass through.
+    *     `publicSuffixes` replaces the heuristic with a DATA-DRIVEN
+    *     public-suffix list (the production path — feed the real PSL):
+    *     the registrable domain is the longest listed suffix plus one
+    *     more label, exact suffixes only (PSL wildcard/exception rules
+    *     are out of contract), a host that IS a listed suffix (or
+    *     shorter) passes through, and the IPv4 rule still wins first.
+    *     The set is inlined into the same codegen'd expression path
+    *     (an `InSet` hash probe per candidate depth — a 10k-entry PSL
+    *     is a broadcast-sized literal, not a join).
     *   - `path_depth` counts non-empty path segments; `n_params`
     *     counts query params surviving the tracking strip.
     *   - `norm_url` = scheme://host[:port if non-default]/path with
     *     kept params, fragment dropped, empty path → '/'. http:80 and
     *     https:443 are default ports.
     */
-  def urlTable(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+  def urlTable(df: DataFrame, idCol: String, urlCol: String,
+               publicSuffixes: Option[Set[String]] = None): DataFrame = {
     val url = coalesce(col(urlCol), lit(""))
+    val p = urlParts(url, publicSuffixes)
+    df.select(col(idCol).as("doc_id"), url.as("url"),
+      p.scheme.as("scheme"),
+      when(p.parsed, p.host).otherwise(lit("")).as("host"),
+      when(p.parsed, p.domain).otherwise(lit("")).as("domain"),
+      when(p.parsed, p.port).otherwise(lit("")).as("port"),
+      when(p.parsed, p.pathDepth).otherwise(lit(0L)).as("path_depth"),
+      when(p.parsed, p.nParams).otherwise(lit(0L)).as("n_params"),
+      when(p.parsed, p.normUrl).otherwise(lit("")).as("norm_url"))
+  }
+
+  /** The [[urlTable]] derivations as raw columns over a url
+    * expression — the composed ingest pipeline attaches `norm_url` /
+    * `domain` map-side with these instead of re-joining a full
+    * urlTable projection back to the shard. `parsed` gates the
+    * others exactly as the table form does.
+    */
+  private[graft] final case class UrlParts(
+      scheme: Column, host: Column, domain: Column, port: Column,
+      pathDepth: Column, nParams: Column, normUrl: Column, parsed: Column)
+
+  private[graft] def urlParts(url: Column,
+                              publicSuffixes: Option[Set[String]] = None): UrlParts = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val auth = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    val hostport = regexp_extract(auth, "([^@]*)$", 1)
+    // \z anchors throughout (see TrackingParamPattern): identical
+    // end-of-TEXT semantics in Java regex and DuckDB's RE2
+    val hostport = regexp_extract(auth, "([^@]*)\\z", 1)
     val host = lower(regexp_extract(hostport, "^([^:]*)", 1))
-    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val port = regexp_extract(hostport, ":([0-9]+)\\z", 1)
     val path = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val query = regexp_extract(url, "^[^?#]*\\?([^#]*)", 1)
     val labels = split(host, "\\.")
     val n = size(labels)
-    val domain =
-      when(host.rlike("^[0-9.]+$") || n <= 2, host)
-        .when(element_at(labels, -2).isin(SecondLevelRegistries.toSeq: _*),
-          concat_ws(".", element_at(labels, -3), element_at(labels, -2),
-            element_at(labels, -1)))
-        .otherwise(concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
+    // last k labels of the host, joined — the candidate suffix/domain
+    // strings the registrable-domain rules probe
+    def lastK(k: Int): Column =
+      concat_ws(".", (k to 1 by -1).map(i => element_at(labels, -i)): _*)
+    val domain = publicSuffixes match {
+      case None =>
+        when(host.rlike("^[0-9.]+\\z") || n <= 2, host)
+          .when(element_at(labels, -2).isin(SecondLevelRegistries.toSeq: _*),
+            concat_ws(".", element_at(labels, -3), element_at(labels, -2),
+              element_at(labels, -1)))
+          .otherwise(concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
+      case Some(sfx) =>
+        // longest-match first: for each suffix depth present in the
+        // list (deepest first), if the host's last d labels are a
+        // listed suffix AND at least one more label exists, the
+        // registrable domain is the last d+1 labels. One InSet hash
+        // probe per depth; depths beyond the host's label count are
+        // guarded out (their lastK would be a shorter join).
+        val byDepth = sfx.groupBy(_.count(_ == '.') + 1).toSeq.sortBy(-_._1)
+        val ipv4First = when(host.rlike("^[0-9.]+\\z"), host)
+        // PSL default rule: an unlisted TLD is itself a suffix, so an
+        // unmatched multi-label host registers at its last two labels
+        byDepth.foldLeft(ipv4First) { case (acc, (d, set)) =>
+          acc.when(n > d && lastK(d).isin(set.toSeq: _*), lastK(d + 1))
+        }.when(n >= 2, lastK(2)).otherwise(host)
+    }
     val kept = filter(split(query, "&"),
       p => p =!= "" && !p.rlike(TrackingParamPattern))
     val defaultPort = (scheme === "http" && port === "80") ||
@@ -345,16 +413,54 @@ object TextAnalysis {
       when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
         .otherwise(lit("")))
     val parsed = scheme =!= ""
-    df.select(col(idCol).as("doc_id"), url.as("url"),
-      scheme.as("scheme"),
-      when(parsed, host).otherwise(lit("")).as("host"),
-      when(parsed, domain).otherwise(lit("")).as("domain"),
-      when(parsed, port).otherwise(lit("")).as("port"),
-      when(parsed, size(filter(split(path, "/"), s => s =!= "")).cast("long"))
-        .otherwise(lit(0L)).as("path_depth"),
-      when(parsed, size(kept).cast("long")).otherwise(lit(0L)).as("n_params"),
-      when(parsed, normUrl).otherwise(lit("")).as("norm_url"))
+    UrlParts(scheme, host, domain, port,
+      size(filter(split(path, "/"), s => s =!= "")).cast("long"),
+      size(kept).cast("long"), normUrl, parsed)
   }
+
+  // ── WARC container ingestion ────────────────────────────────────────
+
+  /** Split WARC containers into the `documents` shape — the step
+    * BEFORE [[extractHtmlTable]] on a CommonCrawl-style corpus, where
+    * a "row" arriving from storage is a multi-record container file,
+    * not a document. One kernel pass per container
+    * ([[graft.functions.WarcExpressions]]: header parse +
+    * Content-Length payload slice + resync on malformed lengths),
+    * then a `posexplode` fan-out; map-only, no shuffle. Output one
+    * row per record: (doc_id = container id, rec_idx, warc_type,
+    * target_uri, record_id, content_length, text = payload,
+    * truncated) — `target_uri` feeds [[urlTable]]'s front door and
+    * `text` feeds extraction/quality exactly like a pre-split corpus.
+    * Containers with no records yield no rows.
+    */
+  def warcRecordsTable(df: DataFrame, idCol: String, warcCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.WarcExpressions.warc_records(
+          coalesce(col(warcCol), lit("")))).as(Seq("rec_idx", "_r")))
+      .select(col("doc_id"), col("rec_idx").cast("long").as("rec_idx"),
+        col("_r.warc_type").as("warc_type"),
+        col("_r.target_uri").as("target_uri"),
+        col("_r.record_id").as("record_id"),
+        col("_r.content_length").as("content_length"),
+        col("_r.payload").as("text"),
+        col("_r.truncated").as("truncated"))
+
+  /** Load a public-suffix list from a data table (one suffix per row
+    * — e.g. the real PSL parsed into parquet) into the set
+    * [[urlTable]]'s data-driven domain rule consumes. Normalizes to
+    * lowercase, drops comment (`//`), wildcard (`*.`) and exception
+    * (`!`) lines — [[urlTable]]'s contract is exact suffixes only.
+    *
+    * Driver collect BOUNDED by the public-suffix list's size (~10k
+    * entries — a registry, not a corpus); it becomes literal InSet
+    * probes in the parse expression, never a join.
+    */
+  def publicSuffixSet(df: DataFrame, suffixCol: String = "suffix"): Set[String] =
+    df.select(lower(trim(col(suffixCol))).as("s"))
+      .where(col("s") =!= "" && !col("s").startsWith("//") &&
+        !col("s").startsWith("!") && !col("s").contains("*"))
+      .distinct()
+      .collect().map(_.getString(0)).toSet
 
   /** TF-IDF top-k characteristic terms per document — the standard
     * corpus-keyword extraction a curation pipeline uses for topic

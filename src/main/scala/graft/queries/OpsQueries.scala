@@ -725,14 +725,14 @@ object OpsQueries {
              |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
              |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
              |  regexp_extract(url, '^[^?#]*\?([^#]*)', 1) AS q FROM u),
-             |h AS (SELECT *, regexp_extract(auth, '([^@]*)$', 1) AS hostport FROM p),
+             |h AS (SELECT *, regexp_extract(auth, '([^@]*)\z', 1) AS hostport FROM p),
              |h2 AS (SELECT *, lower(regexp_extract(hostport, '^([^:]*)', 1)) AS hst,
-             |  regexp_extract(hostport, ':([0-9]+)$', 1) AS prt FROM h),
+             |  regexp_extract(hostport, ':([0-9]+)\z', 1) AS prt FROM h),
              |d AS (SELECT *, string_split(hst, '.') AS ls,
-             |  list_filter(string_split(q, '&'), x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|ref)(=.*)?$')) AS kept
+             |  list_filter(string_split(q, '&'), x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid)(=.*)?\z')) AS kept
              |  FROM h2),
              |d2 AS (SELECT *, CASE
-             |  WHEN regexp_matches(hst, '^[0-9.]+$') OR len(ls) <= 2 THEN hst
+             |  WHEN regexp_matches(hst, '^[0-9.]+\z') OR len(ls) <= 2 THEN hst
              |  WHEN list_contains(['co','com','org','net','ac','gov','edu'], ls[len(ls)-1])
              |    THEN ls[len(ls)-2] || '.' || ls[len(ls)-1] || '.' || ls[len(ls)]
              |  ELSE ls[len(ls)-1] || '.' || ls[len(ls)] END AS dom FROM d)

@@ -502,17 +502,29 @@ object CurationStreams {
       k: Int = 16, bands: Int = 4, shingleN: Int = 3, threshold: Double = 0.5,
       spanN: Int = 8, decontamN: Int = 3, decontamMinHits: Int = 2,
       expectedGrams: Long = 1L << 20, fpp: Double = 0.03,
-      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1,
+      htmlCol: Option[String] = None,
+      minTextShare: Double = 0.05, maxLinkDensity: Double = 0.9,
+      urlCol: Option[String] = None, urlIndexPath: Option[String] = None,
+      publicSuffixes: Option[Set[String]] = None,
+      lineIndexPath: Option[String] = None,
+      maintainEvery: Int = 8, dirtyThreshold: Double = 0.3,
+      tagRetention: Int = 1024,
+      onMaintenance: Seq[graft.ops.IngestPipeline.MaintenanceReport] => Unit =
+        _ => ()): StreamingQuery = {
     // fail at START time, not first-micro-batch time, when the source
     // schema is missing a pipeline column
-    for (c <- Seq(idCol, textCol, keyCol))
+    for (c <- Seq(htmlCol.getOrElse(textCol), keyCol, idCol) ++ urlCol)
       require(schema.fieldNames.contains(c),
         s"startIngestPipelineStream: source schema lacks required column '$c' " +
           s"(schema: ${schema.fieldNames.mkString(", ")})")
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
-    val perBatch = idempotentBatchSink(spark, outDir) { (batch, id, dir) =>
+    val maintained = Seq(digestIndexPath -> "digest",
+        minhashIndexPath -> "minhash", spanIndexPath -> "span") ++
+      urlIndexPath.map(_ -> "digest") ++ lineIndexPath.map(_ -> "line")
+    val sink = idempotentBatchSink(spark, outDir) { (batch, id, dir) =>
       graft.ops.TableWrite.withSchemaAnchor(
         graft.ops.IngestPipeline.ingestShard(batch, bench,
           digestIndexPath, minhashIndexPath, spanIndexPath,
@@ -522,8 +534,30 @@ object CurationStreams {
           threshold = threshold, spanN = spanN,
           decontamN = decontamN, decontamMinHits = decontamMinHits,
           expectedGrams = expectedGrams, fpp = fpp,
-          commitTag = Some(s"batch-$id")),
+          commitTag = Some(s"batch-$id"),
+          htmlCol = htmlCol, minTextShare = minTextShare,
+          maxLinkDensity = maxLinkDensity,
+          urlCol = urlCol, urlIndexPath = urlIndexPath,
+          publicSuffixes = publicSuffixes,
+          lineIndexPath = lineIndexPath),
         dir, "overwrite")
+    }
+    // maintenance is scheduled FROM ingest ticks — every
+    // `maintainEvery` micro-batches the foreachBatch tail retires
+    // committed idempotence tags and folds dirty index prefixes
+    // ([[graft.ops.IngestPipeline.maintainIndexes]]); without this a
+    // month-long stream accumulates manifest lines and small files
+    // until an operator intervenes out-of-band. Runs AFTER the sink
+    // body (also on a replay-skipped batch — maintenance is
+    // manifest-committed and never changes results, so re-running it
+    // across a crash boundary is safe); replays of PRE-maintenance
+    // batches stay idempotent through the watermark rule (sub-
+    // watermark batchIds are already-committed by monotonicity).
+    val perBatch: (DataFrame, Long) => Unit = { (batch, id) =>
+      sink(batch, id)
+      if (maintainEvery > 0 && (id + 1) % maintainEvery == 0)
+        onMaintenance(graft.ops.IngestPipeline.maintainIndexes(
+          spark, maintained, dirtyThreshold, tagRetention))
     }
     src.writeStream
       .outputMode(OutputMode.Append())

@@ -27,6 +27,10 @@ object StreamGate {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the progress ring must hold EVERY micro-batch's update or the
+      // durationMs split below silently undercounts machinery time
+      // (default ring = 100 updates; nBatches is a CLI arg)
+      .config("spark.sql.streaming.numRecentProgressUpdates", nBatches + 16)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.core.Tables.registerAll(spark, sfDir)
@@ -74,12 +78,16 @@ object StreamGate {
     // setup) is micro-batch machinery — the split that adjudicates
     // the stream-vs-batch premium in BASELINE.md. Read from the
     // query's own recentProgress AFTER termination (a synchronous,
-    // complete snapshot — the default ring keeps 100 updates, far
-    // above nBatches) instead of a StreamingQueryListener: listener
-    // callbacks arrive on the async bus thread, and a snapshot taken
-    // right after awaitTermination can miss the final batch's event.
+    // complete snapshot — the ring is sized to nBatches + slack in
+    // the session builder above) instead of a StreamingQueryListener:
+    // listener callbacks arrive on the async bus thread, and a
+    // snapshot taken right after awaitTermination can miss the final
+    // batch's event.
     val progress = q.recentProgress
     val nProgress = progress.length
+    require(nProgress >= nBatches,
+      s"progress ring truncated: $nProgress updates < $nBatches batches — " +
+        "the duration split would undercount stream machinery time")
     val durAcc = new java.util.HashMap[String, Long]()
     progress.foreach(_.durationMs.forEach((k, v) =>
       durAcc.merge(k, v.longValue(), (a, b) => a + b)))

@@ -596,6 +596,56 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.forall(r => r.getAs[Int]("frame_width") == 40 &&
       r.getAs[Int]("frame_height") == 20 &&
       math.abs(r.getAs[Double]("frame_mean_luma") - 128.0) < 3.0))
+    // clean media report zero decode failures
+    assert(frames.forall(_.getAs[Int]("n_frames_failed") == 0))
+  }
+
+  test("poisoned middle frame: decode failures are counted, not silently truncated") {
+    def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def avi(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Array[Byte] =
+        Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      val movi = new java.io.ByteArrayOutputStream()
+      movi.write("movi".getBytes("ISO-8859-1"))
+      frames.foreach { f =>
+        movi.write("00dc".getBytes("ISO-8859-1")); movi.write(le32(f.length))
+        movi.write(f); if (f.length % 2 == 1) movi.write(0)
+      }
+      val m = movi.toByteArray
+      val inner = new java.io.ByteArrayOutputStream()
+      inner.write("AVI ".getBytes("ISO-8859-1"))
+      inner.write("LIST".getBytes("ISO-8859-1")); inner.write(le32(m.length)); inner.write(m)
+      val body = inner.toByteArray
+      bos.write("RIFF".getBytes("ISO-8859-1")); bos.write(le32(body.length)); bos.write(body)
+      bos.toByteArray
+    }
+    val good = jpeg(16, 8, 0x808080)
+    // the middle chunk is structurally intact RIFF (length-prefixed)
+    // and carries the JPEG SOI marker — so the container splitter
+    // accepts it as a frame — but the body is not decodable
+    val poison = Array.fill[Byte](good.length)(0x5a)
+    poison(0) = 0xff.toByte; poison(1) = 0xd8.toByte
+    val video = avi(Seq(good, poison, good))
+    val counted = Multimodal.MjpegDecoder.decodeFramesCounted(video, maxFrames = 256)
+    assert(counted.frames.length == 2 && counted.nFailed == 1)
+    // decodeFrames keeps its old truncating contract
+    assert(Multimodal.MjpegDecoder.decodeFrames(video, 256).length == 2)
+    // and the loss is observable through the Spark pipeline column
+    val rows = Seq(Row(1L, video, Row("avi", 16, 8, 3)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
+      Multimodal.mediaSchema)
+    val out = Multimodal.sampleFramesDecoded(df, everyN = 1).collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Int]("n_frames_failed") == 1))
   }
 
   test("multimodal plumbing: features + resize + frames") {
@@ -1300,6 +1350,33 @@ class OpsSpec extends AnyFunSuite {
     val retry = Dedup.removeDuplicateLinesIncrement(inc, "doc_id", "text", path,
       appendLines = false).orderBy("doc_id").collect()
     assert(retry.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
+
+  test("adversarial nav-shell doc: 10k duplicated lines cut in one row without quadratic membership") {
+    // doc 2 is pure boilerplate: every one of its 10k lines is owned
+    // by doc 1, so the cut array and the line array are BOTH 10k long
+    // — the shape where per-line array_contains membership was O(L·C)
+    // = 10⁸ comparisons in a single row. The ordered set-difference
+    // cut is O(L + C); wall for this test is milliseconds, and the
+    // interleaved doc 3 pins order preservation of the kept subset.
+    val n = 10000
+    val shell = (0 until n).map(i => s"nav item ${i % 997}").mkString("\n")
+    val d = Seq(
+      (1L, shell), // owns every line
+      (2L, shell), // fully cut
+      (3L, (0 until 50).map(i =>
+        if (i % 2 == 0) s"nav item ${i % 997}" else s"unique3 line $i").mkString("\n"))
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateLines(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_lines_removed") == 0L)
+    assert(out(1).getAs[String]("clean_text") == "" &&
+      out(1).getAs[Long]("n_lines_kept") == 0L &&
+      out(1).getAs[Long]("n_lines_removed") == n.toLong)
+    // kept lines stay in document order after the positional cut
+    assert(out(2).getAs[String]("clean_text") ==
+      (0 until 50).filter(_ % 2 == 1).map(i => s"unique3 line $i").mkString("\n"))
+    assert(out(2).getAs[Long]("n_lines_removed") == 25L)
   }
 
   test("passage chunking: stride windows, shortened tail, zero-token drop") {

@@ -63,7 +63,49 @@ class UrlParseSpec extends AnyFunSuite {
     assert(field("http://ex.com/p?utm_campaign=a&fbclid=b", "n_params") == 0L)
     // a non-tracking param whose NAME merely starts with 'ref' +more stays
     assert(field("http://ex.com/p?refresh=1", "n_params") == 1L)
-    assert(field("http://ex.com/p?ref=abc", "n_params") == 0L)
+    // bare 'ref' is CONTENT-selecting on many hosts (a branch, a
+    // referrer-routed page) — deliberately kept, see TrackingParamPattern
+    assert(field("http://ex.com/p?ref=abc", "n_params") == 1L)
+    // Java-$ vs RE2-$ divergence guard: with \z anchors a param value
+    // ending in '\n' is NOT at end-of-text for `.*` in either engine,
+    // so BOTH keep it (Java $ alone would have stripped it Spark-side)
+    assert(field("http://ex.com/p?utm_source=x\n", "n_params") == 1L)
+  }
+
+  test("data-driven public-suffix list: ne.jp/com.br-class registries resolve correctly") {
+    import spark.implicits._
+    val psl = Set("com", "org", "jp", "ne.jp", "co.jp", "br", "com.br",
+      "uk", "co.uk", "io")
+    def dom(url: String): String =
+      TextAnalysis.urlTable(Seq((1L, url)).toDF("doc_id", "url"),
+        "doc_id", "url", Some(psl)).head().getAs[String]("domain")
+    // two-level registries the built-in 7-label heuristic gets WRONG
+    assert(dom("http://www.example.ne.jp/x") == "example.ne.jp")
+    assert(dom("http://a.b.example.com.br/x") == "example.com.br")
+    // plain TLD suffixes still register at two labels
+    assert(dom("http://deep.sub.example.com/x") == "example.com")
+    assert(dom("http://www.example.co.uk/x") == "example.co.uk")
+    // a host that IS a listed suffix passes through
+    assert(dom("http://co.uk/") == "co.uk")
+    // PSL default rule: unlisted TLD acts as a suffix of its own
+    assert(dom("http://a.b.example.zz/x") == "example.zz")
+    assert(dom("http://localhost/x") == "localhost")
+    // IPv4 wins before any suffix probe
+    assert(dom("http://192.168.1.2/x") == "192.168.1.2")
+    // longest match wins: 'jp' and 'ne.jp' both listed
+    assert(dom("http://example.jp/x") == "example.jp")
+  }
+
+  test("publicSuffixSet loader: comments, wildcards, exceptions and case normalize away") {
+    import spark.implicits._
+    val raw = Seq("// a comment", "COM", "ne.jp", "*.ck", "!www.ck", "  co.uk ", "")
+      .toDF("suffix")
+    assert(TextAnalysis.publicSuffixSet(raw) == Set("com", "ne.jp", "co.uk"))
+    // and it feeds straight into the parse
+    val out = TextAnalysis.urlTable(
+      Seq((1L, "http://x.y.ne.jp/p")).toDF("doc_id", "url"), "doc_id", "url",
+      Some(TextAnalysis.publicSuffixSet(raw))).head()
+    assert(out.getAs[String]("domain") == "y.ne.jp")
   }
 
   test("non-URLs and NULLs degenerate to consistent empty rows") {
