@@ -749,6 +749,192 @@ object OpsQueries {
              |  ELSE '' END AS norm_url
              |FROM d2 ORDER BY doc_id""".stripMargin)),
 
+    // WARC container ingestion — the step BEFORE the web front door:
+    // multi-record WARC containers (2–3 records each: a warcinfo head
+    // + conversion records) are synthesized per document from its own
+    // tokens IDENTICALLY in both engines (the BMP/WAV/GIF recipe),
+    // then Spark splits them through the native warc_records kernel
+    // (header parse + Content-Length octet slice) while DuckDB
+    // replays the split by string-slicing on the CRLFCRLF record
+    // grammar and regexp-extracting the headers. Types, URIs, record
+    // ids, declared lengths, payloads and flags must all hash-match.
+    Q("text_warc_parse",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val id = col("doc_id").cast("string")
+        val toks = split(col("text"), " ")
+        def pay(r: org.apache.spark.sql.Column) = concat(
+          lit("rec "), r.cast("string"), lit(" of doc "), id, lit(": "),
+          array_join(slice(toks, r * 3 + 1, lit(6)), " "))
+        def rec(r: org.apache.spark.sql.Column) = concat(
+          lit("WARC/1.0\r\nWARC-Type: "),
+          when(r === 0, lit("warcinfo")).otherwise(lit("conversion")),
+          lit("\r\nWARC-Target-URI: http://ex"), id, lit(".com/p/"), r.cast("string"),
+          lit("\r\nWARC-Record-ID: <urn:uuid:"), id, lit("-"), r.cast("string"),
+          lit(">\r\nContent-Length: "), length(pay(r)).cast("string"),
+          lit("\r\n\r\n"), pay(r), lit("\r\n\r\n"))
+        val warc = array_join(
+          transform(sequence(lit(0), pmod(col("doc_id"), lit(2)).cast("int") + 1),
+            r => rec(r)), "")
+        // pre-synthesis repartition: one parquet file = one input
+        // partition, and the kernel walk would serialize
+        val containers = s.table("documents").repartition(32, col("doc_id"))
+          .select(col("doc_id"), warc.as("warc"))
+        TextAnalysis.warcRecordsTable(containers, "doc_id", "warc")
+          .orderBy(col("doc_id"), col("rec_idx"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |rr AS (SELECT doc_id, toks, unnest(generate_series(0, CAST(doc_id % 2 AS INT) + 1)) AS r FROM tk),
+             |py AS (SELECT doc_id, r,
+             |  'rec ' || r || ' of doc ' || doc_id || ': ' ||
+             |    array_to_string(toks[CAST(r*3+1 AS INT):CAST(r*3+6 AS INT)], ' ') AS pay
+             |  FROM rr),
+             |rc AS (SELECT doc_id, r,
+             |  'WARC/1.0' || chr(13)||chr(10) ||
+             |  'WARC-Type: ' || (CASE WHEN r = 0 THEN 'warcinfo' ELSE 'conversion' END) || chr(13)||chr(10) ||
+             |  'WARC-Target-URI: http://ex' || doc_id || '.com/p/' || r || chr(13)||chr(10) ||
+             |  'WARC-Record-ID: <urn:uuid:' || doc_id || '-' || r || '>' || chr(13)||chr(10) ||
+             |  'Content-Length: ' || len(pay) || chr(13)||chr(10) || chr(13)||chr(10) ||
+             |  pay || chr(13)||chr(10) || chr(13)||chr(10) AS rec
+             |  FROM py),
+             |wc AS (SELECT doc_id, string_agg(rec, '' ORDER BY r) AS warc FROM rc GROUP BY doc_id),
+             |sp AS (SELECT doc_id, string_split(warc, chr(13)||chr(10)||chr(13)||chr(10)) AS parts FROM wc),
+             |ix AS (SELECT doc_id, parts, unnest(generate_series(0, (len(parts) - 1) // 2 - 1)) AS ri FROM sp),
+             |r2 AS (SELECT doc_id, ri, parts[CAST(2*ri+1 AS INT)] AS hdr, parts[CAST(2*ri+2 AS INT)] AS pay FROM ix)
+             |SELECT doc_id, CAST(ri AS BIGINT) AS rec_idx,
+             |  regexp_extract(hdr, 'WARC-Type: ([^\x0d\x0a]*)', 1) AS warc_type,
+             |  regexp_extract(hdr, 'WARC-Target-URI: ([^\x0d\x0a]*)', 1) AS target_uri,
+             |  regexp_extract(hdr, 'WARC-Record-ID: ([^\x0d\x0a]*)', 1) AS record_id,
+             |  CAST(regexp_extract(hdr, 'Content-Length: ([0-9]+)', 1) AS BIGINT) AS content_length,
+             |  pay AS text, FALSE AS truncated
+             |FROM r2 ORDER BY doc_id, rec_idx""".stripMargin)),
+
+    // the COMPOSED web ingest — the production pipeline front to
+    // back, decomposed across two shards: HTML extraction + markup
+    // screen → URL normalize + URL-level exact dedup (url index) →
+    // quality gate → exact-digest dedup (digest index) → Bloom
+    // decontamination → line-level dedup (line index) → span cut
+    // (span index), each cross-shard fact living in its persisted
+    // index. HTML pages and URLs are synthesized per doc identically
+    // in both engines: a shared nav-bar line + the doc text as the
+    // content line (1-in-17 docs are script shells that must die at
+    // the text-share screen), and 1-in-3 docs carry a colliding
+    // canonical URL (same norm_url modulo tracking params). The
+    // oracle replays the FULL-BATCH composed rule in SQL — analytic
+    // extraction (the synthesis makes extracted text constructible),
+    // min-doc URL/digest groups, the contamination CTE, the
+    // corpus-global line rule, then the batch span formula — so
+    // equality IS the decomposition proof that two incremental
+    // ingestShard calls equal one batch pass. The near-dup stage runs
+    // threshold-disabled (1.5) here: its own corpus-wide SQL replay
+    // is dedup_incremental's row, and its seam in THIS composition is
+    // proven by IngestPipelineSpec's leak matrix + the sf1 StreamGate.
+    Q("pipeline_curate_web",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val docs = s.table("documents")
+        val bench = docs.where(col("source") === "src0")
+        val id = col("doc_id").cast("string")
+        val shell = pmod(col("doc_id"), lit(17)) === 3
+        val html = when(shell, concat(
+            lit("<html><body><script>var n = 0; // " + ("pad " * 50)),
+            lit("</script><p>tiny</p></body></html>")))
+          .otherwise(concat(
+            lit("<html><body><p>SHARED NAV BAR</p><p>"), col("text"),
+            lit(" more info</p></body></html>")))
+        val url = when(pmod(col("doc_id"), lit(3)) === 0, concat(
+            lit("http://dup"), pmod(col("doc_id"), lit(11)).cast("string"),
+            lit(".com/x?gclid="), id))
+          .otherwise(concat(
+            lit("http://u"), id, lit(".site.com/p/"),
+            pmod(col("doc_id"), lit(5)).cast("string"), lit("?utm_source=z")))
+        // pre-synthesis repartition: single-file corpus, kernel walks
+        val corpus = docs.where(col("source") =!= "src0")
+          .repartition(32, col("doc_id"))
+          .select(col("doc_id"), html.as("html"), url.as("url"), col("source"))
+        val maxId = docs.agg(max(col("doc_id"))).head().get(0)
+        if (maxId == null) {
+          docs.selectExpr("doc_id", "source", "'' AS clean_text",
+            "CAST(0 AS BIGINT) AS n_tokens").where(lit(false))
+        } else {
+          val bnd = maxId.asInstanceOf[Long] * 3 / 5
+          val base = graft.ops.TableWrite.scratchDir("graft_web_pipe")
+          def run(shard: org.apache.spark.sql.DataFrame) =
+            graft.ops.IngestPipeline.ingestShard(shard, bench,
+              s"$base/digest", s"$base/minhash", s"$base/span",
+              threshold = 1.5, spanN = 8, decontamN = 3, decontamMinHits = 2,
+              htmlCol = Some("html"), urlCol = Some("url"),
+              urlIndexPath = Some(s"$base/url"),
+              lineIndexPath = Some(s"$base/line"))
+          run(corpus.where(col("doc_id") <= bnd))
+            .union(run(corpus.where(col("doc_id") > bnd)))
+            .orderBy(col("doc_id"))
+        }
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id, text, source FROM documents
+             |  WHERE source <> 'src0' AND doc_id % 17 <> 3),
+             |ex AS (SELECT doc_id, source,
+             |  'SHARED NAV BAR' || chr(10) || text || ' more info' AS xt,
+             |  CASE WHEN doc_id % 3 = 0 THEN 'http://dup' || (doc_id % 11) || '.com/x'
+             |       ELSE 'http://u' || doc_id || '.site.com/p/' || (doc_id % 5) END AS nu
+             |  FROM src),
+             |uk AS (SELECT ex.* FROM ex
+             |  JOIN (SELECT nu, MIN(doc_id) AS m FROM ex GROUP BY nu) g
+             |    ON ex.nu = g.nu AND ex.doc_id = g.m),
+             |tq AS (SELECT doc_id, source, xt,
+             |  list_filter(string_split_regex(lower(xt), '[^a-z0-9]+'), t -> t <> '') AS toks
+             |  FROM uk),
+             |q AS (SELECT * FROM tq
+             |  WHERE len(toks) >= 25
+             |    AND CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / GREATEST(len(toks), 1) <= 0.55),
+             |e AS (SELECT q.* FROM q
+             |  JOIN (SELECT md5(xt) AS h, MIN(doc_id) AS m FROM q GROUP BY 1) k
+             |    ON md5(q.xt) = k.h AND q.doc_id = k.m),
+             |bt AS (SELECT doc_id,
+             |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+             |  FROM documents WHERE source = 'src0'),
+             |bg AS (SELECT DISTINCT unnest(CASE WHEN len(toks) >= 3
+             |  THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
+             |  ELSE [array_to_string(toks, ' ')] END) AS gram FROM bt),
+             |dg AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+             |  THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)])
+             |  ELSE [array_to_string(toks, ' ')] END) AS gram FROM e),
+             |contam AS (SELECT dg.doc_id FROM dg JOIN bg USING (gram)
+             |  GROUP BY dg.doc_id HAVING COUNT(*) >= 2),
+             |c AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+             |mn AS (SELECT MIN(doc_id) AS m FROM c),
+             |lc AS (SELECT doc_id, source,
+             |  CASE WHEN doc_id = (SELECT m FROM mn) THEN xt
+             |       ELSE string_split(xt, chr(10))[2] END AS lt
+             |  FROM c),
+             |d2 AS (SELECT doc_id, source,
+             |  list_filter(string_split_regex(lower(lt), '[^a-z0-9]+'), t -> t <> '') AS toks
+             |  FROM lc),
+             |p AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+             |      FROM d2 WHERE len(toks) >= 8),
+             |g2 AS (SELECT doc_id, i - 1 AS gpos, array_to_string(toks[i:i+7], ' ') AS gram FROM p),
+             |dup AS (SELECT gram FROM g2 GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+             |h AS (SELECT doc_id, gpos FROM g2 JOIN dup USING (gram)),
+             |lg AS (SELECT doc_id, gpos,
+             |       LAG(gpos) OVER (PARTITION BY doc_id ORDER BY gpos) AS pg FROM h),
+             |w AS (SELECT doc_id, gpos,
+             |      CASE WHEN pg IS NULL OR gpos > pg + 8 THEN 1 ELSE 0 END AS ni FROM lg),
+             |isl AS (SELECT doc_id, gpos,
+             |        SUM(ni) OVER (PARTITION BY doc_id ORDER BY gpos ROWS UNBOUNDED PRECEDING) AS island
+             |        FROM w),
+             |sp2 AS (SELECT doc_id, MIN(gpos) AS s, MAX(gpos) + 7 AS e FROM isl GROUP BY doc_id, island),
+             |cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM sp2),
+             |t2 AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos FROM d2),
+             |kept AS (SELECT t2.doc_id, t2.term, t2.pos FROM t2 ANTI JOIN cov
+             |         ON t2.doc_id = cov.doc_id AND t2.pos = cov.pos),
+             |agg AS (SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS clean_text,
+             |               COUNT(*) AS n_kept FROM kept GROUP BY doc_id)
+             |SELECT d2.doc_id, d2.source, coalesce(a.clean_text, '') AS clean_text,
+             |       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens
+             |FROM d2 LEFT JOIN agg a USING (doc_id)
+             |ORDER BY d2.doc_id""".stripMargin)),
+
     // substring-level dedup (Lee et al. 2022): maximal cross-document
     // duplicated 5-gram spans — the hash inverted-index reformulation
     // of the paper's suffix array

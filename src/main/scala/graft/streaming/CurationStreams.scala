@@ -425,8 +425,11 @@ object CurationStreams {
       // duplicate still leaves a schema-carrying file, so a read of
       // outDir never fails inference on an all-dropped prefix
       graft.ops.TableWrite.withSchemaAnchor(
+        // numeric-head tag ("<batchId>"): the shape IndexStore's
+        // retireTags can watermark away — a "batch-<id>" prefix would
+        // pin every tag in the manifest forever
         graft.ops.Dedup.dedupIncrement(batch, idCol, textCol, indexPath,
-          k, bands, n, threshold, commitTag = Some(s"batch-$id")),
+          k, bands, n, threshold, commitTag = Some(s"$id")),
         dir, "overwrite")
     }
     src.writeStream
@@ -465,8 +468,9 @@ object CurationStreams {
       .parquet(sourceDir)
     val perBatch = idempotentBatchSink(spark, outDir) { (batch, id, dir) =>
       graft.ops.TableWrite.withSchemaAnchor(
+        // numeric-head tag — see startIncrementalDedupStream
         graft.ops.Dedup.removeDuplicateSpansIncrement(batch, idCol, textCol,
-          indexPath, n, crossDocOnly, commitTag = Some(s"batch-$id")),
+          indexPath, n, crossDocOnly, commitTag = Some(s"$id")),
         dir, "overwrite")
     }
     src.writeStream
@@ -534,7 +538,10 @@ object CurationStreams {
           threshold = threshold, spanN = spanN,
           decontamN = decontamN, decontamMinHits = decontamMinHits,
           expectedGrams = expectedGrams, fpp = fpp,
-          commitTag = Some(s"batch-$id"),
+          // numeric-head tag ("<batchId>:<stage>" after the stage
+          // fan-out): retirable by the maintenance watermarks — the
+          // old "batch-<id>" prefix made every tag permanent
+          commitTag = Some(s"$id"),
           htmlCol = htmlCol, minTextShare = minTextShare,
           maxLinkDensity = maxLinkDensity,
           urlCol = urlCol, urlIndexPath = urlIndexPath,

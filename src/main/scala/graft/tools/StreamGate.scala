@@ -39,6 +39,30 @@ object StreamGate {
     val bench = docs.where(col("source") === "src0")
       .limit(200) // an eval suite is benchmark-sized, not corpus-sized
 
+    // round-15: the gate covers the FULL composed pipeline — the web
+    // front door (HTML extraction + markup screen, URL normalize +
+    // URL-level dedup) and the line stage run in BOTH forms, so the
+    // stream-equals-batch hash now proves the r15 composition too.
+    // HTML/URL synthesized per doc exactly like pipeline_curate_web:
+    // a shared nav line + the doc text as content (1-in-17 docs are
+    // script shells the screen must kill), 1-in-3 docs share a
+    // canonical URL group modulo tracking params.
+    val idStr = col("doc_id").cast("string")
+    val htmlCol = when(pmod(col("doc_id"), lit(17)) === 3, concat(
+        lit("<html><body><script>var n = 0; // " + ("pad " * 50)),
+        lit("</script><p>tiny</p></body></html>")))
+      .otherwise(concat(
+        lit("<html><body><p>SHARED NAV BAR</p><p>"), col("text"),
+        lit(" more info</p></body></html>")))
+    val urlCol = when(pmod(col("doc_id"), lit(3)) === 0, concat(
+        lit("http://dup"), pmod(col("doc_id"), lit(11)).cast("string"),
+        lit(".com/x?gclid="), idStr))
+      .otherwise(concat(
+        lit("http://u"), idStr, lit(".site.com/p/"),
+        pmod(col("doc_id"), lit(5)).cast("string"), lit("?utm_source=z")))
+    val docsWeb = docs.select(col("doc_id"), htmlCol.as("html"),
+      urlCol.as("url"), col("source"))
+
     // contiguous id ranges → ids nondecreasing ACROSS batches (the
     // increments' decomposition contract)
     val ids = docs.select(col("doc_id")).orderBy(col("doc_id"))
@@ -48,7 +72,7 @@ object StreamGate {
     def sliceOf(i: Int): DataFrame = {
       val lo = if (i == 0) Long.MinValue else bounds(i - 1)
       val hi = if (i == nBatches - 1) Long.MaxValue else bounds(i)
-      docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+      docsWeb.where(col("doc_id") >= lo && col("doc_id") < hi)
     }
 
     val base = java.nio.file.Files.createTempDirectory("graft_streamgate").toString
@@ -65,11 +89,21 @@ object StreamGate {
         java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
     }
 
+    // maintenance fires mid-stream (every 4 micro-batches) with zero
+    // tag retention, so the gate ALSO proves the watermark machinery
+    // under the composed stages; reports feed the artifact
+    val maintReports =
+      scala.collection.mutable.ArrayBuffer[Seq[graft.ops.IngestPipeline.MaintenanceReport]]()
     val t0 = System.nanoTime()
     val q = graft.streaming.CurationStreams.startIngestPipelineStream(
       spark, srcDir, bench,
       s"$base/s_digest", s"$base/s_minhash", s"$base/s_span",
-      s"$base/s_out", s"$base/cp", docs.schema)
+      s"$base/s_out", s"$base/cp", sliceOf(0).schema,
+      htmlCol = Some("html"), urlCol = Some("url"),
+      urlIndexPath = Some(s"$base/s_url"),
+      lineIndexPath = Some(s"$base/s_line"),
+      maintainEvery = 4, tagRetention = 0,
+      onMaintenance = rs => maintReports.synchronized { maintReports += rs })
     q.awaitTermination(3600000L)
     val streamSec = (System.nanoTime() - t0) / 1e9
     // per-micro-batch duration breakdown (StreamingQueryProgress
@@ -99,7 +133,10 @@ object StreamGate {
     (0 until nBatches).foreach { i =>
       graft.ops.TableWrite.withSchemaAnchor(
         graft.ops.IngestPipeline.ingestShard(sliceOf(i), bench,
-          s"$base/b_digest", s"$base/b_minhash", s"$base/b_span"),
+          s"$base/b_digest", s"$base/b_minhash", s"$base/b_span",
+          htmlCol = Some("html"), urlCol = Some("url"),
+          urlIndexPath = Some(s"$base/b_url"),
+          lineIndexPath = Some(s"$base/b_line")),
         s"$base/b_out", "append")
     }
     val batchSec = (System.nanoTime() - t1) / 1e9
@@ -117,12 +154,24 @@ object StreamGate {
     val (sRows, sHash) = summarize(s"$base/s_out")
     val (bRows, bHash) = summarize(s"$base/b_out")
     val equal = sRows == bRows && sHash == bHash
+    // manifest-growth accounting: per maintenance pass, the summed
+    // manifest line count (entries + tags + watermark lines) across
+    // the five stream-side indexes before and after — the number the
+    // maintenance scheduler exists to bound
+    val maint = maintReports.toSeq.map { rs =>
+      val before = rs.map(r => r.manifestLines(r.before)).sum
+      val after = rs.map(r => r.manifestLines(r.after)).sum
+      val compacted = rs.count(_.compacted)
+      s"""{"lines_before":$before,"lines_after":$after,"n_compacted":$compacted}"""
+    }.mkString("[", ",", "]")
     val json =
       s"""{"gate":"stream_vs_batch_composed_ingest","sf_dir":"$sfDir",""" +
       s""""n_batches":$nBatches,"stream_rows":$sRows,"batch_rows":$bRows,""" +
       s""""stream_hash":"$sHash","batch_hash":"$bHash","equal":$equal,""" +
       s""""stream_sec":${math.round(streamSec * 10) / 10.0},""" +
       s""""batch_sec":${math.round(batchSec * 10) / 10.0},""" +
+      s""""stages":"html,url,quality,digest,decontam,minhash,line,span",""" +
+      s""""n_maintenance_passes":${maintReports.size},"maintenance":$maint,""" +
       s""""n_progress_events":$nProgress,"stream_duration_split_sec":{$durs}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")
     println(json)

@@ -145,6 +145,140 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(streamed(2L)._2 == 20)
   }
 
+  test("web front door + line stage: HTML shell, URL dup, boilerplate line and span-order leaks each die at their own stage") {
+    // no <title>: title is a block tag, and a shared title would BE a
+    // cross-document duplicated line — this test plants its own
+    def page(lines: Seq[String]): String =
+      "<html><body>" + lines.map(l => s"<p>$l</p>").mkString + "</body></html>"
+    val LB = "site navigation menu bar" // the planted boilerplate line
+    val X = "quartz feldspar mica gneiss" // d12's line before LB
+    val shard1 = Seq(
+      // d1 owns LB (min doc); 3 lines, url canonicalizes with the
+      // utm param stripped
+      (1L, page(Seq(uniq(1, 8), LB, uniq(10, 8))),
+        "http://a.com/1?utm_source=z", "s"),
+      // d2 is a script shell: big markup, one visible character →
+      // fails the text-share screen
+      (2L, "<html><head><script>" + ("var x = 1; " * 40) +
+        "</script></head><body>z</body></html>", "http://a.com/2", "s"),
+      (3L, page(Seq(uniq(3, 12))), "http://a.com/3", "s")
+    ).toDF("doc_id", "html", "url", "source")
+    val t11 = uniq(21, 14)
+    val shard2 = Seq(
+      // same canonical URL as d1 (different tracking params, different
+      // text) → dropped at the URL stage, BEFORE any text work
+      (11L, page(Seq(t11)), "http://a.com/1?utm_campaign=q&fbclid=t", "s"),
+      // carries LB as its middle line → the line index cuts it
+      (12L, page(Seq(X, LB, uniq(12, 8))), "http://b.com/12", "s"),
+      // the span-order proof: d13's own single line embeds the 8-token
+      // run "X LB" — the gram that existed ONLY across d12's pre-cut
+      // line boundary. Line-cut-before-span-registration means the
+      // span index never learned it; d13 must survive INTACT.
+      (13L, page(Seq(s"schist $X $LB basalt obsidian")), "http://b.com/13", "s"),
+      // unparseable URL: the per-doc sentinel must NOT collide with
+      // other unparseable rows or drop the doc
+      (14L, page(Seq(uniq(14, 12))), "not a url", "s"),
+      // byte-identical TEXT to the url-dropped d11 → must be ADMITTED:
+      // a URL-rejected doc never registers its text digest
+      (15L, page(Seq(t11)), "http://b.com/15", "s"),
+      (16L, page(Seq(uniq(16, 12))), "also not a url", "s")
+    ).toDF("doc_id", "html", "url", "source")
+    val bench = Seq((100L, uniq(100, 10), "b")).toDF("doc_id", "text", "source")
+
+    val base = java.nio.file.Files.createTempDirectory("graft_ingweb").toString
+    def run(shard: org.apache.spark.sql.DataFrame) =
+      IngestPipeline.ingestShard(shard, bench,
+        s"$base/digest", s"$base/minhash", s"$base/span",
+        minTokens = 8, k = 16, bands = 4, shingleN = 3, threshold = 0.25,
+        spanN = 8, decontamN = 3, decontamMinHits = 1,
+        htmlCol = Some("html"), urlCol = Some("url"),
+        urlIndexPath = Some(s"$base/url"), lineIndexPath = Some(s"$base/line"))
+
+    val out1 = run(shard1).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    // d2 dies at the markup screen; d1 and d3 land with their
+    // EXTRACTED text (the span stage's clean_text is the kept TOKEN
+    // sequence space-joined, like every span-cut output)
+    assert(out1.keySet == Set(1L, 3L))
+    assert(out1(1L)._1 == s"${uniq(1, 8)} $LB ${uniq(10, 8)}")
+    assert(out1(3L)._1 == uniq(3, 12) && out1(3L)._2 == 12)
+
+    val out2 = run(shard2).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    // 11 = URL dup of d1's canonical form; 12 loses ONLY the LB line;
+    // 13 survives INTACT (span order proof); 14/16 flow past the URL
+    // stage on sentinels; 15 is admitted despite sharing 11's text
+    assert(out2.keySet == Set(12L, 13L, 14L, 15L, 16L))
+    assert(out2(12L)._1 == s"$X ${uniq(12, 8)}" && out2(12L)._2 == 12)
+    assert(out2(13L)._1 == s"schist $X $LB basalt obsidian" &&
+      out2(13L)._2 == 11)
+    assert(out2(15L)._1 == t11)
+    // retry: identical verdicts against the already-appended indexes
+    val retry = run(shard2).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(retry == out2)
+  }
+
+  test("streaming maintenance: boundary-crossing replay stays exactly-once through watermark AND verbatim tags") {
+    val shards = Seq(
+      Seq((1L, uniq(1, 20), "s"), (2L, uniq(2, 20), "s")),
+      Seq((11L, uniq(1, 20), "s"), (12L, uniq(12, 20), "s")), // 11 = exact dup of 1
+      Seq((21L, uniq(21, 20), "s"), (22L, uniq(12, 20), "s")) // 22 = exact dup of 12
+    ).map(_.toDF("doc_id", "text", "source"))
+    val bench = Seq((100L, "eval leak gram " + uniq(100, 10), "b"))
+      .toDF("doc_id", "text", "source")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_maint_src").toString
+    shards.zipWithIndex.foreach { case (df, i) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$srcDir/_stage_$i")
+      val part = new java.io.File(s"$srcDir/_stage_$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(s"$srcDir/b$i.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_maint").toString
+    val reports = scala.collection.mutable.ArrayBuffer[Seq[IngestPipeline.MaintenanceReport]]()
+    def start(cp: String, out: String) =
+      graft.streaming.CurationStreams.startIngestPipelineStream(
+        spark, srcDir, bench, s"$base/digest", s"$base/minhash", s"$base/span",
+        out, cp, shards.head.schema,
+        minTokens = 10, threshold = 0.25, spanN = 8, decontamMinHits = 1,
+        lineIndexPath = Some(s"$base/line"),
+        // maintenance fires after batch 1 with zero retention: tags
+        // for batches 0–1 compress into watermarks, batch 2's tag
+        // stays verbatim — so the replay below exercises BOTH the
+        // sub-watermark skip and the in-window tag skip
+        maintainEvery = 2, tagRetention = 0,
+        onMaintenance = rs => reports.synchronized { reports += rs })
+    start(s"$base/cp1", s"$base/out1").awaitTermination(120000)
+    val first = spark.read.parquet(s"$base/out1").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(first.keySet == Set(1L, 2L, 12L, 21L)) // 11, 22 exact-dup drops
+    // one maintenance pass fired (after batch index 1), covering all
+    // four indexes, and it checkpointed the tag lists
+    assert(reports.nonEmpty)
+    val r0 = reports.head
+    assert(r0.map(_.family).sorted == Seq("digest", "line", "minhash", "span"))
+    assert(r0.forall(r => r.after.nTags <= r.before.nTags))
+    assert(r0.exists(r => r.after.nTagMarks > 0)) // watermarks exist
+    // REPLAY across the maintenance boundary: fresh checkpoint and
+    // output, SAME indexes — every batch re-derives, every index
+    // append must skip (batches 0–1 via watermark, batch 2 via its
+    // verbatim tag), and the re-derived verdicts must be identical
+    reports.clear()
+    start(s"$base/cp2", s"$base/out2").awaitTermination(120000)
+    val second = spark.read.parquet(s"$base/out2").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(second == first)
+    // the indexes were not double-mutated by the replay: one digest
+    // row per distinct digest min-doc group, same as after run 1
+    val digests = Dedup.readDigestIndex(spark, s"$base/digest")
+      .groupBy("digest").agg(min("min_doc").as("m")).collect()
+      .map(_.toSeq).toSet
+    assert(digests.size == 4) // 4 distinct texts ever reached the stage
+  }
+
   test("dedupExactIncrement equals the batch min-id rule restricted to the increment") {
     val docs = Seq(
       (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
