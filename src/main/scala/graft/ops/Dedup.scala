@@ -646,20 +646,30 @@ object Dedup {
     * by the cut-position set; docs without a cut row pass through
     * verbatim (including their blank lines).
     *
-    * Membership is O(L + C) per document, not O(L·C): the kept
-    * POSITIONS come from one `array_except(sequence(0, L-1), _cuts)`
-    * (hash-set difference, order-preserving and duplicate-free on its
-    * first argument — positions are already distinct and ascending)
-    * and each kept line is an O(1) `element_at`. The previous
-    * `array_contains(_cuts, i)` inside the line filter re-scanned the
-    * cut array once PER LINE — quadratic for a scraped nav-shell doc
-    * where thousands of boilerplate lines are all cut (10k duplicated
-    * lines = 10⁸ comparisons in one row); the planted adversarial doc
-    * in the line-dedup spec pins the new shape.
+    * Membership is size-gated so neither regime pays for the other:
+    * when `|lines| · |cuts|` is small (every real fixture — a handful
+    * of cuts against tens of lines) the direct per-line
+    * `array_contains` scan wins on constants (no array allocations);
+    * past the gate (a scraped nav-shell doc where thousands of
+    * boilerplate lines are all cut — 10k lines × 10k cuts = 10⁸
+    * comparisons in ONE row under the direct scan) the kept POSITIONS
+    * come from one `array_except(sequence(0, L-1), _cuts)` (hash-set
+    * difference, order-preserving and duplicate-free on its first
+    * argument — positions are already distinct and ascending) and
+    * each kept line is an O(1) `element_at`: O(L + C) per document.
+    * The planted adversarial doc in the line-dedup spec crosses the
+    * gate and pins the set-difference shape; the oracle rows pin both
+    * branches' agreement (CaseWhen evaluates exactly one per row).
     */
   private def cutLines(df: DataFrame, idCol: String, textCol: String,
                        cuts: DataFrame): DataFrame = {
     val arr = split(coalesce(col(textCol), lit("")), "\n", -1)
+    val nl = size(col("_l")).cast("long")
+    val nc = size(col("_cuts")).cast("long")
+    val direct = filter(col("_l"), (_, i) => !array_contains(col("_cuts"), i))
+    val setDiff = transform(
+      array_except(sequence(lit(0), size(col("_l")) - 1), col("_cuts")),
+      p => element_at(col("_l"), p + 1))
     // spread the doc side too: cuts is small (AQE broadcasts it), so
     // a one-file corpus would otherwise rebuild every document's line
     // array in ONE task — lineRows got the spread, the cut tail needs
@@ -669,9 +679,8 @@ object Dedup {
       .join(cuts, Seq("doc_id"), "left")
       .withColumn("_k",
         when(col("_cuts").isNull, col("_l"))
-          .otherwise(transform(
-            array_except(sequence(lit(0), size(col("_l")) - 1), col("_cuts")),
-            p => element_at(col("_l"), p + 1))))
+          .when(nl * nc <= lit(1L << 14), direct)
+          .otherwise(setDiff))
       .select(col("doc_id"),
         array_join(col("_k"), "\n").as("clean_text"),
         size(col("_k")).cast("long").as("n_lines_kept"),
