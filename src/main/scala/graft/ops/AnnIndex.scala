@@ -50,8 +50,18 @@ object AnnIndex {
   def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
             dims: Int = 64, ivfK: Int = 256, pqM: Int = 4, pqK: Int = 4,
             planes: Int = 8, iters: Int = 2): Unit = {
-    val cent = Similarity.trainIvfCentroids(corpus, idCol, vecCol, ivfK, iters)
-    val cb = Similarity.trainPqCodebooks(corpus, idCol, vecCol, dims, pqM, pqK, iters)
+    // the IVF and PQ trainers are INDEPENDENT sequential collect
+    // chains over the same corpus — overlap them (r15; the inParallel
+    // rationale): each trainer's per-iteration job leaves most of the
+    // scheduler idle between collects, so the two chains interleave
+    // and the build pays ~max(ivf, pq) trainer wall instead of the
+    // sum. Determinism is untouched — each trainer's trajectory
+    // depends only on its own input.
+    @volatile var cent: DataFrame = null
+    @volatile var cb: DataFrame = null
+    inParallel(
+      () => cent = Similarity.trainIvfCentroids(corpus, idCol, vecCol, ivfK, iters),
+      () => cb = Similarity.trainPqCodebooks(corpus, idCol, vecCol, dims, pqM, pqK, iters))
     buildFromArtifacts(corpus, idCol, vecCol, path, cent, cb,
       dims, ivfK, pqM, pqK, planes, iters)
   }
@@ -118,24 +128,11 @@ object AnnIndex {
     * small artifact writes pays one inter-job latency round instead
     * of one per write. Safe here because no two tasks touch the same
     * store path (IndexStore's claim loop would serialize them anyway).
+    * (r15: hoisted to [[Concurrent.inParallel]] so the ingest pipeline
+    * and the incremental bench rows share the pattern.)
     */
-  private def inParallel(tasks: (() => Unit)*): Unit = {
-    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    val ts = tasks.map(t => new Thread(() => {
-      try t() catch { case e: Throwable => errs.add(e) }
-    }))
-    ts.foreach(_.start())
-    ts.foreach(_.join())
-    if (!errs.isEmpty) {
-      // concurrent failures from the sibling writes ride along as
-      // suppressed — a partial index is diagnosed from ALL of them,
-      // not one arbitrary stack trace
-      val it = errs.iterator()
-      val first = it.next()
-      while (it.hasNext) first.addSuppressed(it.next())
-      throw first
-    }
-  }
+  private def inParallel(tasks: (() => Unit)*): Unit =
+    Concurrent.inParallel(tasks: _*)
 
   /** Layout key for the two growing tables: a hash prefix of the
     * vector id (identity-transform compaction tolerates any bucketing,

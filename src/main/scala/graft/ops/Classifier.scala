@@ -72,25 +72,52 @@ object Classifier {
   private def sigmoid(m: Column): Column = lit(1.0) / (lit(1.0) + exp(-m))
 
   /** `steps` full-batch GD steps from zero weights; returns the
-    * (weights, bias) pair. Each step collects only the ≤dims-row
-    * per-bucket gradient and a 1-row bias/count aggregate.
+    * (weights, bias) pair. Delegates to [[trainWeightsWithBuckets]].
     */
   def trainWeights(db: DataFrame, dims: Int, steps: Int, lr: Double): (Array[Double], Double) = {
+    val (w, bias, _) = trainWeightsWithBuckets(db, dims, steps, lr)
+    (w, bias)
+  }
+
+  /** `steps` full-batch GD steps from zero weights; returns
+    * (weights, bias, present buckets). ONE driver job per step: the
+    * per-doc error table is NOT checkpointed — the margin aggregate
+    * runs exactly once inside the gradient job's plan, the bias/count
+    * aggregate rides the SAME job as an `observe()` metric on the
+    * error table (a CollectMetrics node: every error row passes it
+    * once on its way into the gradient join, so the 1-row bias
+    * aggregate costs no extra pass and no extra job), and only the
+    * ≤dims-row gradient collects. The r14 shape paid THREE sequential
+    * driver jobs per step (eager err checkpoint + gradient collect +
+    * bias collect) — at local-mode job floors that was most of the
+    * trainer's wall. The decimal-exact 12-dp rounding contract is
+    * unchanged expression for expression, so the weight trajectory is
+    * bit-identical to the unfolded form (and to the unrolled-CTE
+    * DuckDB oracle).
+    *
+    * The returned bucket set is the last gradient's key set — exactly
+    * `db.select("b").distinct()` (every doc carries an error row and
+    * every (doc, b) joins it), collected for free with the final
+    * step's gradient instead of as its own job.
+    */
+  def trainWeightsWithBuckets(db: DataFrame, dims: Int, steps: Int,
+                              lr: Double): (Array[Double], Double, Array[Long]) = {
     val w = Array.fill(dims)(0.0)
     var bias = 0.0
-    for (_ <- 1 to steps) {
+    var present = Array.empty[Long]
+    for (step <- 1 to steps) {
       val m = margins(db, w, bias)
+      val obs = org.apache.spark.sql.Observation(s"gd_step_$step")
       val e = m.select(col("doc_id"),
           round(col("y") - sigmoid(col("marg")), 12).as("err"))
-        .localCheckpoint(true)
+        .observe(obs, sum(dec(col("err"))).as("sb"), count(lit(1)).as("nd"))
       val gRows = e.join(db, "doc_id")
         .groupBy("b")
         .agg(sum(dec(round(col("err") * col("c") / col("n"), 12))).as("sg"))
         .collect()
-      val biasRow = e.agg(sum(dec(col("err"))).as("sb"), count(lit(1)).as("nd"))
-        .collect().head
-      val nd = biasRow.getLong(1).toDouble
-      // empty training set: the aggregates come back (null, 0) — keep
+      val metrics = obs.get
+      val nd = metrics("nd").asInstanceOf[Long].toDouble
+      // empty training set: the metrics come back (null, 0) — keep
       // the zero weights instead of dividing by the zero count
       if (nd > 0) {
         gRows.foreach { r =>
@@ -98,21 +125,28 @@ object Classifier {
           val g = r.getDecimal(1).doubleValue() / nd
           w(b) = r12(w(b) + lr * g)
         }
-        bias = r12(bias + lr * (biasRow.getDecimal(0).doubleValue() / nd))
+        bias = r12(bias + lr *
+          (metrics("sb").asInstanceOf[java.math.BigDecimal].doubleValue() / nd))
       }
+      present = gRows.map(_.getLong(0))
     }
-    (w, bias)
+    (w, bias, present.sorted)
   }
 
   /** Trained weights as a (feature, weight) table — only buckets that
     * occur in the corpus (matching the oracle's gradient key set),
-    * plus the bias as feature −1.
+    * plus the bias as feature −1. Pass the `present` array from
+    * [[trainWeightsWithBuckets]] to skip the distinct-bucket job; the
+    * two derivations are identical by construction (the gradient
+    * groups over every (doc, b) row of the class table).
     */
   def weightsDF(spark: SparkSession, db: DataFrame,
-                w: Array[Double], bias: Double): DataFrame = {
+                w: Array[Double], bias: Double,
+                present: Option[Array[Long]] = None): DataFrame = {
     import spark.implicits._
-    val present = db.select("b").distinct().collect().map(_.getLong(0)).sorted
-    (present.map(b => (b, w(b.toInt))) :+ (-1L, bias)).toSeq
+    val ps = present.getOrElse(
+      db.select("b").distinct().collect().map(_.getLong(0)).sorted)
+    (ps.map(b => (b, w(b.toInt))) :+ (-1L, bias)).toSeq
       .toDF("feature", "weight")
       .select(col("feature"), round(col("weight"), 6).as("weight"))
   }

@@ -45,35 +45,56 @@ object Components {
       .distinct()
       .localCheckpoint()
 
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint()
     // labels only ever DECREASE (both steps take a least()), so the
     // label sum is a strictly monotone convergence witness: equal sum
-    // ⇔ fixpoint — one decimal agg per round instead of a self-join
-    def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum   = lblSum(labels)
+    // ⇔ fixpoint. The sum rides each round's checkpoint job as an
+    // `observe()` metric (a CollectMetrics node the materialized rows
+    // pass through anyway) — r15: the standalone per-round sum job the
+    // r14 shape paid was pure job-floor latency, half the loop's
+    // driver rounds.
+    def observedSum(df: DataFrame, name: String): (DataFrame, org.apache.spark.sql.Observation) = {
+      val obs = org.apache.spark.sql.Observation(name)
+      (df.observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("s")), obs)
+    }
+    def metricSum(obs: org.apache.spark.sql.Observation): java.math.BigDecimal =
+      obs.get("s").asInstanceOf[java.math.BigDecimal]
+    // round 1's hop over identity labels IS `min(self ∪ neighbors)` —
+    // computable straight off the edge list, so the separate
+    // identity-label init (a distinct + checkpoint + its own job in
+    // the r14 shape) folds into the first round (r15). prevSum starts
+    // null: an empty edge set converges on round 1 (null == null),
+    // and any non-empty graph strictly decreases some label in round
+    // 1, so a false round-1 convergence is impossible.
+    var labels: DataFrame = null
+    var prevSum: java.math.BigDecimal = null
     var iter      = 0
     var converged = false
     while (!converged && iter < maxIter) {
       // min label over the 1-hop neighborhood (self included)
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
-        .groupBy("src").agg(min("lbl").as("nmin"))
-        .withColumnRenamed("src", "node")
-      val hop = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+      val hop =
+        if (labels == null)
+          edges.groupBy("src")
+            .agg(least(col("src"), min(col("dst"))).as("lbl"))
+            .withColumnRenamed("src", "node")
+        else {
+          val nbrMin = edges
+            .join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src").agg(min("lbl").as("nmin"))
+            .withColumnRenamed("src", "node")
+          labels.join(nbrMin, Seq("node"), "left")
+            .select(col("node"),
+              least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        }
       // pointer jump: follow my label to ITS label (path halving) —
       // this is what turns O(diameter) propagation into O(log n)
-      val jump = hop.alias("x")
+      val (jumpObs, obs) = observedSum(hop.alias("x")
         .join(hop.select(col("node").as("lbl"), col("lbl").as("plbl")).alias("p"),
           Seq("lbl"), "left")
         .select(col("node"),
-          least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      val newSum = lblSum(jump)
+          least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl")),
+        s"cc_round_${iter}_${System.nanoTime()}")
+      val jump = jumpObs.localCheckpoint()
+      val newSum = metricSum(obs)
       labels = jump
       converged = (newSum == null && prevSum == null) ||
         (newSum != null && prevSum != null && newSum.compareTo(prevSum) == 0)

@@ -467,7 +467,8 @@ object Dedup {
   def dedupExactIncrement(inc: DataFrame, idCol: String, textCol: String,
                           indexPath: String, normalized: Boolean = false,
                           appendDigests: Boolean = true,
-                          commitTag: Option[String] = None): DataFrame = {
+                          commitTag: Option[String] = None,
+                          appendBarrier: Option[AppendBarrier] = None): DataFrame = {
     val spark = inc.sparkSession
     val idx = readDigestIndex(spark, indexPath)
       .groupBy(col("digest")).agg(min(col("min_doc")).as("_imn"))
@@ -491,11 +492,20 @@ object Dedup {
       .join(idx, d("_dg") <=> idx("digest") && idx("_imn") < d(idCol),
         "left_anti")
       .drop("_dg")
-    if (appendDigests)
-      IndexStore.append(
+    if (appendDigests) {
+      // the append's source is the materialized checkpoint `d`, and no
+      // downstream consumer of `kept` reads THIS index (its manifest
+      // snapshot is already taken) — so a composed pipeline may defer
+      // it through the barrier and overlap it with later-stage compute
+      def doAppend(): Unit = IndexStore.append(
         d.select(col(idCol).as("_did"), col("_dg").as("digest"))
           .groupBy(col("digest")).agg(min(col("_did")).as("min_doc")),
         indexPath, digestPfx, commitTag)
+      appendBarrier match {
+        case Some(b) => b.submit(doAppend())
+        case None => doAppend()
+      }
+    }
     kept
   }
 
@@ -537,15 +547,22 @@ object Dedup {
                                     textCol: String, indexPath: String,
                                     n: Int = 8, crossDocOnly: Boolean = true,
                                     appendGrams: Boolean = true,
-                                    commitTag: Option[String] = None): DataFrame = {
+                                    commitTag: Option[String] = None,
+                                    appendBarrier: Option[AppendBarrier] = None,
+                                    pinnedGrams: Option[DataFrame] = None): DataFrame = {
     val spark = inc.sparkSession
     val idx = readSpanGramIndex(spark, indexPath)
       // one row per gh whatever the shard-append history: the global
       // first doc is the min over per-shard minima
       .groupBy(col("gh")).agg(min(col("min_doc")).as("_imn"))
     // eager pin: the within-fold, the index probe and the append all
-    // read the gram table — unpinned, each would re-run the kernel
-    val grams = spanGrams(inc, idCol, textCol, n).localCheckpoint(true)
+    // read the gram table — unpinned, each would re-run the kernel.
+    // `pinnedGrams` (must be [[pinnedSpanGrams]] over the same shard/
+    // args) lets a caller materialize this pass CONCURRENTLY with an
+    // independent job (the bench rows overlap it with the corpus-side
+    // index build) — the table is identical, so verdicts are too.
+    val grams = pinnedGrams.getOrElse(
+      spanGrams(inc, idCol, textCol, n).localCheckpoint(true))
     val within = grams.groupBy(col("gh"))
       .agg(min(col("doc_id")).as("_mn"), max(col("doc_id")).as("_mx"),
         count(lit(1)).as("_c"))
@@ -558,12 +575,27 @@ object Dedup {
     // one row per (doc, gpos)
     val hits = idxHits.union(withinHits).distinct()
     val out = cutSpans(inc, idCol, textCol, spansFromGramHits(hits, n))
-    if (appendGrams)
-      IndexStore.append(
+    if (appendGrams) {
+      def doAppend(): Unit = IndexStore.append(
         grams.groupBy(col("gh")).agg(min(col("doc_id")).as("min_doc")),
         indexPath, spanPfx, commitTag)
+      appendBarrier match {
+        case Some(b) => b.submit(doAppend())
+        case None => doAppend()
+      }
+    }
     out
   }
+
+  /** The increment's positional gram table, eagerly pinned — the
+    * exact table [[removeDuplicateSpansIncrement]] computes when
+    * `pinnedGrams` is absent, exposed so a caller can overlap its
+    * materialization with an independent job (e.g. the corpus-side
+    * [[writeSpanGramIndex]]) before passing it in.
+    */
+  def pinnedSpanGrams(inc: DataFrame, idCol: String, textCol: String,
+                      n: Int = 8): DataFrame =
+    spanGrams(inc, idCol, textCol, n).localCheckpoint(true)
 
   // ── line-level exact dedup (the Falcon/RefinedWeb boilerplate rule) ─
 
@@ -744,13 +776,18 @@ object Dedup {
   def removeDuplicateLinesIncrement(inc: DataFrame, idCol: String,
                                     textCol: String, indexPath: String,
                                     appendLines: Boolean = true,
-                                    commitTag: Option[String] = None): DataFrame = {
+                                    commitTag: Option[String] = None,
+                                    appendBarrier: Option[AppendBarrier] = None,
+                                    pinnedLines: Option[DataFrame] = None): DataFrame = {
     val spark = inc.sparkSession
     val idx = readLineIndex(spark, indexPath)
       .groupBy(col("lh")).agg(min(col("min_doc")).as("_imn"))
     // eager pin: the within-fold, the index probe and the append all
-    // read the line table — unpinned, each would re-split the shard
-    val lines = lineRows(inc, idCol, textCol).localCheckpoint(true)
+    // read the line table — unpinned, each would re-split the shard.
+    // `pinnedLines` (must be [[pinnedLineRows]] over the same shard)
+    // lets a caller overlap this pass with an independent job.
+    val lines = pinnedLines.getOrElse(
+      lineRows(inc, idCol, textCol).localCheckpoint(true))
     val within = lines.groupBy(col("lh"))
       .agg(min(col("doc_id")).as("_mn"), max(col("doc_id")).as("_mx"))
       .where(col("_mn") =!= col("_mx"))
@@ -763,12 +800,25 @@ object Dedup {
     val cuts = idxCuts.union(withinCuts).distinct()
       .groupBy(col("doc_id")).agg(collect_list(col("lpos")).as("_cuts"))
     val out = cutLines(inc, idCol, textCol, cuts)
-    if (appendLines)
-      IndexStore.append(
+    if (appendLines) {
+      def doAppend(): Unit = IndexStore.append(
         lines.groupBy(col("lh")).agg(min(col("doc_id")).as("min_doc")),
         indexPath, linePfx, commitTag)
+      appendBarrier match {
+        case Some(b) => b.submit(doAppend())
+        case None => doAppend()
+      }
+    }
     out
   }
+
+  /** The increment's line table, eagerly pinned — the exact table
+    * [[removeDuplicateLinesIncrement]] computes when `pinnedLines` is
+    * absent, exposed so a caller can overlap its materialization with
+    * an independent job (e.g. the corpus-side [[writeLineIndex]]).
+    */
+  def pinnedLineRows(inc: DataFrame, idCol: String, textCol: String): DataFrame =
+    lineRows(inc, idCol, textCol).localCheckpoint(true)
 
   /** MinHash signatures in wide form: one row per doc, k `sig<i>`
     * columns — a single shuffle (groupBy id) with k min-aggregates,
@@ -1031,14 +1081,20 @@ object Dedup {
                      indexPath: String, k: Int = 16, bands: Int = 4,
                      n: Int = 3, threshold: Double = 0.5,
                      appendSignatures: Boolean = true,
-                     commitTag: Option[String] = None): DataFrame = {
+                     commitTag: Option[String] = None,
+                     appendBarrier: Option[AppendBarrier] = None,
+                     pinnedSigs: Option[DataFrame] = None): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val spark = inc.sparkSession
     val idx = readMinhashIndex(spark, indexPath)
     // eager pin: the signature table has four consumers (cross join,
     // estimate, within-pairs, the append) — a lazy pin would let the
-    // AQE broadcast thread race the main thread into recomputing it
-    val wide = minhashSignaturesWide(inc, idCol, textCol, k, n).localCheckpoint(true)
+    // AQE broadcast thread race the main thread into recomputing it.
+    // `pinnedSigs` (must be [[pinnedMinhashSignatures]] over the same
+    // shard/k/n) lets a caller overlap the signature pass with an
+    // independent job (e.g. the corpus-side [[writeMinhashIndex]]).
+    val wide = pinnedSigs.getOrElse(
+      minhashSignaturesWide(inc, idCol, textCol, k, n).localCheckpoint(true))
     val crossCand = lshBandRows(wide, k, bands).as("x")
       .join(lshBandRows(idx, k, bands).as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
@@ -1056,10 +1112,24 @@ object Dedup {
       .select(col("id_b").as("_drop"))
     val drops = crossDrops.union(withinDrops).distinct()
     val kept = inc.join(broadcast(drops), inc(idCol) === col("_drop"), "left_anti")
-    if (appendSignatures)
-      IndexStore.append(wide, indexPath, minhashPfx, commitTag)
+    if (appendSignatures) {
+      def doAppend(): Unit = IndexStore.append(wide, indexPath, minhashPfx, commitTag)
+      appendBarrier match {
+        case Some(b) => b.submit(doAppend())
+        case None => doAppend()
+      }
+    }
     kept
   }
+
+  /** The increment's wide signature table, eagerly pinned — the exact
+    * table [[dedupIncrement]] computes when `pinnedSigs` is absent,
+    * exposed so a caller can overlap the signature pass with an
+    * independent job (e.g. the corpus-side [[writeMinhashIndex]]).
+    */
+  def pinnedMinhashSignatures(inc: DataFrame, idCol: String, textCol: String,
+                              k: Int = 16, n: Int = 3): DataFrame =
+    minhashSignaturesWide(inc, idCol, textCol, k, n).localCheckpoint(true)
 
   /** SimHash fingerprint over tokens (bit-width configurable; 64 by
     * default): per-token md5 bits vote ±tf, sign gives the fingerprint

@@ -136,19 +136,31 @@ object IngestPipeline {
     // index: IndexStore compaction commits by manifest, so the index
     // stays present (and readable) through every maintenance crash.
     val none = shard.where(lit(false))
-    if (!IndexStore.exists(spark, digestIndexPath))
-      Dedup.writeDigestIndex(none.withColumn(textCol, lit("")), idCol, textCol,
-        digestIndexPath)
-    if (!IndexStore.exists(spark, minhashIndexPath))
-      Dedup.writeMinhashIndex(none.withColumn(textCol, lit("")), idCol, textCol,
-        minhashIndexPath, k, shingleN)
-    if (!IndexStore.exists(spark, spanIndexPath))
-      Dedup.writeSpanGramIndex(none.withColumn(textCol, lit("")), idCol, textCol,
-        spanIndexPath, spanN)
-    lineIndexPath.foreach { lp =>
-      if (!IndexStore.exists(spark, lp))
-        Dedup.writeLineIndex(none.withColumn(textCol, lit("")), idCol, textCol, lp)
-    }
+    // the missing-index inits are independent single-anchor writes to
+    // DISJOINT paths — overlap them (r15: the first shard paid one
+    // job-latency round per index; Concurrent.inParallel rationale)
+    val inits = Seq[Option[() => Unit]](
+      if (!IndexStore.exists(spark, digestIndexPath)) Some(() =>
+        Dedup.writeDigestIndex(none.withColumn(textCol, lit("")), idCol, textCol,
+          digestIndexPath)) else None,
+      if (!IndexStore.exists(spark, minhashIndexPath)) Some(() =>
+        Dedup.writeMinhashIndex(none.withColumn(textCol, lit("")), idCol, textCol,
+          minhashIndexPath, k, shingleN)) else None,
+      if (!IndexStore.exists(spark, spanIndexPath)) Some(() =>
+        Dedup.writeSpanGramIndex(none.withColumn(textCol, lit("")), idCol, textCol,
+          spanIndexPath, spanN)) else None,
+      lineIndexPath.collect {
+        case lp if !IndexStore.exists(spark, lp) => () =>
+          Dedup.writeLineIndex(none.withColumn(textCol, lit("")), idCol, textCol, lp)
+      }).flatten
+    if (inits.nonEmpty) Concurrent.inParallel(inits: _*)
+    // every stage's index append is independent of downstream stage
+    // compute (each stage reads only its OWN index, whose manifest
+    // snapshot is taken before its append is submitted) — defer them
+    // through one barrier and overlap with the rest of the shard's
+    // work; awaited before return, so the next shard / the streaming
+    // commit observes exactly the sequential run's index state
+    val barrier = new AppendBarrier
 
     // ── stage 0a: HTML extraction + markup screen ────────────────────
     val extracted = htmlCol match {
@@ -175,7 +187,7 @@ object IngestPipeline {
         if (!IndexStore.exists(spark, uPath))
           Dedup.writeDigestIndex(withUrl.where(lit(false)), idCol, "_norm_url", uPath)
         Dedup.dedupExactIncrement(withUrl, idCol, "_norm_url", uPath,
-            commitTag = commitTag.map(_ + ":url"))
+            commitTag = commitTag.map(_ + ":url"), appendBarrier = Some(barrier))
           .drop("_norm_url")
       case _ => extracted
     }
@@ -188,7 +200,8 @@ object IngestPipeline {
       .select(col(idCol), col(textCol), col(keyCol))
     // ── stage 2: exact-dup drop vs the digest index ──────────────────
     val exact = Dedup.dedupExactIncrement(qual, idCol, textCol,
-      digestIndexPath, commitTag = commitTag.map(_ + ":digest"))
+      digestIndexPath, commitTag = commitTag.map(_ + ":digest"),
+      appendBarrier = Some(barrier))
     // ── stage 3: decontamination BEFORE the near-dup stage: a
     // contaminated doc must never register MinHash signatures
     // (scaladoc invariant)
@@ -203,25 +216,32 @@ object IngestPipeline {
     // ── stage 4: near-dup drop vs the MinHash index ──────────────────
     val near = Dedup.dedupIncrement(clean, idCol, textCol,
         minhashIndexPath, k, bands, shingleN, threshold,
-        commitTag = commitTag.map(_ + ":minhash"))
+        commitTag = commitTag.map(_ + ":minhash"),
+        appendBarrier = Some(barrier))
       .localCheckpoint(true)
     // ── stage 5 (optional): line cut BEFORE span registration ────────
     val lineClean = lineIndexPath match {
       case None => near
       case Some(lp) =>
         Dedup.removeDuplicateLinesIncrement(near, idCol, textCol, lp,
-            commitTag = commitTag.map(_ + ":line"))
+            commitTag = commitTag.map(_ + ":line"),
+            appendBarrier = Some(barrier))
           .select(col("doc_id").as(idCol), col("clean_text").as(textCol))
           // pin: the span increment consumes this twice (gram pass +
           // cut); unpinned it would re-run the line join per consumer
           .localCheckpoint(true)
     }
     // ── stage 6: span cut (rewrites the text); key rejoins below ─────
-    Dedup.removeDuplicateSpansIncrement(lineClean, idCol, textCol,
-        spanIndexPath, spanN, commitTag = commitTag.map(_ + ":span"))
+    val out = Dedup.removeDuplicateSpansIncrement(lineClean, idCol, textCol,
+        spanIndexPath, spanN, commitTag = commitTag.map(_ + ":span"),
+        appendBarrier = Some(barrier))
       .join(near.select(col(idCol).as("doc_id"), col(keyCol)), Seq("doc_id"))
       .select(col("doc_id"), col(keyCol), col("clean_text"),
         col("n_kept").as("n_tokens"))
+    // every deferred index append must be durable before this shard's
+    // call returns — the cross-shard sequential contract
+    barrier.await()
+    out
   }
 
   /** One index's before/after view from [[maintainIndexes]] — the

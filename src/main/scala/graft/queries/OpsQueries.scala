@@ -1253,14 +1253,23 @@ object OpsQueries {
           // scratch index, reclaimed at JVM exit — a multi-sweep bench
           // run must not accumulate orphaned signature trees in /tmp
           val idxPath = graft.ops.TableWrite.scratchDir("graft_mh_index")
-          Dedup.writeMinhashIndex(old, "doc_id", "text", idxPath, k = 16, n = 3)
+          // the corpus-side index build and the increment-side
+          // signature pass are INDEPENDENT — overlap them (r15,
+          // guide-§2.6: both are small-stage jobs that leave the
+          // scheduler idle between rounds); join before the probe
+          // reads the index
+          val built = graft.ops.Concurrent.fork(
+            Dedup.writeMinhashIndex(old, "doc_id", "text", idxPath, k = 16, n = 3))
+          val sigs = Dedup.pinnedMinhashSignatures(inc, "doc_id", "text", k = 16, n = 3)
+          built()
           // the corpus's own dup pairs come FROM the index it just
           // wrote — the corpus text is signature-hashed exactly once
           val oldKept = Dedup.dropPairedDuplicates(old, "doc_id",
             Dedup.minhashLshPairsFromSigs(Dedup.readMinhashIndex(s, idxPath),
               k = 16, bands = 4, threshold = 0.25))
           val incKept = Dedup.dedupIncrement(inc, "doc_id", "text", idxPath,
-            k = 16, bands = 4, n = 3, threshold = 0.25)
+            k = 16, bands = 4, n = 3, threshold = 0.25,
+            pinnedSigs = Some(sigs))
           oldKept.select(col("doc_id")).union(incKept.select(col("doc_id")))
             .orderBy(col("doc_id"))
         }
@@ -1291,10 +1300,17 @@ object OpsQueries {
         } else {
           val bnd = maxId.asInstanceOf[Long] * 3 / 5
           val idxPath = graft.ops.TableWrite.scratchDir("graft_span_index")
-          Dedup.writeSpanGramIndex(docs.where(col("doc_id") <= bnd),
-            "doc_id", "text", idxPath, n = 5)
-          Dedup.removeDuplicateSpansIncrement(docs.where(col("doc_id") > bnd),
-              "doc_id", "text", idxPath, n = 5)
+          val inc = docs.where(col("doc_id") > bnd)
+          // overlap the corpus-side index build with the increment's
+          // gram pass (independent jobs — r15, guide §2.6); join
+          // before the increment reads the index manifest
+          val built = graft.ops.Concurrent.fork(
+            Dedup.writeSpanGramIndex(docs.where(col("doc_id") <= bnd),
+              "doc_id", "text", idxPath, n = 5))
+          val grams = Dedup.pinnedSpanGrams(inc, "doc_id", "text", n = 5)
+          built()
+          Dedup.removeDuplicateSpansIncrement(inc,
+              "doc_id", "text", idxPath, n = 5, pinnedGrams = Some(grams))
             .orderBy(col("doc_id"))
         }
       },
@@ -1387,10 +1403,16 @@ object OpsQueries {
         } else {
           val bnd = maxId.asInstanceOf[Long] * 3 / 5
           val idxPath = graft.ops.TableWrite.scratchDir("graft_line_index")
-          Dedup.writeLineIndex(docs.where(col("doc_id") <= bnd),
-            "doc_id", "text", idxPath)
-          Dedup.removeDuplicateLinesIncrement(docs.where(col("doc_id") > bnd),
-              "doc_id", "text", idxPath)
+          val inc = docs.where(col("doc_id") > bnd)
+          // overlap the corpus-side index build with the increment's
+          // line pass (independent jobs — r15, guide §2.6)
+          val built = graft.ops.Concurrent.fork(
+            Dedup.writeLineIndex(docs.where(col("doc_id") <= bnd),
+              "doc_id", "text", idxPath))
+          val lines = Dedup.pinnedLineRows(inc, "doc_id", "text")
+          built()
+          Dedup.removeDuplicateLinesIncrement(inc,
+              "doc_id", "text", idxPath, pinnedLines = Some(lines))
             .orderBy(col("doc_id"))
         }
       },
@@ -2002,8 +2024,12 @@ object OpsQueries {
         val db = graft.ops.Classifier.featurize(
           s.table("documents"), "doc_id", "text",
           col("source") === "src0", LrDims)
-        val (w, bias) = graft.ops.Classifier.trainWeights(db, LrDims, LrSteps, LrRate)
-        graft.ops.Classifier.weightsDF(s, db, w, bias).orderBy("feature")
+        // the bucket key set rides the last gradient collect — the
+        // standalone distinct-b job the r14 shape paid is gone
+        val (w, bias, present) =
+          graft.ops.Classifier.trainWeightsWithBuckets(db, LrDims, LrSteps, LrRate)
+        graft.ops.Classifier.weightsDF(s, db, w, bias, Some(present))
+          .orderBy("feature")
       },
       Some(s"""WITH ${logRegCtes(LrDims, LrSteps, LrRate)}
               |SELECT f AS feature, ROUND(w, 6) AS weight FROM w$LrSteps

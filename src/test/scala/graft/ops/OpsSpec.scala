@@ -1425,6 +1425,78 @@ class OpsSpec extends AnyFunSuite {
     assert(wdf.length <= 64 + 1)
   }
 
+  test("classifier trainer fold: gradient-collect bucket set IS distinct b, " +
+    "weights table identical either way") {
+    val d = Seq(
+      (1L, "alpha beta gamma alpha beta", "wiki"),
+      (2L, "beta gamma alpha gamma", "wiki"),
+      (3L, "zork quux blarg zork", "web"),
+      (4L, "quux blarg zork blarg", "web")
+    ).toDF("doc_id", "text", "source")
+    val db = Classifier.featurize(d, "doc_id", "text", $"source" === "wiki", dims = 64)
+    val (w, bias, present) = Classifier.trainWeightsWithBuckets(db, 64, steps = 3, lr = 5.0)
+    // the r15 fold's free bucket set equals the standalone distinct job's
+    val distinctB = db.select("b").distinct().collect().map(_.getLong(0)).sorted
+    assert(present.toSeq == distinctB.toSeq)
+    // and the weights table is byte-identical through either path
+    val viaPresent = Classifier.weightsDF(spark, db, w, bias, Some(present))
+      .orderBy("feature").collect().toSeq
+    val viaDistinct = Classifier.weightsDF(spark, db, w, bias, None)
+      .orderBy("feature").collect().toSeq
+    assert(viaPresent == viaDistinct)
+    // the delegating pair returns the same trajectory
+    val (w2, bias2) = Classifier.trainWeights(db, 64, steps = 3, lr = 5.0)
+    assert(w.toSeq == w2.toSeq && bias == bias2)
+  }
+
+  test("pinned-table increments equal the internal-hash path (spans/lines/minhash)") {
+    // the r15 overlap hook: a caller materializes the increment's
+    // gram/line/signature table concurrently with the index build and
+    // passes it in — verdicts must be identical to the internal path
+    val old = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa\nNAV BAR LINE"),
+      (2L, "one two three four five six seven eight nine ten\nNAV BAR LINE")
+    ).toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa\nNAV BAR LINE"),
+      (11L, "fresh words only here nothing shared at all today now\nNAV BAR LINE"),
+      (12L, "fresh words only here nothing shared at all today now\nunique tail")
+    ).toDF("doc_id", "text")
+    def cmp(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Unit =
+      assert(a.collect().map(_.toString).sorted.toSeq ==
+        b.collect().map(_.toString).sorted.toSeq)
+    // spans
+    val sp1 = java.nio.file.Files.createTempDirectory("sp1").toString
+    val sp2 = java.nio.file.Files.createTempDirectory("sp2").toString
+    Dedup.writeSpanGramIndex(old, "doc_id", "text", sp1, n = 5)
+    Dedup.writeSpanGramIndex(old, "doc_id", "text", sp2, n = 5)
+    cmp(
+      Dedup.removeDuplicateSpansIncrement(inc, "doc_id", "text", sp1, n = 5),
+      Dedup.removeDuplicateSpansIncrement(inc, "doc_id", "text", sp2, n = 5,
+        pinnedGrams = Some(Dedup.pinnedSpanGrams(inc, "doc_id", "text", n = 5))))
+    // lines
+    val ln1 = java.nio.file.Files.createTempDirectory("ln1").toString
+    val ln2 = java.nio.file.Files.createTempDirectory("ln2").toString
+    Dedup.writeLineIndex(old, "doc_id", "text", ln1)
+    Dedup.writeLineIndex(old, "doc_id", "text", ln2)
+    cmp(
+      Dedup.removeDuplicateLinesIncrement(inc, "doc_id", "text", ln1),
+      Dedup.removeDuplicateLinesIncrement(inc, "doc_id", "text", ln2,
+        pinnedLines = Some(Dedup.pinnedLineRows(inc, "doc_id", "text"))))
+    // minhash
+    val mh1 = java.nio.file.Files.createTempDirectory("mh1").toString
+    val mh2 = java.nio.file.Files.createTempDirectory("mh2").toString
+    Dedup.writeMinhashIndex(old, "doc_id", "text", mh1, k = 16, n = 3)
+    Dedup.writeMinhashIndex(old, "doc_id", "text", mh2, k = 16, n = 3)
+    cmp(
+      Dedup.dedupIncrement(inc, "doc_id", "text", mh1, k = 16, bands = 4,
+        n = 3, threshold = 0.25),
+      Dedup.dedupIncrement(inc, "doc_id", "text", mh2, k = 16, bands = 4,
+        n = 3, threshold = 0.25,
+        pinnedSigs = Some(Dedup.pinnedMinhashSignatures(inc, "doc_id", "text",
+          k = 16, n = 3))))
+  }
+
   test("gopher filter: each rule rejects its planted violation, good doc passes") {
     val goodWords = (Seq("the", "of", "and") ++
       (1 to 60).map(i => s"word$i")).mkString(" ") // 63 tokens, stopwords, varied
