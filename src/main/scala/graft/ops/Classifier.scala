@@ -116,9 +116,11 @@ object Classifier {
         .agg(sum(dec(round(col("err") * col("c") / col("n"), 12))).as("sg"))
         .collect()
       val metrics = obs.get
-      val nd = metrics("nd").asInstanceOf[Long].toDouble
-      // empty training set: the metrics come back (null, 0) — keep
-      // the zero weights instead of dividing by the zero count
+      // empty training set: the optimizer can collapse the whole plan
+      // to an empty relation, ELIMINATING the CollectMetrics node —
+      // the metrics map is then empty (not (null, 0)); both shapes
+      // mean "no docs", keep the zero weights
+      val nd = metrics.get("nd").map(_.asInstanceOf[Long].toDouble).getOrElse(0.0)
       if (nd > 0) {
         gRows.foreach { r =>
           val b = r.getLong(0).toInt

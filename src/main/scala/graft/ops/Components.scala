@@ -56,8 +56,11 @@ object Components {
       val obs = org.apache.spark.sql.Observation(name)
       (df.observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("s")), obs)
     }
+    // a plan the optimizer collapses to an empty relation loses its
+    // CollectMetrics node (empty metrics map) — same meaning as a
+    // NULL sum over zero rows
     def metricSum(obs: org.apache.spark.sql.Observation): java.math.BigDecimal =
-      obs.get("s").asInstanceOf[java.math.BigDecimal]
+      obs.get.get("s").map(_.asInstanceOf[java.math.BigDecimal]).orNull
     // round 1's hop over identity labels IS `min(self ∪ neighbors)` —
     // computable straight off the edge list, so the separate
     // identity-label init (a distinct + checkpoint + its own job in

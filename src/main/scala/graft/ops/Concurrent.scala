@@ -42,6 +42,15 @@ private[graft] object Concurrent {
     () => { t.join(); throwCollected(errs) }
   }
 
+  /** [[fork]] for a value-producing side job: the returned thunk
+    * joins and yields the result (or rethrows the failure).
+    */
+  def forkValue[T](body: => T): () => T = {
+    @volatile var out: Option[T] = None
+    val join = fork { out = Some(body) }
+    () => { join(); out.get }
+  }
+
   private def throwCollected(
       errs: java.util.concurrent.ConcurrentLinkedQueue[Throwable]): Unit =
     if (!errs.isEmpty) {

@@ -130,9 +130,25 @@ object Decontaminate {
   def overlapBloom(docs: DataFrame, bench: DataFrame, idCol: String,
                    textCol: String, n: Int = 3, minHits: Int = 1,
                    expectedGrams: Long = 1L << 20,
-                   fpp: Double = 0.03): DataFrame = {
+                   fpp: Double = 0.03): DataFrame =
+    overlapBloomPrepared(docs,
+      prepareBloom(bench, textCol, n, expectedGrams, fpp),
+      idCol, textCol, n, minHits)
+
+  /** The benchmark-side half of [[overlapBloom]] — the pinned distinct
+    * gram set plus the collected Bloom bitset (`bf == null` ⇔ empty
+    * benchmark). Split out (r15) so a composed pipeline can build it
+    * CONCURRENTLY with its upstream stages: the two bench-side jobs
+    * (gram checkpoint + sketch collect) depend only on `bench`, never
+    * on the shard chain.
+    */
+  final case class PreparedBloom(benchGrams: DataFrame, bf: Array[Byte])
+
+  def prepareBloom(bench: DataFrame, textCol: String, n: Int = 3,
+                   expectedGrams: Long = 1L << 20,
+                   fpp: Double = 0.03): PreparedBloom = {
     import org.apache.spark.sql.graft.ColumnBridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     // eager pin: the gram set has two consumers (the sketch aggregate
     // and the exact-verify join) — unpinned, the shingle explode +
@@ -147,20 +163,32 @@ object Decontaminate {
     val bfAgg = ColumnBridge.column(new BloomFilterAggregate(
       ColumnBridge.expression(xxhash64(col("_gram"))),
       Literal(expectedGrams), Literal(numBits)).toAggregateExpression())
-    val bf = benchGrams.agg(bfAgg.as("_bf")).head().getAs[Array[Byte]]("_bf")
+    PreparedBloom(benchGrams,
+      benchGrams.agg(bfAgg.as("_bf")).head().getAs[Array[Byte]]("_bf"))
+  }
+
+  /** The corpus-side half of [[overlapBloom]] over a pre-built
+    * [[PreparedBloom]] — identical output by construction (the
+    * delegating overload IS the r14 body, split at the bitset).
+    */
+  def overlapBloomPrepared(docs: DataFrame, prepared: PreparedBloom,
+                           idCol: String, textCol: String,
+                           n: Int = 3, minHits: Int = 1): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     // empty benchmark (the aggregate yields NULL) → zero hits, with
     // the verdict still computed as n_hits >= minHits so the
     // degenerate minHits <= 0 case (overlap flags every doc) keeps
     // the "output is EXACTLY overlap's" contract
-    if (bf == null)
+    if (prepared.bf == null)
       return docs.withColumn("n_hits", lit(0L))
         .withColumn("contaminated", lit(0L) >= lit(minHits.toLong))
     val mightHit = ColumnBridge.column(BloomFilterMightContain(
-      Literal(bf, org.apache.spark.sql.types.BinaryType),
+      Literal(prepared.bf, org.apache.spark.sql.types.BinaryType),
       ColumnBridge.expression(xxhash64(col("_s")))))
     val hits = Dedup.shingleRows(docs, idCol, textCol, Nil, n)
       .where(mightHit)
-      .join(benchGrams, col("_s") === col("_gram"))
+      .join(prepared.benchGrams, col("_s") === col("_gram"))
       .groupBy(col("_id"))
       .agg(count(lit(1)).as("n_hits"))
     docs.join(hits, docs(idCol) === hits("_id"), "left")

@@ -184,7 +184,14 @@ object Dedup {
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
                   blockCols: Seq[String], k: Int = 8, w: Int = 4,
                   threshold: Double = 0.5): DataFrame = {
-    val ex = df.select((Seq(col(idCol).as("_id")) ++ blockCols.map(col)) :+
+    // guarded spread BEFORE the fingerprint kernel (r15): the winnow
+    // kernel is an md5-per-character-window pass — on a single-file
+    // fixture it serialized the checkpoint (1.34 s, ONE task) AND,
+    // because the checkpoint inherited one partition, the pair join
+    // behind it (1.09 s, one task). A wide real scan passes through
+    // untouched (Spread's contract).
+    val ex = Spread.ifNarrow(df, col(idCol))
+      .select((Seq(col(idCol).as("_id")) ++ blockCols.map(col)) :+
         TextAnalysis.winnowFingerprints(col(textCol), k, w).as("_fps"): _*)
       .withColumn("_nfp", size(col("_fps")).cast("long"))
       .select((Seq(col("_id"), col("_nfp")) ++ blockCols.map(col)) :+

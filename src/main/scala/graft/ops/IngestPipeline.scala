@@ -161,6 +161,12 @@ object IngestPipeline {
     // work; awaited before return, so the next shard / the streaming
     // commit observes exactly the sequential run's index state
     val barrier = new AppendBarrier
+    // the decontamination Bloom is pure bench-side work (gram
+    // checkpoint + sketch collect) — fork it at entry so its two jobs
+    // overlap the front door / quality / digest stages instead of
+    // serializing between stages 2 and 3 (r15)
+    val bloomPrep = Concurrent.forkValue(
+      Decontaminate.prepareBloom(bench, textCol, decontamN, expectedGrams, fpp))
 
     // ── stage 0a: HTML extraction + markup screen ────────────────────
     val extracted = htmlCol match {
@@ -205,8 +211,8 @@ object IngestPipeline {
     // ── stage 3: decontamination BEFORE the near-dup stage: a
     // contaminated doc must never register MinHash signatures
     // (scaladoc invariant)
-    val clean = Decontaminate.overlapBloom(exact, bench, idCol, textCol,
-        decontamN, decontamMinHits, expectedGrams, fpp)
+    val clean = Decontaminate.overlapBloomPrepared(exact, bloomPrep(),
+        idCol, textCol, decontamN, decontamMinHits)
       .where(!col("contaminated"))
       .drop("n_hits", "contaminated")
     // eager pin: the admitted set feeds the line/span increments

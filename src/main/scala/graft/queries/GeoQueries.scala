@@ -326,11 +326,14 @@ object GeoQueries {
 
     // ST_Distance point↔linestring (segment projection math).
     Q("j9_line_point_distance",
+      // geo_segments_wide = the guarded-spread twin (GeoViews) — the
+      // pair distance evaluation parallelizes instead of running as
+      // one task on a single-file fixture; identical rows
       g(s"""WITH $gp,
            |pairs AS (
            |  SELECT s.id AS seg_id, p.id AS place_id,
            |         st_distance(s.geometry, p.geometry) AS d
-           |  FROM geo_segments s JOIN gp p
+           |  FROM geo_segments_wide s JOIN gp p
            |    ON ${keys("p", "s.centroid_lon", "s.centroid_lat")}
            |   AND ABS(s.centroid_lon - p.centroid_lon) < $pre02
            |   AND ABS(s.centroid_lat - p.centroid_lat) < $pre02)

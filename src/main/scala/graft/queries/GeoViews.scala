@@ -105,6 +105,17 @@ object GeoViews {
          |       st_x(st_centroid(g)) AS centroid_lon,
          |       st_y(st_centroid(g)) AS centroid_lat
          |FROM geo""".stripMargin)
+
+    // guarded-wide twin of geo_segments (r15): the single-file local
+    // fixture plans the segments scan as ONE partition, which
+    // serialized j9's whole candidate-pair distance evaluation into
+    // one 1.25 s task (StageProfile). Spread.ifNarrow is identity on
+    // a wide real scan, so the twin IS geo_segments at scale; rows
+    // are unchanged either way (a repartition), so every consumer's
+    // results are too.
+    graft.ops.Spread.ifNarrow(spark.table("geo_segments"),
+        org.apache.spark.sql.functions.col("id"))
+      .createOrReplaceTempView("geo_segments_wide")
   }
 
   // ── DuckDB oracle CTE equivalents (no geometry; pure arithmetic) ──

@@ -1831,7 +1831,9 @@ object OpsQueries {
     Q("text_winnow_fingerprint",
       (s, dir) => {
         Tables.registerAll(s, dir)
-        s.table("documents")
+        // guarded spread before the md5-per-window kernel — the
+        // single-file-corpus serialization trap (winnowPairs lesson)
+        graft.ops.Spread.ifNarrow(s.table("documents"), col("doc_id"))
           .select(col("doc_id"),
             TextAnalysis.winnowFingerprints(col("text"), k = 8, w = 4).as("fps"))
           .select(col("doc_id"),
@@ -3561,6 +3563,12 @@ object OpsQueries {
       (s, dir) => {
         Tables.registerAll(s, dir)
         val emb = s.table("embeddings")
+        // NOTE (r15): spreading the corpus side was built and measured
+        // — REGRESSION (1.67 → 3.17 drift-normalized): the arms'
+        // joins are broadcast-driven and the spread exchange plus
+        // 32-task floors on a 2,000-row fixture cost more than the
+        // one 702 ms single-task stage it parallelized. Reverted;
+        // stage-count floor adjudication (r11) stands.
         graft.ops.Similarity.annRecallArms(
             emb,
             emb.where(col("vec_id") >= 3 && col("vec_id") < 8),
