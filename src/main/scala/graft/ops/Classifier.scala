@@ -57,7 +57,24 @@ object Classifier {
       .select(col("doc_id"), col("y"), col("n"),
         (col("h") % dims).as("b"))
       .groupBy("doc_id", "y", "n", "b").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      // land the checkpoint hash-partitioned on doc_id ALONE (the
+      // groupBy leaves it on the full key tuple, which satisfies no
+      // downstream distribution): every GD step's margin aggregate
+      // (groupBy doc_id,y), the gradient's err⋈class join, and the
+      // scorer's margin all cluster on doc_id, so this one exchange —
+      // paid once, inside the featurize job — replaces one exchange
+      // per aggregate per step (guide §2.4: operations keyed the same
+      // way share one exchange). The partition count is EXPLICIT
+      // (session shuffle partitions — the value those per-step
+      // exchanges would have used): a column-only repartition gets
+      // AQE-coalesced, and the coalesced read reports
+      // UnknownPartitioning, which the checkpoint would pin — losing
+      // the co-partitioning this exchange exists to provide. Decimal-
+      // exact sums make every aggregation order identical, so results
+      // are bit-equal.
+      .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt,
+        col("doc_id"))
+      .transform(org.apache.spark.sql.graft.DatasetBridge.localCheckpointPartitioned)
   }
 
   /** Per-doc margin under a literal weight vector: Σ_b (c/n)·w_b
@@ -102,6 +119,11 @@ object Classifier {
     */
   def trainWeightsWithBuckets(db: DataFrame, dims: Int, steps: Int,
                               lr: Double): (Array[Double], Double, Array[Long]) = {
+    // steps == 0 would return an empty `present`, and weightsDF(Some)
+    // would then emit only the bias row while the None path emits
+    // every bucket — the scaladoc's "identical by construction" claim
+    // holds only once a gradient has collected
+    require(steps >= 1, s"trainWeightsWithBuckets: steps must be >= 1: $steps")
     val w = Array.fill(dims)(0.0)
     var bias = 0.0
     var present = Array.empty[Long]
@@ -204,18 +226,34 @@ object Classifier {
     val ranked = sc.groupBy("prob")
       .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
       .withColumn("cumb", coalesce(sum(col("cnt")).over(wr), lit(0L)))
-    val aucRow = ranked
+    // accuracy and brier fold over `ranked` instead of re-scanning sc
+    // (one broadcast subtree and one corpus-scale aggregate fewer):
+    // within one distinct-prob group every row shares its per-row
+    // contribution, so the group total is that value times an exact
+    // integer count —
+    //   correct@0.5: prob >= 0.5 groups contribute `pos`, the rest
+    //     `cnt - pos` (y is exactly 0/1, so pos IS the y=1 count);
+    //   brier: y=1 rows contribute round((prob-1)², 12), y=0 rows
+    //     round(prob², 12); DECIMAL(13,12) × DECIMAL(19,0) multiplies
+    //     exactly (precision 33 ≤ 38, scale 12 — no precision-loss
+    //     truncation), so the sum equals the per-row decimal sum.
+    val d1312 = "decimal(13,12)"
+    val d190 = "decimal(19,0)"
+    val br1 = round((col("prob") - 1.0) * (col("prob") - 1.0), 12).cast(d1312)
+    val br0 = round(col("prob") * col("prob"), 12).cast(d1312)
+    val statsRow = ranked
       .agg(sum(dec(col("pos") * (col("cumb") + (col("cnt") + 1) / lit(2.0))))
           .cast("double").as("srp"),
-        sum(col("pos")).as("n1"), sum(col("cnt")).cast("double").as("nn"))
+        sum(col("pos")).as("n1"), sum(col("cnt")).cast("double").as("nn"),
+        sum(when(col("prob") >= 0.5, col("pos"))
+          .otherwise(col("cnt") - col("pos")).cast("double")).as("_corr"),
+        sum(br1 * col("pos").cast(d190) +
+          br0 * (col("cnt") - col("pos")).cast(d190)).as("_bsum"))
       .select(round((col("srp") - col("n1") * (col("n1") + 1) / lit(2.0)) /
-        (col("n1") * (col("nn") - col("n1"))), 6).as("auc"))
-    val glRow = sc.agg(
-      round(sum(when((col("prob") >= 0.5) === (col("y") === 1.0), 1L)
-        .otherwise(0L)).cast("double") / count(lit(1)), 6).as("accuracy"),
-      round(sum(dec(round((col("prob") - col("y")) * (col("prob") - col("y")), 12)))
-        .cast("double") / count(lit(1)), 6).as("brier"))
-    perB.crossJoin(broadcast(aucRow)).crossJoin(broadcast(glRow))
+          (col("n1") * (col("nn") - col("n1"))), 6).as("auc"),
+        round(col("_bsum").cast("double") / col("nn"), 6).as("brier"),
+        round(col("_corr") / col("nn"), 6).as("accuracy"))
+    perB.crossJoin(broadcast(statsRow))
   }
 
   /** Per-key z-score ensemble of integer quality signals — the

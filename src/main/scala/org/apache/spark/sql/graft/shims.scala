@@ -26,6 +26,63 @@ object DatasetBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Eager local checkpoint that PRESERVES the child's physical
+    * output partitioning (and ordering) in the resulting LogicalRDD —
+    * `Dataset.localCheckpoint` pins `UnknownPartitioning`, so a table
+    * deliberately repartitioned on its join/aggregate key would lose
+    * exactly the exchange-elision the repartition paid for (guide
+    * §2.4: operations keyed the same way share one exchange).
+    * Identical rows to `df.localCheckpoint(true)`; only the
+    * partitioning metadata differs — and it is the TRUE partitioning
+    * of the materialized RDD (row-to-partition assignment is frozen
+    * at checkpoint time), so downstream exchange elision is sound.
+    */
+  def localCheckpointPartitioned(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.classic
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = ds.sparkSession
+    val qe = ds.queryExecution
+    val rdd = qe.toRdd.map(_.copy()).localCheckpoint()
+    rdd.count() // eager materialization, like localCheckpoint(true)
+    // under AQE the executed plan is an AdaptiveSparkPlanExec, whose
+    // own outputPartitioning is the LeafExecNode Unknown default —
+    // the FINAL plan (materialized by the count above) carries the
+    // real one
+    val physical = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // the physical attrs can carry different exprIds than the analyzed
+    // output (aliases re-instantiated across analyses); remap the
+    // partitioning/ordering expressions positionally or the new
+    // LogicalRDD advertises a partitioning over attributes it does not
+    // output — and every downstream exchange stays
+    val out = qe.analyzed.output
+    val attrMap: Map[org.apache.spark.sql.catalyst.expressions.ExprId,
+        org.apache.spark.sql.catalyst.expressions.Attribute] =
+      physical.output.zip(out).map { case (p, l) => p.exprId -> l }.toMap
+    def remap[E <: org.apache.spark.sql.catalyst.expressions.Expression](e: E): E =
+      e.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+            if attrMap.contains(a.exprId) => attrMap(a.exprId)
+      }.asInstanceOf[E]
+    val part = physical.outputPartitioning match {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning => remap(h)
+      case _: org.apache.spark.sql.catalyst.plans.physical.RangePartitioning |
+           _: org.apache.spark.sql.catalyst.plans.physical.PartitioningCollection =>
+        // range bounds / collections don't transfer soundly — keep the
+        // checkpoint but claim nothing
+        org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(rdd.getNumPartitions)
+      case other => other
+    }
+    val ordering = physical.outputOrdering.map(remap(_))
+    classic.Dataset.ofRows(spark,
+      LogicalRDD(out, rdd, part, ordering, isStreaming = false)(spark))
+  }
 }
 
 /** Bridge to Spark's own Arrow serialization (`execution.arrow
