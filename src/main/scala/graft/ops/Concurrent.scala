@@ -73,19 +73,43 @@ private[graft] object Concurrent {
   * observes exactly the state a fully-sequential run would have left.
   */
 private[graft] final class AppendBarrier {
-  private val pending = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+  private val pending =
+    scala.collection.mutable.ArrayBuffer.empty[(String, () => Unit)]
 
-  def submit(body: => Unit): Unit = synchronized {
-    pending += Concurrent.fork(body)
+  def submit(body: => Unit): Unit = submitFor("")(body)
+
+  /** [[submit]] tagged with the index path the append mutates, so a
+    * BARRIER SHARED ACROSS SHARDS can release a stage as soon as the
+    * PREVIOUS shard's append to that one path is durable
+    * ([[awaitFor]]) instead of serializing whole shards on the full
+    * append set.
+    */
+  def submitFor(path: String)(body: => Unit): Unit = synchronized {
+    pending += path -> Concurrent.fork(body)
   }
 
   /** Join every submitted append; first failure rethrows (with the
     * rest suppressed via [[Concurrent.fork]]'s per-thread capture).
     */
-  def await(): Unit = {
-    val ps = synchronized { val v = pending.toVector; pending.clear(); v }
+  def await(): Unit = awaitWhere(_ => true)
+
+  /** Join only the appends submitted for `path` — the fine-grained
+    * cross-shard gate: a stage about to pin a manifest snapshot of
+    * one index awaits exactly that index's in-flight appends, while
+    * every other path's appends keep overlapping its compute.
+    */
+  def awaitFor(path: String): Unit = awaitWhere(_ == path)
+
+  private def awaitWhere(p: String => Boolean): Unit = {
+    val ps = synchronized {
+      val (mine, keep) = pending.partition(t => p(t._1))
+      pending.clear(); pending ++= keep
+      mine.toVector
+    }
     // join all before rethrowing so no append is left running
-    val errs = ps.flatMap(j => try { j(); None } catch { case e: Throwable => Some(e) })
+    val errs = ps.flatMap { case (_, j) =>
+      try { j(); None } catch { case e: Throwable => Some(e) }
+    }
     errs.headOption.foreach { first =>
       errs.drop(1).foreach(first.addSuppressed)
       throw first

@@ -285,7 +285,13 @@ object Dedup {
         !exists(col("_spans"), s =>
           i.cast("long") >= s.getField("span_start") &&
             i.cast("long") <= s.getField("span_end")))
-    df.select(col(idCol).as("doc_id"), toks.as("_t"))
+    // spread the doc side: `grouped` is small (AQE broadcasts it), so
+    // a one-file corpus would otherwise tokenize + rebuild every
+    // document in ONE task (the cutLines lesson — r16 StageProfile
+    // showed dedup_drop_spans paying two ~300 ms single-task stages
+    // here); identity on an already-wide input
+    Spread.ifNarrow(df, col(idCol))
+      .select(col(idCol).as("doc_id"), toks.as("_t"))
       .join(grouped, Seq("doc_id"), "left")
       .withColumn("_k", kept)
       .select(col("doc_id"),
@@ -475,15 +481,21 @@ object Dedup {
                           indexPath: String, normalized: Boolean = false,
                           appendDigests: Boolean = true,
                           commitTag: Option[String] = None,
-                          appendBarrier: Option[AppendBarrier] = None): DataFrame = {
+                          appendBarrier: Option[AppendBarrier] = None,
+                          pinnedDigested: Option[DataFrame] = None): DataFrame = {
     val spark = inc.sparkSession
     val idx = readDigestIndex(spark, indexPath)
       .groupBy(col("digest")).agg(min(col("min_doc")).as("_imn"))
     // eager pin: the digest kernel has three consumers (within-keep,
     // the index probe, the append) — unpinned, each would re-hash the
-    // shard
-    val d = inc.withColumn("_dg", exactDigest(textCol, normalized))
-      .localCheckpoint(true)
+    // shard. `pinnedDigested` (must be [[pinnedExactDigests]] over the
+    // same shard/args) lets a caller materialize this pass
+    // CONCURRENTLY with independent work — e.g. the NEXT shard's
+    // front-door kernel overlapping this shard's ingest: the digest
+    // column is per-doc deterministic, so the table is identical.
+    val d = pinnedDigested.getOrElse(
+      inc.withColumn("_dg", exactDigest(textCol, normalized))
+        .localCheckpoint(true))
     // the within-shard min-id rule joins back on id ALONE (ids are
     // unique), exactly like the batch dropExactDuplicates — a digest
     // equality here would silently drop every NULL-text doc
@@ -509,12 +521,23 @@ object Dedup {
           .groupBy(col("digest")).agg(min(col("_did")).as("min_doc")),
         indexPath, digestPfx, commitTag)
       appendBarrier match {
-        case Some(b) => b.submit(doAppend())
+        case Some(b) => b.submitFor(indexPath)(doAppend())
         case None => doAppend()
       }
     }
     kept
   }
+
+  /** The shard's digest-kernel table, eagerly pinned — the exact
+    * table [[dedupExactIncrement]] computes when `pinnedDigested` is
+    * absent, exposed so a caller can overlap its materialization with
+    * an independent job (e.g. the previous shard's ingest in a
+    * composed pipeline).
+    */
+  def pinnedExactDigests(inc: DataFrame, textCol: String,
+                         normalized: Boolean = false): DataFrame =
+    inc.withColumn("_dg", exactDigest(textCol, normalized))
+      .localCheckpoint(true)
 
   /** Cut duplicated token spans out of a NEW shard against the
     * accumulated corpus WITHOUT re-hashing it: a gram position in an
@@ -587,7 +610,7 @@ object Dedup {
         grams.groupBy(col("gh")).agg(min(col("doc_id")).as("min_doc")),
         indexPath, spanPfx, commitTag)
       appendBarrier match {
-        case Some(b) => b.submit(doAppend())
+        case Some(b) => b.submitFor(indexPath)(doAppend())
         case None => doAppend()
       }
     }
@@ -603,6 +626,19 @@ object Dedup {
   def pinnedSpanGrams(inc: DataFrame, idCol: String, textCol: String,
                       n: Int = 8): DataFrame =
     spanGrams(inc, idCol, textCol, n).localCheckpoint(true)
+
+  /** UNPINNED [[spanGrams]] view — pass as `pinnedGrams` only when
+    * `inc` is itself already materialized (a checkpoint): consumers
+    * re-run the map-only gram explode over the pinned parent instead
+    * of paying a dedicated checkpoint job. The kernel runs once per
+    * consuming plan branch, but never re-executes anything upstream
+    * of the checkpoint — and it avoids materializing the exploded
+    * gram table (roughly n× the text bytes), which at scale costs
+    * about as much to write+read as the hash kernel costs to re-run.
+    */
+  def spanGramsOver(inc: DataFrame, idCol: String, textCol: String,
+                    n: Int = 8): DataFrame =
+    spanGrams(inc, idCol, textCol, n)
 
   // ── line-level exact dedup (the Falcon/RefinedWeb boilerplate rule) ─
 
@@ -812,7 +848,7 @@ object Dedup {
         lines.groupBy(col("lh")).agg(min(col("doc_id")).as("min_doc")),
         indexPath, linePfx, commitTag)
       appendBarrier match {
-        case Some(b) => b.submit(doAppend())
+        case Some(b) => b.submitFor(indexPath)(doAppend())
         case None => doAppend()
       }
     }
@@ -826,6 +862,16 @@ object Dedup {
     */
   def pinnedLineRows(inc: DataFrame, idCol: String, textCol: String): DataFrame =
     lineRows(inc, idCol, textCol).localCheckpoint(true)
+
+  /** UNPINNED [[lineRows]] view — pass as `pinnedLines` only when
+    * `inc` is itself already materialized (a checkpoint): the
+    * increment's consumers then re-run the cheap line explode
+    * (split + xxhash, map-side) over the pinned parent instead of
+    * paying a dedicated checkpoint job for the exploded table. Same
+    * rows by construction.
+    */
+  def lineRowsOver(inc: DataFrame, idCol: String, textCol: String): DataFrame =
+    lineRows(inc, idCol, textCol)
 
   /** MinHash signatures in wide form: one row per doc, k `sig<i>`
     * columns — a single shuffle (groupBy id) with k min-aggregates,
@@ -1122,7 +1168,7 @@ object Dedup {
     if (appendSignatures) {
       def doAppend(): Unit = IndexStore.append(wide, indexPath, minhashPfx, commitTag)
       appendBarrier match {
-        case Some(b) => b.submit(doAppend())
+        case Some(b) => b.submitFor(indexPath)(doAppend())
         case None => doAppend()
       }
     }

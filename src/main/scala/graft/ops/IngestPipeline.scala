@@ -107,6 +107,21 @@ object IngestPipeline {
     * URL-dedup — each gets a per-doc sentinel canonical form).
     * `lineIndexPath` turns on the incremental line cut between the
     * near-dup and span stages.
+    *
+    * Multi-shard composition hooks (r16 — semantics identical, the
+    * driver just stops idling between shards):
+    * `preparedBloom` shares ONE bench-side Bloom build across shards
+    * (the bench set does not change between shards; the thunk is a
+    * [[Concurrent.forkValue]] join, so the build overlaps the first
+    * shard's front door). `pinnedFront` is [[pinnedFrontDoor]] over
+    * THIS shard — per-doc deterministic, so a caller forks the next
+    * shard's extraction while the current shard ingests.
+    * `externalBarrier` shares one [[AppendBarrier]] across shards:
+    * each stage awaits only ITS index's in-flight appends
+    * (awaitFor), so the previous shard's later-stage appends overlap
+    * this shard's front door; the CALLER must await() the barrier
+    * before using the results — only then is the sequential
+    * cross-shard index contract re-established externally.
     */
   def ingestShard(shard: DataFrame, bench: DataFrame,
                   digestIndexPath: String, minhashIndexPath: String,
@@ -126,9 +141,14 @@ object IngestPipeline {
                   urlCol: Option[String] = None,
                   urlIndexPath: Option[String] = None,
                   publicSuffixes: Option[Set[String]] = None,
-                  lineIndexPath: Option[String] = None): DataFrame = {
+                  lineIndexPath: Option[String] = None,
+                  preparedBloom: Option[() => Decontaminate.PreparedBloom] = None,
+                  pinnedFront: Option[DataFrame] = None,
+                  externalBarrier: Option[AppendBarrier] = None): DataFrame = {
     require(urlCol.isEmpty == urlIndexPath.isEmpty,
       "urlCol and urlIndexPath enable URL dedup together — pass both or neither")
+    require(pinnedFront.isEmpty || urlCol.isDefined,
+      "pinnedFront is the URL-stage digest table — it requires the URL front door")
     val spark = shard.sparkSession
     // first-shard convenience: absent indexes initialize empty
     // (schema-anchored), exactly like the streaming starters. An
@@ -138,7 +158,9 @@ object IngestPipeline {
     val none = shard.where(lit(false))
     // the missing-index inits are independent single-anchor writes to
     // DISJOINT paths — overlap them (r15: the first shard paid one
-    // job-latency round per index; Concurrent.inParallel rationale)
+    // job-latency round per index; Concurrent.inParallel rationale).
+    // The URL index init rides the same round (r16 — it previously
+    // serialized inside stage 0b).
     val inits = Seq[Option[() => Unit]](
       if (!IndexStore.exists(spark, digestIndexPath)) Some(() =>
         Dedup.writeDigestIndex(none.withColumn(textCol, lit("")), idCol, textCol,
@@ -152,6 +174,11 @@ object IngestPipeline {
       lineIndexPath.collect {
         case lp if !IndexStore.exists(spark, lp) => () =>
           Dedup.writeLineIndex(none.withColumn(textCol, lit("")), idCol, textCol, lp)
+      },
+      urlIndexPath.collect {
+        case uPath if !IndexStore.exists(spark, uPath) => () =>
+          Dedup.writeDigestIndex(
+            none.withColumn("_norm_url", lit("")), idCol, "_norm_url", uPath)
       }).flatten
     if (inits.nonEmpty) Concurrent.inParallel(inits: _*)
     // every stage's index append is independent of downstream stage
@@ -159,55 +186,192 @@ object IngestPipeline {
     // snapshot is taken before its append is submitted) — defer them
     // through one barrier and overlap with the rest of the shard's
     // work; awaited before return, so the next shard / the streaming
-    // commit observes exactly the sequential run's index state
-    val barrier = new AppendBarrier
+    // commit observes exactly the sequential run's index state. A
+    // caller composing SEVERAL shards in one call passes a shared
+    // `externalBarrier` and awaits it itself: each stage then gates
+    // only on ITS index's in-flight appends (awaitFor), so the
+    // previous shard's later-stage appends overlap this shard's front
+    // door — every read still pins exactly the sequential run's
+    // manifest for its path.
+    val barrier = externalBarrier.getOrElse(new AppendBarrier)
     // the decontamination Bloom is pure bench-side work (gram
     // checkpoint + sketch collect) — fork it at entry so its two jobs
     // overlap the front door / quality / digest stages instead of
-    // serializing between stages 2 and 3 (r15)
-    val bloomPrep = Concurrent.forkValue(
-      Decontaminate.prepareBloom(bench, textCol, decontamN, expectedGrams, fpp))
-
-    // ── stage 0a: HTML extraction + markup screen ────────────────────
-    val extracted = htmlCol match {
-      case None => shard
-      case Some(hc) =>
-        val carried = (Seq(keyCol) ++ urlCol.toSeq).distinct.filterNot(_ == hc)
-        TextAnalysis.extractHtmlTable(shard, idCol, hc, carried)
-          .where(col("html_text_share") >= minTextShare &&
-            col("html_link_density") <= maxLinkDensity)
-          .select(Seq(col("doc_id").as(idCol), col("html_text").as(textCol)) ++
-            carried.map(col): _*)
+    // serializing between stages 2 and 3 (r15). A multi-shard caller
+    // passes ONE `preparedBloom` thunk (the bench set does not change
+    // between shards), so the sketch builds once per composition
+    // instead of once per shard (r16).
+    val bloomPrep = preparedBloom.getOrElse(Concurrent.forkValue(
+      Decontaminate.prepareBloom(bench, textCol, decontamN, expectedGrams, fpp)))
+    try {
+      val out = ingestStages(shard, barrier, bloomPrep,
+        digestIndexPath, minhashIndexPath, spanIndexPath,
+        idCol, textCol, keyCol, minTokens, maxDupFrac,
+        k, bands, shingleN, threshold, spanN,
+        decontamN, decontamMinHits, commitTag, htmlCol,
+        minTextShare, maxLinkDensity, urlCol, urlIndexPath,
+        publicSuffixes, lineIndexPath, pinnedFront)
+      // every deferred index append must be durable before this
+      // shard's call returns — the cross-shard sequential contract.
+      // With an external barrier the CALLER owns the final await (the
+      // per-stage awaitFor gates keep each read correct meanwhile).
+      if (externalBarrier.isEmpty) barrier.await()
+      out
+    } catch {
+      case e: Throwable =>
+        // a failed shard must not leave append threads mutating index
+        // paths behind the failure (a streaming retry or the next
+        // shard could interleave with them): join everything in
+        // flight — the internally forked Bloom build too — before
+        // propagating, suppressing secondary errors onto the primary
+        try barrier.await()
+        catch { case e2: Throwable => e.addSuppressed(e2) }
+        if (preparedBloom.isEmpty) {
+          try bloomPrep()
+          catch { case e2: Throwable => e.addSuppressed(e2) }
+        }
+        throw e
     }
+  }
 
-    // ── stage 0b: URL normalize + URL-level exact dedup ──────────────
-    val urlKept = (urlCol, urlIndexPath) match {
+  /** The shard's front-door kernel table for [[ingestShard]]'s URL
+    * stage — HTML extraction + markup screen + URL canonicalization +
+    * the URL-digest column — eagerly pinned: the exact table the URL
+    * stage's [[Dedup.dedupExactIncrement]] would materialize itself.
+    * Every column is per-doc deterministic (no index is read), so a
+    * caller can materialize the NEXT shard's front door concurrently
+    * with the current shard's ingest and pass it as `pinnedFront`.
+    */
+  def pinnedFrontDoor(shard: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      keyCol: String = "source",
+                      htmlCol: Option[String] = None,
+                      minTextShare: Double = 0.05,
+                      maxLinkDensity: Double = 0.9,
+                      urlCol: String = "url",
+                      publicSuffixes: Option[Set[String]] = None): DataFrame =
+    frontKernel(shard, idCol, textCol, keyCol, htmlCol,
+      minTextShare, maxLinkDensity, urlCol, publicSuffixes)
+      .localCheckpoint(true)
+
+  /** The per-doc kernel columns of stages 0–2 in ONE table: extraction
+    * + markup screen, `_norm_url` + its digest `_udg` (stage 0b),
+    * the quality stats `_rn`/`_rdf` (stage 1) and the text digest
+    * `_tdg` (stage 2). Every column is a deterministic function of the
+    * doc alone, so ONE materialization serves three stages — the r15
+    * shape paid one sequential checkpoint per stage for the same
+    * bytes. The only over-computation vs the strictly-sequential
+    * pipeline is `_rn`/`_rdf`/`_tdg` on URL-duplicate docs (dropped at
+    * stage 0b before stage 1 would have seen them) — token-stats and
+    * one md5 per dropped re-crawl, map-side, a fraction of the
+    * extraction work already spent on those rows; the verdicts for
+    * every surviving doc are identical (per-doc determinism).
+    */
+  private def frontKernel(shard: DataFrame, idCol: String, textCol: String,
+                          keyCol: String, htmlCol: Option[String],
+                          minTextShare: Double, maxLinkDensity: Double,
+                          urlCol: String,
+                          publicSuffixes: Option[Set[String]]): DataFrame =
+    withNormUrl(extractFront(shard, idCol, textCol, keyCol, htmlCol,
+        minTextShare, maxLinkDensity, Some(urlCol)), idCol, urlCol,
+        publicSuffixes)
+      .withColumn("_udg", md5(col("_norm_url")))
+      .withColumn("_tdg", md5(col(textCol)))
+      .withColumn("_r2", TextAnalysis.repetitionStats(col(textCol)))
+      .withColumn("_rn", col("_r2.n_tokens"))
+      .withColumn("_rdf", col("_r2.dup_word_frac"))
+      .drop("_r2")
+
+  /** Stage 0a: HTML extraction + markup screen (identity without
+    * `htmlCol`). */
+  private def extractFront(shard: DataFrame, idCol: String, textCol: String,
+                           keyCol: String, htmlCol: Option[String],
+                           minTextShare: Double, maxLinkDensity: Double,
+                           urlCol: Option[String]): DataFrame = htmlCol match {
+    case None => shard
+    case Some(hc) =>
+      val carried = (Seq(keyCol) ++ urlCol.toSeq).distinct.filterNot(_ == hc)
+      TextAnalysis.extractHtmlTable(shard, idCol, hc, carried)
+        .where(col("html_text_share") >= minTextShare &&
+          col("html_link_density") <= maxLinkDensity)
+        .select(Seq(col("doc_id").as(idCol), col("html_text").as(textCol)) ++
+          carried.map(col): _*)
+  }
+
+  /** Stage 0b's canonical-URL column: un-parseable URLs get a per-doc
+    * sentinel canonical form so they never collide with each other
+    * (norm_url '' would merge every non-URL doc into one dedup group).
+    */
+  private def withNormUrl(extracted: DataFrame, idCol: String, uc: String,
+                          publicSuffixes: Option[Set[String]]): DataFrame = {
+    val parts = TextAnalysis.urlParts(coalesce(col(uc), lit("")), publicSuffixes)
+    val canon = when(parts.parsed, parts.normUrl)
+      .otherwise(concat(lit(" unparsed:"), col(idCol).cast("string")))
+    extracted.withColumn("_norm_url", canon)
+  }
+
+  // the stage chain proper, shared by ingestShard's try wrapper
+  private def ingestStages(shard: DataFrame, barrier: AppendBarrier,
+                           bloomPrep: () => Decontaminate.PreparedBloom,
+                           digestIndexPath: String, minhashIndexPath: String,
+                           spanIndexPath: String, idCol: String,
+                           textCol: String, keyCol: String, minTokens: Long,
+                           maxDupFrac: Double, k: Int, bands: Int,
+                           shingleN: Int, threshold: Double, spanN: Int,
+                           decontamN: Int, decontamMinHits: Int,
+                           commitTag: Option[String], htmlCol: Option[String],
+                           minTextShare: Double, maxLinkDensity: Double,
+                           urlCol: Option[String], urlIndexPath: Option[String],
+                           publicSuffixes: Option[Set[String]],
+                           lineIndexPath: Option[String],
+                           pinnedFront: Option[DataFrame]): DataFrame = {
+    // ── stages 0–2 with the URL front door: ONE kernel pin serves the
+    // URL dedup, the quality gate and the text-digest dedup — the
+    // three stages' kernel columns are per-doc deterministic, so they
+    // ride one materialization ([[frontKernel]]) and each stage's
+    // joins/filters are VIEWS over it (r16; the r15 shape paid one
+    // sequential checkpoint per stage). Without the front door, the
+    // classic per-stage shape below is untouched.
+    val exact = (urlCol, urlIndexPath) match {
       case (Some(uc), Some(uPath)) =>
-        val parts = TextAnalysis.urlParts(coalesce(col(uc), lit("")), publicSuffixes)
-        // un-parseable URLs get a per-doc sentinel canonical form so
-        // they never collide with each other (norm_url '' would merge
-        // every non-URL doc into one dedup group)
-        val canon = when(parts.parsed, parts.normUrl)
-          .otherwise(concat(lit(" unparsed:"), col(idCol).cast("string")))
-        val withUrl = extracted.withColumn("_norm_url", canon)
-        if (!IndexStore.exists(spark, uPath))
-          Dedup.writeDigestIndex(withUrl.where(lit(false)), idCol, "_norm_url", uPath)
-        Dedup.dedupExactIncrement(withUrl, idCol, "_norm_url", uPath,
-            commitTag = commitTag.map(_ + ":url"), appendBarrier = Some(barrier))
-          .drop("_norm_url")
-      case _ => extracted
+        val front = pinnedFront.getOrElse(
+          frontKernel(shard, idCol, textCol, keyCol, htmlCol,
+            minTextShare, maxLinkDensity, uc, publicSuffixes)
+            .localCheckpoint(true))
+        // stage 0b: URL-level exact dedup over the pinned kernel
+        barrier.awaitFor(uPath)
+        val urlKept = Dedup.dedupExactIncrement(front, idCol, "_norm_url", uPath,
+            commitTag = commitTag.map(_ + ":url"), appendBarrier = Some(barrier),
+            pinnedDigested = Some(front.withColumn("_dg", col("_udg"))))
+          .drop("_norm_url", "_udg")
+        // stage 1: quality gate — the stats are pinned kernel columns
+        val qual = urlKept
+          .where(col("_rn") >= minTokens && col("_rdf") <= maxDupFrac)
+        // stage 2: exact-dup drop vs the digest index; the digest is
+        // the pinned `_tdg` column, so no new kernel job runs
+        barrier.awaitFor(digestIndexPath)
+        Dedup.dedupExactIncrement(
+          qual.select(col(idCol), col(textCol), col(keyCol)), idCol, textCol,
+          digestIndexPath, commitTag = commitTag.map(_ + ":digest"),
+          appendBarrier = Some(barrier),
+          pinnedDigested = Some(qual
+            .select(col(idCol), col(textCol), col(keyCol), col("_tdg").as("_dg"))))
+      case _ =>
+        // ── stage 0a: HTML extraction + markup screen ────────────────
+        val extracted = extractFront(shard, idCol, textCol, keyCol, htmlCol,
+          minTextShare, maxLinkDensity, urlCol)
+        // ── stage 1: quality gate ────────────────────────────────────
+        val qual = extracted
+          .withColumn("_r", TextAnalysis.repetitionStats(col(textCol)))
+          .where(col("_r.n_tokens") >= minTokens &&
+            col("_r.dup_word_frac") <= maxDupFrac)
+          .select(col(idCol), col(textCol), col(keyCol))
+        // ── stage 2: exact-dup drop vs the digest index ──────────────
+        barrier.awaitFor(digestIndexPath)
+        Dedup.dedupExactIncrement(qual, idCol, textCol,
+          digestIndexPath, commitTag = commitTag.map(_ + ":digest"),
+          appendBarrier = Some(barrier))
     }
-
-    // ── stage 1: quality gate ────────────────────────────────────────
-    val qual = urlKept
-      .withColumn("_r", TextAnalysis.repetitionStats(col(textCol)))
-      .where(col("_r.n_tokens") >= minTokens &&
-        col("_r.dup_word_frac") <= maxDupFrac)
-      .select(col(idCol), col(textCol), col(keyCol))
-    // ── stage 2: exact-dup drop vs the digest index ──────────────────
-    val exact = Dedup.dedupExactIncrement(qual, idCol, textCol,
-      digestIndexPath, commitTag = commitTag.map(_ + ":digest"),
-      appendBarrier = Some(barrier))
     // ── stage 3: decontamination BEFORE the near-dup stage: a
     // contaminated doc must never register MinHash signatures
     // (scaladoc invariant)
@@ -215,11 +379,17 @@ object IngestPipeline {
         idCol, textCol, decontamN, decontamMinHits)
       .where(!col("contaminated"))
       .drop("n_hits", "contaminated")
+      // eager pin: the admitted-set chain (keep-joins + the Bloom
+      // decontam gram explode) has TWO downstream materializations
+      // (the signature pin and the near pin) — unpinned, the whole
+      // chain re-executed in each (r15 shape); pinned, it runs once
+      .localCheckpoint(true)
     // eager pin: the admitted set feeds the line/span increments
     // (gram passes + cuts) AND the key rejoin below — unpinned, each
     // branch would re-run the whole front-door/quality/digest/
     // decontam/LSH chain upstream
     // ── stage 4: near-dup drop vs the MinHash index ──────────────────
+    barrier.awaitFor(minhashIndexPath)
     val near = Dedup.dedupIncrement(clean, idCol, textCol,
         minhashIndexPath, k, bands, shingleN, threshold,
         commitTag = commitTag.map(_ + ":minhash"),
@@ -229,25 +399,31 @@ object IngestPipeline {
     val lineClean = lineIndexPath match {
       case None => near
       case Some(lp) =>
+        barrier.awaitFor(lp)
         Dedup.removeDuplicateLinesIncrement(near, idCol, textCol, lp,
             commitTag = commitTag.map(_ + ":line"),
-            appendBarrier = Some(barrier))
+            appendBarrier = Some(barrier),
+            // `near` is already pinned: the line explode re-runs
+            // map-side per consumer over the checkpoint instead of
+            // paying its own sequential checkpoint job (r16)
+            pinnedLines = Some(Dedup.lineRowsOver(near, idCol, textCol)))
           .select(col("doc_id").as(idCol), col("clean_text").as(textCol))
           // pin: the span increment consumes this twice (gram pass +
           // cut); unpinned it would re-run the line join per consumer
           .localCheckpoint(true)
     }
     // ── stage 6: span cut (rewrites the text); key rejoins below ─────
-    val out = Dedup.removeDuplicateSpansIncrement(lineClean, idCol, textCol,
+    barrier.awaitFor(spanIndexPath)
+    Dedup.removeDuplicateSpansIncrement(lineClean, idCol, textCol,
         spanIndexPath, spanN, commitTag = commitTag.map(_ + ":span"),
-        appendBarrier = Some(barrier))
+        appendBarrier = Some(barrier),
+        // `lineClean` is already pinned: the map-only gram explode
+        // re-runs per consumer over the checkpoint instead of paying
+        // its own sequential checkpoint job (r16; see spanGramsOver)
+        pinnedGrams = Some(Dedup.spanGramsOver(lineClean, idCol, textCol, spanN)))
       .join(near.select(col(idCol).as("doc_id"), col(keyCol)), Seq("doc_id"))
       .select(col("doc_id"), col(keyCol), col("clean_text"),
         col("n_kept").as("n_tokens"))
-    // every deferred index append must be durable before this shard's
-    // call returns — the cross-shard sequential contract
-    barrier.await()
-    out
   }
 
   /** One index's before/after view from [[maintainIndexes]] — the

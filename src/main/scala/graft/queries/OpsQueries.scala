@@ -859,16 +859,47 @@ object OpsQueries {
         } else {
           val bnd = maxId.asInstanceOf[Long] * 3 / 5
           val base = graft.ops.TableWrite.scratchDir("graft_web_pipe")
-          def run(shard: org.apache.spark.sql.DataFrame) =
+          // multi-shard composition hooks (r16): ONE bench-side Bloom
+          // build shared by both shards (forked — it overlaps shard
+          // 1's front door), shard 2's front-door kernel forked so it
+          // overlaps shard 1's ingest (per-doc deterministic, no index
+          // read), and one shared barrier so shard 1's later-stage
+          // appends overlap shard 2's front door; the final await
+          // before returning re-establishes the sequential index state
+          val barrier = new graft.ops.AppendBarrier
+          val bloom = graft.ops.Concurrent.forkValue(
+            graft.ops.Decontaminate.prepareBloom(bench, "text", 3, 1L << 20, 0.03))
+          val front1 = graft.ops.Concurrent.forkValue(
+            graft.ops.IngestPipeline.pinnedFrontDoor(
+              corpus.where(col("doc_id") <= bnd), htmlCol = Some("html")))
+          val front2 = graft.ops.Concurrent.forkValue(
+            graft.ops.IngestPipeline.pinnedFrontDoor(
+              corpus.where(col("doc_id") > bnd), htmlCol = Some("html")))
+          def run(shard: org.apache.spark.sql.DataFrame,
+                  front: Option[org.apache.spark.sql.DataFrame]) =
             graft.ops.IngestPipeline.ingestShard(shard, bench,
               s"$base/digest", s"$base/minhash", s"$base/span",
               threshold = 1.5, spanN = 8, decontamN = 3, decontamMinHits = 2,
               htmlCol = Some("html"), urlCol = Some("url"),
               urlIndexPath = Some(s"$base/url"),
-              lineIndexPath = Some(s"$base/line"))
-          run(corpus.where(col("doc_id") <= bnd))
-            .union(run(corpus.where(col("doc_id") > bnd)))
-            .orderBy(col("doc_id"))
+              lineIndexPath = Some(s"$base/line"),
+              preparedBloom = Some(bloom), pinnedFront = front,
+              externalBarrier = Some(barrier))
+          try {
+            val s1 = run(corpus.where(col("doc_id") <= bnd), Some(front1()))
+            val s2 = run(corpus.where(col("doc_id") > bnd), Some(front2()))
+            barrier.await()
+            s1.union(s2).orderBy(col("doc_id"))
+          } catch {
+            case e: Throwable =>
+              // join the forks before propagating (the ingestShard
+              // failure contract, applied at the composition site)
+              try barrier.await() catch { case e2: Throwable => e.addSuppressed(e2) }
+              try front1() catch { case e2: Throwable => e.addSuppressed(e2) }
+              try front2() catch { case e2: Throwable => e.addSuppressed(e2) }
+              try bloom() catch { case e2: Throwable => e.addSuppressed(e2) }
+              throw e
+          }
         }
       },
       Some("""WITH src AS (
