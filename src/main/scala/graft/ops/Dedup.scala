@@ -379,13 +379,38 @@ object Dedup {
   def writeSpanGramIndex(df: DataFrame, idCol: String, textCol: String,
                          path: String, n: Int = 8,
                          append: Boolean = false,
-                         commitTag: Option[String] = None): Unit = {
-    if (!append) IndexStore.reset(df.sparkSession, path)
-    IndexStore.append(
+                         commitTag: Option[String] = None): Unit =
+    writeSpanGramIndexFrom(
       spanGrams(df, idCol, textCol, n)
         .groupBy(col("gh")).agg(min(col("doc_id")).as("min_doc")),
-      path, spanPfx, commitTag)
+      path, append, commitTag)
+
+  /** [[writeSpanGramIndex]] from an already-computed (gh, min_doc)
+    * row table — e.g. [[pinnedSpanIndexRows]], so a build-then-probe
+    * composition appends the SAME pinned table it hands the
+    * increment's `pinnedIndex`, skipping the write→read-back parquet
+    * round trip (guide §6 I/O) without touching what lands on disk.
+    */
+  def writeSpanGramIndexFrom(rows: DataFrame, path: String,
+                             append: Boolean = false,
+                             commitTag: Option[String] = None): Unit = {
+    if (!append) IndexStore.reset(rows.sparkSession, path)
+    IndexStore.append(rows, path, spanPfx, commitTag)
   }
+
+  /** The corpus-side span index rows — one (gh, min_doc) row per
+    * distinct gram — aggregated and eagerly pinned: byte-identical to
+    * what [[writeSpanGramIndex]] computes before appending, exposed so
+    * a caller can (a) overlap the build with the increment-side gram
+    * pass and (b) probe the pinned table directly
+    * ([[removeDuplicateSpansIncrement]]'s `pinnedIndex`) instead of
+    * re-reading the files the append just wrote.
+    */
+  def pinnedSpanIndexRows(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 8): DataFrame =
+    spanGrams(df, idCol, textCol, n)
+      .groupBy(col("gh")).agg(min(col("doc_id")).as("min_doc"))
+      .localCheckpoint(true)
 
   /** Load a [[writeSpanGramIndex]] gram index. */
   def readSpanGramIndex(spark: SparkSession, path: String): DataFrame =
@@ -579,9 +604,15 @@ object Dedup {
                                     appendGrams: Boolean = true,
                                     commitTag: Option[String] = None,
                                     appendBarrier: Option[AppendBarrier] = None,
-                                    pinnedGrams: Option[DataFrame] = None): DataFrame = {
+                                    pinnedGrams: Option[DataFrame] = None,
+                                    pinnedIndex: Option[DataFrame] = None): DataFrame = {
     val spark = inc.sparkSession
-    val idx = readSpanGramIndex(spark, indexPath)
+    // `pinnedIndex` (must hold exactly the index's (gh, min_doc) rows
+    // — e.g. [[pinnedSpanIndexRows]] unioned with any prior snapshot)
+    // lets a build-then-probe caller skip re-reading the files its own
+    // append just wrote; the aggregate below makes either source one
+    // row per gh
+    val idx = pinnedIndex.getOrElse(readSpanGramIndex(spark, indexPath))
       // one row per gh whatever the shard-append history: the global
       // first doc is the min over per-shard minima
       .groupBy(col("gh")).agg(min(col("min_doc")).as("_imn"))
@@ -602,8 +633,13 @@ object Dedup {
       .where(col("_imn") < col("doc_id")).select("doc_id", "gpos")
     val withinHits = grams.join(within, Seq("gh")).select("doc_id", "gpos")
     // both rules can mark the same position; the island window needs
-    // one row per (doc, gpos)
-    val hits = idxHits.union(withinHits).distinct()
+    // one row per (doc, gpos). Repartition on doc_id FIRST: hash
+    // partitioning on doc_id satisfies the distinct's (doc_id, gpos)
+    // clustering AND the island window's and span/cut aggregates'
+    // doc_id clustering, so one exchange serves all four operators
+    // (guide §2.4 — the unhinted shape paid a (doc_id, gpos) exchange
+    // for the distinct plus a doc_id exchange for the window)
+    val hits = idxHits.union(withinHits).repartition(col("doc_id")).distinct()
     val out = cutSpans(inc, idCol, textCol, spansFromGramHits(hits, n))
     if (appendGrams) {
       def doAppend(): Unit = IndexStore.append(
@@ -774,13 +810,28 @@ object Dedup {
     */
   def writeLineIndex(df: DataFrame, idCol: String, textCol: String,
                      path: String, append: Boolean = false,
-                     commitTag: Option[String] = None): Unit = {
-    if (!append) IndexStore.reset(df.sparkSession, path)
-    IndexStore.append(
+                     commitTag: Option[String] = None): Unit =
+    writeLineIndexFrom(
       lineRows(df, idCol, textCol)
         .groupBy(col("lh")).agg(min(col("doc_id")).as("min_doc")),
-      path, linePfx, commitTag)
+      path, append, commitTag)
+
+  /** [[writeLineIndex]] from an already-computed (lh, min_doc) row
+    * table — the line-family twin of [[writeSpanGramIndexFrom]]. */
+  def writeLineIndexFrom(rows: DataFrame, path: String,
+                         append: Boolean = false,
+                         commitTag: Option[String] = None): Unit = {
+    if (!append) IndexStore.reset(rows.sparkSession, path)
+    IndexStore.append(rows, path, linePfx, commitTag)
   }
+
+  /** The corpus-side line index rows, aggregated and eagerly pinned —
+    * the line-family twin of [[pinnedSpanIndexRows]]. */
+  def pinnedLineIndexRows(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    lineRows(df, idCol, textCol)
+      .groupBy(col("lh")).agg(min(col("doc_id")).as("min_doc"))
+      .localCheckpoint(true)
 
   /** Load a [[writeLineIndex]] line index. */
   def readLineIndex(spark: SparkSession, path: String): DataFrame =
@@ -821,9 +872,12 @@ object Dedup {
                                     appendLines: Boolean = true,
                                     commitTag: Option[String] = None,
                                     appendBarrier: Option[AppendBarrier] = None,
-                                    pinnedLines: Option[DataFrame] = None): DataFrame = {
+                                    pinnedLines: Option[DataFrame] = None,
+                                    pinnedIndex: Option[DataFrame] = None): DataFrame = {
     val spark = inc.sparkSession
-    val idx = readLineIndex(spark, indexPath)
+    // `pinnedIndex`: see [[removeDuplicateSpansIncrement]] — skips the
+    // write→read-back round trip in a build-then-probe composition
+    val idx = pinnedIndex.getOrElse(readLineIndex(spark, indexPath))
       .groupBy(col("lh")).agg(min(col("min_doc")).as("_imn"))
     // eager pin: the within-fold, the index probe and the append all
     // read the line table — unpinned, each would re-split the shard.
@@ -839,8 +893,10 @@ object Dedup {
       .where(col("_imn") < col("doc_id")).select("doc_id", "lpos")
     val withinCuts = lines.join(within, Seq("lh"))
       .where(col("doc_id") =!= col("_mn")).select("doc_id", "lpos")
-    // both rules can cut the same occurrence; one row per (doc, lpos)
-    val cuts = idxCuts.union(withinCuts).distinct()
+    // both rules can cut the same occurrence; one row per (doc, lpos).
+    // One doc_id exchange serves the distinct AND the cut-list
+    // aggregate (guide §2.4; the spans-increment rationale)
+    val cuts = idxCuts.union(withinCuts).repartition(col("doc_id")).distinct()
       .groupBy(col("doc_id")).agg(collect_list(col("lpos")).as("_cuts"))
     val out = cutLines(inc, idCol, textCol, cuts)
     if (appendLines) {
@@ -1066,11 +1122,21 @@ object Dedup {
   def writeMinhashIndex(df: DataFrame, idCol: String, textCol: String,
                         path: String, k: Int = 16, n: Int = 3,
                         append: Boolean = false,
-                        commitTag: Option[String] = None): Unit = {
-    if (!append) IndexStore.reset(df.sparkSession, path)
-    IndexStore.append(
-      minhashSignaturesWide(df, idCol, textCol, k, n), path,
-      minhashPfx, commitTag)
+                        commitTag: Option[String] = None): Unit =
+    writeMinhashIndexFrom(minhashSignaturesWide(df, idCol, textCol, k, n),
+      path, append, commitTag)
+
+  /** [[writeMinhashIndex]] from an already-computed wide signature
+    * table (e.g. [[pinnedMinhashSignatures]] over the corpus) — the
+    * minhash-family twin of [[writeSpanGramIndexFrom]]: a
+    * build-then-probe composition appends the SAME pinned table it
+    * probes, skipping the write→read-back parquet round trip.
+    */
+  def writeMinhashIndexFrom(sigs: DataFrame, path: String,
+                            append: Boolean = false,
+                            commitTag: Option[String] = None): Unit = {
+    if (!append) IndexStore.reset(sigs.sparkSession, path)
+    IndexStore.append(sigs, path, minhashPfx, commitTag)
   }
 
   /** Load a [[writeMinhashIndex]] signature index. */
@@ -1136,10 +1202,15 @@ object Dedup {
                      appendSignatures: Boolean = true,
                      commitTag: Option[String] = None,
                      appendBarrier: Option[AppendBarrier] = None,
-                     pinnedSigs: Option[DataFrame] = None): DataFrame = {
+                     pinnedSigs: Option[DataFrame] = None,
+                     pinnedIndex: Option[DataFrame] = None): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val spark = inc.sparkSession
-    val idx = readMinhashIndex(spark, indexPath)
+    // `pinnedIndex` (the index's wide signature rows, e.g.
+    // [[pinnedMinhashSignatures]] over the corpus as appended by
+    // [[writeMinhashIndexFrom]]): a build-then-probe caller skips
+    // re-reading the files its own append just wrote
+    val idx = pinnedIndex.getOrElse(readMinhashIndex(spark, indexPath))
     // eager pin: the signature table has four consumers (cross join,
     // estimate, within-pairs, the append) — a lazy pin would let the
     // AQE broadcast thread race the main thread into recomputing it.

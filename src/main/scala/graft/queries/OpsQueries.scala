@@ -1287,20 +1287,35 @@ object OpsQueries {
           // the corpus-side index build and the increment-side
           // signature pass are INDEPENDENT — overlap them (r15,
           // guide-§2.6: both are small-stage jobs that leave the
-          // scheduler idle between rounds); join before the probe
-          // reads the index
-          val built = graft.ops.Concurrent.fork(
-            Dedup.writeMinhashIndex(old, "doc_id", "text", idxPath, k = 16, n = 3))
-          val sigs = Dedup.pinnedMinhashSignatures(inc, "doc_id", "text", k = 16, n = 3)
-          built()
-          // the corpus's own dup pairs come FROM the index it just
-          // wrote — the corpus text is signature-hashed exactly once
+          // scheduler idle between rounds). The fork returns the
+          // PINNED wide signature table it appended, so both probes
+          // (the corpus's own pair scan AND the increment's banded
+          // join) read it directly instead of re-reading the files the
+          // append just wrote (r16, guide §6 I/O).
+          val built = graft.ops.Concurrent.forkValue {
+            val corpusSigs = Dedup.pinnedMinhashSignatures(
+              old, "doc_id", "text", k = 16, n = 3)
+            Dedup.writeMinhashIndexFrom(corpusSigs, idxPath)
+            corpusSigs
+          }
+          // joined on BOTH paths: a failed increment pass must not
+          // leak the builder thread
+          val sigs =
+            try Dedup.pinnedMinhashSignatures(inc, "doc_id", "text", k = 16, n = 3)
+            catch { case e: Throwable =>
+              try built() catch { case e2: Throwable => e.addSuppressed(e2) }
+              throw e
+            }
+          val corpusSigs = built()
+          // the corpus's own dup pairs come FROM the pinned table the
+          // index was written from — the corpus text is
+          // signature-hashed exactly once
           val oldKept = Dedup.dropPairedDuplicates(old, "doc_id",
-            Dedup.minhashLshPairsFromSigs(Dedup.readMinhashIndex(s, idxPath),
+            Dedup.minhashLshPairsFromSigs(corpusSigs,
               k = 16, bands = 4, threshold = 0.25))
           val incKept = Dedup.dedupIncrement(inc, "doc_id", "text", idxPath,
             k = 16, bands = 4, n = 3, threshold = 0.25,
-            pinnedSigs = Some(sigs))
+            pinnedSigs = Some(sigs), pinnedIndex = Some(corpusSigs))
           oldKept.select(col("doc_id")).union(incKept.select(col("doc_id")))
             .orderBy(col("doc_id"))
         }
@@ -1333,15 +1348,28 @@ object OpsQueries {
           val idxPath = graft.ops.TableWrite.scratchDir("graft_span_index")
           val inc = docs.where(col("doc_id") > bnd)
           // overlap the corpus-side index build with the increment's
-          // gram pass (independent jobs — r15, guide §2.6); join
-          // before the increment reads the index manifest
-          val built = graft.ops.Concurrent.fork(
-            Dedup.writeSpanGramIndex(docs.where(col("doc_id") <= bnd),
-              "doc_id", "text", idxPath, n = 5))
-          val grams = Dedup.pinnedSpanGrams(inc, "doc_id", "text", n = 5)
-          built()
+          // gram pass (independent jobs — r15, guide §2.6); the fork
+          // returns the PINNED index rows it appended, so the probe
+          // reads them directly instead of re-reading the files the
+          // append just wrote (r16, guide §6 I/O)
+          val built = graft.ops.Concurrent.forkValue {
+            val rows = Dedup.pinnedSpanIndexRows(
+              docs.where(col("doc_id") <= bnd), "doc_id", "text", n = 5)
+            Dedup.writeSpanGramIndexFrom(rows, idxPath)
+            rows
+          }
+          // joined on BOTH paths: a failed increment pass must not
+          // leak the builder thread
+          val grams =
+            try Dedup.pinnedSpanGrams(inc, "doc_id", "text", n = 5)
+            catch { case e: Throwable =>
+              try built() catch { case e2: Throwable => e.addSuppressed(e2) }
+              throw e
+            }
+          val idxRows = built()
           Dedup.removeDuplicateSpansIncrement(inc,
-              "doc_id", "text", idxPath, n = 5, pinnedGrams = Some(grams))
+              "doc_id", "text", idxPath, n = 5, pinnedGrams = Some(grams),
+              pinnedIndex = Some(idxRows))
             .orderBy(col("doc_id"))
         }
       },
@@ -1436,14 +1464,29 @@ object OpsQueries {
           val idxPath = graft.ops.TableWrite.scratchDir("graft_line_index")
           val inc = docs.where(col("doc_id") > bnd)
           // overlap the corpus-side index build with the increment's
-          // line pass (independent jobs — r15, guide §2.6)
-          val built = graft.ops.Concurrent.fork(
-            Dedup.writeLineIndex(docs.where(col("doc_id") <= bnd),
-              "doc_id", "text", idxPath))
-          val lines = Dedup.pinnedLineRows(inc, "doc_id", "text")
-          built()
+          // line pass (independent jobs — r15, guide §2.6); the fork
+          // returns the PINNED index rows it appended, so the probe
+          // reads them directly instead of re-reading the files the
+          // append just wrote (r16, guide §6 I/O)
+          val built = graft.ops.Concurrent.forkValue {
+            val rows = Dedup.pinnedLineIndexRows(
+              docs.where(col("doc_id") <= bnd), "doc_id", "text")
+            Dedup.writeLineIndexFrom(rows, idxPath)
+            rows
+          }
+          // joined on BOTH paths: a failed increment pass must not
+          // leak the builder thread (it would keep running Spark jobs
+          // against the scratch index after the query has failed)
+          val lines =
+            try Dedup.pinnedLineRows(inc, "doc_id", "text")
+            catch { case e: Throwable =>
+              try built() catch { case e2: Throwable => e.addSuppressed(e2) }
+              throw e
+            }
+          val idxRows = built()
           Dedup.removeDuplicateLinesIncrement(inc,
-              "doc_id", "text", idxPath, pinnedLines = Some(lines))
+              "doc_id", "text", idxPath, pinnedLines = Some(lines),
+              pinnedIndex = Some(idxRows))
             .orderBy(col("doc_id"))
         }
       },

@@ -1497,6 +1497,65 @@ class OpsSpec extends AnyFunSuite {
           k = 16, n = 3))))
   }
 
+  test("pinned-index probes equal the read-back path (spans/lines/minhash)") {
+    // the r16 build-then-probe hook: the corpus-side index rows pin
+    // once, the append writes FROM the pin, and the increment probes
+    // the pin instead of re-reading the just-written files — verdicts
+    // must equal the read-back path exactly, for every family
+    val old = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa\nNAV BAR LINE"),
+      (2L, "one two three four five six seven eight nine ten\nNAV BAR LINE")
+    ).toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa\nNAV BAR LINE"),
+      (11L, "fresh words only here nothing shared at all today now\nNAV BAR LINE"),
+      (12L, "fresh words only here nothing shared at all today now\nunique tail")
+    ).toDF("doc_id", "text")
+    def cmp(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Unit =
+      assert(a.collect().map(_.toString).sorted.toSeq ==
+        b.collect().map(_.toString).sorted.toSeq)
+    // spans: writeSpanGramIndexFrom(pinnedSpanIndexRows) must leave
+    // the same on-disk index AND the pinned probe the same verdicts
+    val sp1 = java.nio.file.Files.createTempDirectory("sp1p").toString
+    val sp2 = java.nio.file.Files.createTempDirectory("sp2p").toString
+    Dedup.writeSpanGramIndex(old, "doc_id", "text", sp1, n = 5)
+    val spRows = Dedup.pinnedSpanIndexRows(old, "doc_id", "text", n = 5)
+    Dedup.writeSpanGramIndexFrom(spRows, sp2)
+    cmp(Dedup.readSpanGramIndex(spark, sp1), Dedup.readSpanGramIndex(spark, sp2))
+    cmp(
+      Dedup.removeDuplicateSpansIncrement(inc, "doc_id", "text", sp1, n = 5),
+      Dedup.removeDuplicateSpansIncrement(inc, "doc_id", "text", sp2, n = 5,
+        pinnedIndex = Some(spRows)))
+    // lines
+    val ln1 = java.nio.file.Files.createTempDirectory("ln1p").toString
+    val ln2 = java.nio.file.Files.createTempDirectory("ln2p").toString
+    Dedup.writeLineIndex(old, "doc_id", "text", ln1)
+    val lnRows = Dedup.pinnedLineIndexRows(old, "doc_id", "text")
+    Dedup.writeLineIndexFrom(lnRows, ln2)
+    cmp(Dedup.readLineIndex(spark, ln1), Dedup.readLineIndex(spark, ln2))
+    cmp(
+      Dedup.removeDuplicateLinesIncrement(inc, "doc_id", "text", ln1),
+      Dedup.removeDuplicateLinesIncrement(inc, "doc_id", "text", ln2,
+        pinnedIndex = Some(lnRows)))
+    // minhash: the pinned wide signature table serves both the
+    // corpus's own pair scan and the increment's banded probe
+    val mh1 = java.nio.file.Files.createTempDirectory("mh1p").toString
+    val mh2 = java.nio.file.Files.createTempDirectory("mh2p").toString
+    Dedup.writeMinhashIndex(old, "doc_id", "text", mh1, k = 16, n = 3)
+    val mhSigs = Dedup.pinnedMinhashSignatures(old, "doc_id", "text", k = 16, n = 3)
+    Dedup.writeMinhashIndexFrom(mhSigs, mh2)
+    cmp(Dedup.readMinhashIndex(spark, mh1), Dedup.readMinhashIndex(spark, mh2))
+    cmp(
+      Dedup.minhashLshPairsFromSigs(Dedup.readMinhashIndex(spark, mh1),
+        k = 16, bands = 4, threshold = 0.25),
+      Dedup.minhashLshPairsFromSigs(mhSigs, k = 16, bands = 4, threshold = 0.25))
+    cmp(
+      Dedup.dedupIncrement(inc, "doc_id", "text", mh1, k = 16, bands = 4,
+        n = 3, threshold = 0.25),
+      Dedup.dedupIncrement(inc, "doc_id", "text", mh2, k = 16, bands = 4,
+        n = 3, threshold = 0.25, pinnedIndex = Some(mhSigs)))
+  }
+
   test("gopher filter: each rule rejects its planted violation, good doc passes") {
     val goodWords = (Seq("the", "of", "and") ++
       (1 to 60).map(i => s"word$i")).mkString(" ") // 63 tokens, stopwords, varied
