@@ -181,7 +181,18 @@ object AnnIndex {
   def append(inc: DataFrame, idCol: String, vecCol: String, path: String,
              commitTag: Option[String] = None): Unit = {
     val spark = inc.sparkSession
-    val (dims, _, _, _, planes, _) = readManifest(spark, path)
+    // the manifest head() and the codebook collect (inside pqEncode,
+    // via readPqCodebooks below) are independent tiny driver reads of
+    // disjoint artifact tables — overlap them (r16; two sequential
+    // job-latency rounds otherwise)
+    val manifestF = Concurrent.forkValue(readManifest(spark, path))
+    val cb =
+      try readPqCodebooks(spark, path)
+      catch { case e: Throwable =>
+        try manifestF() catch { case e2: Throwable => e.addSuppressed(e2) }
+        throw e
+      }
+    val (dims, _, _, _, planes, _) = manifestF()
     // the manifest's dims gate the increment: a wrong-dimensional (or
     // NULL) vector would otherwise encode garbage codes silently (the
     // pqEncode subvector slicing just misaligns) — assert_true rides
@@ -191,7 +202,6 @@ object AnnIndex {
         concat(lit("AnnIndex.append: increment vector length "),
           size(col(vecCol)).cast("string"),
           lit(s" != manifest dims $dims"))).isNull)
-    val cb = readPqCodebooks(spark, path)
     val pfx = codesPfx(idCol)
     // ONE scan of the shard produces BOTH artifacts — r13 ran the PQ
     // encode and the LSH projection as two separate scans of the

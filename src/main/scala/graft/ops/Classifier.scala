@@ -129,6 +129,12 @@ object Classifier {
     var present = Array.empty[Long]
     for (step <- 1 to steps) {
       val m = margins(db, w, bias)
+      // observe() rides a CollectMetrics accumulator, which can
+      // double-count rows under task RETRIES or speculative execution
+      // — exact in local mode (the bench/oracle harness) and on any
+      // cluster with speculation off; a speculative cluster trainer
+      // should prefer the collect()-based bias aggregate (r14 shape)
+      // or disable speculation for this job group
       val obs = org.apache.spark.sql.Observation(s"gd_step_$step")
       val e = m.select(col("doc_id"),
           round(col("y") - sigmoid(col("marg")), 12).as("err"))

@@ -51,7 +51,11 @@ object Components {
     // `observe()` metric (a CollectMetrics node the materialized rows
     // pass through anyway) — r15: the standalone per-round sum job the
     // r14 shape paid was pure job-floor latency, half the loop's
-    // driver rounds.
+    // driver rounds. CollectMetrics accumulators can double-count rows
+    // under task retries / speculative execution — exact in local mode
+    // (the bench/oracle harness) and on clusters with speculation off;
+    // a speculative cluster should disable speculation for this loop's
+    // job group (the convergence test tolerates no perturbation).
     def observedSum(df: DataFrame, name: String): (DataFrame, org.apache.spark.sql.Observation) = {
       val obs = org.apache.spark.sql.Observation(name)
       (df.observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("s")), obs)

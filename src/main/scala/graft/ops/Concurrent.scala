@@ -11,6 +11,15 @@ package graft.ops
   * increment-side hashing. Safe only for actions that touch disjoint
   * state (disjoint output paths / independent collects) — which every
   * call site here documents.
+  *
+  * Thread budget: raw threads, deliberately uncapped — today's widest
+  * composition is one ingest shard (≤5 deferred appends + 1 Bloom
+  * fork + 1 front-door fork ≈ 7 concurrent driver threads), each
+  * blocked on a Spark job the scheduler serializes anyway, so a pool
+  * would add queueing semantics without bounding anything real. A
+  * composition that fans out per-partition or per-key work (hundreds
+  * of threads) must bring its own bounded pool — revisit this note
+  * before building one.
   */
 private[graft] object Concurrent {
 

@@ -273,4 +273,39 @@ class IndexStoreSpec extends AnyFunSuite {
       .groupBy(col("digest")).agg(min(col("min_doc")).as("min_doc"))
     assert(rows(IndexStore.read(spark, path)) == rows(want))
   }
+
+  test("a barrier-deferred append never changes an already-pinned read " +
+      "(the ingest pipeline's manifest-snapshot contract)") {
+    // the AppendBarrier safety argument, pinned as a spec instead of a
+    // comment: IndexStore.read resolves the manifest snapshot AT CALL
+    // TIME, so an append that lands afterwards — even before the read's
+    // plan ever executes — cannot leak into it; a FRESH read sees it.
+    // Per-path awaits (awaitFor) join only that path's appends.
+    val path = tmp()
+    val other = tmp()
+    IndexStore.append(Seq((1L, 10L)).toDF("gh", "min_doc"), path, pfx)
+    IndexStore.init(spark, other,
+      Seq((0L, 0L)).toDF("gh", "min_doc").schema)
+    val pinned = IndexStore.read(spark, path) // snapshot taken HERE
+    val barrier = new AppendBarrier
+    val started = new java.util.concurrent.CountDownLatch(1)
+    barrier.submitFor(path) {
+      started.await()
+      IndexStore.append(Seq((2L, 20L)).toDF("gh", "min_doc"), path, pfx)
+    }
+    barrier.submitFor(other) {
+      IndexStore.append(Seq((3L, 30L)).toDF("gh", "min_doc"), other, pfx)
+    }
+    // awaitFor joins ONLY the named path's appends: `other` completes
+    // here while `path`'s append is still gated on the latch
+    barrier.awaitFor(other)
+    assert(rows(IndexStore.read(spark, other)).contains(Seq(3L, 30L)))
+    started.countDown()
+    barrier.await()
+    // the pinned read still serves the pre-append snapshot — executed
+    // only now, AFTER the append committed
+    assert(rows(pinned) == Set(Seq(1L, 10L)))
+    // a fresh read (the next shard's stage) sees the appended state
+    assert(rows(IndexStore.read(spark, path)) == Set(Seq(1L, 10L), Seq(2L, 20L)))
+  }
 }
