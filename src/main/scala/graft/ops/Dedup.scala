@@ -285,12 +285,14 @@ object Dedup {
         !exists(col("_spans"), s =>
           i.cast("long") >= s.getField("span_start") &&
             i.cast("long") <= s.getField("span_end")))
-    // spread the doc side: `grouped` is small (AQE broadcasts it), so
-    // a one-file corpus would otherwise tokenize + rebuild every
-    // document in ONE task (the cutLines lesson — r16 StageProfile
-    // showed dedup_drop_spans paying two ~300 ms single-task stages
-    // here); identity on an already-wide input
-    Spread.ifNarrow(df, col(idCol))
+    // spread the doc side ONLY when `grouped` is broadcast-sized: under
+    // a broadcast join a one-file corpus would tokenize + rebuild every
+    // document in ONE task (r16 StageProfile: two ~300 ms single-task
+    // stages in dedup_drop_spans); when the span table is above the
+    // broadcast threshold the join's own exchange spreads the doc side
+    // and a pre-spread would shuffle the text twice (measured at the
+    // synthetic sf10 — see Spread.ifNarrowAndPeerBroadcastable)
+    Spread.ifNarrowAndPeerBroadcastable(df, grouped, col(idCol))
       .select(col(idCol).as("doc_id"), toks.as("_t"))
       .join(grouped, Seq("doc_id"), "left")
       .withColumn("_k", kept)
@@ -784,7 +786,13 @@ object Dedup {
     // spread the doc side too: cuts is small (AQE broadcasts it), so
     // a one-file corpus would otherwise rebuild every document's line
     // array in ONE task — lineRows got the spread, the cut tail needs
-    // its own (no-op when the caller already widened the input)
+    // its own (no-op when the caller already widened the input).
+    // Deliberately UNCONDITIONAL, unlike cutSpans' peer-gated spread:
+    // the line-cut table's plan-time estimate overshoots its runtime
+    // size (14.6 MB est vs an AQE runtime broadcast at the synthetic
+    // sf10), and the measured A/B there says the spread is essential
+    // (anchor-normalized 1.18 with vs 4.28 without) — line cuts are
+    // boilerplate-bounded, never corpus-dense like span grams.
     Spread.ifNarrow(df, col(idCol))
       .select(col(idCol).as("doc_id"), arr.as("_l"))
       .join(cuts, Seq("doc_id"), "left")

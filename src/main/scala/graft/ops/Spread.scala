@@ -59,4 +59,29 @@ object Spread {
   def ifNarrowAndBig(df: DataFrame, minBytes: Long, keys: Column*): DataFrame =
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes) df
     else ifNarrow(df, keys: _*)
+
+  /** [[ifNarrow]] additionally gated on a JOIN PEER's estimated size
+    * against the session broadcast threshold — for the cut/apply tails
+    * that join a narrow corpus scan against a derived per-doc table:
+    * when the peer broadcasts, the narrow side's partitioning survives
+    * into the heavy post-join rebuild (the single-task trap the spread
+    * exists to fix); when the peer is above the threshold the planner
+    * shuffles the big side by the join key anyway, and a pre-spread
+    * would move the heavy rows TWICE (measured on the synthetic sf10:
+    * dedup_drop_spans q3-anchor-normalized 2.84 with an unconditional
+    * spread vs 1.93 without — the span table crosses the threshold
+    * there, while the line-cut table stays under it and its spread
+    * remains essential: 1.18 vs 4.28). Planning-only (statistics and
+    * a conf read, no job); `autoBroadcastJoinThreshold = -1` (broadcast
+    * disabled) correctly disables the spread too.
+    */
+  def ifNarrowAndPeerBroadcastable(df: DataFrame, peer: DataFrame,
+                                   keys: Column*): DataFrame = {
+    val thr = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    if (thr > 0 &&
+        peer.queryExecution.optimizedPlan.stats.sizeInBytes <= thr)
+      ifNarrow(df, keys: _*)
+    else df
+  }
 }
