@@ -77,8 +77,12 @@ object Spread {
     */
   def ifNarrowAndPeerBroadcastable(df: DataFrame, peer: DataFrame,
                                    keys: Column*): DataFrame = {
-    val thr = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    val raw = df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    // the conf accepts a bare (possibly negative) byte count OR a
+    // size suffix; byteStringAsBytes rejects "-1"
+    val thr = scala.util.Try(raw.toLong).getOrElse(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
     if (thr > 0 &&
         peer.queryExecution.optimizedPlan.stats.sizeInBytes <= thr)
       ifNarrow(df, keys: _*)
